@@ -1,0 +1,77 @@
+"""Differential harness mirroring the driver's t2 gate: every registered
+query with an oracle runs on Spark AND DuckDB over the same parquet; results
+must match on row count, column names/order-insensitive values — floats
+compared EXACTLY (the driver hashes values, so approximate equality is not
+good enough; queries are designed to be bit-stable, compat.py)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from wheels_in_motion_analytics_spark.registry import load_all_queries
+from wheels_in_motion_analytics_spark.tables import TABLE_NAMES
+
+from tests.conftest import SF_SMALL
+
+SPECS = load_all_queries()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMALL}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def canon(rows, colnames):
+    """Order-insensitive canonical form: sort columns by name, then rows."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                # exact float repr — mirrors a value-hash; NaN normalized
+                v = "NaN" if math.isnan(v) else repr(v)
+            vals.append(str(v))
+        out.append(tuple(vals))
+    out.sort()
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_query_matches_oracle(name, spark, duck):
+    spec = SPECS[name]
+    sdf = spec.fn(spark, SF_SMALL)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    if spec.oracle is None:
+        # rows-only contract: runs, yields a stable schema
+        assert isinstance(spark_rows, list)
+        assert len(spark_cols) > 0
+        return
+
+    res = duck.execute(spec.oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    s = canon(spark_rows, spark_cols)
+    d = canon(duck_rows, duck_cols)
+    if s != d:
+        diffs = [(a, b) for a, b in zip(s, d) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch; first diffs: {diffs}")

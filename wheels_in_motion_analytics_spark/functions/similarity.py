@@ -1,0 +1,529 @@
+"""Deduplication & similarity-search operators (north-star surface,
+BASELINE.json): exact dedup, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine top-k / near-dup, and an LSH-bucketed ANN scale path.
+
+Design for 100 TB:
+
+* Shingle/token expansion is a flatMap (explode) — no shuffle; the only
+  shuffles are the groupBy(doc) signature folds and the candidate-pair joins,
+  which are *banded* (LSH) so the join key space is tiny versus an all-pairs
+  comparison. Brute-force all-pairs variants exist as correctness baselines
+  and are marked as such.
+* All hashing is md5-derived and engine-portable, so every op except the ANN
+  bucket path is fully oracle-checkable in DuckDB with identical constants.
+* Everything is Catalyst built-ins (explode / higher-order array functions /
+  window) — no Python UDF anywhere.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from wheels_in_motion_analytics_spark.functions.text import fingerprint, tokens
+from wheels_in_motion_analytics_spark.registry import register
+from wheels_in_motion_analytics_spark.tables import table
+
+# ---------------------------------------------------------------------------
+# Portable hashing: 60-bit (or n-hex-digit) integers from md5, identical in
+# Spark (conv) and DuckDB ('0x…'::BIGINT). Murmur/xxhash would be faster but
+# engine-specific; md5 keeps every op differential-testable.
+# ---------------------------------------------------------------------------
+
+
+def hash_hex(col: Column, hex_digits: int = 15) -> Column:
+    """First ``hex_digits`` md5 hex chars as a non-negative BIGINT (≤60 bits)."""
+    return F.conv(F.substring(F.md5(col), 1, hex_digits), 16, 10).cast("bigint")
+
+
+def _oracle_hash(expr: str, hex_digits: int = 15) -> str:
+    return f"('0x' || substr(md5({expr}), 1, {hex_digits}))::BIGINT"
+
+
+# --- word shingles ---------------------------------------------------------
+
+SHINGLE_N = 3
+
+_ORACLE_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+# doc_id + distinct 3-word shingles, as a DuckDB CTE chain.
+_ORACLE_SHINGLES = f"""
+toks AS (SELECT doc_id, {_ORACLE_TOKS} AS ws FROM documents),
+idx AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 1, 1))) AS i FROM toks),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+  FROM idx WHERE i + 2 <= len(ws)
+)"""
+
+
+def shingles(col: Column, n: int = SHINGLE_N) -> Column:
+    """Distinct n-word shingles of a text column (array<string>)."""
+    ws = tokens(col)
+    cnt = F.size(ws) - (n - 1)
+    idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(n)]),
+        )
+    )
+
+
+def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) exploded — the inverted-index input."""
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    category="dedup-llm",
+    doc="Exact dedup by normalization fingerprint: one hash-groupBy, keep "
+    "min(doc_id) as the canonical representative.",
+    oracle="""
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy(fingerprint(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact) — baseline the LSH ops are judged against
+# ---------------------------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.8
+
+
+@register(
+    "dedup_ngram_jaccard",
+    category="dedup-llm",
+    doc="Exact 3-gram Jaccard near-dup pairs via inverted-index self-join "
+    "(shingle explode → join on shingle → |A∩B| / |A∪B| ≥ 0.8). The "
+    "correctness baseline for MinHash.",
+    oracle=f"""
+WITH {_ORACLE_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2,
+       ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = d1
+JOIN sizes sb ON sb.doc_id = d2
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(F.broadcast(sa), F.col("d1") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("d2") == F.col("sb.doc_id"))
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH — the scale path for fuzzy dedup
+# ---------------------------------------------------------------------------
+
+MINHASH_K = 8  # signature length (permutations)
+LSH_ROWS = 2  # rows per band
+LSH_BANDS = MINHASH_K // LSH_ROWS  # 4 bands → s-curve threshold ≈ 0.5
+
+
+@register(
+    "dedup_minhash_lsh",
+    category="dedup-llm",
+    doc=f"MinHash({MINHASH_K}) + LSH({LSH_BANDS} bands × {LSH_ROWS}) candidate "
+    "pairs: shingle→minhash signature→band keys→bucket self-join. Join key "
+    "space is |bands × buckets|, never all-pairs — the 100 TB fuzzy-dedup "
+    "shape. md5-derived permutations keep it oracle-checkable.",
+    oracle=f"""
+WITH {_ORACLE_SHINGLES},
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"MIN({_oracle_hash(repr(f'{j}:') + ' || s')}) AS m{j}" for j in range(MINHASH_K))}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band_idx, "
+      f"md5(CAST(m{LSH_ROWS * b} AS VARCHAR) || '_' || CAST(m{LSH_ROWS * b + 1} AS VARCHAR)) AS band_key FROM sig"
+      for b in range(LSH_BANDS)
+  )}
+)
+SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+FROM bands a
+JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = doc_shingles(spark, sf_dir)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(hash_hex(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"m{j}")
+            for j in range(MINHASH_K)
+        ]
+    )
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    F.col(f"m{LSH_ROWS * b}").cast("string"),
+                    F.col(f"m{LSH_ROWS * b + 1}").cast("string"),
+                )
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band_idx", "band_key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+@register(
+    "simhash_signature",
+    category="dedup-llm",
+    doc=f"{SIMHASH_BITS}-bit SimHash per document: token-frequency-weighted "
+    "bit votes over md5-derived token hashes. Signature build is one "
+    "explode + one groupBy.",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_ORACLE_TOKS}) AS t FROM documents
+),
+h AS (SELECT doc_id, {_oracle_hash("t", 8)} AS h FROM tok),
+votes AS (
+  SELECT doc_id,
+         {", ".join(f"SUM(CASE WHEN (h & {1 << i}) <> 0 THEN 1 ELSE -1 END) AS b{i}" for i in range(SIMHASH_BITS))}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({" + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS))} AS BIGINT)
+         AS simhash
+FROM votes
+""",
+)
+def simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+        .select("doc_id", hash_hex(F.col("t"), 8).alias("h"))
+    )
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return votes.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+SIMHASH_BAND_BITS = 8
+SIMHASH_HAMMING_MAX = 6
+
+
+@register(
+    "dedup_simhash_pairs",
+    category="dedup-llm",
+    doc="SimHash near-dup pairs, banded: join on any equal 8-bit chunk "
+    "(pigeonhole: hamming ≤ 6 over 4 chunks ⇒ ≥1 equal chunk), then verify "
+    "bit_count(xor) ≤ 6. Candidate space is per-chunk buckets, not all-pairs.",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_ORACLE_TOKS}) AS t FROM documents
+),
+h AS (SELECT doc_id, {_oracle_hash("t", 8)} AS h FROM tok),
+votes AS (
+  SELECT doc_id,
+         {", ".join(f"SUM(CASE WHEN (h & {1 << i}) <> 0 THEN 1 ELSE -1 END) AS b{i}" for i in range(SIMHASH_BITS))}
+  FROM h GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id,
+         CAST({" + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS))} AS BIGINT)
+           AS simhash
+  FROM votes
+),
+chunks AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, simhash, {c} AS chunk_idx, (simhash >> {c * SIMHASH_BAND_BITS}) & 255 AS chunk FROM sig"
+      for c in range(SIMHASH_BITS // SIMHASH_BAND_BITS)
+  )}
+)
+SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM chunks a
+JOIN chunks b ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+            AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
+""",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = simhash_signature(spark, sf_dir)
+    n_chunks = SIMHASH_BITS // SIMHASH_BAND_BITS
+    chunked = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), c * SIMHASH_BAND_BITS).bitwiseAND(F.lit(255))
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(hamming <= SIMHASH_HAMMING_MAX)
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity
+# ---------------------------------------------------------------------------
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order double dot product of two array columns."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id", e.alias("e")
+    ).withColumn("nrm", F.sqrt(dot(F.col("e"), F.col("e"))))
+
+
+_ORACLE_NORM = """
+n AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), nn AS (
+  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM n
+)"""
+
+ANN_TOPK = 3
+
+
+@register(
+    "similarity_topk_bruteforce",
+    category="similarity",
+    doc=f"Brute-force cosine top-{ANN_TOPK} neighbors per vector — the exact "
+    "baseline ANN variants are measured against. All-pairs: correctness "
+    "tool, not the scale path (see ann_lsh_bucketed).",
+    oracle=f"""
+WITH {_ORACLE_NORM}
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS cosine,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) DESC,
+                    b.vec_id ASC
+         ) AS rnk
+  FROM nn a JOIN nn b ON a.vec_id <> b.vec_id
+) WHERE rnk <= {ANN_TOPK}
+""",
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    v = _norm_vectors(spark, sf_dir)
+    a = v.alias("a")
+    b = v.alias("b")
+    cos = F.round(
+        dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm")), 4
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= ANN_TOPK)
+        .select("query_id", "neighbor_id", "cosine", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+NEAR_DUP_COSINE = 0.4
+
+
+@register(
+    "embedding_near_dup_pairs",
+    category="similarity",
+    doc=f"Embedding near-duplicate pairs: cosine ≥ {NEAR_DUP_COSINE}, "
+    "d1 < d2 (rounded, deterministic).",
+    oracle=f"""
+WITH {_ORACLE_NORM}
+SELECT a.vec_id AS d1, b.vec_id AS d2,
+       ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS cosine
+FROM nn a JOIN nn b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= {NEAR_DUP_COSINE}
+""",
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _norm_vectors(spark, sf_dir)
+    a = v.alias("a")
+    b = v.alias("b")
+    cos = F.round(
+        dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm")), 4
+    )
+    return (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("d1"),
+            F.col("b.vec_id").alias("d2"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= NEAR_DUP_COSINE)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN — the scale path
+# ---------------------------------------------------------------------------
+
+ANN_PLANES = 12
+ANN_DIM = 64
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1], md5-seeded.
+
+    Driver-side constants (tiny), broadcast into the plan as literals — the
+    equivalent of shipping a small model artifact with the job.
+    """
+    planes = []
+    for p in range(ANN_PLANES):
+        row = []
+        for d in range(ANN_DIM):
+            h = int(hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[:15], 16)
+            row.append((h / float(1 << 60)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+@register(
+    "ann_lsh_bucketed",
+    category="similarity",
+    doc=f"Random-hyperplane LSH ANN: {ANN_PLANES}-bit signature buckets, "
+    "exact cosine re-rank within bucket, top-1 per query. The 100 TB path: "
+    "candidate set is one bucket, not the corpus; bucket join is a hash "
+    "join on the signature. Rows-only check (recall vs brute force is "
+    "asserted in tests/test_similarity.py).",
+    oracle=None,
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    v = _norm_vectors(spark, sf_dir)
+    bucket = None
+    for p, plane in enumerate(_hyperplanes()):
+        plane_lit = F.array(*[F.lit(w) for w in plane])
+        bit = F.when(dot(F.col("e"), plane_lit) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    sigged = v.withColumn("bucket", bucket.cast("int"))
+    a = sigged.alias("a")
+    b = sigged.alias("b")
+    cos = F.round(
+        dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm")), 4
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("query_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        cos.alias("cosine"),
+        F.col("a.bucket").alias("bucket"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("query_id", "neighbor_id", "cosine", "bucket")
+    )

@@ -1,0 +1,136 @@
+"""Multimodal columns: opaque binary payloads + typed metadata (north-star
+surface, BASELINE.json).
+
+Model: media is an opaque ``binary`` column with a metadata struct; decode /
+feature-extract / resize / frame-sample run as Arrow-batched pandas functions
+over ``mapInPandas`` — the Spark-side plumbing (schema, partitioning, batch
+shape) is real and tested; the actual codec call is STUBBED (image/audio
+libraries are not in this container) behind ``decode_image_stub``, which
+raises ``NotImplementedError`` unless ``deterministic_fake=True``.
+
+Scale notes: mapInPandas streams Arrow batches — constant memory per task, no
+driver collect; binary payloads never pass through Python row-at-a-time.
+Partitioning: repartition by a content-hash bucket upstream if payload sizes
+are skewed (a few giant videos can straggle a task).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, SparkSession
+
+from wheels_in_motion_analytics_spark.registry import register
+from wheels_in_motion_analytics_spark.tables import table
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("source", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the multimodal table from documents: text bytes stand in
+    for an image/audio payload; metadata is a real typed struct."""
+    docs = table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def decode_image_stub(payload: bytes, deterministic_fake: bool = False) -> list[float]:
+    """STUB decode step. Real deployments plug in PIL/ffmpeg here; this
+    container has neither, so either fake deterministically or refuse."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "image/audio codecs are not available in this environment; "
+            "pass deterministic_fake=True for the test fake"
+        )
+    # Deterministic fake "feature": byte-histogram moments, stable across runs.
+    n = len(payload) or 1
+    s = sum(payload)
+    return [float(n), float(s % 997), float(s) / n]
+
+
+def extract_features(media: DataFrame, batch_fake: bool = True) -> DataFrame:
+    """Feature extraction over mapInPandas: Arrow batches in, Arrow batches
+    out — the canonical multimodal hot path."""
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [decode_image_stub(p, deterministic_fake=batch_fake) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+@register(
+    "multimodal_meta",
+    category="multimodal",
+    doc="Typed metadata over opaque binary payloads (byte length via "
+    "octet_length on both engines) — the oracle-checkable plumbing half.",
+    oracle="""
+SELECT doc_id,
+       octet_length(CAST(text AS BLOB)) AS n_bytes,
+       'application/octet-stream' AS mime,
+       source
+FROM documents
+""",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_table(spark, sf_dir)
+    return media.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.source").alias("source"),
+    )
+
+
+@register(
+    "multimodal_features",
+    category="multimodal",
+    doc="mapInPandas feature extraction over binary payloads (stubbed "
+    "decoder, deterministic fake) — rows-only check; batch shape and "
+    "schema are the real contract.",
+    oracle=None,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_features(media_table(spark, sf_dir))

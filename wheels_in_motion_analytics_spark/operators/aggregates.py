@@ -1,0 +1,312 @@
+"""Aggregation operators (reference A1-A6 + full agg surface).
+
+A1 null-profile: /root/reference/airflow/dags/scripts/init-data-transformation.py:57-63,104-116.
+A3-A6 dashboard aggs: images/analytics_dashboard_2.PNG, README.md:252.
+
+Scale notes: every groupBy here is a partial (map-side) + final hash
+aggregation — Catalyst does the combine automatically, so shuffled bytes are
+proportional to |groups|, not |rows|. The null-profile is a single global agg
+with ~k columns: one row out, one Exchange of k counters per partition.
+Share-of-total uses a window over an empty partition spec — acceptable only
+because the input is the already-aggregated group table (|groups| rows), never
+the raw fact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+
+from wheels_in_motion_analytics_spark.compat import davg, dsum, oracle_davg, oracle_dsum
+from wheels_in_motion_analytics_spark.registry import register
+from wheels_in_motion_analytics_spark.tables import table
+
+
+def null_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """A1: one-row DataFrame of per-column null counts.
+
+    Formulated as COUNT(*) - COUNT(col) (bigint in both engines) rather than
+    SUM(CASE WHEN...) so the oracle schema matches exactly.
+    """
+    cols = cols or df.columns
+    return df.agg(*[(F.count(F.lit(1)) - F.count(F.col(c))).alias(c) for c in cols])
+
+
+@register(
+    "null_profile_agg",
+    category="aggregates",
+    doc="A1 per-column null profile on lineitem "
+    "(init-data-transformation.py:57-63,104-116).",
+    oracle="""
+SELECT COUNT(*) - COUNT(l_orderkey) AS l_orderkey,
+       COUNT(*) - COUNT(l_quantity) AS l_quantity,
+       COUNT(*) - COUNT(l_discount) AS l_discount,
+       COUNT(*) - COUNT(l_returnflag) AS l_returnflag,
+       COUNT(*) - COUNT(l_shipdate) AS l_shipdate
+FROM lineitem
+""",
+)
+def null_profile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = table(spark, sf_dir, "lineitem")
+    return null_profile(df, ["l_orderkey", "l_quantity", "l_discount", "l_returnflag", "l_shipdate"])
+
+
+@register(
+    "count_total",
+    category="aggregates",
+    doc="A3 'Total Rides' global count (dashboard headline).",
+    oracle="SELECT COUNT(*) AS total_rows FROM lineitem",
+)
+def count_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("total_rows"))
+
+
+@register(
+    "group_topk",
+    category="aggregates",
+    doc="A4 'Rides By Station Name': group-count, sort desc, deterministic top-k.",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS num_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY num_orders DESC, o_orderpriority ASC
+LIMIT 5
+""",
+)
+def group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("num_orders"))
+        .orderBy(F.desc("num_orders"), F.asc("o_orderpriority"))
+        .limit(5)
+    )
+
+
+@register(
+    "share_of_total",
+    category="aggregates",
+    doc="A5 'Rides By Bicycle Model' share-of-total: group count / grand total "
+    "via an empty-partition window over the aggregated groups.",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS num_orders,
+       CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS share
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grouped = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("num_orders"))
+    )
+    w = Window.partitionBy()
+    return grouped.withColumn(
+        "share", F.col("num_orders").cast("double") / F.sum("num_orders").over(w)
+    )
+
+
+@register(
+    "hist_by_hour",
+    category="aggregates",
+    doc="A6 'Rides By Hour' 24-bucket histogram over event timestamps "
+    "(hour precomputed in dim_datetime, journey-data-transformation.py:164).",
+    oracle="""
+SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day, COUNT(*) AS num_events
+FROM events
+GROUP BY 1
+""",
+)
+def hist_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(F.hour("ts").alias("hour_of_day"))
+        .agg(F.count(F.lit(1)).alias("num_events"))
+    )
+
+
+@register(
+    "distinct_pairs",
+    category="aggregates",
+    doc="A2 DISTINCT projection (station id/name pairs, "
+    "journey-data-transformation.py:114-124).",
+    oracle="SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
+
+
+@register(
+    "agg_stats_suite",
+    category="aggregates",
+    doc="min/max/avg/sum per group with order-independent numerics "
+    "(decimal-accumulated; stddev rounded).",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {oracle_dsum('l_quantity')} AS sum_qty,
+       {oracle_dsum('l_extendedprice')} AS sum_base_price,
+       {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {oracle_davg('l_quantity')} AS avg_qty,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary — the canonical partial-agg benchmark."""
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+        davg("l_quantity").alias("avg_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "count_distinct_exact",
+    category="aggregates",
+    doc="Exact COUNT(DISTINCT) — expands to a two-phase agg in Spark.",
+    oracle="""
+SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS num_customers
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def count_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("num_customers"))
+    )
+
+
+@register(
+    "approx_count_distinct",
+    category="aggregates",
+    doc="HyperLogLog++ approximate distinct — sketch-based, mergeable, the "
+    "100 TB path where exact distinct would shuffle every key. No SQL oracle "
+    "(engine-specific sketch); driver records rows-only.",
+    oracle=None,
+)
+def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers"))
+    )
+
+
+@register(
+    "rollup_agg",
+    category="aggregates",
+    doc="ROLLUP hierarchy totals with GROUPING() markers (§2b gap fill).",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+       COUNT(*) AS num_orders
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+""",
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("num_orders"),
+        )
+    )
+
+
+@register(
+    "cube_agg",
+    category="aggregates",
+    doc="CUBE over two dims (§2b gap fill).",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS num_items,
+       {oracle_dsum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+""",
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("num_items"), dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@register(
+    "grouping_sets_agg",
+    category="aggregates",
+    doc="Explicit GROUPING SETS (§2b gap fill).",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS num_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.tables import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS num_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "percentile_exact",
+    category="aggregates",
+    doc="Exact continuous percentiles per group (oracle: quantile_cont). "
+    "Rounded — interpolation is float.",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4) AS p50,
+       ROUND(CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE), 4) AS p90
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        )
+    )
+
+
+@register(
+    "percentile_approx_sketch",
+    category="aggregates",
+    doc="approx_percentile (KLL-style sketch) — the mergeable 100 TB "
+    "quantile path; rows-only check (sketch is engine-specific).",
+    oracle=None,
+)
+def percentile_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.percentile_approx("l_extendedprice", [0.5, 0.9], 10000).alias("pcts"))
+    )

@@ -1,0 +1,100 @@
+"""Dedup & union operators (reference D1-D3).
+
+D1 set-UNION: /root/reference/airflow/dags/scripts/journey-data-transformation.py:120.
+D2 unionByName(allowMissingColumns): :137-141.  D3 keyed dedup: :141,180.
+
+The reference's ``dropDuplicates([key])`` keeps an arbitrary row per key —
+non-deterministic across runs/partitionings (SURVEY.md §4.3). This engine's
+keyed dedup defines the winner explicitly via ``row_number()`` over a total
+order, which is both reproducible and oracle-checkable; at scale it is the
+same single hash-shuffle on the key either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+
+from wheels_in_motion_analytics_spark.registry import register
+from wheels_in_motion_analytics_spark.tables import table
+
+
+def dedup_by_key(df: DataFrame, keys: list[str], order: list[Column]) -> DataFrame:
+    """D3 with a deterministic winner: first row per key under ``order``."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+@register(
+    "union_dedup_key",
+    category="dedup",
+    doc="D1 set-UNION of two key-set legs (start-leg ∪ end-leg stations, "
+    "journey-data-transformation.py:110-127): distinct union of customer keys "
+    "from two order segments.",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+UNION
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+""",
+)
+def union_dedup_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    leg_a = orders.where(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    leg_b = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    # SQL UNION == bag-union then distinct (D1, not UNION ALL).
+    return leg_a.union(leg_b).distinct()
+
+
+@register(
+    "union_by_name_missing_cols",
+    category="dedup",
+    doc="D2 schema-drift-tolerant union: existing dim ∪ discovered rows that "
+    "lack some columns (journey-data-transformation.py:137-141).",
+    oracle="""
+SELECT c_custkey AS entity_id, c_name AS entity_name, c_acctbal AS acctbal FROM customer
+UNION ALL
+SELECT s_suppkey, s_name, NULL FROM supplier
+""",
+)
+def union_by_name_missing_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customers = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_name").alias("entity_name"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    suppliers = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_id"),
+        F.col("s_name").alias("entity_name"),
+        # acctbal intentionally absent — unionByName fills NULL.
+    )
+    return customers.unionByName(suppliers, allowMissingColumns=True)
+
+
+@register(
+    "dedup_key_deterministic",
+    category="dedup",
+    doc="D3 keyed dedup with a deterministic winner: latest order per "
+    "customer (row_number over orderdate desc, orderkey desc).",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+""",
+)
+def dedup_key_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    return dedup_by_key(
+        orders, ["o_custkey"], [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()]
+    )

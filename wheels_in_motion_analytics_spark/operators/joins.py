@@ -1,0 +1,171 @@
+"""Join operators: anti/semi (J1), band/range, as-of.
+
+J1 is the reference's station-discovery NOT IN subquery
+(/root/reference/airflow/dags/scripts/journey-data-transformation.py:110-127).
+Spark-first rewrite: ``left_anti`` — NULL-safe where NOT IN silently yields
+zero rows if the subquery side contains a NULL (SURVEY.md §4.3); the oracle
+uses NOT EXISTS so both engines compute the declared intent.
+
+Scale notes: anti/semi joins against a small key set become
+BroadcastHashJoin(LeftAnti/LeftSemi) — no shuffle of the big side. The as-of
+join avoids any cross product by being a union-tag + running-last window,
+partitioned by the join key: one shuffle on the key, linear scan within, the
+standard distributed as-of strategy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+
+from wheels_in_motion_analytics_spark.registry import register
+from wheels_in_motion_analytics_spark.tables import table
+
+
+def anti_join(df: DataFrame, keys_df: DataFrame, on: list[str]) -> DataFrame:
+    """Rows of ``df`` whose key is absent from ``keys_df`` (NULL-safe J1)."""
+    return df.join(keys_df.select(*on), on=on, how="left_anti")
+
+
+def semi_join(df: DataFrame, keys_df: DataFrame, on: list[str]) -> DataFrame:
+    """Rows of ``df`` whose key is present in ``keys_df``."""
+    return df.join(keys_df.select(*on), on=on, how="left_semi")
+
+
+@register(
+    "anti_join_new_keys",
+    category="joins",
+    doc="J1 discovery anti-join: customers with no orders (the 'stations seen "
+    "in journeys but missing from the dim' pattern, "
+    "journey-data-transformation.py:110-127).",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+""",
+)
+def anti_join_new_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return anti_join(customer, orders, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+@register(
+    "semi_join_active_keys",
+    category="joins",
+    doc="Complement of J1: customers that do have orders (left_semi).",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+""",
+)
+def semi_join_active_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    orders = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return semi_join(customer, orders, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+@register(
+    "band_join_price_buckets",
+    category="joins",
+    doc="Range/band join: parts classified into price bands via an inequality "
+    "join against a broadcast band table (generalizes the fact->dim_weather "
+    "date-range association).",
+    oracle="""
+SELECT b.band, COUNT(*) AS num_parts,
+       CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM part p
+JOIN (VALUES ('low', 0.0, 500.0), ('mid', 500.0, 1200.0), ('high', 1200.0, 1e9)) b(band, lo, hi)
+  ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+GROUP BY b.band
+""",
+)
+def band_join_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.compat import dsum
+
+    part = table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 500.0), ("mid", 500.0, 1200.0), ("high", 1200.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    # Inequality-only join: force broadcast so Catalyst picks
+    # BroadcastNestedLoopJoin over the 3-row band table instead of a
+    # cartesian shuffle — the only sane physical plan at scale.
+    joined = part.join(
+        F.broadcast(bands),
+        (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("num_parts"),
+        dsum("p_retailprice").alias("total_price"),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Distributed as-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` sharing ``on``.
+
+    Strategy: tag and union both sides, then a single window pass per key
+    ordered by time takes ``last(right value, ignorenulls)`` over the
+    unbounded-preceding frame. One shuffle on the key; no range explosion;
+    skew-safe under AQE. This is the composition-of-builtins path (no UDF).
+    """
+    lt = left.withColumn("__t", F.col(left_ts)).withColumn("__side", F.lit(1))
+    rt = (
+        right.select(on, right_ts, *right_cols)
+        .withColumn("__t", F.col(right_ts))
+        .withColumn("__side", F.lit(0))
+    )
+    merged = lt.unionByName(rt, allowMissingColumns=True)
+    # Right rows sort before left rows at equal timestamps => "<=" semantics.
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = merged.withColumns(
+        {c: F.last(F.when(F.col("__side") == 0, F.col(c)), ignorenulls=True).over(w) for c in right_cols}
+    )
+    return filled.where(F.col("__side") == 1).drop("__t", "__side", right_ts)
+
+
+@register(
+    "asof_join_last_signup",
+    category="joins",
+    doc="As-of join: for each purchase event, the most recent prior-or-equal "
+    "'view' event of the same user (DuckDB ASOF JOIN as oracle).",
+    oracle="""
+SELECT p.event_id, p.user_id, p.ts, v.ts AS last_view_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+""",
+)
+def asof_join_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("v_ts"), F.col("ts").alias("last_view_ts"))
+    )
+    return asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="v_ts", right_cols=["last_view_ts"]
+    ).select("event_id", "user_id", "ts", "last_view_ts")

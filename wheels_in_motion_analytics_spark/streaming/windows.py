@@ -1,0 +1,177 @@
+"""Structured Streaming surface (§2b — the reference has no streaming; this
+is the gap-fill dictated by SURVEY.md §7.3).
+
+Each windowing operator has ONE definition used by both execution modes:
+the batch-parity form registered as an oracle-checkable query below, and a
+``readStream`` wrapper (see :func:`stream_events`, tests/test_streaming.py)
+that applies the identical transformation with a watermark. That equivalence
+is Structured Streaming's design contract — the streaming query is the
+incremental execution of the same logical plan.
+
+Scale notes: windowed aggregations shuffle on (window, key); watermarks bound
+state. Session windows use Spark's native session_window (state merges
+adjacent sessions). The DuckDB session oracle is the classic gaps-and-islands
+rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from wheels_in_motion_analytics_spark.compat import dsum, oracle_dsum
+from wheels_in_motion_analytics_spark.registry import register
+from wheels_in_motion_analytics_spark.tables import table
+
+SESSION_GAP = "5 minutes"
+
+
+def tumbling_agg(df: DataFrame, ts: str = "ts") -> DataFrame:
+    """1-hour tumbling windows: count + value sum per (window, event_type)."""
+    return (
+        df.groupBy(F.window(ts, "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("num_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "num_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(df: DataFrame, ts: str = "ts") -> DataFrame:
+    """1-hour windows sliding every 30 minutes."""
+    return (
+        df.groupBy(F.window(ts, "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("num_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "num_events",
+        )
+    )
+
+
+def session_agg(df: DataFrame, ts: str = "ts", gap: str = SESSION_GAP) -> DataFrame:
+    """Session windows per user: gap-based session assignment."""
+    return (
+        df.groupBy(F.session_window(ts, gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("num_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "num_events",
+        )
+    )
+
+
+def stream_events(
+    spark: SparkSession,
+    source_dir: str,
+    transform,
+    watermark: str = "10 minutes",
+    ts: str = "ts",
+):
+    """File-source streaming wrapper: readStream(parquet) → watermark →
+    the SAME batch transformation → streaming DataFrame ready for
+    writeStream (used with an in-memory sink in tests)."""
+    from wheels_in_motion_analytics_spark.tables import SCHEMAS
+
+    stream = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .parquet(source_dir)
+        .withWatermark(ts, watermark)
+    )
+    return transform(stream)
+
+
+@register(
+    "stream_tumbling_window",
+    category="streaming",
+    doc="Tumbling 1h window agg (batch-parity form of the streaming query; "
+    "oracle via time_bucket).",
+    oracle=f"""
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS num_events,
+       {oracle_dsum('value')} AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+""",
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_agg(table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_sliding_window",
+    category="streaming",
+    doc="Sliding 1h/30m window agg — each event lands in 2 windows "
+    "(oracle: union of the two shifted bucketings).",
+    oracle="""
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS slot_start, ts FROM events
+),
+expanded AS (
+  SELECT slot_start AS window_start FROM assigned
+  UNION ALL
+  SELECT slot_start - INTERVAL 30 MINUTE FROM assigned
+)
+SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+       COUNT(*) AS num_events
+FROM expanded
+GROUP BY 1, 2
+""",
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_agg(table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_session_window",
+    category="streaming",
+    doc=f"Session windows per user (gap {SESSION_GAP}) — oracle is the "
+    "gaps-and-islands rewrite: new session when ts - lag(ts) > gap; "
+    "session_end = last ts + gap (Spark session_window semantics).",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 5 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 5 MINUTE AS session_end,
+       COUNT(*) AS num_events
+FROM islands
+GROUP BY user_id, session_no
+""",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_agg(table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_dedup_events",
+    category="streaming",
+    doc="Streaming dedup parity: distinct event ids per (user, type) — the "
+    "batch form of dropDuplicatesWithinWatermark.",
+    oracle="""
+SELECT DISTINCT user_id, event_type, event_id FROM events
+""",
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "events").select("user_id", "event_type", "event_id").distinct()
