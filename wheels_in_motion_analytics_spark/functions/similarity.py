@@ -58,9 +58,13 @@ sh AS (
 )"""
 
 
-def shingles(col: Column, n: int = SHINGLE_N) -> Column:
-    """Distinct n-word shingles of a text column (array<string>)."""
-    ws = tokens(col)
+def shingles_from_tokens(ws: Column, n: int = SHINGLE_N) -> Column:
+    """Distinct n-word shingles from a token-array column.
+
+    ``ws`` MUST be a materialized column reference, not a nested expression:
+    expressions inside the transform lambda are re-evaluated per element, so
+    an inline tokenize here would cost O(words²) per document.
+    """
     cnt = F.size(ws) - (n - 1)
     idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(
         F.array().cast("array<int>")
@@ -73,11 +77,30 @@ def shingles(col: Column, n: int = SHINGLE_N) -> Column:
     )
 
 
+def shingles(col: Column, n: int = SHINGLE_N) -> Column:
+    """Distinct n-word shingles of a raw text column (small inputs only —
+    see shingles_from_tokens for the per-element evaluation caveat)."""
+    return shingles_from_tokens(tokens(col), n)
+
+
 def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) exploded — the inverted-index input."""
-    return (
+    """(doc_id, shingle) exploded — the inverted-index input.
+
+    Two deliberate physical choices: (1) the documents table arrives as one
+    parquet file (one input split) and shingling is the expensive part, so
+    repartition raw text across all cores first — on a real lake the input
+    already has many splits and this drops out; (2) tokenize into a real
+    column BEFORE shingling so the token array is computed once per doc,
+    not once per shingle element.
+    """
+    par = spark.sparkContext.defaultParallelism
+    toks = (
         table(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(shingles(F.col("text"))).alias("s"))
+        .repartition(par)
+        .select("doc_id", tokens(F.col("text")).alias("ws"))
+    )
+    return toks.select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("ws"))).alias("s")
     )
 
 
@@ -165,6 +188,24 @@ MINHASH_K = 8  # signature length (permutations)
 LSH_ROWS = 2  # rows per band
 LSH_BANDS = MINHASH_K // LSH_ROWS  # 4 bands → s-curve threshold ≈ 0.5
 
+# Universal-hash permutations: perm_j(s) = (a_j * h28(s) + b_j) mod P, with
+# ONE md5 per shingle instead of K. P prime < 2^29 and h < 2^28 keep every
+# product < 2^57 — no int64 overflow in either engine. Constants are
+# md5-seeded so the DuckDB oracle reproduces them exactly.
+MINHASH_P = 536870909  # largest prime < 2^29
+
+
+def _minhash_coeffs() -> list[tuple[int, int]]:
+    coeffs = []
+    for j in range(MINHASH_K):
+        a = int(hashlib.md5(f"minhash-a:{j}".encode()).hexdigest()[:15], 16) % (MINHASH_P - 1) + 1
+        b = int(hashlib.md5(f"minhash-b:{j}".encode()).hexdigest()[:15], 16) % MINHASH_P
+        coeffs.append((a, b))
+    return coeffs
+
+
+MINHASH_COEFFS = _minhash_coeffs()
+
 
 @register(
     "dedup_minhash_lsh",
@@ -175,10 +216,11 @@ LSH_BANDS = MINHASH_K // LSH_ROWS  # 4 bands → s-curve threshold ≈ 0.5
     "shape. md5-derived permutations keep it oracle-checkable.",
     oracle=f"""
 WITH {_ORACLE_SHINGLES},
+h AS (SELECT doc_id, {_oracle_hash("s", 7)} AS h FROM sh),
 sig AS (
   SELECT doc_id,
-         {", ".join(f"MIN({_oracle_hash(repr(f'{j}:') + ' || s')}) AS m{j}" for j in range(MINHASH_K))}
-  FROM sh GROUP BY doc_id
+         {", ".join(f"MIN(({a} * h + {b}) % {MINHASH_P}) AS m{j}" for j, (a, b) in enumerate(MINHASH_COEFFS))}
+  FROM h GROUP BY doc_id
 ),
 bands AS (
   {" UNION ALL ".join(
@@ -194,11 +236,11 @@ JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
 """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = doc_shingles(spark, sf_dir)
-    sig = sh.groupBy("doc_id").agg(
+    hashed = doc_shingles(spark, sf_dir).select("doc_id", hash_hex(F.col("s"), 7).alias("h"))
+    sig = hashed.groupBy("doc_id").agg(
         *[
-            F.min(hash_hex(F.concat(F.lit(f"{j}:"), F.col("s")))).alias(f"m{j}")
-            for j in range(MINHASH_K)
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"m{j}")
+            for j, (a, b) in enumerate(MINHASH_COEFFS)
         ]
     )
     band_keys = F.array(
@@ -262,6 +304,7 @@ FROM votes
 def simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = (
         table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
         .select("doc_id", hash_hex(F.col("t"), 8).alias("h"))
     )
@@ -372,6 +415,28 @@ def _norm_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("nrm", F.sqrt(dot(F.col("e"), F.col("e"))))
 
 
+def _broadcast_candidate_matrix(spark: SparkSession, sf_dir: str):
+    """Candidate side of brute-force similarity as a broadcast numpy matrix.
+
+    Same memory contract as a broadcast hash join build side: the candidate
+    set must fit on every executor (here: |vectors| × dim × 8 bytes). That is
+    exactly the brute-force baseline's stated scale limit — the unbounded
+    path is ann_lsh_bucketed, whose candidate sets are per-bucket.
+    """
+    import numpy as np
+
+    rows = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows], dtype="int64")
+    mat = np.array([r.embedding for r in rows], dtype="float64")
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    return spark.sparkContext.broadcast((ids, mat, norms))
+
+
 _ORACLE_NORM = """
 n AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -404,27 +469,52 @@ SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rnk FROM (
 """,
 )
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    import pyspark.sql.types as T
 
-    v = _norm_vectors(spark, sf_dir)
-    a = v.alias("a")
-    b = v.alias("b")
-    cos = F.round(
-        dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm")), 4
+    bc = _broadcast_candidate_matrix(spark, sf_dir)
+
+    def block(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, mat, norms = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            qids = pdf["vec_id"].to_numpy()
+            qn = np.sqrt((q * q).sum(axis=1))
+            # One BLAS matmul per Arrow batch; cosine rounded to 4 dp so the
+            # blocked summation agrees with the oracle's sequential sum.
+            sims = np.round((q @ mat.T) / np.outer(qn, norms), 4)
+            out_q, out_n, out_c, out_r = [], [], [], []
+            for i in range(len(qids)):
+                row = sims[i]
+                mask = ids != qids[i]
+                # deterministic order: cosine desc, neighbor id asc
+                cand = np.lexsort((ids[mask], -row[mask]))[:ANN_TOPK]
+                sel_ids = ids[mask][cand]
+                sel_cos = row[mask][cand]
+                out_q.extend([qids[i]] * len(cand))
+                out_n.extend(sel_ids.tolist())
+                out_c.extend(sel_cos.tolist())
+                out_r.extend(range(1, len(cand) + 1))
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c, "rnk": out_r}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+            T.StructField("rnk", T.IntegerType()),
+        ]
     )
-    pairs = (
-        a.join(F.broadcast(b), F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("query_id"),
-            F.col("b.vec_id").alias("neighbor_id"),
-            cos.alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        pairs.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= ANN_TOPK)
-        .select("query_id", "neighbor_id", "cosine", F.col("rnk").cast("int").alias("rnk"))
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .mapInPandas(block, schema)
     )
 
 
@@ -445,20 +535,41 @@ WHERE ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= {NEAR_DUP_COSINE
 """,
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = _norm_vectors(spark, sf_dir)
-    a = v.alias("a")
-    b = v.alias("b")
-    cos = F.round(
-        dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm")), 4
+    import pyspark.sql.types as T
+
+    bc = _broadcast_candidate_matrix(spark, sf_dir)
+
+    def block(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, mat, norms = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            qids = pdf["vec_id"].to_numpy()
+            qn = np.sqrt((q * q).sum(axis=1))
+            sims = np.round((q @ mat.T) / np.outer(qn, norms), 4)
+            # emit only (d1 < d2) halves — each pair computed exactly once
+            # across all batches because the candidate set is the full corpus
+            mask = (qids[:, None] < ids[None, :]) & (sims >= NEAR_DUP_COSINE)
+            ii, jj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"d1": qids[ii], "d2": ids[jj], "cosine": sims[ii, jj]}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("d1", T.LongType()),
+            T.StructField("d2", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
     return (
-        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("d1"),
-            F.col("b.vec_id").alias("d2"),
-            cos.alias("cosine"),
-        )
-        .where(F.col("cosine") >= NEAR_DUP_COSINE)
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .mapInPandas(block, schema)
     )
 
 
