@@ -1,0 +1,105 @@
+"""Unit tests for the operator library functions (the reusable API surface
+behind the registry queries)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+
+from wheels_in_motion_analytics_spark.operators.dedup import dedup_by_key
+from wheels_in_motion_analytics_spark.operators.joins import anti_join, asof_join, semi_join
+from wheels_in_motion_analytics_spark.operators.aggregates import null_profile
+from wheels_in_motion_analytics_spark.operators.projection import (
+    cast_columns,
+    drop_if_exists,
+    rename_columns,
+)
+from wheels_in_motion_analytics_spark.functions.datetime_dim import build_datetime_dim
+from wheels_in_motion_analytics_spark.functions.text import fingerprint
+from wheels_in_motion_analytics_spark.sources.manifest import latest_entry, manifest_from_dict
+
+
+def test_rename_columns_conditional(spark):
+    df = spark.createDataFrame([(1, "x")], "`Start Date` string, other string")
+    out = rename_columns(df, {"Start Date": "start_date", "Missing Col": "nope"})
+    assert out.columns == ["start_date", "other"]
+
+
+def test_drop_if_exists(spark):
+    df = spark.createDataFrame([(1, 2)], "a int, b int")
+    out = drop_if_exists(df, ["b", "zzz"])
+    assert out.columns == ["a"]
+
+
+def test_cast_columns(spark):
+    df = spark.createDataFrame([("5", "x")], "a string, b string")
+    out = cast_columns(df, {"a": "bigint", "zzz": "int"})
+    assert dict(out.dtypes)["a"] == "bigint"
+
+
+def test_anti_semi_join_null_safety(spark):
+    """left_anti keeps working when the key set contains NULLs — the NOT IN
+    trap (SURVEY.md §4.3)."""
+    big = spark.createDataFrame([(1,), (2,), (3,)], "k bigint")
+    keys = spark.createDataFrame([(1,), (None,)], "k bigint")
+    assert {r.k for r in anti_join(big, keys, ["k"]).collect()} == {2, 3}
+    assert {r.k for r in semi_join(big, keys, ["k"]).collect()} == {1}
+
+
+def test_dedup_by_key_deterministic_winner(spark):
+    df = spark.createDataFrame(
+        [(1, "b", 10), (1, "a", 20), (2, "c", 5)], "k int, tie string, v int"
+    )
+    out = dedup_by_key(df, ["k"], [F.col("tie").asc()])
+    assert {(r.k, r.tie) for r in out.collect()} == {(1, "a"), (2, "c")}
+
+
+def test_null_profile_counts(spark):
+    df = spark.createDataFrame(
+        [(1, None), (None, None), (3, "x")],
+        T.StructType([T.StructField("a", T.IntegerType()), T.StructField("b", T.StringType())]),
+    )
+    row = null_profile(df).collect()[0]
+    assert row.a == 1 and row.b == 2
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame([(1, 10), (1, 3), (2, 7)], "k int, t int")
+    right = spark.createDataFrame([(1, 5, "a"), (1, 9, "b"), (2, 8, "c")], "k int, rt int, val string")
+    out = asof_join(left, right, on="k", left_ts="t", right_ts="rt", right_cols=["val"])
+    got = {(r.k, r.t): r.val for r in out.collect()}
+    # t=10 sees rt=9; t=3 sees nothing; t=7 sees nothing (rt=8 is later)
+    assert got == {(1, 10): "b", (1, 3): None, (2, 7): None}
+
+
+def test_build_datetime_dim_week_day_semantics(spark):
+    df = spark.createDataFrame([("2024-01-07 13:45:06",)], "ts string").select(
+        F.to_timestamp("ts").alias("ts")
+    )
+    row = build_datetime_dim(df, "ts").collect()[0]
+    # 2024-01-07 is a Sunday -> Spark dayofweek == 1
+    assert (row.year, row.week_day, row.month, row.day) == (2024, 1, 1, 7)
+    assert (row.hour, row.minute, row.second) == (13, 45, 6)
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("Hello   World",), ("  hello world ",)], "text string"
+    ).select(fingerprint(F.col("text")).alias("fp"))
+    fps = [r.fp for r in df.collect()]
+    assert fps[0] == fps[1]
+
+
+def test_manifest_latest_entry(spark):
+    links = {
+        "23Mar2021": "usage-stats/17Mar2021-23Mar2021.csv",
+        "30Mar2021": "usage-stats/24Mar2021-30Mar2021.csv",
+        "06Apr2021": "usage-stats/31Mar2021-06Apr2021.csv",
+    }
+    m = manifest_from_dict(spark, links)
+    assert m.count() == 3
+    import datetime
+
+    row = latest_entry(m, datetime.date(2021, 4, 1)).collect()
+    assert len(row) == 1 and row[0].date_key == "30Mar2021"
+    assert row[0].filename == "24Mar2021-30Mar2021.csv"

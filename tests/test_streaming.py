@@ -1,0 +1,104 @@
+"""Real Structured Streaming execution: readStream over a file source →
+watermarked windowed aggs / stateful ops → memory sink, compared against the
+identical batch-mode formulation (the batch-parity contract of
+streaming/windows.py)."""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+import pytest
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_SMALL
+from wheels_in_motion_analytics_spark.streaming.stateful import stateful_user_counts
+from wheels_in_motion_analytics_spark.streaming.windows import (
+    session_agg,
+    stream_events,
+    tumbling_agg,
+)
+from wheels_in_motion_analytics_spark.tables import table
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    """Stage the events table as a file-stream source directory (µs
+    timestamps, so the stream schema matches the batch loader's output)."""
+    d = tmp_path_factory.mktemp("events_stream")
+    table(spark, SF_SMALL, "events").coalesce(2).write.mode("overwrite").parquet(str(d / "in"))
+    return str(d / "in")
+
+
+def _run_to_memory(spark, sdf, name: str, mode: str):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_window_stream_matches_batch(spark, stream_dir):
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    out = _run_to_memory(
+        spark, stream_events(spark, stream_dir, tumbling_agg), name, "complete"
+    )
+    got = {tuple(r) for r in out.collect()}
+    expected = {tuple(r) for r in tumbling_agg(table(spark, SF_SMALL, "events")).collect()}
+    assert got == expected
+
+
+def test_session_window_stream_matches_batch(spark, stream_dir):
+    name = f"s_{uuid.uuid4().hex[:8]}"
+    out = _run_to_memory(
+        spark, stream_events(spark, stream_dir, session_agg), name, "complete"
+    )
+    got = {tuple(r) for r in out.collect()}
+    expected = {tuple(r) for r in session_agg(table(spark, SF_SMALL, "events")).collect()}
+    assert got == expected
+
+
+def test_streaming_dedup_within_watermark(spark, stream_dir, tmp_path):
+    """dropDuplicatesWithinWatermark over a file stream that contains every
+    event twice -> each event_id appears exactly once."""
+    dup_dir = tmp_path / "dup"
+    dup_dir.mkdir()
+    shutil.copytree(stream_dir, dup_dir / "a")
+    shutil.copytree(stream_dir, dup_dir / "b")
+    sdf = stream_events(
+        spark,
+        str(dup_dir / "*"),
+        lambda s: s.select("event_id", "ts", "user_id").dropDuplicatesWithinWatermark(["event_id"]),
+    )
+    name = f"d_{uuid.uuid4().hex[:8]}"
+    out = _run_to_memory(spark, sdf, name, "append")
+    n_unique = table(spark, SF_SMALL, "events").select("event_id").distinct().count()
+    assert out.count() == n_unique
+    assert out.select("event_id").distinct().count() == n_unique
+
+
+def test_stateful_user_counts(spark, stream_dir):
+    """applyInPandasWithState running per-user aggregates match the batch
+    groupBy at end of stream."""
+    stream = (
+        spark.readStream.schema(table(spark, SF_SMALL, "events").schema)
+        .parquet(stream_dir)
+        .select("user_id", "value")
+    )
+    name = f"u_{uuid.uuid4().hex[:8]}"
+    out = _run_to_memory(spark, stateful_user_counts(stream), name, "update")
+    # last emitted row per user == final state
+    final = (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .collect()
+    )
+    expected = {
+        r.user_id: r.n
+        for r in table(spark, SF_SMALL, "events").groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert {r.user_id: r.n_events for r in final} == expected

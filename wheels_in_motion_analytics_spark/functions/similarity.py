@@ -577,7 +577,8 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LSH-bucketed ANN — the scale path
 # ---------------------------------------------------------------------------
 
-ANN_PLANES = 12
+ANN_TABLES = 8  # L independent hash tables
+ANN_BITS = 5  # bits (hyperplanes) per table
 ANN_DIM = 64
 
 
@@ -588,7 +589,7 @@ def _hyperplanes() -> list[list[float]]:
     equivalent of shipping a small model artifact with the job.
     """
     planes = []
-    for p in range(ANN_PLANES):
+    for p in range(ANN_TABLES * ANN_BITS):
         row = []
         for d in range(ANN_DIM):
             h = int(hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[:15], 16)
@@ -600,41 +601,57 @@ def _hyperplanes() -> list[list[float]]:
 @register(
     "ann_lsh_bucketed",
     category="similarity",
-    doc=f"Random-hyperplane LSH ANN: {ANN_PLANES}-bit signature buckets, "
-    "exact cosine re-rank within bucket, top-1 per query. The 100 TB path: "
-    "candidate set is one bucket, not the corpus; bucket join is a hash "
-    "join on the signature. Rows-only check (recall vs brute force is "
-    "asserted in tests/test_similarity.py).",
+    doc=f"Multi-table random-hyperplane LSH ANN: {ANN_TABLES} tables × "
+    f"{ANN_BITS}-bit buckets; candidates = same bucket in ANY table; exact "
+    "cosine re-rank over the candidate union; top-1 per query. The 100 TB "
+    "path: per-table bucket joins are hash joins on (table, bucket) and the "
+    "candidate set is a few buckets, never the corpus. (tables × bits) is "
+    "the recall/cost dial — more tables = higher recall, more candidates. "
+    "Rows-only check (recall vs brute force asserted in "
+    "tests/test_similarity.py).",
     oracle=None,
 )
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     v = _norm_vectors(spark, sf_dir)
-    bucket = None
-    for p, plane in enumerate(_hyperplanes()):
-        plane_lit = F.array(*[F.lit(w) for w in plane])
-        bit = F.when(dot(F.col("e"), plane_lit) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    sigged = v.withColumn("bucket", bucket.cast("int"))
+    planes = _hyperplanes()
+    buckets = []
+    for t in range(ANN_TABLES):
+        bucket = None
+        for i in range(ANN_BITS):
+            plane_lit = F.array(*[F.lit(w) for w in planes[t * ANN_BITS + i]])
+            bit = F.when(dot(F.col("e"), plane_lit) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        buckets.append(bucket.cast("int"))
+    sigged = v.select(
+        "vec_id", "e", "nrm", F.posexplode(F.array(*buckets)).alias("tbl", "bucket")
+    )
     a = sigged.alias("a")
     b = sigged.alias("b")
-    cos = F.round(
-        dot(F.col("a.e"), F.col("b.e")) / (F.col("a.nrm") * F.col("b.nrm")), 4
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        # a pair may collide in several tables — dedupe before the re-rank
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.col("a.e").alias("qe"),
+            F.col("a.nrm").alias("qn"),
+            F.col("b.e").alias("ne"),
+            F.col("b.nrm").alias("nn"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
-    pairs = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.vec_id") != F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("query_id"),
-        F.col("b.vec_id").alias("neighbor_id"),
-        cos.alias("cosine"),
-        F.col("a.bucket").alias("bucket"),
-    )
+    cos = F.round(dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn")), 4)
+    scored = cand.select("query_id", "neighbor_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        pairs.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") == 1)
-        .select("query_id", "neighbor_id", "cosine", "bucket")
+        .select("query_id", "neighbor_id", "cosine")
     )
