@@ -1,0 +1,60 @@
+"""Sink-layer tests: partitioned layout pruning and bucketed co-located
+joins — the write-side halves of the 100 TB read-path strategies."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_SMALL
+from wheels_in_motion_analytics_spark.sinks import (
+    write_bucketed_table,
+    write_partitioned,
+)
+from wheels_in_motion_analytics_spark.tables import table
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """K4: a filter on the partition column must become a PartitionFilter
+    (directory pruning), not a data filter."""
+    orders = table(spark, SF_SMALL, "orders").withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    path = str(tmp_path / "orders_by_month")
+    write_partitioned(orders, path, ["order_month"])
+
+    df = spark.read.parquet(path).where(F.col("order_month") == "1995-03")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "order_month" in plan.split("PartitionFilters:")[1].splitlines()[0]
+    got = df.count()
+    expected = orders.where(F.date_format("o_orderdate", "yyyy-MM") == "1995-03").count()
+    assert got == expected > 0
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must join without any Exchange —
+    the write-time shuffle is amortized across every later join."""
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+
+    li = table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = table(spark, SF_SMALL, "orders").select("o_orderkey", "o_orderpriority")
+    write_bucketed_table(li, "li_bucketed", ["l_orderkey"], num_buckets=8)
+    write_bucketed_table(orders, "ord_bucketed", ["o_orderkey"], num_buckets=8)
+
+    # disable broadcast so the join must pick a shuffle or bucket strategy
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("li_bucketed").join(
+            spark.table("ord_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not re-shuffle"
+        assert joined.count() == table(spark, SF_SMALL, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS ord_bucketed")

@@ -612,21 +612,50 @@ def _hyperplanes() -> list[list[float]]:
     oracle=None,
 )
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.types as T
     from pyspark.sql import Window
 
-    v = _norm_vectors(spark, sf_dir)
     planes = _hyperplanes()
-    buckets = []
-    for t in range(ANN_TABLES):
-        bucket = None
-        for i in range(ANN_BITS):
-            plane_lit = F.array(*[F.lit(w) for w in planes[t * ANN_BITS + i]])
-            bit = F.when(dot(F.col("e"), plane_lit) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-            bucket = bit if bucket is None else bucket + bit
-        buckets.append(bucket.cast("int"))
-    sigged = v.select(
-        "vec_id", "e", "nrm", F.posexplode(F.array(*buckets)).alias("tbl", "bucket")
+    bc = _broadcast_candidate_matrix(spark, sf_dir)
+
+    def signatures(batches):
+        """Stage 1 (numpy over Arrow batches): all table buckets per vector
+        in one matmul against the plane matrix."""
+        import numpy as np
+        import pandas as pd
+
+        pm = np.array(planes, dtype="float64")  # (tables*bits) x dim
+        weights = np.array([1 << i for i in range(ANN_BITS)], dtype="int64")
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            bits = (q @ pm.T >= 0).astype("int64").reshape(len(q), ANN_TABLES, ANN_BITS)
+            buckets = (bits * weights).sum(axis=2)  # n x tables
+            n = len(q)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), ANN_TABLES),
+                    "tbl": np.tile(np.arange(ANN_TABLES), n),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    sig_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("tbl", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+        ]
     )
+    sigged = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .mapInPandas(signatures, sig_schema)
+    )
+
+    # Stage 2 (relational, the scale story): candidates = same (table,
+    # bucket) — a hash join on the bucket key, never all-pairs.
     a = sigged.alias("a")
     b = sigged.alias("b")
     cand = (
@@ -636,19 +665,44 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") != F.col("b.vec_id")),
         )
-        # a pair may collide in several tables — dedupe before the re-rank
         .select(
             F.col("a.vec_id").alias("query_id"),
             F.col("b.vec_id").alias("neighbor_id"),
-            F.col("a.e").alias("qe"),
-            F.col("a.nrm").alias("qn"),
-            F.col("b.e").alias("ne"),
-            F.col("b.nrm").alias("nn"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    cos = F.round(dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn")), 4)
-    scored = cand.select("query_id", "neighbor_id", cos.alias("cosine"))
+
+    def rerank(batches):
+        """Stage 3 (numpy): exact cosine for candidate pairs via indexed
+        gather against the broadcast matrix."""
+        import numpy as np
+        import pandas as pd
+
+        ids, mat, norms = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qi = np.searchsorted(ids, pdf["query_id"].to_numpy())
+            ni = np.searchsorted(ids, pdf["neighbor_id"].to_numpy())
+            cos = np.round(
+                np.einsum("ij,ij->i", mat[qi], mat[ni]) / (norms[qi] * norms[ni]), 4
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "cosine": cos,
+                }
+            )
+
+    cos_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    scored = cand.mapInPandas(rerank, cos_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))

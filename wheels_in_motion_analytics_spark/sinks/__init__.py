@@ -48,3 +48,20 @@ def register_serving_view(spark: SparkSession, df: DataFrame, name: str) -> None
     """K3: serving layer — the BigQuery-table analogue is a (temp) view /
     saved table over parquet (proc_2_GCS_to_BQ_dag.py:81-94)."""
     df.createOrReplaceTempView(name)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed managed table: pre-shuffles once at write time so every
+    future equi-join/aggregation on the bucket key is Exchange-free — the
+    amortize-the-shuffle play for fact tables that are joined repeatedly
+    at 100 TB. Requires a catalog table (saveAsTable), not a bare path."""
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(name)
