@@ -83,6 +83,9 @@ def stream_events(
     stream = (
         spark.readStream.schema(SCHEMAS["events"])
         .parquet(source_dir)
+        # watermarks require an instant (TIMESTAMP), not NTZ — anchor the
+        # wall clock in the session zone at the stream boundary
+        .withColumn(ts, F.col(ts).cast("timestamp"))
         .withWatermark(ts, watermark)
     )
     return transform(stream)

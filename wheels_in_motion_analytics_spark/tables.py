@@ -98,7 +98,7 @@ SCHEMAS: dict[str, T.StructType] = {
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.TimestampType()),
+            T.StructField("ts", T.TimestampNTZType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -151,7 +151,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         # integer div keeps full int64 precision (double would lose bits
         # above 2^53); nanos are positive so div == floor-truncation.
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # convert_timezone('UTC', instant) yields TIMESTAMP_NTZ with the
+        # stored wall clock regardless of the session timezone — matching
+        # the other tables' NTZ columns and DuckDB's naive TIMESTAMP.
+        return df.withColumn(
+            "ts", F.expr("convert_timezone('UTC', timestamp_micros(ts div 1000))")
+        )
     return spark.read.parquet(path)
 
 
