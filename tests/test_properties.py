@@ -1,0 +1,101 @@
+"""Property-based tests (hypothesis): operator invariants on random inputs —
+the engine-level guarantees that hold for ANY data, not just the fixtures."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import pyspark.sql.functions as F
+
+from wheels_in_motion_analytics_spark.operators.dedup import dedup_by_key
+from wheels_in_motion_analytics_spark.operators.joins import anti_join, asof_join, semi_join
+
+SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # key
+        st.integers(min_value=-100, max_value=100),  # value
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+keys_strategy = st.lists(
+    st.one_of(st.integers(min_value=0, max_value=5), st.none()),
+    min_size=0,
+    max_size=10,
+)
+
+
+@given(rows=rows_strategy, keys=keys_strategy)
+@settings(**SETTINGS)
+def test_anti_semi_partition_property(spark, rows, keys):
+    """anti(df, K) ∪ semi(df, K) == df and they are disjoint — for any data,
+    including NULLs in the key set (the NOT-IN trap can't happen)."""
+    df = spark.createDataFrame(rows, "k int, v int") if rows else spark.createDataFrame([], "k int, v int")
+    kdf = spark.createDataFrame([(k,) for k in keys], "k int") if keys else spark.createDataFrame([], "k int")
+    anti = anti_join(df, kdf, ["k"]).collect()
+    semi = semi_join(df, kdf, ["k"]).collect()
+    assert len(anti) + len(semi) == len(rows)
+    key_set = {k for k in keys if k is not None}
+    assert all(r.k not in key_set for r in anti)
+    assert all(r.k in key_set for r in semi)
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_dedup_by_key_property(spark, rows):
+    """dedup keeps exactly one row per key, and it is the minimum under the
+    declared order."""
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "k int, v int")
+    out = dedup_by_key(df, ["k"], [F.col("v").asc(), F.col("k").asc()]).collect()
+    expected = {}
+    for k, v in rows:
+        if k not in expected or v < expected[k]:
+            expected[k] = v
+    assert {(r.k, r.v) for r in out} == set(expected.items())
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=0, max_size=15
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 9)),
+        min_size=0,
+        max_size=15,
+    ),
+)
+@settings(**SETTINGS)
+def test_asof_join_property(spark, left, right):
+    """asof result == brute-force 'latest right row with rt <= t per key'
+    computed in Python (value ties broken identically by taking max rt's
+    value set membership)."""
+    ldf = (
+        spark.createDataFrame(left, "k int, t int")
+        if left
+        else spark.createDataFrame([], "k int, t int")
+    )
+    rdf = (
+        spark.createDataFrame(right, "k int, rt int, val int")
+        if right
+        else spark.createDataFrame([], "k int, rt int, val int")
+    )
+    out = asof_join(ldf, rdf, on="k", left_ts="t", right_ts="rt", right_cols=["val"]).collect()
+    assert len(out) == len(left)
+    for r in out:
+        cands = [(rt, val) for (k, rt, val) in right if k == r.k and rt <= r.t]
+        if not cands:
+            assert r.val is None
+        else:
+            best_rt = max(rt for rt, _ in cands)
+            vals_at_best = {val for rt, val in cands if rt == best_rt}
+            assert r.val in vals_at_best

@@ -78,3 +78,19 @@ def test_decode_stub_refuses_without_fake():
 
     with pytest.raises(NotImplementedError):
         decode_image_stub(b"abc")
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    """IVF (16 cells, nprobe 3) top-1 should agree with brute force for a
+    solid fraction of queries and cover every query."""
+    brute = {
+        r.query_id: r.neighbor_id
+        for r in SPECS["similarity_topk_bruteforce"].fn(spark, SF_SMALL).where(F.col("rnk") == 1).collect()
+    }
+    ivf = {
+        r.query_id: r.neighbor_id
+        for r in SPECS["ann_ivf_cells"].fn(spark, SF_SMALL).collect()
+    }
+    assert len(ivf) == len(brute)
+    recall = sum(1 for q, n in ivf.items() if brute.get(q) == n) / len(ivf)
+    assert recall >= 0.4, f"IVF top-1 agreement too low: {recall:.2f}"

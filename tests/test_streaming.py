@@ -102,3 +102,29 @@ def test_stateful_user_counts(spark, stream_dir):
         for r in table(spark, SF_SMALL, "events").groupBy("user_id").agg(F.count("*").alias("n")).collect()
     }
     assert {r.user_id: r.n_events for r in final} == expected
+
+
+def test_foreach_batch_sink_and_rate_source(spark, stream_dir, tmp_path):
+    """foreachBatch: micro-batches land as parquet via the batch writer;
+    the hook sees every batch. Also smoke the rate source shape."""
+    from wheels_in_motion_analytics_spark.streaming.sinks import (
+        foreach_batch_parquet_sink,
+        rate_stream,
+    )
+
+    seen = []
+    stream = spark.readStream.schema(table(spark, SF_SMALL, "events").schema).parquet(stream_dir)
+    q = foreach_batch_parquet_sink(
+        stream.select("event_id", "user_id", "value"),
+        path=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+        batch_hook=lambda df, bid: seen.append((bid, df.count())),
+    )
+    q.awaitTermination(120)
+    total = spark.read.parquet(str(tmp_path / "out")).count()
+    assert total == table(spark, SF_SMALL, "events").count()
+    assert seen and sum(n for _, n in seen) == total
+
+    rate = rate_stream(spark, rows_per_second=50)
+    assert rate.isStreaming
+    assert [f.name for f in rate.schema.fields] == ["timestamp", "value"]

@@ -709,3 +709,92 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") == 1)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN — the other classic scale path (coarse quantizer + cell probe)
+# ---------------------------------------------------------------------------
+
+IVF_CELLS = 16
+IVF_NPROBE = 3
+IVF_KMEANS_ITERS = 5
+
+
+def _ivf_centroids(mat, norms):
+    """Deterministic k-means coarse quantizer on the unit sphere: init from
+    evenly strided corpus rows, fixed iteration count — same centroids every
+    run, every engine."""
+    import numpy as np
+
+    unit = mat / norms[:, None]
+    stride = max(len(unit) // IVF_CELLS, 1)
+    cents = unit[::stride][:IVF_CELLS].copy()
+    for _ in range(IVF_KMEANS_ITERS):
+        assign = (unit @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = unit[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[c] = m / n
+    return cents
+
+
+@register(
+    "ann_ivf_cells",
+    category="similarity",
+    doc=f"IVF ANN: {IVF_CELLS}-cell spherical k-means coarse quantizer "
+    f"(deterministic init/iterations); each query probes its {IVF_NPROBE} "
+    "nearest cells and exact-ranks within them. The inverted-file "
+    "counterpart to LSH bucketing: candidate set = a few cells. Rows-only "
+    "check; recall vs brute force asserted in tests/test_similarity.py.",
+    oracle=None,
+)
+def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.types as T
+    from pyspark.sql import Window
+
+    bc = _broadcast_candidate_matrix(spark, sf_dir)
+
+    def probe(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, mat, norms = bc.value
+        cents = _ivf_centroids(mat, norms)
+        corpus_cell = ((mat / norms[:, None]) @ cents.T).argmax(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            qids = pdf["vec_id"].to_numpy()
+            qn = np.sqrt((q * q).sum(axis=1))
+            qunit = q / qn[:, None]
+            cell_sims = qunit @ cents.T
+            probe_cells = np.argsort(-cell_sims, axis=1)[:, :IVF_NPROBE]
+            out_q, out_n, out_c = [], [], []
+            for i in range(len(qids)):
+                mask = np.isin(corpus_cell, probe_cells[i]) & (ids != qids[i])
+                if not mask.any():
+                    continue
+                sims = np.round((mat[mask] @ q[i]) / (norms[mask] * qn[i]), 4)
+                cand_ids = ids[mask]
+                best = np.lexsort((cand_ids, -sims))[0]
+                out_q.append(qids[i])
+                out_n.append(cand_ids[best])
+                out_c.append(sims[best])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_c})
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    return (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .mapInPandas(probe, schema)
+    )

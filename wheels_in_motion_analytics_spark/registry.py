@@ -56,6 +56,7 @@ _QUERY_MODULES = [
     "wheels_in_motion_analytics_spark.functions.text",
     "wheels_in_motion_analytics_spark.functions.similarity",
     "wheels_in_motion_analytics_spark.plans.enriched",
+    "wheels_in_motion_analytics_spark.plans.analytics",
     "wheels_in_motion_analytics_spark.streaming.windows",
     "wheels_in_motion_analytics_spark.multimodal",
     "wheels_in_motion_analytics_spark.sources.manifest",
