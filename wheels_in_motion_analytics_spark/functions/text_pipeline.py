@@ -1,0 +1,217 @@
+"""Training-data preparation operators over documents (north-star surface):
+PII redaction, vocabulary building, stopword pruning, and the composed
+quality-filter pipeline a pretraining corpus actually runs.
+
+All JVM regexp/window built-ins; the composite pipeline chains lang-ID,
+quality scoring, length gates, and exact dedup into ONE Catalyst plan — the
+filters fuse into the scan projection, and the only shuffles are the dedup
+groupBy and the vocab count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+
+from wheels_in_motion_analytics_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint,
+    tokens,
+)
+from wheels_in_motion_analytics_spark.registry import register
+from wheels_in_motion_analytics_spark.tables import table
+
+# Public-shape PII patterns (simplified, deterministic).
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    (r"\b(?:\+?\d{1,2}[ -])?(?:\(\d{3}\)|\d{3})[ -]?\d{3}[ -]?\d{4}\b", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    out = col
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+@register(
+    "pii_redact",
+    category="text",
+    doc="PII redaction: email/phone/IP patterns replaced with typed tokens "
+    "— chained regexp_replace, one codegen stage.",
+    oracle="""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+           '\\b(?:\\+?\\d{1,2}[ -])?(?:\\(\\d{3}\\)|\\d{3})[ -]?\\d{3}[ -]?\\d{4}\\b', '<PHONE>', 'g'),
+         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS redacted
+FROM documents
+""",
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", redact_pii(F.col("text")).alias("redacted")
+    )
+
+
+VOCAB_MIN_COUNT = 5
+
+
+@register(
+    "vocab_build",
+    category="text",
+    doc=f"Vocabulary build: corpus-wide token counts (min count "
+    f"{VOCAB_MIN_COUNT}), ids assigned by (count desc, token asc) rank — "
+    "the token->id map a tokenizer trains from. One explode + one groupBy "
+    "+ one small window over the aggregated vocab.",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS t
+  FROM documents
+),
+counts AS (
+  SELECT t AS token, COUNT(*) AS n FROM tok GROUP BY t HAVING COUNT(*) >= {VOCAB_MIN_COUNT}
+)
+SELECT token, n,
+       CAST(row_number() OVER (ORDER BY n DESC, token ASC) - 1 AS INTEGER) AS token_id
+FROM counts
+""",
+)
+def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    par = spark.sparkContext.defaultParallelism
+    counts = (
+        table(spark, sf_dir, "documents")
+        .repartition(par)
+        .select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= VOCAB_MIN_COUNT)
+    )
+    # empty partition spec is fine HERE: the window input is the aggregated
+    # vocab (|distinct tokens| rows), never the corpus
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return counts.select(
+        "token", "n", (F.row_number().over(w) - 1).cast("int").alias("token_id")
+    )
+
+
+@register(
+    "stopword_prune_tokens",
+    category="text",
+    doc="Stopword pruning: per-document token arrays with stopwords removed "
+    "+ retention ratio.",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_filter(ws, w -> w NOT IN ({", ".join(repr(s) for s in STOPWORDS)}))) AS INTEGER)
+         AS n_content_tokens,
+       CAST(len(ws) AS INTEGER) AS n_tokens,
+       CAST(len(list_filter(ws, w -> w NOT IN ({", ".join(repr(s) for s in STOPWORDS)}))) AS DOUBLE)
+         / greatest(len(ws), 1) AS retention
+FROM t
+""",
+)
+def stopword_prune_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("ws")
+    )
+    kept = F.filter(F.col("ws"), lambda w: ~F.array_contains(stop_arr, w))
+    return docs.select(
+        "doc_id",
+        F.size(kept).alias("n_content_tokens"),
+        F.size("ws").alias("n_tokens"),
+        (F.size(kept).cast("double") / F.greatest(F.size("ws"), F.lit(1))).alias("retention"),
+    )
+
+
+MIN_TOKENS = 20
+MIN_QUALITY = 0.3
+
+
+@register(
+    "corpus_quality_pipeline",
+    category="text",
+    doc="The composed training-data prep pipeline: language gate (en) → "
+    "length gate → quality gate → exact dedup (keep lowest doc_id per "
+    "fingerprint) → redacted output. One Catalyst plan; the only shuffle "
+    "is the dedup.",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, text,
+         len(toks) AS nt,
+         len(list_filter(toks, x -> x IN ({", ".join(repr(s) for s in LANG_MARKERS["en"])}))) AS c_en,
+         len(list_filter(toks, x -> x IN ({", ".join(repr(s) for s in LANG_MARKERS["es"])}))) AS c_es,
+         len(list_filter(toks, x -> x IN ({", ".join(repr(s) for s in LANG_MARKERS["fr"])}))) AS c_fr,
+         CAST(len(list_filter(toks, x -> x IN ({", ".join(repr(s) for s in STOPWORDS)}))) AS DOUBLE)
+           / greatest(len(toks), 1) AS swr,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS pr
+  FROM t
+),
+gated AS (
+  SELECT doc_id, text,
+         ROUND(0.5 * least(CAST(nt AS DOUBLE) / 100, 1.0) + 0.3 * least(swr * 5, 1.0)
+               + 0.2 * (1.0 - least(pr * 10, 1.0)), 6) AS quality
+  FROM scored
+  WHERE c_en > 0 AND c_en >= c_es AND c_en >= c_fr
+    AND nt >= {MIN_TOKENS}
+),
+deduped AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         MIN(doc_id) AS doc_id
+  FROM gated
+  WHERE quality >= {MIN_QUALITY}
+  GROUP BY 1
+)
+SELECT d.doc_id, g.quality
+FROM deduped d JOIN gated g ON d.doc_id = g.doc_id
+""",
+)
+def corpus_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", tokens(F.col("text")).alias("toks")
+    )
+
+    def count_in(words: tuple[str, ...]) -> Column:
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(F.col("toks"), lambda t: F.array_contains(arr, t)))
+
+    nt = F.size("toks")
+    c_en = count_in(LANG_MARKERS["en"])
+    c_es = count_in(LANG_MARKERS["es"])
+    c_fr = count_in(LANG_MARKERS["fr"])
+    swr = count_in(STOPWORDS).cast("double") / F.greatest(nt, F.lit(1))
+    pr = F.length(F.regexp_replace("text", r"[^.,;:!?]", "")).cast("double") / F.greatest(
+        F.length("text"), F.lit(1)
+    )
+    quality = F.round(
+        0.5 * F.least(nt.cast("double") / 100, F.lit(1.0))
+        + 0.3 * F.least(swr * 5, F.lit(1.0))
+        + 0.2 * (F.lit(1.0) - F.least(pr * 10, F.lit(1.0))),
+        6,
+    )
+    gated = (
+        docs.where((c_en > 0) & (c_en >= c_es) & (c_en >= c_fr) & (nt >= MIN_TOKENS))
+        .select("doc_id", "text", quality.alias("quality"))
+        .where(F.col("quality") >= MIN_QUALITY)
+    )
+    deduped = (
+        gated.groupBy(fingerprint(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return deduped.join(gated, "doc_id").select("doc_id", "quality")

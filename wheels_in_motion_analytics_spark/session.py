@@ -55,6 +55,16 @@ def get_session(
         # Broadcast threshold: dims in this engine are small; let Catalyst
         # broadcast them instead of shuffling the fact table.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Local-rig scan parallelism: the testdata tables are single ~10MB
+        # parquet files, so the 128MB default yields one-task scans; 4MB
+        # splits keep all cores busy. On a real lake (many 100MB+ files)
+        # raise this back via SPARK_GRAFT_MAX_PARTITION_BYTES — smaller
+        # splits there would only inflate scheduling overhead.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
+        )
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
