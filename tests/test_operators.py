@@ -103,3 +103,24 @@ def test_manifest_latest_entry(spark):
     row = latest_entry(m, datetime.date(2021, 4, 1)).collect()
     assert len(row) == 1 and row[0].date_key == "30Mar2021"
     assert row[0].filename == "24Mar2021-30Mar2021.csv"
+
+
+def test_conform_schema(spark):
+    import pyspark.sql.types as T
+
+    from wheels_in_motion_analytics_spark.operators.projection import conform_schema
+
+    target = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    drifted = spark.createDataFrame(
+        [("7", "x", "junk")], "`Id Number` string, name string, extra string"
+    )
+    out = conform_schema(drifted, target, rename_map={"Id Number": "id"})
+    assert out.schema == target
+    row = out.collect()[0]
+    assert (row.id, row.name, row.score) == (7, "x", None)

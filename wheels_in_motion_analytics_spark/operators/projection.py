@@ -36,6 +36,22 @@ def cast_columns(df: DataFrame, casts: dict[str, str]) -> DataFrame:
     return df.withColumns({c: F.col(c).cast(t) for c, t in casts.items() if c in df.columns})
 
 
+def conform_schema(df: DataFrame, schema, rename_map: dict[str, str] | None = None) -> DataFrame:
+    """Schema-drift normalizer (SURVEY.md §7.5): optional renames, then
+    project to exactly the target StructType — missing columns become typed
+    NULLs, extras are dropped, present columns are cast. The explicit form
+    of the reference's scattered P2/P3/D2 tolerance tricks."""
+    if rename_map:
+        df = rename_columns(df, rename_map)
+    cols = []
+    for field in schema.fields:
+        if field.name in df.columns:
+            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    return df.select(*cols)
+
+
 @register(
     "scan_parquet_project",
     category="scan",

@@ -50,6 +50,7 @@ _QUERY_MODULES = [
     "wheels_in_motion_analytics_spark.operators.setops",
     "wheels_in_motion_analytics_spark.operators.windows",
     "wheels_in_motion_analytics_spark.operators.advanced",
+    "wheels_in_motion_analytics_spark.operators.outer_joins",
     "wheels_in_motion_analytics_spark.functions.udfs",
     "wheels_in_motion_analytics_spark.functions.datetime_dim",
     "wheels_in_motion_analytics_spark.functions.scalars",
