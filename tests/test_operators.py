@@ -124,3 +124,30 @@ def test_conform_schema(spark):
     assert out.schema == target
     row = out.collect()[0]
     assert (row.id, row.name, row.score) == (7, "x", None)
+
+
+def test_incremental_ingest_exactly_once_per_file(spark, tmp_path):
+    """File-ledger ingestion: second run over the same files yields nothing;
+    newly arrived files yield only their rows."""
+    from wheels_in_motion_analytics_spark.sources.incremental import (
+        commit_ledger,
+        ingest_new_files,
+    )
+
+    src = tmp_path / "src"
+    ledger = str(tmp_path / "ledger")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "f1"))
+
+    batch1 = ingest_new_files(spark, str(src / "*"), ledger)
+    assert batch1.count() == 2
+    commit_ledger(batch1, ledger)
+
+    assert ingest_new_files(spark, str(src / "*"), ledger).count() == 0  # idempotent
+
+    spark.createDataFrame([(3, "c")], "id int, v string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "f2"))
+    batch2 = ingest_new_files(spark, str(src / "*"), ledger)
+    assert [r.id for r in batch2.collect()] == [3]

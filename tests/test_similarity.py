@@ -94,3 +94,63 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     assert len(ivf) == len(brute)
     recall = sum(1 for q, n in ivf.items() if brute.get(q) == n) / len(ivf)
     assert recall >= 0.4, f"IVF top-1 agreement too low: {recall:.2f}"
+
+
+def test_multimodal_resize_and_frame_sample_shapes(spark):
+    """Resize: one row per doc with exact target byte count. Frame sample:
+    fan-out rows with stable indices."""
+    from wheels_in_motion_analytics_spark.multimodal import (
+        media_table,
+        resize_media,
+        sample_media_frames,
+    )
+
+    media = media_table(spark, SF_SMALL).limit(50)
+    resized = resize_media(media, width=8, height=8).collect()
+    assert len(resized) == 50
+    assert all(r.n_bytes_out == 64 and len(r.resized) == 64 for r in resized)
+
+    frames = sample_media_frames(media, n_frames=4)
+    rows = frames.collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert all(sorted(v) == list(range(len(v))) for v in per_doc.values())
+    assert len(per_doc) == 50
+
+
+def test_spark_ml_minhash_agrees_with_custom(spark):
+    """Cross-check: spark.ml's MinHashLSH approxSimilarityJoin at the same
+    s-curve threshold finds the same planted near-dup pairs as our custom
+    md5-portable MinHash (both must contain every exact-Jaccard>=0.9 pair)."""
+    import pyspark.sql.functions as F
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    from wheels_in_motion_analytics_spark.functions.similarity import doc_shingles
+
+    sh = (
+        doc_shingles(spark, SF_SMALL)
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("shingles"))
+    )
+    cv = CountVectorizer(inputCol="shingles", outputCol="features", binary=True).fit(sh)
+    vecs = cv.transform(sh)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42).fit(vecs)
+    pairs = (
+        mh.approxSimilarityJoin(vecs, vecs, 0.5, distCol="jd")
+        .where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("d1"),
+            F.col("datasetB.doc_id").alias("d2"),
+        )
+        .collect()
+    )
+    ml_pairs = {(r.d1, r.d2) for r in pairs}
+    exact = {
+        (r.d1, r.d2)
+        for r in SPECS["dedup_ngram_jaccard"].fn(spark, SF_SMALL).where(F.col("jaccard") >= 0.9).collect()
+    }
+    assert exact, "planted near-dups expected"
+    assert exact - ml_pairs == set(), f"ml MinHashLSH missed {exact - ml_pairs}"
+    custom = {(r.d1, r.d2) for r in SPECS["dedup_minhash_lsh"].fn(spark, SF_SMALL).collect()}
+    assert exact - custom == set()

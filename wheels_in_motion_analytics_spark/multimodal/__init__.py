@@ -81,6 +81,80 @@ def decode_image_stub(payload: bytes, deterministic_fake: bool = False) -> list[
     return [float(n), float(s % 997), float(s) / n]
 
 
+def resize_image_stub(payload: bytes, width: int, height: int, deterministic_fake: bool = False) -> bytes:
+    """STUB resize: real deployments call PIL's Image.resize here."""
+    if not deterministic_fake:
+        raise NotImplementedError("no image codec in this environment")
+    # Deterministic fake: truncate/pad the byte stream to w*h "pixels".
+    target = max(width * height, 1)
+    return (payload * (target // max(len(payload), 1) + 1))[:target]
+
+
+def sample_frames_stub(payload: bytes, n_frames: int, deterministic_fake: bool = False) -> list[bytes]:
+    """STUB frame sampler: real deployments run ffmpeg keyframe extraction."""
+    if not deterministic_fake:
+        raise NotImplementedError("no video codec in this environment")
+    if not payload:
+        return []
+    stride = max(len(payload) // max(n_frames, 1), 1)
+    return [payload[i * stride : (i + 1) * stride] for i in range(min(n_frames, len(payload)))]
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+        T.StructField("n_bytes_out", T.LongType()),
+    ]
+)
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """Resize over mapInPandas — binary in, binary out, Arrow end to end."""
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out = [resize_image_stub(p, width, height, deterministic_fake=True) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "resized": out,
+                    "n_bytes_out": [len(b) for b in out],
+                }
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_media_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling over mapInPandas — one media row fans out to N frame
+    rows (the flatMap shape of video pipelines)."""
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i, fr in enumerate(sample_frames_stub(payload, n_frames, deterministic_fake=True)):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(fr)
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.mapInPandas(run, FRAMES_SCHEMA)
+
+
 def extract_features(media: DataFrame, batch_fake: bool = True) -> DataFrame:
     """Feature extraction over mapInPandas: Arrow batches in, Arrow batches
     out — the canonical multimodal hot path."""

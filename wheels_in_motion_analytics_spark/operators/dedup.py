@@ -29,6 +29,57 @@ def dedup_by_key(df: DataFrame, keys: list[str], order: list[Column]) -> DataFra
     )
 
 
+def upsert_by_key(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """MERGE/SCD-1 upsert without a table format: updates win on key
+    collision, base rows survive otherwise. One anti-join + one bag union —
+    at scale both hash-shuffle on the key once; with a bucketed base table
+    the anti-join side is exchange-free.
+
+    (The reference's station-dim augmentation is the inverse policy — base
+    wins — built from the same parts; see
+    plans/reference_pipeline.py:augment_station_dim.)
+    """
+    survivors = base.join(updates.select(*keys), on=keys, how="left_anti")
+    return survivors.unionByName(updates)
+
+
+@register(
+    "upsert_merge_by_key",
+    category="dedup",
+    doc="MERGE-style upsert: latest-month orders overwrite their keys in "
+    "the base order set; base rows otherwise survive (oracle: anti-join "
+    "+ union).",
+    oracle="""
+WITH updates AS (
+  SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice, 'U' AS o_orderstatus
+  FROM orders WHERE o_orderdate >= TIMESTAMP '2001-06-01 00:00:00'
+),
+base AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+)
+SELECT b.o_orderkey, b.o_totalprice, b.o_orderstatus
+FROM base b
+WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = b.o_orderkey)
+UNION ALL
+SELECT o_orderkey, o_totalprice, o_orderstatus FROM updates
+""",
+)
+def upsert_merge_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    updates = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2001-06-01 00:00:00").cast("timestamp"))
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+            F.lit("U").alias("o_orderstatus"),
+        )
+    )
+    return upsert_by_key(orders, updates, ["o_orderkey"])
+
+
 @register(
     "union_dedup_key",
     category="dedup",
