@@ -128,3 +128,65 @@ def test_foreach_batch_sink_and_rate_source(spark, stream_dir, tmp_path):
     rate = rate_stream(spark, rows_per_second=50)
     assert rate.isStreaming
     assert [f.name for f in rate.schema.fields] == ["timestamp", "value"]
+
+
+def test_watermark_append_mode_finalizes_windows_once(spark, tmp_path):
+    """Watermark semantics for streaming aggregations (the classic gotcha,
+    asserted): the watermark is a STATE-EVICTION bound, not a hard row
+    filter. In append mode each window is emitted exactly once, when the
+    watermark passes its end; rows arriving late merge into still-live
+    windows or surface as separate stale-window emissions — they are never
+    silently double-counted into an already-emitted window. Final counts
+    therefore match the batch computation."""
+    import time
+
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [T.StructField("ts", T.TimestampType()), T.StructField("k", T.StringType())]
+    )
+    src_dir = tmp_path / "late_src"
+    src_dir.mkdir()
+
+    def write_file(name, stamps):
+        rows = [(pd.Timestamp(s).to_pydatetime(), "e") for s in stamps]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+            str(src_dir / name)
+        )
+
+    write_file("a", ["2024-06-01 12:00:00", "2024-06-01 13:00:00"])
+    time.sleep(1.1)
+    write_file("b", ["2024-06-01 12:10:00", "2024-06-01 12:55:00"])  # late-but-mergeable
+    time.sleep(1.1)
+    write_file("c", ["2024-06-01 13:30:00"])  # advances watermark, closes 12:30+13:00
+
+    agg = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir / "*"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    # exactly-once emission per window
+    assert len({r.ws for r in rows}) == len(rows)
+    got = {str(r.ws): r.n for r in rows}
+    # every window below the final watermark (13:20) emitted with the full
+    # count including the late-merged row — no loss, no double-count
+    assert got["2024-06-01 12:00:00"] == 2  # 12:00 + late 12:10
+    assert got["2024-06-01 12:30:00"] == 1  # 12:55
+    # [13:00,13:30) is NOT emitted: its end (13:30) is past the final
+    # watermark (13:20), so the window is still open when the stream ends
+    assert "2024-06-01 13:00:00" not in got

@@ -1,0 +1,77 @@
+"""Extended scalar coverage: bitwise ops and the long tail of string
+functions (edit distance, padding, translate, soundex-adjacent)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from wheels_in_motion_analytics_spark.registry import register
+from wheels_in_motion_analytics_spark.tables import table
+
+
+@register(
+    "bitwise_funcs_suite",
+    category="scalars",
+    doc="Bitwise AND/OR/XOR/NOT, shifts, bit_count over integer keys.",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey & 255 AS low_byte,
+       o_orderkey | 1 AS set_low,
+       xor(o_orderkey, 21845) AS xored,
+       CAST(~o_orderkey AS BIGINT) AS negated,
+       o_orderkey << 2 AS shl2,
+       o_orderkey >> 3 AS shr3,
+       CAST(bit_count(o_orderkey) AS INTEGER) AS popcount
+FROM orders
+""",
+)
+def bitwise_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.col("o_orderkey")
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(1)).alias("set_low"),
+        k.bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.bitwise_not(k).alias("negated"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 3).alias("shr3"),
+        F.bit_count(k).cast("int").alias("popcount"),
+    )
+
+
+@register(
+    "string_funcs_suite2",
+    category="scalars",
+    doc="String long tail: ucfirst, lpad/rpad, translate, repeat, reverse, "
+    "ascii, levenshtein, position.",
+    oracle="""
+SELECT s_suppkey,
+       upper(s_name[1:1]) || lower(s_name[2:]) AS name_title,
+       lpad(CAST(s_suppkey AS VARCHAR), 8, '0') AS key_padded,
+       rpad(s_name, 20, '.') AS name_dotted,
+       translate(s_name, '#', '-') AS name_dashed,
+       repeat('ab', 3) AS abab,
+       reverse(s_name) AS name_rev,
+       CAST(ascii(s_name) AS INTEGER) AS first_char_code,
+       CAST(levenshtein(s_name, 'Supplier#000000001') AS INTEGER) AS edit_dist,
+       CAST(position('#' IN s_name) AS INTEGER) AS hash_pos
+FROM supplier
+""",
+)
+def string_funcs_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.concat(
+            F.upper(F.substring("s_name", 1, 1)),
+            F.lower(F.expr("substring(s_name, 2)")),
+        ).alias("name_title"),
+        F.lpad(F.col("s_suppkey").cast("string"), 8, "0").alias("key_padded"),
+        F.rpad("s_name", 20, ".").alias("name_dotted"),
+        F.translate("s_name", "#", "-").alias("name_dashed"),
+        F.repeat(F.lit("ab"), 3).alias("abab"),
+        F.reverse("s_name").alias("name_rev"),
+        F.ascii("s_name").cast("int").alias("first_char_code"),
+        F.levenshtein("s_name", F.lit("Supplier#000000001")).cast("int").alias("edit_dist"),
+        F.instr("s_name", "#").cast("int").alias("hash_pos"),
+    )

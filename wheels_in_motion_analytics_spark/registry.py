@@ -54,6 +54,7 @@ _QUERY_MODULES = [
     "wheels_in_motion_analytics_spark.functions.udfs",
     "wheels_in_motion_analytics_spark.functions.datetime_dim",
     "wheels_in_motion_analytics_spark.functions.scalars",
+    "wheels_in_motion_analytics_spark.functions.scalars_ext",
     "wheels_in_motion_analytics_spark.functions.text",
     "wheels_in_motion_analytics_spark.functions.text_pipeline",
     "wheels_in_motion_analytics_spark.functions.similarity",
