@@ -1,0 +1,89 @@
+"""Full driver simulation: run EVERY registry query on a vanilla
+SparkSession (no engine configs — exactly what the driver does) at the given
+sf dir and diff against its DuckDB oracle (row count + column names +
+order-insensitive exact values, floats via repr).
+
+Usage: python tools/driver_check.py [sf_dir]   (default /root/testdata/sf0.01)
+Exit code = number of failing queries.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+from pyspark.sql import SparkSession
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                v = "NaN" if math.isnan(v) else repr(v)
+            vals.append(str(v))
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+    from wheels_in_motion_analytics_spark.tables import TABLE_NAMES
+
+    qs, os_sql = entrymod.queries(), entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    n = len(entrymod.entry(spark).collect())
+    print(f"entry(): {n} rows")
+    assert n > 0
+
+    failures = []
+    for name in sorted(qs):
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            if name not in os_sql:
+                print(f"  rows-only {name}: {len(srows)} rows  {time.time()-t0:.1f}s")
+                continue
+            res = con.execute(os_sql[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+            ok = (
+                sorted(sdf.columns) == sorted(dcols)
+                and len(srows) == len(drows)
+                and canon(srows, sdf.columns) == canon(drows, dcols)
+            )
+            status = "OK" if ok else "FAIL"
+            if not ok:
+                failures.append(name)
+            print(f"  {status} {name}: {len(srows)} rows  {time.time()-t0:.1f}s")
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"  ERROR {name}: {str(exc)[:160]}")
+
+    print(f"{len(qs)} queries, {len(failures)} failures: {failures}")
+    return len(failures)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

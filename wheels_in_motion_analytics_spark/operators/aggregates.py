@@ -287,12 +287,16 @@ FROM lineitem GROUP BY l_returnflag
 """,
 )
 def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one percentile state per group (array form), split after — half the
+    # aggregation work of two separate percentile() calls
     return (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        .agg(F.expr("percentile(l_extendedprice, array(0.5, 0.9))").alias("pcts"))
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("pcts", 1), 4).alias("p50"),
+            F.round(F.element_at("pcts", 2), 4).alias("p90"),
         )
     )
 
