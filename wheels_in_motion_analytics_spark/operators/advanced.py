@@ -252,19 +252,22 @@ SALT_BUCKETS = 8
 
 
 def salted_join(
-    big: DataFrame, small: DataFrame, key: str, buckets: int = SALT_BUCKETS
+    big: DataFrame, small: DataFrame, key: str, buckets: int = SALT_BUCKETS,
+    keep_salt: bool = False,
 ) -> DataFrame:
     """Skew-safe equi-join: replicate the small side across ``buckets`` salt
-    values, salt the big side randomly-but-deterministically (hash of a
-    unique column), join on (key, salt). Result is identical to a plain
-    join; the hot key's rows spread over ``buckets`` tasks."""
+    values, salt the big side randomly-but-deterministically (hash of the
+    full row), join on (key, salt). Result is identical to a plain join;
+    the hot key's rows spread over ``buckets`` join tasks.
+    ``keep_salt=True`` retains ``__salt`` for inspection/tests."""
     salted_small = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
     )
     salted_big = big.withColumn(
         "__salt", F.pmod(F.xxhash64(*big.columns), F.lit(buckets)).cast("int")
     )
-    return salted_big.join(salted_small, [key, "__salt"]).drop("__salt")
+    joined = salted_big.join(salted_small, [key, "__salt"])
+    return joined if keep_salt else joined.drop("__salt")
 
 
 @register(

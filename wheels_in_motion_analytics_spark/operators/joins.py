@@ -148,6 +148,58 @@ def asof_join(
 
 
 @register(
+    "interval_proximity_join",
+    category="joins",
+    doc="Interval/theta join at scale: purchase-view pairs of the same user "
+    "within 2 hours. Implemented as equi-join on coarse time buckets "
+    "(each left row probes its own and the previous bucket) + residual "
+    "filter — the bucketing rewrite that turns an unbounded inequality "
+    "join into a hash join. Oracle: the plain inequality join.",
+    oracle="""
+SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.ts <= p.ts
+ AND v.ts > p.ts - INTERVAL 2 HOUR
+""",
+)
+def interval_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    bucket = lambda c: (F.unix_timestamp(c) / 7200).cast("bigint")  # noqa: E731
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("v_ts"),
+        bucket(F.col("ts")).alias("v_bucket"),
+    )
+    # each purchase probes its bucket and the previous one — a 2-hour
+    # lookback can only span two 2-hour buckets
+    probes = purchases.select(
+        "purchase_id",
+        "user_id",
+        "p_ts",
+        F.explode(F.array(bucket(F.col("p_ts")), bucket(F.col("p_ts")) - 1)).alias("v_bucket"),
+    )
+    return (
+        probes.join(
+            views,
+            (probes.user_id == views.v_user_id) & (probes.v_bucket == views.v_bucket),
+        )
+        .where(
+            (F.col("v_ts") <= F.col("p_ts"))
+            & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 2 HOURS"))
+        )
+        .select("purchase_id", "view_id", "user_id")
+    )
+
+
+@register(
     "asof_join_last_signup",
     category="joins",
     doc="As-of join: for each purchase event, the most recent prior-or-equal "
