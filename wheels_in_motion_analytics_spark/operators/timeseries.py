@@ -1,0 +1,153 @@
+"""Time-series operators: calendar densification + last-observation-carried-
+forward (LOCF), and declarative data-quality checks.
+
+Gap filling = generate the dense calendar (sequence/explode — no shuffle),
+left-join observations, then one LOCF window per key. The same shape handles
+sensor/telemetry downsampling at 100 TB: the dense axis is generated, never
+stored.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+
+from wheels_in_motion_analytics_spark.compat import dsum, oracle_dsum
+from wheels_in_motion_analytics_spark.registry import register
+from wheels_in_motion_analytics_spark.tables import table
+
+
+def gap_fill_locf(
+    observed: DataFrame, key: str, date_col: str, value_cols: list[str], calendar: DataFrame
+) -> DataFrame:
+    """Densify ``observed`` onto ``calendar`` (one row per key × date) and
+    carry the last observation forward per key."""
+    keys = observed.select(key).distinct()
+    dense = keys.crossJoin(calendar)
+    joined = dense.join(observed, [key, date_col], "left")
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(date_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.withColumns(
+        {c: F.last(F.col(c), ignorenulls=True).over(w) for c in value_cols}
+    )
+
+
+@register(
+    "gap_fill_locf_daily",
+    category="timeseries",
+    doc="Calendar densification + LOCF: daily spend per user over the first "
+    "week of 2024-01, missing days carried forward (generated calendar — "
+    "the dense axis is never stored).",
+    oracle=f"""
+WITH cal AS (
+  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-01-07', INTERVAL 1 DAY)) AS DATE) AS day
+),
+obs AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         {oracle_dsum('value')} AS day_value
+  FROM events
+  WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-08 00:00:00'
+  GROUP BY 1, 2
+),
+dense AS (
+  SELECT u.user_id, cal.day
+  FROM (SELECT DISTINCT user_id FROM obs) u CROSS JOIN cal
+)
+SELECT d.user_id, d.day,
+       last_value(o.day_value IGNORE NULLS)
+         OVER (PARTITION BY d.user_id ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS day_value
+FROM dense d LEFT JOIN obs o ON d.user_id = o.user_id AND d.day = o.day
+""",
+)
+def gap_fill_locf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    obs = (
+        table(spark, sf_dir, "events")
+        .where(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp_ntz"))
+        )
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(dsum("value").alias("day_value"))
+    )
+    calendar = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-07").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    return gap_fill_locf(obs, "user_id", "day", ["day_value"], calendar)
+
+
+# --- data quality -----------------------------------------------------------
+
+DQ_RULES: list[tuple[str, str]] = [
+    # (rule name, SQL predicate that VIOLATES the rule)
+    ("qty_positive", "l_quantity <= 0"),
+    ("qty_below_cap", "l_quantity > 49"),
+    ("discount_in_range", "l_discount < 0 OR l_discount > 1"),
+    ("price_positive", "l_extendedprice <= 0"),
+    ("tax_in_range", "l_tax < 0 OR l_tax > 0.07"),
+    ("shipdate_present", "l_shipdate IS NULL"),
+]
+
+
+@register(
+    "dq_violation_counts",
+    category="quality",
+    doc="Declarative data-quality audit: violation count per rule in one "
+    "pass (the null-profile A1 generalized to arbitrary predicates).",
+    oracle="""
+SELECT {cols}
+FROM lineitem
+""".format(
+        cols=",\n       ".join(
+            f"COUNT(*) FILTER (WHERE {pred}) AS {name}" for name, pred in DQ_RULES
+        )
+    ),
+)
+def dq_violation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        *[
+            F.count(F.when(F.expr(pred), F.lit(1))).alias(name)
+            for name, pred in DQ_RULES
+        ]
+    )
+
+
+@register(
+    "dq_violating_rows",
+    category="quality",
+    doc="Data-quality quarantine: rows breaking any rule, tagged with the "
+    "list of failed rules (empty result on clean data is itself the check).",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       {arr} AS failed_rules
+FROM lineitem
+WHERE {any_pred}
+""".format(
+        arr="list_filter([" + ", ".join(
+            f"CASE WHEN {pred} THEN '{name}' END" for name, pred in DQ_RULES
+        ) + "], x -> x IS NOT NULL)",
+        any_pred=" OR ".join(f"({pred})" for _, pred in DQ_RULES),
+    ),
+)
+def dq_violating_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    failed = F.filter(
+        F.array(
+            *[F.when(F.expr(pred), F.lit(name)) for name, pred in DQ_RULES]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    any_pred = " OR ".join(f"({pred})" for _, pred in DQ_RULES)
+    return li.where(F.expr(any_pred)).select(
+        "l_orderkey", "l_linenumber", failed.alias("failed_rules")
+    )
