@@ -174,3 +174,30 @@ def test_salted_join_spreads_hot_key(spark):
     # plain-join equality
     plain = big.join(small, "k")
     assert joined.count() == plain.count()
+
+
+def test_custom_manifest_datasource(spark, tmp_path):
+    """Spark 4 Python DataSource API: the manifest JSON served as a
+    spark.read.format('manifest') table, partitioned, typed, composable."""
+    import json
+
+    from wheels_in_motion_analytics_spark.sources.manifest_datasource import (
+        register_manifest_source,
+    )
+
+    links = {
+        "23Mar2021": "usage-stats/17Mar2021-23Mar2021.csv",
+        "30Mar2021": "usage-stats/24Mar2021-30Mar2021.csv",
+        "06Apr2021": "usage-stats/31Mar2021-06Apr2021.csv",
+    }
+    mpath = tmp_path / "links_dictionary.json"
+    mpath.write_text(json.dumps(links))
+
+    register_manifest_source(spark)
+    df = spark.read.format("manifest").option("path", str(mpath)).load()
+    rows = {r.date_key: (r.rel_path, r.filename) for r in df.collect()}
+    assert rows == {
+        k: (v, v.rsplit("/", 1)[-1]) for k, v in links.items()
+    }
+    # composes with the relational layer: filter + projection on the source
+    assert df.where(F.col("date_key").endswith("Mar2021")).count() == 2

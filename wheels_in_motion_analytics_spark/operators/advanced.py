@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
-from wheels_in_motion_analytics_spark.compat import oracle_dsum, dsum
+from wheels_in_motion_analytics_spark.compat import oracle_dsum
 from wheels_in_motion_analytics_spark.registry import register
 from wheels_in_motion_analytics_spark.tables import table
 

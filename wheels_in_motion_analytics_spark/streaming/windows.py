@@ -16,7 +16,7 @@ rewrite.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from wheels_in_motion_analytics_spark.compat import dsum, oracle_dsum
