@@ -201,3 +201,37 @@ def test_custom_manifest_datasource(spark, tmp_path):
     }
     # composes with the relational layer: filter + projection on the source
     assert df.where(F.col("date_key").endswith("Mar2021")).count() == 2
+
+
+def test_recursive_csv_and_binary_file_sources(spark, tmp_path):
+    """S3 recursive CSV lookup and S6 binaryFile source."""
+    import json
+
+    from wheels_in_motion_analytics_spark.sources.readers import (
+        normalize_json_payload,
+        read_binary_files,
+        read_csv,
+    )
+
+    # nested, non-glob layout -> recursiveFileLookup
+    for sub in ("a/x", "b/y/z"):
+        d = tmp_path / "csvs" / sub
+        d.mkdir(parents=True)
+        (d / "part.csv").write_text("id,v\n1,one\n2,two\n")
+    df = read_csv(spark, str(tmp_path / "csvs"), recursive=True, infer=True)
+    assert df.count() == 4 and set(df.columns) == {"id", "v"}
+
+    # binaryFile source: path/length/content columns, glob filter
+    (tmp_path / "blobs").mkdir()
+    (tmp_path / "blobs" / "one.bin").write_bytes(b"\x00\x01\x02")
+    (tmp_path / "blobs" / "skip.txt").write_text("nope")
+    bdf = read_binary_files(spark, str(tmp_path / "blobs"), glob="*.bin")
+    rows = bdf.collect()
+    assert len(rows) == 1
+    assert rows[0].length == 3 and bytes(rows[0].content) == b"\x00\x01\x02"
+
+    # S8 normalization: list-root payload passes through unchanged
+    lp = tmp_path / "list_root.json"
+    lp.write_text(json.dumps([{"datetime": "2021-03-01", "temp": 5.0}]))
+    ldf = normalize_json_payload(spark, str(lp))
+    assert ldf.count() == 1 and "temp" in ldf.columns
