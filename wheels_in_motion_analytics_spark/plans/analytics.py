@@ -158,3 +158,73 @@ def regional_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("market_share")
         )
     )
+
+@register(
+    "priority_shipping_summary",
+    category="plans",
+    doc="TPC-H Q12 shape: per order-priority, count of critical vs "
+    "non-critical line items shipped in a date corridor (conditional "
+    "counts over a single join).",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS finished_items,
+       COUNT(*) FILTER (WHERE o_orderstatus <> 'F') AS open_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_orderpriority
+""",
+)
+def priority_shipping_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    return (
+        li.select("l_orderkey")
+        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("finished_items"),
+            F.count(F.when(F.col("o_orderstatus") != "F", 1)).alias("open_items"),
+        )
+    )
+
+
+@register(
+    "promo_revenue_share",
+    category="plans",
+    doc="TPC-H Q14 shape: PROMO parts' share of revenue in one month — "
+    "conditional decimal-sum ratio.",
+    oracle="""
+SELECT CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                AS DECIMAL(18,4))) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+       AS promo_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+""",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-06-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / dsum(rev)
+            ).alias("promo_share")
+        )
+    )
