@@ -800,3 +800,93 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .mapInPandas(probe, schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup clusters — connected components over the near-dup graph
+# ---------------------------------------------------------------------------
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Min-label propagation to a fixpoint: every node ends with the minimum
+    node id of its connected component.
+
+    The driver loop is control flow only — each iteration is one distributed
+    join + aggregate, and the loop exits when an iteration changes nothing
+    (near-dup components have tiny diameters, so 2-4 iterations in
+    practice). ``nodes`` needs column ``id``; ``edges`` columns ``src/dst``
+    (undirected edges should be passed in both directions).
+    """
+    labels = nodes.select("id", F.col("id").alias("label"))
+    for _ in range(max_iter):
+        # smallest label among each node's neighbors (and itself)
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint()  # cut the growing lineage each round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "dedup_connected_components",
+    category="dedup-llm",
+    doc="Duplicate-cluster assignment: connected components (min-label "
+    "propagation to fixpoint) over the exact near-dup pair graph — the "
+    "iterative-algorithm category; docs sharing any chain of near-dup "
+    "pairs collapse to one canonical representative. Oracle: recursive CTE.",
+    oracle=f"""
+WITH RECURSIVE {_ORACLE_SHINGLES.lstrip()},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT d1, d2 FROM inter
+  JOIN sizes sa ON sa.doc_id = d1
+  JOIN sizes sb ON sb.doc_id = d2
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION ALL
+  SELECT d2, d1 FROM pairs
+),
+reach(doc, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc
+)
+SELECT doc AS doc_id, MIN(lab) AS cluster_rep
+FROM reach GROUP BY doc
+""",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    edges = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst")).unionAll(
+        pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
+    )
+    nodes = table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    return connected_components(nodes, edges).select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_rep")
+    )
