@@ -42,17 +42,40 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    # The driver captures only a bounded tail of stdout; a 105-query JSON
+    # line (~5KB) gets truncated mid-line and fails to parse (BENCH_r01).
+    # Print ONE compact line: total over all queries + a headline subset.
+    # Full per-query timings go to BENCH_FULL.json next to this script.
+    headline = [
+        "flagship_rides_by_dim",
+        "star_join_enriched",
+        "regional_market_share",
+        "top_unshipped_orders",
+        "dedup_minhash_lsh",
+        "dedup_connected_components",
+        "similarity_topk_bruteforce",
+        "ann_lsh_bucketed",
+        "corpus_quality_pipeline",
+        "percentile_exact",
+        "salted_skew_join",
+        "asof_join_last_signup",
+        "window_running_sum",
+        "stream_tumbling_window",
+    ]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
+        "metric": "total_query_wall_time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries": timings,
+        "sf": sf_val,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+    compact = dict(full)
+    compact["queries"] = {q: timings[q] for q in headline if q in timings}
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -65,8 +65,8 @@ def test_multimodal_feature_extraction_batch_shape(spark):
     3-dim feature vector."""
     out = SPECS["multimodal_features"].fn(spark, SF_SMALL).collect()
     assert len(out) == 500
-    assert all(len(r.feature) == 3 for r in out)
-    byte_first = {r.doc_id: r.feature[0] for r in out}
+    assert all(r.f0 is not None and r.f1 is not None and r.f2 is not None for r in out)
+    byte_first = {r.doc_id: r.f0 for r in out}
     meta = {r.doc_id: r.n_bytes for r in SPECS["multimodal_meta"].fn(spark, SF_SMALL).collect()}
     assert byte_first == {k: float(v) for k, v in meta.items()}
 

@@ -203,8 +203,16 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="multimodal",
     doc="mapInPandas feature extraction over binary payloads (stubbed "
     "decoder, deterministic fake) — rows-only check; batch shape and "
-    "schema are the real contract.",
+    "schema are the real contract. Feature vector flattened to scalar "
+    "columns for the driver (array cells crash its canonicalizer).",
     oracle=None,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return extract_features(media_table(spark, sf_dir))
+    feats = extract_features(media_table(spark, sf_dir))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.element_at("feature", 1).alias("f0"),
+        F.element_at("feature", 2).alias("f1"),
+        F.round(F.element_at("feature", 3), 6).alias("f2"),
+    )

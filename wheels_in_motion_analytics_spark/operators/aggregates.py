@@ -305,7 +305,8 @@ def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "percentile_approx_sketch",
     category="aggregates",
     doc="approx_percentile (KLL-style sketch) — the mergeable 100 TB "
-    "quantile path; rows-only check (sketch is engine-specific).",
+    "quantile path; rows-only check (sketch is engine-specific). Scalar "
+    "p50/p90 output — array-typed cells crash the driver canonicalizer.",
     oracle=None,
 )
 def percentile_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -313,4 +314,9 @@ def percentile_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(F.percentile_approx("l_extendedprice", [0.5, 0.9], 10000).alias("pcts"))
+        .select(
+            "l_returnflag",
+            F.element_at("pcts", 1).alias("p50"),
+            F.element_at("pcts", 2).alias("p90"),
+        )
     )

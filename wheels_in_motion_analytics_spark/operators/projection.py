@@ -81,7 +81,7 @@ def scan_parquet_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderkey AS order_id,
        CAST(o_custkey AS INTEGER) AS customer_id,
-       CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
        CAST(o_orderdate AS DATE) AS order_date
 FROM orders
 """,
@@ -92,7 +92,10 @@ def project_rename_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "order_id",
         F.col("o_custkey").cast("int").alias("customer_id"),
-        F.col("o_totalprice").cast("decimal(18,2)").alias("total_price"),
+        # Decimal cast inside (exact 2-dp quantization), DOUBLE out: raw
+        # DECIMAL output canonicalizes differently across engines ("5194.5"
+        # vs "5194.50") and flakes the driver's value hash.
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("total_price"),
         F.col("o_orderdate").cast("date").alias("order_date"),
     )
 

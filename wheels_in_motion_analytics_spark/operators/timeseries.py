@@ -126,10 +126,12 @@ def dq_violation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_violating_rows",
     category="quality",
     doc="Data-quality quarantine: rows breaking any rule, tagged with the "
-    "list of failed rules (empty result on clean data is itself the check).",
+    "comma-joined list of failed rules (empty result on clean data is itself "
+    "the check). String-typed tag — array cells crash the driver "
+    "canonicalizer.",
     oracle="""
 SELECT l_orderkey, l_linenumber,
-       {arr} AS failed_rules
+       array_to_string({arr}, ',') AS failed_rules
 FROM lineitem
 WHERE {any_pred}
 """.format(
@@ -141,11 +143,14 @@ WHERE {any_pred}
 )
 def dq_violating_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    failed = F.filter(
-        F.array(
-            *[F.when(F.expr(pred), F.lit(name)) for name, pred in DQ_RULES]
+    failed = F.array_join(
+        F.filter(
+            F.array(
+                *[F.when(F.expr(pred), F.lit(name)) for name, pred in DQ_RULES]
+            ),
+            lambda x: x.isNotNull(),
         ),
-        lambda x: x.isNotNull(),
+        ",",
     )
     any_pred = " OR ".join(f"({pred})" for _, pred in DQ_RULES)
     return li.where(F.expr(any_pred)).select(
