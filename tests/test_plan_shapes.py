@@ -17,12 +17,49 @@ def plan_of(spark, name: str) -> str:
 
 
 def test_star_join_all_broadcast(spark):
-    """Every dim join in the star must be a broadcast hash join — a
-    SortMergeJoin here would shuffle the fact table once per dim."""
+    """At test scale every join in the star resolves to a broadcast hash
+    join — the dims via explicit hint, orders/customer via the size-based
+    auto-broadcast threshold (they carry no hint; see
+    test_no_forced_broadcast_on_fact_tables for the scale posture)."""
     plan = plan_of(spark, "star_join_enriched")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "star_join_enriched",
+        "flagship_rides_by_dim",
+        "top_unshipped_orders",
+        "returned_item_customers",
+        "regional_market_share",
+        "priority_shipping_summary",
+    ],
+)
+def test_no_forced_broadcast_on_fact_tables(spark, name):
+    """100 TB posture: orders/customer are fact-scaled, so no plan may FORCE
+    a broadcast on them. With the auto-broadcast threshold disabled, any
+    remaining BroadcastExchange must come from an explicit hint — so the
+    fact⋈fact joins must appear as shuffle joins (SortMerge/ShuffledHash),
+    while bounded dims (region/nation/supplier/part) may stay broadcast."""
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(spark, name)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), (
+        f"{name}: with auto-broadcast off, the orders/customer joins must "
+        f"fall back to shuffle joins — a forced broadcast hint on a "
+        f"fact-scaled table survived:\n{plan}"
+    )
+    # The hinted bounded dims must not shuffle the fact side per dim: any
+    # broadcast that remains is fine, but a plan that broadcasts NOTHING
+    # while hints exist would mean the dim hints were dropped.
+    if name in ("star_join_enriched", "returned_item_customers", "regional_market_share"):
+        assert "BroadcastHashJoin" in plan, f"{name}: dim broadcast hints lost"
 
 
 def test_scan_projection_pushdown(spark):

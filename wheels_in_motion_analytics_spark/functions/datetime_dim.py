@@ -142,10 +142,22 @@ FROM orders
 """,
 )
 def date_format_partition_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Explicit English month literals, not date_format('MMMyyyy'):
+    # date_format abbreviations follow the JVM default locale, while the
+    # DuckDB oracle's strftime('%b') is always English — a non-English
+    # driver JVM would break the differential.
+    months = F.array(
+        *[F.lit(m) for m in
+          ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+           "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]]
+    )
     return (
         table(spark, sf_dir, "orders")
         .select(
-            F.date_format("o_orderdate", "MMMyyyy").alias("month_partition"),
+            F.concat(
+                F.element_at(months, F.month("o_orderdate")),
+                F.year("o_orderdate").cast("string"),
+            ).alias("month_partition"),
             F.expr("extract(yearofweek FROM o_orderdate)").cast("int").alias("iso_year"),
             F.weekofyear("o_orderdate").cast("int").alias("iso_week"),
         )

@@ -32,7 +32,7 @@ SELECT p_partkey,
        regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
        CAST(starts_with(p_type, 'STANDARD') AS BOOLEAN) AS is_standard,
        CAST(ends_with(p_type, 'STEEL') AS BOOLEAN) AS is_steel,
-       concat(p_brand, ':', p_type) AS brand_type,
+       concat_ws(':', p_brand, p_type) AS brand_type,
        replace(p_name, ' ', '_') AS name_snake,
        trim(p_name) AS name_trim
 FROM part

@@ -600,17 +600,42 @@ def _hyperplanes() -> list[list[float]]:
     return planes
 
 
+def _exact_cosine_rerank(spark: SparkSession, sf_dir: str, cand: DataFrame) -> DataFrame:
+    """Exact cosine for candidate pairs WITHOUT any driver-side corpus
+    collect: join the pair list back to ``embeddings`` for both sides'
+    vectors and fold the dot product JVM-side. Each join is a plain hash
+    join on vec_id — co-partitionable at 100 TB, where the corpus can never
+    be collected or broadcast (the round-1 weakness of the gather-from-
+    broadcast-matrix re-rank). Locally the optimizer still auto-broadcasts
+    the small vector side by size."""
+    q = _norm_vectors(spark, sf_dir).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("q_e"), F.col("nrm").alias("q_nrm")
+    )
+    n = _norm_vectors(spark, sf_dir).select(
+        F.col("vec_id").alias("n_id"), F.col("e").alias("n_e"), F.col("nrm").alias("n_nrm")
+    )
+    return (
+        cand.join(q, cand.query_id == q.q_id)
+        .join(n, cand.neighbor_id == n.n_id)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("q_e"), F.col("n_e")) / (F.col("q_nrm") * F.col("n_nrm")), 4).alias("cosine"),
+        )
+    )
+
+
 @register(
     "ann_lsh_bucketed",
     category="similarity",
     doc=f"Multi-table random-hyperplane LSH ANN: {ANN_TABLES} tables × "
     f"{ANN_BITS}-bit buckets; candidates = same bucket in ANY table; exact "
-    "cosine re-rank over the candidate union; top-1 per query. The 100 TB "
-    "path: per-table bucket joins are hash joins on (table, bucket) and the "
-    "candidate set is a few buckets, never the corpus. (tables × bits) is "
-    "the recall/cost dial — more tables = higher recall, more candidates. "
-    "Rows-only check (recall vs brute force asserted in "
-    "tests/test_similarity.py).",
+    "cosine re-rank via join-back to embeddings (no corpus collect or "
+    "broadcast); top-1 per query. The 100 TB path: per-table bucket joins "
+    "are hash joins on (table, bucket) and the candidate set is a few "
+    "buckets, never the corpus. (tables × bits) is the recall/cost dial — "
+    "more tables = higher recall, more candidates. Rows-only check (recall "
+    "vs brute force asserted in tests/test_similarity.py).",
     oracle=None,
 )
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -618,7 +643,6 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     planes = _hyperplanes()
-    bc = _broadcast_candidate_matrix(spark, sf_dir)
 
     def signatures(batches):
         """Stage 1 (numpy over Arrow batches): all table buckets per vector
@@ -674,37 +698,9 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["query_id", "neighbor_id"])
     )
 
-    def rerank(batches):
-        """Stage 3 (numpy): exact cosine for candidate pairs via indexed
-        gather against the broadcast matrix."""
-        import numpy as np
-        import pandas as pd
-
-        ids, mat, norms = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            qi = np.searchsorted(ids, pdf["query_id"].to_numpy())
-            ni = np.searchsorted(ids, pdf["neighbor_id"].to_numpy())
-            cos = np.round(
-                np.einsum("ij,ij->i", mat[qi], mat[ni]) / (norms[qi] * norms[ni]), 4
-            )
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"],
-                    "neighbor_id": pdf["neighbor_id"],
-                    "cosine": cos,
-                }
-            )
-
-    cos_schema = T.StructType(
-        [
-            T.StructField("query_id", T.LongType()),
-            T.StructField("neighbor_id", T.LongType()),
-            T.StructField("cosine", T.DoubleType()),
-        ]
-    )
-    scored = cand.mapInPandas(rerank, cos_schema)
+    # Stage 3: exact cosine via join-back to embeddings — no driver collect,
+    # no corpus broadcast (see _exact_cosine_rerank).
+    scored = _exact_cosine_rerank(spark, sf_dir, cand)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -720,12 +716,13 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_CELLS = 16
 IVF_NPROBE = 3
 IVF_KMEANS_ITERS = 5
+IVF_TRAIN_SAMPLE = 4096  # bounded training-set size, independent of corpus
 
 
 def _ivf_centroids(mat, norms):
     """Deterministic k-means coarse quantizer on the unit sphere: init from
-    evenly strided corpus rows, fixed iteration count — same centroids every
-    run, every engine."""
+    evenly strided training rows, fixed iteration count — same centroids
+    every run, every engine."""
     import numpy as np
 
     unit = mat / norms[:, None]
@@ -743,62 +740,103 @@ def _ivf_centroids(mat, norms):
     return cents
 
 
+def _train_ivf_centroids(spark: SparkSession, sf_dir: str):
+    """Train the coarse quantizer ONCE, driver-side, on a BOUNDED sample.
+
+    The sample is a deterministic distributed top-K (order by md5 of the id,
+    take IVF_TRAIN_SAMPLE rows) — at 100 TB this collects a fixed few MB, not
+    the corpus; training IVF on a subset is the standard sketch (the corpus
+    itself is never collected or broadcast). Round 1 recomputed centroids
+    from a full broadcast corpus matrix inside every task — both the collect
+    and the per-task recompute are gone."""
+    import numpy as np
+
+    rows = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(IVF_TRAIN_SAMPLE)
+        .collect()
+    )
+    mat = np.array([r.embedding for r in rows], dtype="float64")
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    return _ivf_centroids(mat, norms)
+
+
 @register(
     "ann_ivf_cells",
     category="similarity",
     doc=f"IVF ANN: {IVF_CELLS}-cell spherical k-means coarse quantizer "
-    f"(deterministic init/iterations); each query probes its {IVF_NPROBE} "
-    "nearest cells and exact-ranks within them. The inverted-file "
-    "counterpart to LSH bucketing: candidate set = a few cells. Rows-only "
-    "check; recall vs brute force asserted in tests/test_similarity.py.",
+    f"trained once on a bounded {IVF_TRAIN_SAMPLE}-row sample; each query "
+    f"probes its {IVF_NPROBE} nearest cells; candidates come from a hash "
+    "join on the cell id and are exact-ranked via join-back to embeddings — "
+    "no corpus collect/broadcast anywhere. The inverted-file counterpart to "
+    "LSH bucketing. Rows-only check; recall vs brute force asserted in "
+    "tests/test_similarity.py.",
     oracle=None,
 )
 def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyspark.sql.types as T
     from pyspark.sql import Window
 
-    bc = _broadcast_candidate_matrix(spark, sf_dir)
+    cents = _train_ivf_centroids(spark, sf_dir)  # tiny: IVF_CELLS × dim
 
-    def probe(batches):
+    def cell_ranks(batches):
+        """Per vector: its IVF_NPROBE nearest cells, ranked. rank 1 is the
+        vector's home cell (corpus assignment); all ranks are its probe set
+        (query side). Centroids ride along in the task closure — a few KB,
+        the legitimate small-artifact broadcast."""
         import numpy as np
         import pandas as pd
 
-        ids, mat, norms = bc.value
-        cents = _ivf_centroids(mat, norms)
-        corpus_cell = ((mat / norms[:, None]) @ cents.T).argmax(axis=1)
+        cmat = np.asarray(cents, dtype="float64")
         for pdf in batches:
             if not len(pdf):
                 continue
             q = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-            qids = pdf["vec_id"].to_numpy()
             qn = np.sqrt((q * q).sum(axis=1))
-            qunit = q / qn[:, None]
-            cell_sims = qunit @ cents.T
-            probe_cells = np.argsort(-cell_sims, axis=1)[:, :IVF_NPROBE]
-            out_q, out_n, out_c = [], [], []
-            for i in range(len(qids)):
-                mask = np.isin(corpus_cell, probe_cells[i]) & (ids != qids[i])
-                if not mask.any():
-                    continue
-                sims = np.round((mat[mask] @ q[i]) / (norms[mask] * qn[i]), 4)
-                cand_ids = ids[mask]
-                best = np.lexsort((cand_ids, -sims))[0]
-                out_q.append(qids[i])
-                out_n.append(cand_ids[best])
-                out_c.append(sims[best])
-            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_c})
+            sims = (q / qn[:, None]) @ cmat.T
+            order = np.argsort(-sims, axis=1)[:, :IVF_NPROBE]
+            n = len(q)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), IVF_NPROBE),
+                    "rank": np.tile(np.arange(1, IVF_NPROBE + 1), n),
+                    "cell": order.reshape(-1),
+                }
+            )
 
-    schema = T.StructType(
+    rank_schema = T.StructType(
         [
-            T.StructField("query_id", T.LongType()),
-            T.StructField("neighbor_id", T.LongType()),
-            T.StructField("cosine", T.DoubleType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("cell", T.LongType()),
         ]
     )
-    return (
+    ranked = (
         table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
-        .mapInPandas(probe, schema)
+        .mapInPandas(cell_ranks, rank_schema)
+    )
+    assign = ranked.where(F.col("rank") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), "cell"
+    )
+    probes = ranked.select(F.col("vec_id").alias("query_id"), "cell")
+
+    # Relational candidate generation: probe-cells ⋈ cell-assignments — a
+    # hash join on the cell id, never all-pairs.
+    cand = (
+        probes.join(assign, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = _exact_cosine_rerank(spark, sf_dir, cand)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("query_id", "neighbor_id", "cosine")
     )
 
 
@@ -816,8 +854,13 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 20)
     (near-dup components have tiny diameters, so 2-4 iterations in
     practice). ``nodes`` needs column ``id``; ``edges`` columns ``src/dst``
     (undirected edges should be passed in both directions).
+
+    Raises ``RuntimeError`` if ``max_iter`` is exhausted before the fixpoint:
+    partial labels would silently diverge from the recursive-CTE oracle for a
+    component whose diameter exceeds the budget.
     """
     labels = nodes.select("id", F.col("id").alias("label"))
+    changed = 0
     for _ in range(max_iter):
         # smallest label among each node's neighbors (and itself)
         neighbor_min = (
@@ -843,6 +886,11 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 20)
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter}; "
+            "a component with larger diameter exists — raise max_iter"
+        )
     return labels
 
 

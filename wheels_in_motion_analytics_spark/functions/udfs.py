@@ -82,8 +82,8 @@ def pandas_udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH q AS (
   SELECT event_id, user_id,
-         CAST(round(value * 10000) AS BIGINT) AS vq,
-         SUM(CAST(round(value * 10000) AS BIGINT)) OVER (PARTITION BY user_id) AS sq,
+         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS vq,
+         SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) OVER (PARTITION BY user_id) AS sq,
          COUNT(*) OVER (PARTITION BY user_id) AS n
   FROM events
 )
@@ -102,10 +102,14 @@ def grouped_map_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         # quantize to int64 so the group sum is exact — the demeaned value
         # (vq*n - sum)/(n*scale) is then a deterministic double in any
-        # engine, immune to float summation order
-        vq = (pdf["value"] * 10000).round().astype("int64")
+        # engine, immune to float summation order. floor(x+0.5), not
+        # .round(): pandas rounds half-to-even, DuckDB half-away-from-zero —
+        # an exact .5 would quantize differently and break the differential.
+        vq = np.floor(pdf["value"] * 10000 + 0.5).astype("int64")
         n = len(vq)
         s = int(vq.sum())
         out = pdf[["event_id", "user_id"]].copy()

@@ -3,8 +3,12 @@ multi-operator pipelines (join + filter + agg + top-k in one plan), the
 serving-layer workload a user of the reference runs via BigQuery/Looker
 (README.md:242-252) expressed directly on the engine.
 
-All follow the flagship physical recipe: broadcast every dimension, aggregate
-once, deterministic top-k. Revenue sums are decimal-accumulated (compat.py).
+All follow the flagship physical recipe (plans/enriched.py docstring):
+forced ``F.broadcast`` only on bounded dims (region/nation/supplier/part);
+``orders``/``customer`` are fact-scaled, so their joins carry NO hint and the
+optimizer chooses by measured size — broadcast at test scale, shuffle + AQE
+at 100 TB. One aggregation, deterministic top-k; revenue sums are
+decimal-accumulated (compat.py).
 """
 
 from __future__ import annotations
@@ -55,8 +59,8 @@ def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_extendedprice", "l_discount")
     )
     return (
-        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -92,8 +96,8 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
     nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
-        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("lost_revenue"))
@@ -141,8 +145,8 @@ def regional_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     df = (
-        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -186,7 +190,7 @@ def priority_shipping_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.select("l_orderkey")
-        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("finished_items"),

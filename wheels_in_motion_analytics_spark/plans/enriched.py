@@ -7,13 +7,18 @@ By Station Name" (group-count, sort desc, top-k —
 images/analytics_dashboard_2.PNG). Here the star is
 lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region.
 
-Physical strategy: the fact table is the only large input; every dimension is
-broadcast (`F.broadcast`), so the whole star resolves as a chain of broadcast
-hash joins with ZERO shuffles before the final aggregation — the plan that
-survives a 100 TB fact table, because no dimension ever needs co-partitioning
-with the fact. The single shuffle is the partial/final hash aggregation on the
-(few) group keys. Verify with ``df.explain('formatted')``: one Exchange, all
-joins BroadcastHashJoin.
+Physical strategy: explicit ``F.broadcast`` hints ONLY on the bounded
+dimensions (region/nation — `tables.BROADCASTABLE`). ``orders`` and
+``customer`` are FACT-scaled (they grow linearly with sf; ~10^10 rows at
+100 TB), so forcing a broadcast on them would OOM every executor at scale —
+instead their joins carry no hint and the optimizer picks the strategy by
+measured size: at test scale they still resolve to broadcast hash joins
+(under the 10 MB auto-broadcast threshold), at 100 TB they degrade gracefully
+to shuffle joins that AQE can re-plan (skew split, local hash). That
+size-gated decision — never a forced hint on an sf-scaling input — is the
+plan that survives a 100 TB fact table; `tests/test_plan_shapes.py`
+(`test_no_forced_broadcast_on_fact_tables`) pins it by disabling the
+auto-threshold and asserting the fact joins fall back to shuffle joins.
 """
 
 from __future__ import annotations
@@ -38,10 +43,12 @@ def enriched_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = table(spark, sf_dir, "nation")
     region = table(spark, sf_dir, "region")
 
+    # No hint on orders/customer (fact-scaled — size-gated join choice);
+    # forced broadcast only for the bounded dims.
     return (
-        lineitem.join(F.broadcast(orders.select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")),
+        lineitem.join(orders.select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"),
                       F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer.select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")),
+        .join(customer.select("c_custkey", "c_name", "c_nationkey", "c_mktsegment"),
               F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -95,9 +102,10 @@ def flagship_rides_by_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = table(spark, sf_dir, "customer")
     return (
         lineitem.select("l_orderkey")
-        .join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+        # fact⋈fact joins: no forced hint (see module docstring)
+        .join(orders.select("o_orderkey", "o_custkey"),
               F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer.select("c_custkey", "c_name")),
+        .join(customer.select("c_custkey", "c_name"),
               F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_name")
         .agg(F.count(F.lit(1)).alias("num_rides"))

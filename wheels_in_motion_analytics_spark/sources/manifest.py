@@ -18,14 +18,28 @@ from wheels_in_motion_analytics_spark.tables import table
 
 def manifest_from_dict(spark: SparkSession, links: dict[str, str]) -> DataFrame:
     """{ '23Mar2021': 'usage-stats/17Mar2021-23Mar2021.csv', ... } → DataFrame
-    with a typed date column (F2: strptime '%d%b%Y' → to_date 'dMMMyyyy')."""
+    with a typed date column (F2: the reference's strptime '%d%b%Y').
+
+    Parsed with explicit English month literals instead of to_date's 'MMM'
+    pattern — JVM text-pattern parsing follows the default locale, and the
+    manifest keys are always English."""
     df = spark.createDataFrame(
         [(k, v) for k, v in links.items()], "date_key string, rel_path string"
+    )
+    months = F.array(
+        *[F.lit(m) for m in
+          ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+           "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]]
+    )
+    key_date = F.make_date(
+        F.regexp_extract("date_key", r"([0-9]{4})$", 1).cast("int"),
+        F.array_position(months, F.regexp_extract("date_key", r"^[0-9]{1,2}([A-Za-z]{3})", 1)).cast("int"),
+        F.regexp_extract("date_key", r"^([0-9]{1,2})", 1).cast("int"),
     )
     return df.select(
         "date_key",
         "rel_path",
-        F.to_date("date_key", "dMMMyyyy").alias("key_date"),
+        key_date.alias("key_date"),
         F.element_at(F.split("rel_path", "/"), -1).alias("filename"),
     )
 

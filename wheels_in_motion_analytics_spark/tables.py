@@ -125,8 +125,13 @@ SCHEMAS: dict[str, T.StructType] = {
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Tables small enough to always broadcast in joins (dims of the star schema).
-BROADCASTABLE = {"region", "nation", "supplier", "part", "customer"}
+# Tables eligible for a forced broadcast hint in joins. region/nation are
+# bounded; supplier/part grow far slower than the facts and stay within
+# broadcast budgets at any realistic sf. customer and orders are FACT-scaled
+# (linear in sf — ~10^10 rows at 100 TB): never hint them; their joins must
+# be left to size-based planning (auto-broadcast locally, shuffle+AQE at
+# scale).
+BROADCASTABLE = {"region", "nation", "supplier", "part"}
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
