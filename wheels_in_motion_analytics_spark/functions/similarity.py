@@ -603,11 +603,13 @@ def _hyperplanes() -> list[list[float]]:
 def _exact_cosine_rerank(spark: SparkSession, sf_dir: str, cand: DataFrame) -> DataFrame:
     """Exact cosine for candidate pairs WITHOUT any driver-side corpus
     collect: join the pair list back to ``embeddings`` for both sides'
-    vectors and fold the dot product JVM-side. Each join is a plain hash
-    join on vec_id — co-partitionable at 100 TB, where the corpus can never
-    be collected or broadcast (the round-1 weakness of the gather-from-
-    broadcast-matrix re-rank). Locally the optimizer still auto-broadcasts
-    the small vector side by size."""
+    vectors. Each join is a plain hash join on vec_id — co-partitionable at
+    100 TB, where the corpus can never be collected or broadcast (the
+    round-1 weakness of the gather-from-broadcast-matrix re-rank). Locally
+    the optimizer still auto-broadcasts the small vector side by size. The
+    dot product is a JVM-side higher-order fold — measured faster than an
+    Arrow pandas UDF here, because shipping two 128-dim vectors per
+    candidate pair through Arrow costs more than the fold saves."""
     q = _norm_vectors(spark, sf_dir).select(
         F.col("vec_id").alias("q_id"), F.col("e").alias("q_e"), F.col("nrm").alias("q_nrm")
     )
@@ -678,6 +680,9 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
         .mapInPandas(signatures, sig_schema)
+        # Self-joined below — materialize once so the signature matmul
+        # doesn't run for both sides of the join.
+        .localCheckpoint()
     )
 
     # Stage 2 (relational, the scale story): candidates = same (table,
@@ -817,6 +822,10 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
         .mapInPandas(cell_ranks, rank_schema)
+        # Both sides of the probe⋈assign self-join read this — materialize
+        # once so the signature stage doesn't run twice (same guard as
+        # connected_components' lineage cut).
+        .localCheckpoint()
     )
     assign = ranked.where(F.col("rank") == 1).select(
         F.col("vec_id").alias("neighbor_id"), "cell"
