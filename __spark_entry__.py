@@ -29,6 +29,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # correctness has NOT yet been driver-verified go first, so each round
 # converts the maximum amount of existing quality into hard signal. Names not
 # listed here follow in registry order; unknown names are ignored.
+# Kept to exactly 50 entries: python_udf_row_at_a_time (the labeled
+# anti-pattern exhibit) and stream_dedup_events wait for a later round.
 _DRIVER_PRIORITY = [
     # plans: flagship + star join + composed analytics
     "flagship_rides_by_dim",
@@ -62,7 +64,6 @@ _DRIVER_PRIORITY = [
     "stream_tumbling_window",
     "stream_sliding_window",
     "stream_session_window",
-    "stream_dedup_events",
     # multimodal + manifest source
     "multimodal_meta",
     "multimodal_features",
@@ -75,7 +76,6 @@ _DRIVER_PRIORITY = [
     "pandas_udf_scalar_normalize",
     "pandas_udaf_weighted_mean",
     "grouped_map_demean",
-    "python_udf_row_at_a_time",
     "udtf_expand_installments",
     "map_in_arrow_scale",
     "variant_json_extract",
@@ -84,6 +84,9 @@ _DRIVER_PRIORITY = [
     "date_scalar_suite",
     "manifest_prune_latest",
     "date_format_partition_keys",
+    # round-2 additions: partition pruning + storage-level CDC merge
+    "partition_pruned_monthly_revenue",
+    "cdc_merge_orders_state",
     # round-1 driver failures, now fixed — must re-verify
     "project_rename_cast",
     "percentile_approx_sketch",

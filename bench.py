@@ -29,6 +29,11 @@ def main() -> None:
     # Warm the JVM/codegen once so per-query numbers measure the plan, not
     # session startup.
     specs["count_total"].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    # ... and the Python/Arrow worker pool, so the alphabetically-first
+    # mapInPandas query isn't charged several seconds of worker spawn.
+    spark.createDataFrame([(1,)], "x int").mapInPandas(
+        lambda it: (pdf for pdf in it), "x int"
+    ).write.mode("overwrite").format("noop").save()
 
     # min over iterations: steady-state per-query cost, robust to GC/JIT
     # noise from neighboring queries in the same JVM.

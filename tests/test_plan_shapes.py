@@ -136,3 +136,33 @@ def test_scalar_suites_whole_stage_codegen(spark, name):
     assert "Exchange" not in plan, name
     # whole-stage-codegen stages print as "*(n)" prefixes
     assert "*(1)" in plan, name
+
+
+def test_partition_pruning_reaches_scan(spark):
+    """The 3-month predicate on the hive-partitioned derived lineitem must
+    prune at the scan: PartitionFilters carries the predicate, and the files
+    actually read come only from the 3 matching month directories (of ~83)."""
+    import pyspark.sql.functions as F
+
+    from wheels_in_motion_analytics_spark.sources.partitioned import (
+        PRUNE_MONTHS,
+        ensure_partitioned_lineitem,
+        pruned_scan,
+    )
+
+    df = pruned_scan(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ship_month" in plan
+
+    files = [
+        r.f
+        for r in df.select(F.input_file_name().alias("f")).distinct().collect()
+    ]
+    assert files, "pruned scan read no files"
+    assert all(any(f"ship_month={m}" in f for m in PRUNE_MONTHS) for f in files)
+
+    import os
+
+    root = ensure_partitioned_lineitem(spark, SF_SMALL)
+    n_months = sum(1 for d in os.listdir(root) if d.startswith("ship_month="))
+    assert n_months > 20, f"expected many month partitions, got {n_months}"

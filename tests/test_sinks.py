@@ -58,3 +58,38 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+
+def test_cdc_merge_exactly_once(spark, tmp_path):
+    """Storage-level MERGE: re-applying an already-applied batch id is a
+    no-op (ledger guard), new batches upsert by highest version."""
+    import pyspark.sql.functions as F_
+
+    from wheels_in_motion_analytics_spark.sources import cdc
+
+    path = str(tmp_path / "cdc_table")
+    final = cdc.run_cdc_pipeline(spark, SF_SMALL, path)
+
+    base = cdc._base_state(spark, SF_SMALL)
+    n_base = base.count()
+    n_inserts = cdc._update_batch(spark, SF_SMALL).where(F_.col("status") == "N").count()
+    assert final.count() == n_base + n_inserts
+
+    # updated keys carry version 2; untouched keys stay version 1
+    v2 = final.where(F_.col("version") == 2).count()
+    assert v2 == cdc._update_batch(spark, SF_SMALL).count()
+
+    # materialize now: `final` lazily reads files the next merge replaces
+    final_rows = sorted(map(tuple, final.collect()))
+
+    # an explicit re-apply with the same batch id must refuse
+    assert not cdc.merge_upsert(
+        spark, path, cdc._update_batch(spark, SF_SMALL), ["order_id"], "version", "batch-1"
+    )
+    # a NEW batch id with the same payload applies, but changes nothing
+    # (every row already at version 2 wins ties toward the update — state
+    # stays identical)
+    assert cdc.merge_upsert(
+        spark, path, cdc._update_batch(spark, SF_SMALL), ["order_id"], "version", "batch-2"
+    )
+    again = spark.read.parquet(f"{path}/data").select(*cdc._BASE_COLS)
+    assert sorted(map(tuple, again.collect())) == final_rows

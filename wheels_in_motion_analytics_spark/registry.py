@@ -65,6 +65,8 @@ _QUERY_MODULES = [
     "wheels_in_motion_analytics_spark.streaming.windows",
     "wheels_in_motion_analytics_spark.multimodal",
     "wheels_in_motion_analytics_spark.sources.manifest",
+    "wheels_in_motion_analytics_spark.sources.partitioned",
+    "wheels_in_motion_analytics_spark.sources.cdc",
 ]
 
 

@@ -1,0 +1,202 @@
+"""Storage-level incremental MERGE (CDC upsert into a parquet table).
+
+The reference's incremental story is idempotent-by-truncation: every load is
+a ``WRITE_TRUNCATE`` of the whole BigQuery table (proc_2_GCS_to_BQ_dag.py:
+89-91). That is correct but rewrites everything; the engine counterpart here
+is a keyed MERGE into a parquet-backed table with per-batch exactly-once:
+
+* ``merge_upsert`` = read current state ∪ update batch → keep the highest
+  ``version`` per key (deterministic row_number, ties broken toward the
+  update) → ``localCheckpoint`` (the self-overwrite guard,
+  plans/reference_pipeline.py) → overwrite the table path.
+* A batch ledger (``_applied_batches``) records applied batch ids; re-running
+  a batch is a no-op, so a scheduler retry cannot double-apply (the
+  exactly-once property the reference gets from truncation, without the
+  full rewrite).
+
+At 100 TB the overwrite would be scoped per partition (dynamic partition
+overwrite) rather than whole-table; the merge plan itself — one union, one
+per-key window — already shuffles only on the merge key.
+
+No Delta/Iceberg in the environment, so the transaction boundary is the
+parquet directory swap; the ledger supplies the idempotency those formats
+get from their commit log.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+
+from wheels_in_motion_analytics_spark.registry import register
+from wheels_in_motion_analytics_spark.tables import table
+
+_LEDGER_SCHEMA = T.StructType([T.StructField("batch_id", T.StringType())])
+
+
+def _ledger_path(table_path: str) -> str:
+    return os.path.join(table_path, "_applied_batches")
+
+
+def applied_batches(spark: SparkSession, table_path: str) -> set[str]:
+    from wheels_in_motion_analytics_spark.sources.readers import read_parquet_or_empty
+
+    rows = read_parquet_or_empty(spark, _ledger_path(table_path), _LEDGER_SCHEMA).collect()
+    return {r.batch_id for r in rows}
+
+
+def merge_upsert(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    batch_id: str,
+) -> bool:
+    """MERGE ``updates`` into the parquet table at ``table_path``.
+
+    Keeps the highest ``version_col`` per key; on version ties the update
+    row wins (MERGE semantics: WHEN MATCHED THEN UPDATE). Returns False
+    (no-op) if ``batch_id`` was already applied — the exactly-once guard.
+    """
+    if batch_id in applied_batches(spark, table_path):
+        return False
+    current = spark.read.parquet(os.path.join(table_path, "data")).withColumn(
+        "__src", F.lit(0)
+    )
+    tagged = updates.withColumn("__src", F.lit(1))
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc(), F.col("__src").desc()
+    )
+    merged = (
+        current.unionByName(tagged)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+        # self-overwrite guard: materialize BEFORE truncating the input path
+        .localCheckpoint()
+    )
+    merged.write.mode("overwrite").parquet(os.path.join(table_path, "data"))
+    spark.createDataFrame([(batch_id,)], _LEDGER_SCHEMA).write.mode("append").parquet(
+        _ledger_path(table_path)
+    )
+    return True
+
+
+# ---------------------------------------------------------------------------
+# Registry query: a deterministic two-batch CDC run over orders
+# ---------------------------------------------------------------------------
+
+_BASE_COLS = ["order_id", "status", "total_price", "version"]
+
+
+def _base_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # All price math happens in DECIMAL and only the final value is emitted
+    # as DOUBLE: double-space round() disagrees between engines near .005
+    # boundaries (the round-1 project_rename_cast lesson), decimal-space
+    # arithmetic is exact in both.
+    return table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("total_price"),
+        F.lit(1).alias("version"),
+    )
+
+
+def _update_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch 1: every 7th order re-priced and closed (updates), plus a new
+    order per 13th key (inserts) — all derived deterministically from the
+    input so the oracle can rebuild the same batch."""
+    orders = table(spark, sf_dir, "orders")
+    reprice = F.expr(
+        "CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,2)), 2) AS DOUBLE)"
+    )
+    # × DECIMAL 0.5, not / 2: DuckDB routes decimal-by-integer division
+    # through DOUBLE (140053.735 → .73) while Spark stays decimal (→ .74);
+    # decimal × decimal is exact in both engines.
+    halved = F.expr(
+        "CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.5 AS DECIMAL(2,1)), 2) AS DOUBLE)"
+    )
+    updates = orders.where(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.lit("C").alias("status"),
+        reprice.alias("total_price"),
+        F.lit(2).alias("version"),
+    )
+    inserts = orders.where(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("order_id"),
+        F.lit("N").alias("status"),
+        halved.alias("total_price"),
+        F.lit(2).alias("version"),
+    )
+    return updates.unionByName(inserts)
+
+
+def run_cdc_pipeline(spark: SparkSession, sf_dir: str, table_path: str) -> DataFrame:
+    """Seed the table, apply the update batch TWICE under one batch id (the
+    second apply must be the exactly-once no-op), return the final state."""
+    base = _base_state(spark, sf_dir).localCheckpoint()
+    base.write.mode("overwrite").parquet(os.path.join(table_path, "data"))
+    ledger = _ledger_path(table_path)
+    spark.createDataFrame([], _LEDGER_SCHEMA).write.mode("overwrite").parquet(ledger)
+
+    applied_first = merge_upsert(
+        spark, table_path, _update_batch(spark, sf_dir), ["order_id"], "version", "batch-1"
+    )
+    applied_again = merge_upsert(
+        spark, table_path, _update_batch(spark, sf_dir), ["order_id"], "version", "batch-1"
+    )
+    assert applied_first and not applied_again, "exactly-once ledger violated"
+    return spark.read.parquet(os.path.join(table_path, "data")).select(*_BASE_COLS)
+
+
+@register(
+    "cdc_merge_orders_state",
+    category="sources",
+    doc="Storage-level CDC MERGE: seed a parquet table from orders, apply a "
+    "derived update+insert batch through the keyed exactly-once merge "
+    "(applied twice — the rerun is a ledger no-op), read back the final "
+    "state. The oracle rebuilds the same final state relationally from "
+    "orders.",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey AS order_id, o_orderstatus AS status,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+         1 AS version
+  FROM orders
+),
+upd AS (
+  SELECT o_orderkey AS order_id, 'C' AS status,
+         CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,2)), 2) AS DOUBLE) AS total_price,
+         2 AS version
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000 AS order_id, 'N' AS status,
+         CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.5 AS DECIMAL(2,1)), 2) AS DOUBLE) AS total_price,
+         2 AS version
+  FROM orders WHERE o_orderkey % 13 = 0
+),
+merged AS (
+  SELECT *, 0 AS __src FROM base
+  UNION ALL
+  SELECT *, 1 AS __src FROM upd
+)
+SELECT order_id, status, total_price, version
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY order_id
+                               ORDER BY version DESC, __src DESC) AS rn
+  FROM merged
+)
+WHERE rn = 1
+""",
+)
+def cdc_merge_orders_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    # fresh workspace per invocation: the pipeline's writes never collide
+    # across concurrent runs, and the result is path-independent
+    table_path = tempfile.mkdtemp(prefix="cdc_merge_")
+    return run_cdc_pipeline(spark, sf_dir, table_path)
