@@ -57,6 +57,9 @@ def main() -> None:
         "regional_market_share",
         "top_unshipped_orders",
         "dedup_minhash_lsh",
+        "scaled_dedup_minhash_lsh",
+        "scaled_dedup_exact",
+        "scaled_ann_lsh",
         "dedup_connected_components",
         "similarity_topk_bruteforce",
         "ann_lsh_bucketed",

@@ -154,3 +154,56 @@ def test_spark_ml_minhash_agrees_with_custom(spark):
     assert exact - ml_pairs == set(), f"ml MinHashLSH missed {exact - ml_pairs}"
     custom = {(r.d1, r.d2) for r in SPECS["dedup_minhash_lsh"].fn(spark, SF_SMALL).collect()}
     assert exact - custom == set()
+
+
+def test_scaled_corpus_expansion_shape(spark):
+    """16× expansion: every variant text appears exactly 4 times, so every
+    exact-dup group size is a multiple of 4 (original cross-doc dups merge
+    whole groups)."""
+    from wheels_in_motion_analytics_spark.functions.corpus_scale import (
+        CORPUS_FACTOR,
+        expanded_documents,
+    )
+
+    exp = expanded_documents(spark, SF_SMALL)
+    from wheels_in_motion_analytics_spark.tables import table as t
+
+    assert exp.count() == t(spark, SF_SMALL, "documents").count() * CORPUS_FACTOR
+
+    groups = SPECS["scaled_dedup_exact"].fn(spark, SF_SMALL).collect()
+    assert all(r.n_copies % 4 == 0 and r.n_copies >= 4 for r in groups)
+
+
+def test_scaled_minhash_finds_exact_duplicate_pairs(spark):
+    """Identical texts have identical signatures, hence identical band keys:
+    every within-group pair of an exact-dup group MUST be an LSH candidate."""
+    import pyspark.sql.functions as F
+
+    exact = SPECS["scaled_dedup_exact"].fn(spark, SF_SMALL)
+    # pick the first few groups deterministically
+    some = sorted(r.keep_doc_id for r in exact.collect())[:5]
+    pairs = {
+        (r.d1, r.d2)
+        for r in SPECS["scaled_dedup_minhash_lsh"].fn(spark, SF_SMALL).collect()
+    }
+    from wheels_in_motion_analytics_spark.functions.corpus_scale import (
+        CORPUS_FACTOR,
+        VARIANTS,
+    )
+
+    for keep in some:
+        base, rep0 = divmod(keep, CORPUS_FACTOR)
+        # replicas of `base` sharing rep0's variant: rep0, rep0+4, rep0+8, rep0+12
+        ids = [base * CORPUS_FACTOR + rep0 + VARIANTS * k for k in range(4)]
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                assert (a, b) in pairs, (a, b)
+
+
+def test_scaled_ann_lsh_structure(spark):
+    """Top-1 per query: at most one row per query_id, valid cosine range."""
+    rows = SPECS["scaled_ann_lsh"].fn(spark, SF_SMALL).collect()
+    qids = [r.query_id for r in rows]
+    assert len(qids) == len(set(qids))
+    assert rows and all(-1.0001 <= r.cosine <= 1.0001 for r in rows)
+    assert all(r.query_id != r.neighbor_id for r in rows)

@@ -1,0 +1,156 @@
+"""Scaled-corpus dedup/ANN: the same operators at 16× the document count.
+
+The provided documents/embeddings fixtures do not grow with sf (500 rows at
+sf≤0.01, 5000/2000 at sf0.1), so the banded-LSH-vs-exact crossover that
+motivates the 100 TB design was never exercised at a meaningful size. This
+module expands the corpus 16× *inside the query* with a deterministic,
+SQL-expressible transform — 80k documents / 32k vectors at sf0.1 bench —
+so the dedup/ANN timings in BENCH_FULL.json measure the scale path on a
+corpus large enough to mean something, and the dedup variants stay fully
+DuckDB-oracle-checkable.
+
+Expansion semantics (deliberately dedup-shaped):
+
+* documents: each doc becomes 16 replicas in 4 text variants
+  (rep % 4 == 0 keeps the original text; others append a distinct marker
+  suffix). Every variant text therefore appears exactly 4 times → exact
+  dedup finds 4-copy groups; variants of one doc differ only in the last
+  ~3 tokens → MinHash/LSH must recover the near-dup cluster.
+* embeddings: each vector becomes 16 replicas rotated by ``rep`` positions
+  — genuinely distinct directions (no trivial duplicates), preserving
+  norms, for the bucketed-ANN scale check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from wheels_in_motion_analytics_spark.functions.similarity import (
+    ANN_DIM,
+    doc_shingles_of,
+    fingerprint,
+    hash_hex,
+    lsh_topk,
+    minhash_lsh_pairs,
+    oracle_minhash_pairs,
+    oracle_shingles,
+)
+from wheels_in_motion_analytics_spark.registry import register
+from wheels_in_motion_analytics_spark.tables import table
+
+CORPUS_FACTOR = 16
+VARIANTS = 4
+
+# Scaled ANN sizing: 2^12 buckets per table keeps the expected bucket
+# occupancy in single digits at 32k vectors, so candidate volume stays
+# ~|corpus| × tables, never quadratic.
+SCALED_ANN_TABLES = 4
+SCALED_ANN_BITS = 12
+
+_ORACLE_EXPANDED = f"""
+expanded AS (
+  SELECT d.doc_id * {CORPUS_FACTOR} + r.rep AS doc_id,
+         CASE WHEN r.rep % {VARIANTS} = 0 THEN d.text
+              ELSE d.text || ' variant marker ' || CAST(r.rep % {VARIANTS} AS VARCHAR)
+         END AS text
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range({CORPUS_FACTOR})) AS rep) r
+)"""
+
+
+def expanded_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16× document expansion, mirrored exactly by ``_ORACLE_EXPANDED``."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    rep = F.explode(F.sequence(F.lit(0), F.lit(CORPUS_FACTOR - 1))).alias("rep")
+    v = F.col("rep") % VARIANTS
+    return (
+        docs.select("doc_id", "text", rep)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            (F.col("doc_id") * CORPUS_FACTOR + F.col("rep")).alias("doc_id"),
+            F.when(v == 0, F.col("text"))
+            .otherwise(
+                F.concat(F.col("text"), F.lit(" variant marker "), v.cast("string"))
+            )
+            .alias("text"),
+        )
+    )
+
+
+def expanded_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16× vector expansion by circular rotation (norm-preserving)."""
+    vecs = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rep = F.explode(F.sequence(F.lit(0), F.lit(CORPUS_FACTOR - 1))).alias("rep")
+    e = F.col("embedding")
+    rotated = F.when(F.col("rep") == 0, e).otherwise(
+        F.concat(
+            F.slice(e, F.col("rep") + 1, F.lit(ANN_DIM) - F.col("rep")),
+            F.slice(e, F.lit(1), F.col("rep")),
+        )
+    )
+    return (
+        vecs.select("vec_id", "embedding", rep)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            (F.col("vec_id") * CORPUS_FACTOR + F.col("rep")).alias("vec_id"),
+            rotated.alias("embedding"),
+        )
+    )
+
+
+@register(
+    "scaled_dedup_exact",
+    category="dedup-llm",
+    doc=f"Exact dedup at {CORPUS_FACTOR}× corpus: one hash-groupBy over the "
+    "expanded documents; every variant text appears exactly 4 times, so the "
+    "expected group size is itself part of the check.",
+    oracle=f"""
+WITH {_ORACLE_EXPANDED}
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM expanded
+GROUP BY 1
+""",
+)
+def scaled_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        expanded_documents(spark, sf_dir)
+        .groupBy(fingerprint(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "scaled_dedup_minhash_lsh",
+    category="dedup-llm",
+    doc=f"MinHash+LSH candidate pairs at {CORPUS_FACTOR}× corpus (80k docs "
+    "at sf0.1 bench): identical banded pipeline as dedup_minhash_lsh, same "
+    "oracle chain over the expanded CTE — the fuzzy-dedup scale path at a "
+    "size where all-pairs would already be intractable.",
+    oracle=oracle_minhash_pairs(_ORACLE_EXPANDED + "," + oracle_shingles("expanded")),
+)
+def scaled_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hashed = doc_shingles_of(expanded_documents(spark, sf_dir)).select(
+        "doc_id", hash_hex(F.col("s"), 7).alias("h")
+    )
+    return minhash_lsh_pairs(hashed)
+
+
+@register(
+    "scaled_ann_lsh",
+    category="similarity",
+    doc=f"Bucketed LSH ANN at {CORPUS_FACTOR}× corpus (32k vectors at sf0.1 "
+    f"bench): {SCALED_ANN_TABLES} tables × {SCALED_ANN_BITS}-bit buckets — "
+    "the bucket count scales with the corpus so per-bucket candidate sets "
+    "stay bounded. Rows-only check (structure asserted in "
+    "tests/test_similarity.py).",
+    oracle=None,
+)
+def scaled_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_topk(
+        expanded_embeddings(spark, sf_dir),
+        tables=SCALED_ANN_TABLES,
+        bits=SCALED_ANN_BITS,
+    )

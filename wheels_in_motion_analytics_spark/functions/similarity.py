@@ -49,13 +49,20 @@ SHINGLE_N = 3
 _ORACLE_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
 
 # doc_id + distinct 3-word shingles, as a DuckDB CTE chain.
-_ORACLE_SHINGLES = f"""
-toks AS (SELECT doc_id, {_ORACLE_TOKS} AS ws FROM documents),
+
+
+def oracle_shingles(src: str = "documents") -> str:
+    """The shingle CTE chain over any source relation with (doc_id, text)."""
+    return f"""
+toks AS (SELECT doc_id, {_ORACLE_TOKS} AS ws FROM {src}),
 idx AS (SELECT doc_id, ws, unnest(range(1, greatest(len(ws) - 1, 1))) AS i FROM toks),
 sh AS (
   SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
   FROM idx WHERE i + 2 <= len(ws)
 )"""
+
+
+_ORACLE_SHINGLES = oracle_shingles()
 
 
 def shingles_from_tokens(ws: Column, n: int = SHINGLE_N) -> Column:
@@ -94,11 +101,12 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     not once per shingle element.
     """
     par = spark.sparkContext.defaultParallelism
-    toks = (
-        table(spark, sf_dir, "documents")
-        .repartition(par)
-        .select("doc_id", tokens(F.col("text")).alias("ws"))
-    )
+    return doc_shingles_of(table(spark, sf_dir, "documents").repartition(par))
+
+
+def doc_shingles_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) exploded from any (doc_id, text) DataFrame."""
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("ws"))
     return toks.select(
         "doc_id", F.explode(shingles_from_tokens(F.col("ws"))).alias("s")
     )
@@ -207,15 +215,11 @@ def _minhash_coeffs() -> list[tuple[int, int]]:
 MINHASH_COEFFS = _minhash_coeffs()
 
 
-@register(
-    "dedup_minhash_lsh",
-    category="dedup-llm",
-    doc=f"MinHash({MINHASH_K}) + LSH({LSH_BANDS} bands × {LSH_ROWS}) candidate "
-    "pairs: shingle→minhash signature→band keys→bucket self-join. Join key "
-    "space is |bands × buckets|, never all-pairs — the 100 TB fuzzy-dedup "
-    "shape. md5-derived permutations keep it oracle-checkable.",
-    oracle=f"""
-WITH {_ORACLE_SHINGLES},
+def oracle_minhash_pairs(with_clauses: str) -> str:
+    """Full MinHash+LSH pair SQL given the WITH-chain that produces the
+    shingle relation ``sh`` (doc_id, s)."""
+    return f"""
+WITH {with_clauses},
 h AS (SELECT doc_id, {_oracle_hash("s", 7)} AS h FROM sh),
 sig AS (
   SELECT doc_id,
@@ -233,10 +237,27 @@ SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
 FROM bands a
 JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
             AND a.doc_id < b.doc_id
-""",
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    category="dedup-llm",
+    doc=f"MinHash({MINHASH_K}) + LSH({LSH_BANDS} bands × {LSH_ROWS}) candidate "
+    "pairs: shingle→minhash signature→band keys→bucket self-join. Join key "
+    "space is |bands × buckets|, never all-pairs — the 100 TB fuzzy-dedup "
+    "shape. md5-derived permutations keep it oracle-checkable.",
+    oracle=oracle_minhash_pairs(_ORACLE_SHINGLES),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = doc_shingles(spark, sf_dir).select("doc_id", hash_hex(F.col("s"), 7).alias("h"))
+    return minhash_lsh_pairs(hashed)
+
+
+def minhash_lsh_pairs(hashed: DataFrame) -> DataFrame:
+    """MinHash signature → banded keys → bucket self-join over any
+    (doc_id, h) hashed-shingle DataFrame (the reusable core of
+    dedup_minhash_lsh — see its doc/oracle for the full story)."""
     sig = hashed.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"m{j}")
@@ -411,10 +432,8 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def _norm_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    return table(spark, sf_dir, "embeddings").select(
-        "vec_id", e.alias("e")
-    ).withColumn("nrm", F.sqrt(dot(F.col("e"), F.col("e"))))
+    # _norm_vectors_of is defined below; resolved at call time
+    return _norm_vectors_of(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
 
 
 def _broadcast_candidate_matrix(spark: SparkSession, sf_dir: str):
@@ -584,14 +603,14 @@ ANN_BITS = 5  # bits (hyperplanes) per table
 ANN_DIM = 64
 
 
-def _hyperplanes() -> list[list[float]]:
+def _hyperplanes(n_planes: int | None = None) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes in [-1, 1], md5-seeded.
 
     Driver-side constants (tiny), broadcast into the plan as literals — the
     equivalent of shipping a small model artifact with the job.
     """
     planes = []
-    for p in range(ANN_TABLES * ANN_BITS):
+    for p in range(ANN_TABLES * ANN_BITS if n_planes is None else n_planes):
         row = []
         for d in range(ANN_DIM):
             h = int(hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[:15], 16)
@@ -600,20 +619,28 @@ def _hyperplanes() -> list[list[float]]:
     return planes
 
 
-def _exact_cosine_rerank(spark: SparkSession, sf_dir: str, cand: DataFrame) -> DataFrame:
+def _norm_vectors_of(vectors: DataFrame) -> DataFrame:
+    """(vec_id, e double[], nrm) from any (vec_id, embedding) DataFrame."""
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return vectors.select("vec_id", e.alias("e")).withColumn(
+        "nrm", F.sqrt(dot(F.col("e"), F.col("e")))
+    )
+
+
+def _exact_cosine_rerank(vectors: DataFrame, cand: DataFrame) -> DataFrame:
     """Exact cosine for candidate pairs WITHOUT any driver-side corpus
-    collect: join the pair list back to ``embeddings`` for both sides'
+    collect: join the pair list back to the vector table for both sides'
     vectors. Each join is a plain hash join on vec_id — co-partitionable at
     100 TB, where the corpus can never be collected or broadcast (the
     round-1 weakness of the gather-from-broadcast-matrix re-rank). Locally
     the optimizer still auto-broadcasts the small vector side by size. The
     dot product is a JVM-side higher-order fold — measured faster than an
-    Arrow pandas UDF here, because shipping two 128-dim vectors per
-    candidate pair through Arrow costs more than the fold saves."""
-    q = _norm_vectors(spark, sf_dir).select(
+    Arrow pandas UDF here, because shipping two vectors per candidate pair
+    through Arrow costs more than the fold saves."""
+    q = _norm_vectors_of(vectors).select(
         F.col("vec_id").alias("q_id"), F.col("e").alias("q_e"), F.col("nrm").alias("q_nrm")
     )
-    n = _norm_vectors(spark, sf_dir).select(
+    n = _norm_vectors_of(vectors).select(
         F.col("vec_id").alias("n_id"), F.col("e").alias("n_e"), F.col("nrm").alias("n_nrm")
     )
     return (
@@ -627,24 +654,16 @@ def _exact_cosine_rerank(spark: SparkSession, sf_dir: str, cand: DataFrame) -> D
     )
 
 
-@register(
-    "ann_lsh_bucketed",
-    category="similarity",
-    doc=f"Multi-table random-hyperplane LSH ANN: {ANN_TABLES} tables × "
-    f"{ANN_BITS}-bit buckets; candidates = same bucket in ANY table; exact "
-    "cosine re-rank via join-back to embeddings (no corpus collect or "
-    "broadcast); top-1 per query. The 100 TB path: per-table bucket joins "
-    "are hash joins on (table, bucket) and the candidate set is a few "
-    "buckets, never the corpus. (tables × bits) is the recall/cost dial — "
-    "more tables = higher recall, more candidates. Rows-only check (recall "
-    "vs brute force asserted in tests/test_similarity.py).",
-    oracle=None,
-)
-def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_topk(vectors: DataFrame, tables: int = ANN_TABLES, bits: int = ANN_BITS) -> DataFrame:
+    """Multi-table random-hyperplane LSH ANN over any (vec_id, embedding)
+    DataFrame: per-table bucket hash joins for candidates, join-back exact
+    cosine re-rank, top-1 per query. (tables × bits) is the recall/cost
+    dial; size 2^bits ≳ corpus/targets-per-bucket so candidate sets stay
+    bounded."""
     import pyspark.sql.types as T
     from pyspark.sql import Window
 
-    planes = _hyperplanes()
+    planes = _hyperplanes(tables * bits)
 
     def signatures(batches):
         """Stage 1 (numpy over Arrow batches): all table buckets per vector
@@ -653,18 +672,18 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         pm = np.array(planes, dtype="float64")  # (tables*bits) x dim
-        weights = np.array([1 << i for i in range(ANN_BITS)], dtype="int64")
+        weights = np.array([1 << i for i in range(bits)], dtype="int64")
         for pdf in batches:
             if not len(pdf):
                 continue
             q = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-            bits = (q @ pm.T >= 0).astype("int64").reshape(len(q), ANN_TABLES, ANN_BITS)
-            buckets = (bits * weights).sum(axis=2)  # n x tables
+            sgn = (q @ pm.T >= 0).astype("int64").reshape(len(q), tables, bits)
+            buckets = (sgn * weights).sum(axis=2)  # n x tables
             n = len(q)
             yield pd.DataFrame(
                 {
-                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), ANN_TABLES),
-                    "tbl": np.tile(np.arange(ANN_TABLES), n),
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), tables),
+                    "tbl": np.tile(np.arange(tables), n),
                     "bucket": buckets.reshape(-1),
                 }
             )
@@ -677,9 +696,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     sigged = (
-        table(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .mapInPandas(signatures, sig_schema)
+        vectors.mapInPandas(signatures, sig_schema)
         # Self-joined below — materialize once so the signature matmul
         # doesn't run for both sides of the join.
         .localCheckpoint()
@@ -703,15 +720,32 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["query_id", "neighbor_id"])
     )
 
-    # Stage 3: exact cosine via join-back to embeddings — no driver collect,
-    # no corpus broadcast (see _exact_cosine_rerank).
-    scored = _exact_cosine_rerank(spark, sf_dir, cand)
+    # Stage 3: exact cosine via join-back to the vector table — no driver
+    # collect, no corpus broadcast (see _exact_cosine_rerank).
+    scored = _exact_cosine_rerank(vectors, cand)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") == 1)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+@register(
+    "ann_lsh_bucketed",
+    category="similarity",
+    doc=f"Multi-table random-hyperplane LSH ANN: {ANN_TABLES} tables × "
+    f"{ANN_BITS}-bit buckets; candidates = same bucket in ANY table; exact "
+    "cosine re-rank via join-back to embeddings (no corpus collect or "
+    "broadcast); top-1 per query. The 100 TB path: per-table bucket joins "
+    "are hash joins on (table, bucket) and the candidate set is a few "
+    "buckets, never the corpus. (tables × bits) is the recall/cost dial — "
+    "more tables = higher recall, more candidates. Rows-only check (recall "
+    "vs brute force asserted in tests/test_similarity.py).",
+    oracle=None,
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_topk(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
 
 
 # ---------------------------------------------------------------------------
@@ -840,7 +874,9 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = _exact_cosine_rerank(spark, sf_dir, cand)
+    scored = _exact_cosine_rerank(
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding"), cand
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
