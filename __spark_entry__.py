@@ -90,6 +90,9 @@ _DRIVER_PRIORITY = [
     # round-1 driver failures, now fixed — must re-verify
     "project_rename_cast",
     "percentile_approx_sketch",
+    # round-2 curation ops (two representatives; rest rotate in next round)
+    "curate_decontaminate",
+    "curate_pack_sequences",
 ]
 
 

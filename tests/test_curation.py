@@ -1,0 +1,86 @@
+"""Semantic properties of the training-data curation operators (their
+cross-engine exactness is covered by the differential harness)."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_SMALL
+from wheels_in_motion_analytics_spark.functions import curation
+from wheels_in_motion_analytics_spark.registry import load_all_queries
+from wheels_in_motion_analytics_spark.tables import table
+
+SPECS = load_all_queries()
+
+
+def test_split_fractions_and_determinism(spark):
+    rows = SPECS["curate_split_train_val_test"].fn(spark, SF_SMALL).collect()
+    n = len(rows)
+    frac = {s: sum(1 for r in rows if r.split == s) / n for s in ("train", "val", "test")}
+    # hash buckets: exact fractions fluctuate, but not by much at n=500
+    assert abs(frac["train"] - 0.8) < 0.06
+    assert abs(frac["val"] - 0.1) < 0.05
+    assert abs(frac["test"] - 0.1) < 0.05
+    again = SPECS["curate_split_train_val_test"].fn(spark, SF_SMALL).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_stratified_sample_exact_quotas(spark):
+    docs = table(spark, SF_SMALL, "documents")
+    strata = {r.lang: r.cnt for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    got = {
+        r.lang: r.cnt
+        for r in SPECS["curate_stratified_sample"]
+        .fn(spark, SF_SMALL)
+        .groupBy("lang")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got == {
+        lang: math.ceil(cnt * curation.STRATUM_PCT / 100) for lang, cnt in strata.items()
+    }
+
+
+def test_decontaminate_never_flags_eval_docs(spark):
+    out = SPECS["curate_decontaminate"].fn(spark, SF_SMALL).collect()
+    assert out, "synthetic corpus shares vocabulary; overlap expected"
+    assert all(r.doc_id % curation.EVAL_EVERY != 0 for r in out)
+    assert all(r.n_shared_shingles >= 1 for r in out)
+
+
+def test_pack_sequences_conserves_tokens(spark):
+    from wheels_in_motion_analytics_spark.functions.text import tokens
+
+    bins = SPECS["curate_pack_sequences"].fn(spark, SF_SMALL).collect()
+    total = (
+        table(spark, SF_SMALL, "documents")
+        .select(F.sum(F.size(tokens(F.col("text")))).alias("t"))
+        .collect()[0]
+        .t
+    )
+    assert sum(r.bin_tokens for r in bins) == total
+    assert sum(r.n_docs for r in bins) == table(spark, SF_SMALL, "documents").count()
+    shards = {r.shard for r in bins}
+    assert shards <= set(range(curation.PACK_SHARDS)) and len(shards) > 1
+    # bins are dense per shard: 0..max with no gaps (first-fit in hash order)
+    for s in shards:
+        got = sorted(r.bin for r in bins if r.shard == s)
+        assert got == list(range(len(got)))
+
+
+def test_rebalance_uniform_language_mixture(spark):
+    docs = table(spark, SF_SMALL, "documents")
+    m = min(
+        r.cnt for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    )
+    got = (
+        SPECS["curate_rebalance_lang"]
+        .fn(spark, SF_SMALL)
+        .groupBy("lang")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    assert {r.cnt for r in got} == {m}
+    assert len(got) == docs.select("lang").distinct().count()

@@ -1,0 +1,255 @@
+"""Training-data curation operators: the selection/packing half of an LLM
+data pipeline (the dedup/quality half lives in functions/similarity.py and
+functions/text_pipeline.py).
+
+Everything here is hash-deterministic — no ``rand()`` anywhere. Splits,
+samples, and packing orders derive from md5 of the document id, so results
+are identical across engines, runs, partitionings, and cluster sizes; that
+is both what makes them DuckDB-oracle-checkable and what a reproducible
+training pipeline needs (re-running the pipeline on the same snapshot must
+produce the same train set, or ablations are meaningless).
+
+Scale posture per operator:
+
+* split/sample: stateless hash-bucket per row — embarrassingly parallel,
+  no shuffle at all for the split, one per-stratum shuffle for the exact
+  quotas.
+* decontamination: inverted-index join on shingles — identical shape to the
+  dedup candidate joins; the (small) benchmark side broadcasts.
+* packing: per-shard window cumsum — the shard key bounds window state, so
+  packing parallelizes across shards instead of one global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+
+from wheels_in_motion_analytics_spark.functions.similarity import (
+    _oracle_hash,
+    doc_shingles_of,
+    hash_hex,
+    oracle_shingles,
+)
+from wheels_in_motion_analytics_spark.registry import register
+from wheels_in_motion_analytics_spark.tables import table
+
+# train/val/test fractions in integer percent (bucket space is 0..99)
+SPLIT_TRAIN = 80
+SPLIT_VAL = 10  # test gets the remainder
+
+STRATUM_PCT = 20  # stratified-sample keep rate per language, integer percent
+
+EVAL_EVERY = 50  # doc_id % EVAL_EVERY == 0 plays the held-out benchmark set
+
+PACK_BUDGET = 2048  # token budget per packed sequence bin
+PACK_SHARDS = 8
+
+
+def _split_bucket(col):
+    """Stable 0..99 bucket from the doc id (salted so other hash uses of
+    doc_id stay independent)."""
+    return hash_hex(F.concat(F.lit("split:"), col.cast("string"))) % 100
+
+
+_SPLIT_HASH = _oracle_hash("'split:' || CAST(doc_id AS VARCHAR)")
+_ORACLE_BUCKET = f"{_SPLIT_HASH} % 100"
+
+
+@register(
+    "curate_split_train_val_test",
+    category="curation",
+    doc=f"Deterministic {SPLIT_TRAIN}/{SPLIT_VAL}/{100 - SPLIT_TRAIN - SPLIT_VAL} "
+    "train/val/test split by salted md5 bucket of doc_id — stateless, "
+    "shuffle-free, identical on any engine/cluster/run (rand()-based splits "
+    "are none of those).",
+    oracle=f"""
+SELECT doc_id,
+       CAST({_ORACLE_BUCKET} AS INTEGER) AS bucket,
+       CASE WHEN {_ORACLE_BUCKET} < {SPLIT_TRAIN} THEN 'train'
+            WHEN {_ORACLE_BUCKET} < {SPLIT_TRAIN + SPLIT_VAL} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def curate_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _split_bucket(F.col("doc_id"))
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        b.cast("int").alias("bucket"),
+        F.when(b < SPLIT_TRAIN, "train")
+        .when(b < SPLIT_TRAIN + SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "curate_stratified_sample",
+    category="curation",
+    doc=f"Exact-quota stratified sample: ceil({STRATUM_PCT}% × |stratum|) "
+    "documents per language, chosen by md5 rank within the stratum — exact "
+    "per-stratum counts (hash-threshold sampling only hits the fraction in "
+    "expectation) and fully deterministic. The quota comparison is pure "
+    "integer math ((rn-1)·100 < cnt·pct ⇔ rn ≤ ceil(cnt·pct/100)) — a "
+    "float fraction would ceil differently across engines on exact "
+    "multiples (DuckDB parses 0.2 as DECIMAL, Spark as double).",
+    oracle=f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS cnt
+  FROM documents
+)
+WHERE (rn - 1) * 100 < cnt * {STRATUM_PCT}
+""",
+)
+def curate_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    wc = Window.partitionBy("lang")
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("cnt"),
+        )
+        .where((F.col("rn") - 1) * 100 < F.col("cnt") * STRATUM_PCT)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "curate_decontaminate",
+    category="curation",
+    doc=f"Benchmark decontamination: every doc_id % {EVAL_EVERY} == 0 plays "
+    "the held-out eval set; train documents sharing ≥1 distinct 3-gram "
+    "shingle with it are flagged with their overlap count. Inverted-index "
+    "join — the dedup candidate-join shape; the eval side is small and "
+    "broadcasts.",
+    oracle=f"""
+WITH {oracle_shingles("documents")},
+eval_sh AS (SELECT DISTINCT s FROM sh WHERE doc_id % {EVAL_EVERY} = 0),
+train_sh AS (SELECT doc_id, s FROM sh WHERE doc_id % {EVAL_EVERY} <> 0)
+SELECT t.doc_id, CAST(COUNT(DISTINCT t.s) AS BIGINT) AS n_shared_shingles
+FROM train_sh t JOIN eval_sh e ON t.s = e.s
+GROUP BY t.doc_id
+""",
+)
+def curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = doc_shingles_of(
+        table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+    )
+    eval_sh = (
+        sh.where(F.col("doc_id") % EVAL_EVERY == 0).select("s").distinct()
+    )
+    train_sh = sh.where(F.col("doc_id") % EVAL_EVERY != 0)
+    return (
+        train_sh.join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("s").alias("n_shared_shingles"))
+    )
+
+
+@register(
+    "curate_pack_sequences",
+    category="curation",
+    doc=f"Token-budget sequence packing ({PACK_BUDGET} tokens/bin): documents "
+    f"are hash-sharded into {PACK_SHARDS} independent streams, ordered by md5 "
+    "within each shard, and binned by running token count (first-fit in hash "
+    "order). The shard key bounds window state so packing parallelizes — the "
+    "100 TB alternative to one global greedy sort. Emits per-bin occupancy.",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         {_oracle_hash("'pack:' || CAST(doc_id AS VARCHAR)")} % {PACK_SHARDS} AS shard,
+         len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT shard, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY shard
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM t
+)
+SELECT CAST(shard AS INTEGER) AS shard,
+       CAST(floor((cum - n_tokens) / {PACK_BUDGET}.0) AS INTEGER) AS bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+FROM c
+GROUP BY 1, 2
+""",
+)
+def curate_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.functions.text import tokens
+
+    t = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (hash_hex(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))) % PACK_SHARDS).alias("shard"),
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.select("shard", "n_tokens", F.sum("n_tokens").over(w).alias("cum"))
+    return (
+        c.select(
+            F.col("shard").cast("int").alias("shard"),
+            F.floor((F.col("cum") - F.col("n_tokens")) / float(PACK_BUDGET))
+            .cast("int")
+            .alias("bin"),
+            "n_tokens",
+        )
+        .groupBy("shard", "bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("bin_tokens"))
+    )
+
+
+@register(
+    "curate_rebalance_lang",
+    category="curation",
+    doc="Class rebalancing by downsampling: every language keeps exactly "
+    "min-stratum-count documents (md5-ranked), yielding a uniform language "
+    "mixture — the deterministic version of per-class sampling weights.",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+),
+floor_cnt AS (SELECT MIN(cnt) AS m FROM (SELECT COUNT(*) AS cnt FROM documents GROUP BY lang))
+SELECT doc_id, lang FROM ranked, floor_cnt WHERE rn <= m
+""",
+)
+def curate_rebalance_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+    floor_cnt = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.min("cnt").alias("m"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(floor_cnt))
+        .where(F.col("rn") <= F.col("m"))
+        .select("doc_id", "lang")
+    )
