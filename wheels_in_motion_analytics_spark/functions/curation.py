@@ -218,6 +218,72 @@ def curate_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REPEAT_MAX_DUP_FRAC = 0.7  # keep docs whose duplicate-3-gram fraction ≤ this
+
+
+@register(
+    "curate_intradoc_repetition",
+    category="curation",
+    doc="Intra-document repetition profile: fraction of word-3-grams that are "
+    "duplicates of an earlier 3-gram in the SAME document (the standard "
+    "boilerplate/spam signal). Entirely per-row array math — zero shuffles, "
+    "scales with input splits; the keep flag implements the curation gate "
+    f"(dup_frac ≤ {REPEAT_MAX_DUP_FRAC}).",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(ws) - 1, 1)),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS grams
+  FROM (SELECT doc_id, {{toks}} AS ws FROM documents)
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+       round((len(grams) - len(list_distinct(grams))) * 1.0
+             / greatest(len(grams), 1), 6) AS dup_frac,
+       (len(grams) - len(list_distinct(grams))) * 1.0
+         / greatest(len(grams), 1) <= {REPEAT_MAX_DUP_FRAC} AS keep
+FROM g
+""".format(
+        toks="list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    ),
+)
+def curate_intradoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.functions.text import tokens
+
+    # Materialize ws into a column BEFORE the transform lambda (NOTES.md #5:
+    # inline expressions re-evaluate per element).
+    ws = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("ws")
+    )
+    # when-guard: sequence(1, size-2) DESCENDS for size < 3 (Spark auto-steps
+    # -1) and element_at past the end throws under ANSI — short docs must map
+    # to an empty gram list, as the oracle's range() does.
+    grams = F.when(
+        F.size("ws") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("ws"), i),
+                F.element_at(F.col("ws"), i + 1),
+                F.element_at(F.col("ws"), i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = ws.select("doc_id", grams.alias("grams"))
+    n = F.size("grams").cast("bigint")
+    nd = F.size(F.array_distinct("grams")).cast("bigint")
+    dup = (n - nd) * F.lit(1.0) / F.greatest(n, F.lit(1)).cast("bigint")
+    return g.select(
+        "doc_id",
+        n.alias("n_grams"),
+        nd.alias("n_distinct"),
+        F.round(dup, 6).alias("dup_frac"),
+        (dup <= REPEAT_MAX_DUP_FRAC).alias("keep"),
+    )
+
+
 @register(
     "curate_rebalance_lang",
     category="curation",

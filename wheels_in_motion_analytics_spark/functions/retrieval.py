@@ -1,0 +1,180 @@
+"""Lexical retrieval over the ``documents`` table: BM25 top-k search and
+per-document TF-IDF term weighting.
+
+Spark-first shape (reference analogue: the BI "search the serving layer"
+surface, `/root/reference/README.md` serving tables):
+
+* One explode → (doc_id, token) groupBy produces term frequencies; document
+  frequencies and corpus stats are tiny aggregates that broadcast. The only
+  fact-scaled shuffles are the tf groupBy and the final per-doc score
+  groupBy — both keyed on doc_id, both map-side-combinable.
+* Top-k is ``ORDER BY … LIMIT k`` so Catalyst plans TakeOrderedAndProject
+  (per-partition heap + driver merge of k rows), never a global sort — the
+  100 TB-safe top-k.
+* Cross-engine float discipline: ``ln`` is the one libm call (Spark
+  java.lang.Math.log vs DuckDB libm) so the idf is rounded to 6 decimals in
+  isolation; everything downstream is IEEE basic ops (correctly rounded,
+  bit-identical given identical inputs) and the per-doc score accumulates in
+  DECIMAL (see compat.py) so summation order cannot flake the driver hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+
+from wheels_in_motion_analytics_spark.functions.text import tokens
+from wheels_in_motion_analytics_spark.registry import register
+from wheels_in_motion_analytics_spark.tables import table
+
+# BM25 free parameters (the standard Robertson defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+QUERY_TERMS: tuple[str, ...] = ("hash", "join", "vector", "stream")
+
+TFIDF_TOP_TERMS = 3
+
+_ORACLE_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+_QUERY_IN = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+
+
+def _corpus_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dl, tok, tf) — one row per distinct token per document."""
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("ws")
+    )
+    return (
+        toks.select("doc_id", F.size("ws").alias("dl"), F.explode("ws").alias("tok"))
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+@register(
+    "bm25_topk_search",
+    category="retrieval",
+    doc=f"BM25 (k1={BM25_K1}, b={BM25_B}) top-{BM25_TOPK} retrieval for the "
+    f"fixed query {QUERY_TERMS}. tf/df/avgdl from one explode+groupBy; idf "
+    "rounded in isolation (the single libm call), contributions summed in "
+    "decimal, top-k via ORDER BY+LIMIT → TakeOrderedAndProject (heap, not "
+    "global sort).",
+    oracle=f"""
+WITH d AS (SELECT doc_id, {_ORACLE_TOKS} AS ws FROM documents),
+tf AS (
+  SELECT doc_id, dl, tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, len(ws) AS dl, unnest(ws) AS tok FROM d)
+  WHERE tok IN ({_QUERY_IN})
+  GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT COUNT(*) AS n, CAST(SUM(len(ws)) AS DOUBLE) / COUNT(*) AS avgdl FROM d
+),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+contrib AS (
+  SELECT tf.doc_id,
+         round(round(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1), 6)
+               * tf.tf * ({BM25_K1} + 1)
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * tf.dl / stats.avgdl)),
+               6) AS c
+  FROM tf JOIN df USING (tok) CROSS JOIN stats
+)
+SELECT doc_id,
+       CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+FROM contrib
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT {BM25_TOPK}
+""",
+)
+def bm25_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = _corpus_tf(spark, sf_dir)
+    matched = tf.where(F.col("tok").isin(*QUERY_TERMS))
+    stats = (
+        table(spark, sf_dir, "documents")
+        .select(F.size(tokens(F.col("text"))).alias("dl"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        )
+    )
+    df = matched.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.round(
+        F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1), 6
+    )
+    contrib = F.round(
+        idf
+        * F.col("tf")
+        * (BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        ),
+        6,
+    )
+    return (
+        matched.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", contrib.alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c").cast("decimal(18,6)")).cast("double").alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    category="retrieval",
+    doc=f"Per-document top-{TFIDF_TOP_TERMS} terms by smoothed TF-IDF "
+    "(idf = ln((1+N)/(1+df)) + 1, sklearn-style). The rank window partitions "
+    "by doc_id, so state is bounded by per-doc vocabulary — parallel across "
+    "documents, no global sort.",
+    oracle=f"""
+WITH d AS (SELECT doc_id, {_ORACLE_TOKS} AS ws FROM documents),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(ws) AS tok FROM d)
+  GROUP BY 1, 2
+),
+stats AS (SELECT COUNT(*) AS n FROM d),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         round(tf.tf * (round(ln((1.0 + stats.n) / (1 + df.df)), 6) + 1), 6)
+           AS tfidf
+  FROM tf JOIN df USING (tok) CROSS JOIN stats
+)
+SELECT doc_id, tok, tfidf FROM (
+  SELECT doc_id, tok, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
+  FROM scored
+)
+WHERE rn <= {TFIDF_TOP_TERMS}
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = table(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    tfidf = F.round(
+        F.col("tf")
+        * (F.round(F.log((1.0 + F.col("n")) / (1 + F.col("df"))), 6) + 1),
+        6,
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "tok", tfidf.alias("tfidf"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TFIDF_TOP_TERMS)
+        .select("doc_id", "tok", "tfidf")
+    )
