@@ -84,3 +84,17 @@ def test_rebalance_uniform_language_mixture(spark):
     )
     assert {r.cnt for r in got} == {m}
     assert len(got) == docs.select("lang").distinct().count()
+
+
+def test_feature_binning_grid_semantics(spark):
+    rows = SPECS["feature_binning_buckets"].fn(spark, SF_SMALL).collect()
+    li_n = table(spark, SF_SMALL, "lineitem").count()
+    assert sum(r.n_items for r in rows) == li_n
+    # quantity 1..50: buckets 1..5 for [0,50), 6 for q==50 (width_bucket top)
+    assert {r.qty_bucket for r in rows} <= set(range(1, 7))
+    assert {r.price_quartile for r in rows} == {1, 2, 3, 4}
+    # exact quartiles: per-quartile totals differ by at most 1 row
+    per_q = {}
+    for r in rows:
+        per_q[r.price_quartile] = per_q.get(r.price_quartile, 0) + r.n_items
+    assert max(per_q.values()) - min(per_q.values()) <= 1

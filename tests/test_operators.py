@@ -235,3 +235,37 @@ def test_recursive_csv_and_binary_file_sources(spark, tmp_path):
     lp.write_text(json.dumps([{"datetime": "2021-03-01", "temp": 5.0}]))
     ldf = normalize_json_payload(spark, str(lp))
     assert ldf.count() == 1 and "temp" in ldf.columns
+
+
+def test_sessionize_events_gap_semantics(spark):
+    from tests.conftest import SF_SMALL
+    from wheels_in_motion_analytics_spark.registry import load_all_queries
+    from wheels_in_motion_analytics_spark.tables import table
+
+    sess = load_all_queries()["sessionize_events"].fn(spark, SF_SMALL)
+    rows = sess.collect()
+    ev_n = table(spark, SF_SMALL, "events").count()
+    assert sum(r.n_events for r in rows) == ev_n  # partition of the stream
+    assert all(r.session_start <= r.session_end for r in rows)
+    # per user: sessions are disjoint and separated by > 30 min
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    import datetime as dt
+
+    gap = dt.timedelta(minutes=30)
+    for spans in by_user.values():
+        spans.sort(key=lambda r: r.session_start)
+        for a, b in zip(spans, spans[1:]):
+            assert b.session_start - a.session_end > gap
+
+
+def test_pricing_summary_is_scan_plus_partial_agg(spark):
+    from tests.conftest import SF_SMALL
+    from wheels_in_motion_analytics_spark.registry import load_all_queries
+
+    df = load_all_queries()["pricing_summary_report"].fn(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # map-side combine: a partial HashAggregate below the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "SortMergeJoin" not in plan and "Exchange" in plan

@@ -5,6 +5,8 @@ order-insensitive exact values, floats via repr).
 
 Usage: python tools/driver_check.py [sf_dir]   (default /root/testdata/sf0.01)
 Exit code = number of failing queries.
+Set SPARK_GRAFT_ONLY=name1,name2 to check a subset while iterating (the
+pre-commit run must still be the full, unfiltered sweep).
 """
 
 from __future__ import annotations
@@ -48,6 +50,11 @@ def main() -> int:
     from wheels_in_motion_analytics_spark.tables import TABLE_NAMES
 
     qs, os_sql = entrymod.queries(), entrymod.oracle_sql()
+    only = [s for s in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if s]
+    if only:
+        missing = [s for s in only if s not in qs]
+        assert not missing, f"unknown query names: {missing}"
+        qs = {k: v for k, v in qs.items() if k in only}
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

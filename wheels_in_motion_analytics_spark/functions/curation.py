@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
+from wheels_in_motion_analytics_spark.compat import davg, dsum, oracle_davg, oracle_dsum
 from wheels_in_motion_analytics_spark.functions.similarity import (
     _oracle_hash,
     doc_shingles_of,
@@ -318,4 +319,56 @@ def curate_rebalance_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.crossJoin(F.broadcast(floor_cnt))
         .where(F.col("rn") <= F.col("m"))
         .select("doc_id", "lang")
+    )
+
+
+@register(
+    "feature_binning_buckets",
+    category="curation",
+    doc="Feature discretization for model prep: fixed-width buckets "
+    "(width_bucket over quantity — stateless per-row math, zero shuffle) "
+    "crossed with exact quartiles (global ntile with a total-order tiebreak "
+    "— the exact baseline; at 100 TB swap the ntile for approx_percentile "
+    "cutpoints computed in one pass, keeping the same bucket schema). "
+    "Output is the binned feature grid with per-cell counts and "
+    "decimal-deterministic revenue.",
+    oracle=f"""
+WITH binned AS (
+  SELECT CASE WHEN l_quantity < 0 THEN CAST(0 AS BIGINT)
+              WHEN l_quantity >= 50 THEN CAST(6 AS BIGINT)
+              ELSE CAST(1 + FLOOR(l_quantity / 10) AS BIGINT) END AS qty_bucket,
+         CAST(ntile(4) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+              AS INTEGER) AS price_quartile,
+         l_extendedprice, l_discount
+  FROM lineitem
+)
+SELECT qty_bucket, price_quartile,
+       COUNT(*) AS n_items,
+       {{davg}} AS avg_discount,
+       {{dsum}} AS revenue
+FROM binned
+GROUP BY qty_bucket, price_quartile
+""".format(
+        davg=oracle_davg("l_discount"),
+        dsum=oracle_dsum("l_extendedprice * (1 - l_discount)"),
+    ),
+)
+def feature_binning_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    binned = li.select(
+        F.width_bucket("l_quantity", F.lit(0.0), F.lit(50.0), F.lit(5)).alias(
+            "qty_bucket"
+        ),
+        F.ntile(4).over(w).alias("price_quartile"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return binned.groupBy("qty_bucket", "price_quartile").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        davg("l_discount").alias("avg_discount"),
+        dsum(rev).alias("revenue"),
     )

@@ -85,6 +85,64 @@ def gap_fill_locf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill_locf(obs, "user_id", "day", ["day_value"], calendar)
 
 
+@register(
+    "sessionize_events",
+    category="timeseries",
+    doc="Batch sessionization: per-user event stream split into sessions at "
+    ">30 min inactivity gaps (lag + running sum of session-boundary flags — "
+    "the classic gaps-and-islands rewrite). One shuffle on user_id serves "
+    "both windows AND the final per-session agg; no self-join, no explosion. "
+    "Batch twin of the session_window streaming op (streaming/windows.py). "
+    "Tiebreak on event_id makes the lag order total, so the result is "
+    "engine- and partitioning-independent.",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   <= INTERVAL 30 MINUTE
+              THEN 0 ELSE 1 END AS is_new
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       {oracle_dsum('value')} AS session_value
+FROM sess
+GROUP BY user_id, session_seq
+""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        table(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("user_id", "event_id", "ts", "value")
+    )
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w_lag = Window.partitionBy("user_id").orderBy(*order)
+    w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    is_new = F.when(
+        F.col("ts") - F.lag("ts").over(w_lag) <= F.expr("INTERVAL 30 MINUTES"),
+        F.lit(0),
+    ).otherwise(F.lit(1))
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_seq", F.sum("is_new").over(w_run))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("session_value"),
+        )
+    )
+
+
 # --- data quality -----------------------------------------------------------
 
 DQ_RULES: list[tuple[str, str]] = [

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
-from wheels_in_motion_analytics_spark.compat import dsum
+from wheels_in_motion_analytics_spark.compat import davg, dsum, oracle_davg, oracle_dsum
 from wheels_in_motion_analytics_spark.registry import register
 from wheels_in_motion_analytics_spark.tables import table
 
@@ -196,6 +196,52 @@ def priority_shipping_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("finished_items"),
             F.count(F.when(F.col("o_orderstatus") != "F", 1)).alias("open_items"),
         )
+    )
+
+
+@register(
+    "pricing_summary_report",
+    category="plans",
+    doc="TPC-H Q1 shape: the canonical pricing-summary scan-heavy aggregate "
+    "— one full pass over lineitem, grouped by the two status flags, eight "
+    "aggregates at once. Pure map-side-combinable agg: at 100 TB this is a "
+    "scan + partial agg + tiny final shuffle (9 groups), the best possible "
+    "plan shape. All float sums/avgs decimal-accumulated (compat.py).",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {oracle_dsum('l_quantity')} AS sum_qty,
+       {oracle_dsum('l_extendedprice')} AS sum_base_price,
+       {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000 + 0.5)
+                     AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_charge,
+       {oracle_davg('l_quantity')} AS avg_qty,
+       {oracle_davg('l_extendedprice')} AS avg_price,
+       {oracle_davg('l_discount')} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def pricing_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # The 3-factor product carries enough float precision that the two
+    # engines' double->DECIMAL(18,4) casts round a few rows differently;
+    # quantize to an exact integer grid instead (floor(x+0.5) — identical
+    # IEEE ops on both engines; see functions/udfs.py grouped_map_demean).
+    charge_q = F.floor(disc_price * (1 + F.col("l_tax")) * 10000 + 0.5)
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(disc_price).alias("sum_disc_price"),
+        (F.sum(charge_q).cast("double") / 10000.0).alias("sum_charge"),
+        davg("l_quantity").alias("avg_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        davg("l_discount").alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
     )
 
 
