@@ -1,0 +1,54 @@
+"""Embedding vector-math ops: numpy cross-checks (the registry oracle checks
+cross-engine determinism; these check the math is the math)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tests.conftest import SF_SMALL
+from wheels_in_motion_analytics_spark.registry import load_all_queries
+from wheels_in_motion_analytics_spark.tables import table
+
+SPECS = load_all_queries()
+
+
+def _corpus(spark):
+    rows = table(spark, SF_SMALL, "embeddings").collect()
+    return {r.vec_id: (np.asarray(r.embedding, dtype=np.float64), r.label) for r in rows}
+
+
+def test_vector_norms_match_numpy(spark):
+    corpus = _corpus(spark)
+    out = SPECS["embedding_vector_norms"].fn(spark, SF_SMALL).collect()
+    assert len(out) == len(corpus)
+    for r in out:
+        vec, _ = corpus[r.vec_id]
+        assert r.dim == 64
+        assert abs(r.l2_norm - float(np.linalg.norm(vec))) < 1e-3  # Q8 grid
+
+def test_group_centroids_match_numpy(spark):
+    corpus = _corpus(spark)
+    labels = {}
+    for vec, label in corpus.values():
+        labels.setdefault(label, []).append(vec)
+    want = {k: np.mean(np.stack(v), axis=0) for k, v in labels.items()}
+    out = SPECS["embedding_group_centroids"].fn(spark, SF_SMALL).collect()
+    assert len(out) == len(want) * 64
+    for r in out:
+        assert abs(r.centroid - want[r.label][r.pos]) < 1e-6
+
+
+def test_centroid_cosine_matches_numpy(spark):
+    corpus = _corpus(spark)
+    labels = {}
+    for vec, label in corpus.values():
+        labels.setdefault(label, []).append(vec)
+    cent = {k: np.mean(np.stack(v), axis=0) for k, v in labels.items()}
+    out = SPECS["embedding_centroid_cosine"].fn(spark, SF_SMALL).collect()
+    n = len(cent)
+    assert len(out) == n * (n - 1) // 2
+    for r in out:
+        a, b = cent[r.label_a], cent[r.label_b]
+        want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert r.label_a < r.label_b
+        assert abs(r.cosine - want) < 1e-4

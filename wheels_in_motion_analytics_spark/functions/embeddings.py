@@ -1,0 +1,178 @@
+"""Embedding-column vector math as relational plans — the feature-store side
+of an LLM data pipeline (the retrieval/dedup side lives in
+functions/similarity.py).
+
+All three ops treat the ``array<float>`` column declaratively:
+
+* per-vector stats are pure per-row array expressions (``transform`` +
+  ``aggregate``) — zero shuffle, scales with input splits;
+* per-group centroids are one ``posexplode`` + (label, pos) aggregate — the
+  map-side-combinable shape (64 dims x groups partial rows per task);
+* centroid-vs-centroid cosine joins the (tiny) centroid relation to itself
+  on the dimension ordinal — sub-linear in corpus size, broadcast at scale.
+
+Cross-engine float determinism: every float sum is quantized to an integer
+grid first (``floor(x * 10^k + 0.5)`` — identical IEEE ops in Spark and
+DuckDB, then exact BIGINT accumulation), because double->DECIMAL casts round
+ties differently across engines. sqrt is IEEE-correctly-rounded on both, so
+norms/cosines derived from identical doubles match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from wheels_in_motion_analytics_spark.registry import register
+from wheels_in_motion_analytics_spark.tables import table
+
+# quantization grids: Q8 for squared-term sums (x^2 ~ 1e-2), Q10 for
+# centroid-product sums (centroid components ~ 1e-2, products ~ 1e-4)
+Q8 = 100_000_000
+Q10 = 10_000_000_000
+
+
+def _qterm(expr: Column, grid: int) -> Column:
+    """Exact-integer quantization of a double term (portable rounding)."""
+    return F.floor(expr * F.lit(float(grid)) + F.lit(0.5)).cast("long")
+
+
+def l2_norm(vec: Column) -> Column:
+    """Deterministic L2 norm of an array<float> column — per-row, no shuffle."""
+    terms = F.transform(
+        vec, lambda x: _qterm(x.cast("double") * x.cast("double"), Q8)
+    )
+    ssq = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return F.sqrt(ssq.cast("double") / F.lit(float(Q8)))
+
+
+@register(
+    "embedding_vector_norms",
+    category="embeddings",
+    doc="Per-vector L2 norms + dimension audit over the embedding column — "
+    "pure per-row array math (transform/aggregate), zero shuffle; the "
+    "pre-normalization pass every ANN/centroid pipeline runs first.",
+    oracle=f"""
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       round(sqrt(CAST(list_sum(list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * {Q8} + 0.5)
+                      AS BIGINT))) AS DOUBLE) / {Q8}), 6) AS l2_norm
+FROM embeddings
+""",
+)
+def embedding_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(l2_norm(F.col("embedding")), 6).alias("l2_norm"),
+    )
+
+
+def group_centroids(emb: DataFrame, label_col: str = "label") -> DataFrame:
+    """Per-label centroid in exploded (label, pos, centroid) form — the
+    relational encoding that keeps the driver/oracle comparison array-free
+    and the aggregation map-side combinable."""
+    ex = emb.select(
+        label_col, F.posexplode("embedding").alias("pos", "v")
+    )
+    q = _qterm(F.col("v").cast("double"), Q8)
+    return ex.groupBy(label_col, "pos").agg(
+        (F.sum(q).cast("double") / F.lit(float(Q8)) / F.count(F.lit(1)))
+        .alias("centroid")
+    )
+
+
+_ORACLE_CENTROIDS = f"""
+  SELECT label, pos,
+         CAST(SUM(CAST(floor(v * {Q8} + 0.5) AS BIGINT)) AS DOUBLE)
+           / {Q8} / COUNT(*) AS centroid
+  FROM (
+    SELECT label,
+           CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM embeddings
+  )
+  GROUP BY 1, 2
+"""
+
+
+@register(
+    "embedding_group_centroids",
+    category="embeddings",
+    doc="Per-label embedding centroids, exploded to (label, pos, centroid) "
+    "rows: posexplode + one (label, pos) aggregate — partial-agg combinable, "
+    "output is labels x dims regardless of corpus size.",
+    oracle=f"SELECT label, pos, centroid FROM ({_ORACLE_CENTROIDS})",
+)
+def embedding_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return group_centroids(table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "embedding_centroid_cosine",
+    category="embeddings",
+    doc="Cosine similarity between every pair of label centroids — the "
+    "cluster-separation diagnostic. The centroid relation is labels x dims "
+    "(tiny, corpus-size-independent), so the self-join on the dimension "
+    "ordinal broadcasts at any scale.",
+    oracle=f"""
+WITH cent AS ({_ORACLE_CENTROIDS}),
+dots AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         CAST(SUM(CAST(floor(a.centroid * b.centroid * {Q10} + 0.5) AS BIGINT))
+              AS DOUBLE) / {Q10} AS dot
+  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY 1, 2
+),
+norms AS (
+  SELECT label,
+         sqrt(CAST(SUM(CAST(floor(centroid * centroid * {Q10} + 0.5) AS BIGINT))
+              AS DOUBLE) / {Q10}) AS nrm
+  FROM cent GROUP BY 1
+)
+SELECT d.label_a, d.label_b,
+       round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots d
+JOIN norms na ON d.label_a = na.label
+JOIN norms nb ON d.label_b = nb.label
+""",
+)
+def embedding_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cent = group_centroids(table(spark, sf_dir, "embeddings"))
+    a = cent.select(
+        F.col("label").alias("label_a"),
+        F.col("pos"),
+        F.col("centroid").alias("ca"),
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("centroid").alias("cb"),
+    )
+    dots = (
+        a.join(b, (F.col("pos") == F.col("pos_b")) & (F.col("label_a") < F.col("label_b")))
+        .groupBy("label_a", "label_b")
+        .agg(
+            (F.sum(_qterm(F.col("ca") * F.col("cb"), Q10)).cast("double") / F.lit(float(Q10)))
+            .alias("dot")
+        )
+    )
+    norms = cent.groupBy("label").agg(
+        F.sqrt(
+            F.sum(_qterm(F.col("centroid") * F.col("centroid"), Q10)).cast("double")
+            / F.lit(float(Q10))
+        ).alias("nrm")
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+    )

@@ -61,6 +61,7 @@ _QUERY_MODULES = [
     "wheels_in_motion_analytics_spark.functions.text_pipeline",
     "wheels_in_motion_analytics_spark.functions.similarity",
     "wheels_in_motion_analytics_spark.functions.corpus_scale",
+    "wheels_in_motion_analytics_spark.functions.embeddings",
     "wheels_in_motion_analytics_spark.functions.curation",
     "wheels_in_motion_analytics_spark.functions.retrieval",
     "wheels_in_motion_analytics_spark.plans.enriched",
