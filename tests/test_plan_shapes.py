@@ -166,3 +166,37 @@ def test_partition_pruning_reaches_scan(spark):
     root = ensure_partitioned_lineitem(spark, SF_SMALL)
     n_months = sum(1 for d in os.listdir(root) if d.startswith("ship_month="))
     assert n_months > 20, f"expected many month partitions, got {n_months}"
+
+
+def test_orc_scan_pushes_down_filter(spark):
+    """The ORC round-trip scan gets the same pushdown treatment as parquet:
+    the date predicate reaches the ORC reader (PushedFilters), and only the
+    four referenced columns are read."""
+    plan = plan_of(spark, "orc_roundtrip_agg")
+    assert "orc" in plan.lower()
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "o_comment" not in plan  # column pruning
+
+
+def test_partitioned_cdc_merge_scan_prunes(spark, tmp_path):
+    """The partition-scoped MERGE's read of current state carries the dirty-
+    month partition filter — the scan never touches clean months."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from wheels_in_motion_analytics_spark.sources import cdc
+
+    path = str(tmp_path / "state")
+    data = os.path.join(path, "data")
+    cdc._base_state_partitioned(spark, SF_SMALL).localCheckpoint().repartition(
+        F.col("order_month")
+    ).write.mode("overwrite").partitionBy("order_month").parquet(data)
+    pruned = spark.read.parquet(data).where(
+        F.col("order_month").isin(cdc.DIRTY_MONTHS)
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "order_month" in plan
+    n_files = pruned.select(F.input_file_name()).distinct().count()
+    assert n_files <= len(cdc.DIRTY_MONTHS)

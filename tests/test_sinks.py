@@ -93,3 +93,50 @@ def test_cdc_merge_exactly_once(spark, tmp_path):
     )
     again = spark.read.parquet(f"{path}/data").select(*cdc._BASE_COLS)
     assert sorted(map(tuple, again.collect())) == final_rows
+
+
+def test_partition_overwrite_cdc_touches_only_dirty_months(spark, tmp_path):
+    """Dynamic-partition-overwrite MERGE: untouched month directories keep
+    their files byte-for-byte; dirty months are rewritten; result matches
+    the whole-table merge semantics (registry oracle pins values)."""
+    import os
+
+    import pyspark.sql.functions as F_
+
+    from wheels_in_motion_analytics_spark.sources import cdc
+
+    path = str(tmp_path / "state")
+    data = os.path.join(path, "data")
+    base = cdc._base_state_partitioned(spark, SF_SMALL).localCheckpoint()
+    base.repartition(F_.col("order_month")).write.mode("overwrite").partitionBy(
+        "order_month"
+    ).parquet(data)
+    spark.createDataFrame([], cdc._LEDGER_SCHEMA).write.mode("overwrite").parquet(
+        cdc._ledger_path(path)
+    )
+
+    def snapshot(month):
+        d = os.path.join(data, f"order_month={month}")
+        return {
+            f: (os.path.getmtime(os.path.join(d, f)), os.path.getsize(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if not f.startswith(".")
+        }
+
+    clean_before = snapshot("1996-01")
+    dirty_before = snapshot("1997-03")
+
+    assert cdc.merge_upsert_partitioned(
+        spark, path, cdc._update_batch_months(spark, SF_SMALL),
+        ["order_id"], "version", "order_month", "b1",
+    )
+
+    assert snapshot("1996-01") == clean_before  # untouched partition intact
+    assert snapshot("1997-03") != dirty_before  # dirty partition rewritten
+
+    # only dirty-month rows changed vs the seed
+    final = spark.read.parquet(data)
+    changed = final.where(F_.col("version") == 2)
+    assert {r.order_month for r in changed.select("order_month").distinct().collect()} == set(
+        cdc.DIRTY_MONTHS
+    )

@@ -190,3 +190,64 @@ def test_watermark_append_mode_finalizes_windows_once(spark, tmp_path):
     # [13:00,13:30) is NOT emitted: its end (13:30) is past the final
     # watermark (13:20), so the window is still open when the stream ends
     assert "2024-06-01 13:00:00" not in got
+
+
+def test_stream_stream_attribution_join_matches_batch(spark, stream_dir):
+    """Real stream-stream inner join: two watermarked file streams joined on
+    user + a 6h event-time range. Result set equals the batch formulation
+    (whose values the registry oracle pins)."""
+    from wheels_in_motion_analytics_spark.streaming.joins import (
+        attribution_join,
+        split_views_purchases,
+    )
+    from wheels_in_motion_analytics_spark.tables import SCHEMAS
+
+    def watermarked_stream():
+        return (
+            spark.readStream.schema(SCHEMAS["events"])
+            .parquet(stream_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+
+    views, _ = split_views_purchases(watermarked_stream())
+    _, purchases = split_views_purchases(watermarked_stream())
+    joined = attribution_join(
+        views.withWatermark("view_ts", "10 minutes"),
+        purchases.withWatermark("purchase_ts", "10 minutes"),
+    )
+    name = f"j_{uuid.uuid4().hex[:8]}"
+    out = _run_to_memory(spark, joined, name, "append")
+    got = {(r.user_id, r.purchase_id, r.view_id) for r in out.collect()}
+
+    ev = table(spark, SF_SMALL, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    bviews, bpurchases = split_views_purchases(ev)
+    expected = {
+        (r.user_id, r.purchase_id, r.view_id)
+        for r in attribution_join(bviews, bpurchases).collect()
+    }
+    assert got == expected and expected
+
+
+def test_stream_static_join_enriches_events(spark, stream_dir):
+    """Stream-static join: the event stream enriched against the static
+    customer dim (no watermark needed on the static side — it is re-read
+    per micro-batch and broadcast when small)."""
+    from wheels_in_motion_analytics_spark.tables import SCHEMAS
+
+    static_dim = (
+        table(spark, SF_SMALL, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    stream = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .parquet(stream_dir)
+        .select("event_id", "user_id")
+        .join(static_dim, "user_id", "left")
+    )
+    name = f"ss_{uuid.uuid4().hex[:8]}"
+    out = _run_to_memory(spark, stream, name, "append")
+    assert out.count() == table(spark, SF_SMALL, "events").count()
+    # every joined segment value agrees with the dim
+    seg = {r.user_id: r.c_mktsegment for r in static_dim.collect()}
+    for r in out.collect():
+        assert r.c_mktsegment == seg.get(r.user_id)

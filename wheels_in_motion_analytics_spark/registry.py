@@ -67,10 +67,12 @@ _QUERY_MODULES = [
     "wheels_in_motion_analytics_spark.plans.enriched",
     "wheels_in_motion_analytics_spark.plans.analytics",
     "wheels_in_motion_analytics_spark.streaming.windows",
+    "wheels_in_motion_analytics_spark.streaming.joins",
     "wheels_in_motion_analytics_spark.multimodal",
     "wheels_in_motion_analytics_spark.sources.manifest",
     "wheels_in_motion_analytics_spark.sources.partitioned",
     "wheels_in_motion_analytics_spark.sources.cdc",
+    "wheels_in_motion_analytics_spark.sources.formats",
 ]
 
 

@@ -200,3 +200,178 @@ def cdc_merge_orders_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # across concurrent runs, and the result is path-independent
     table_path = tempfile.mkdtemp(prefix="cdc_merge_")
     return run_cdc_pipeline(spark, sf_dir, table_path)
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-partition-overwrite variant: merge touches ONLY dirty partitions
+# ---------------------------------------------------------------------------
+
+DIRTY_MONTHS = ["1997-03", "1997-04", "1997-05"]
+
+
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+    partition_col: str,
+    batch_id: str,
+) -> bool:
+    """Partition-scoped MERGE: the 100 TB variant of :func:`merge_upsert`.
+
+    Reads ONLY the partitions present in ``updates`` (partition-pruned
+    scan), merges, and rewrites ONLY those partitions via dynamic partition
+    overwrite — untouched partition directories keep their files byte-for-
+    byte (asserted in tests/test_sinks.py). Work scales with the dirty set,
+    not the table.
+    """
+    if batch_id in applied_batches(spark, table_path):
+        return False
+    data_path = os.path.join(table_path, "data")
+    dirty = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    current = (
+        spark.read.parquet(data_path)
+        # partition filter -> PartitionFilters in the scan: prunes to dirty dirs
+        .where(F.col(partition_col).isin(dirty))
+        .withColumn("__src", F.lit(0))
+    )
+    tagged = updates.withColumn("__src", F.lit(1))
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc(), F.col("__src").desc()
+    )
+    merged = (
+        current.unionByName(tagged)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+        .localCheckpoint()  # self-overwrite guard before truncating dirty dirs
+    )
+    (
+        # shuffle by the partition key first: one writer per partition
+        # directory instead of every task spraying a file into every dir
+        # (the small-file explosion that kills partitioned lakes at scale)
+        merged.repartition(F.col(partition_col))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(data_path)
+    )
+    spark.createDataFrame([(batch_id,)], _LEDGER_SCHEMA).write.mode("append").parquet(
+        _ledger_path(table_path)
+    )
+    return True
+
+
+def _base_state_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("total_price"),
+        F.lit(1).alias("version"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+    )
+
+
+def _update_batch_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Updates confined to DIRTY_MONTHS: every 5th order in those months is
+    repriced and closed; a new order is inserted per 11th key."""
+    orders = table(spark, sf_dir, "orders").withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    ).where(F.col("order_month").isin(DIRTY_MONTHS))
+    reprice = F.expr(
+        "CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.2 AS DECIMAL(3,2)), 2) AS DOUBLE)"
+    )
+    halved = F.expr(
+        "CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.5 AS DECIMAL(2,1)), 2) AS DOUBLE)"
+    )
+    updates = orders.where(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.lit("X").alias("status"),
+        reprice.alias("total_price"),
+        F.lit(2).alias("version"),
+        "order_month",
+    )
+    inserts = orders.where(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + 200000000).alias("order_id"),
+        F.lit("N").alias("status"),
+        halved.alias("total_price"),
+        F.lit(2).alias("version"),
+        "order_month",
+    )
+    return updates.unionByName(inserts)
+
+
+def run_partitioned_cdc(spark: SparkSession, sf_dir: str, table_path: str) -> DataFrame:
+    """Seed the month-partitioned table, apply the dirty-month batch twice
+    (second apply = exactly-once no-op), return the full final state."""
+    data_path = os.path.join(table_path, "data")
+    base = _base_state_partitioned(spark, sf_dir).localCheckpoint()
+    base.repartition(F.col("order_month")).write.mode("overwrite").partitionBy(
+        "order_month"
+    ).parquet(data_path)
+    spark.createDataFrame([], _LEDGER_SCHEMA).write.mode("overwrite").parquet(
+        _ledger_path(table_path)
+    )
+    first = merge_upsert_partitioned(
+        spark, table_path, _update_batch_months(spark, sf_dir),
+        ["order_id"], "version", "order_month", "batch-1",
+    )
+    again = merge_upsert_partitioned(
+        spark, table_path, _update_batch_months(spark, sf_dir),
+        ["order_id"], "version", "order_month", "batch-1",
+    )
+    assert first and not again, "exactly-once ledger violated"
+    return spark.read.parquet(data_path).select(*_BASE_COLS, "order_month")
+
+
+@register(
+    "cdc_merge_partition_overwrite",
+    category="sources",
+    doc="Partition-scoped CDC MERGE (dynamic partition overwrite): updates "
+    "land in 3 dirty months of a month-partitioned orders table; the merge "
+    "reads only those partitions (PartitionFilters) and rewrites only their "
+    "directories — untouched months keep their files byte-for-byte. Work "
+    "scales with the dirty set, not the table; this is the whole-table "
+    "cdc_merge_orders_state made 100 TB-shaped.",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey AS order_id, o_orderstatus AS status,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+         1 AS version, strftime(o_orderdate, '%Y-%m') AS order_month
+  FROM orders
+),
+upd AS (
+  SELECT o_orderkey AS order_id, 'X' AS status,
+         CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.2 AS DECIMAL(3,2)), 2) AS DOUBLE) AS total_price,
+         2 AS version, strftime(o_orderdate, '%Y-%m') AS order_month
+  FROM orders
+  WHERE strftime(o_orderdate, '%Y-%m') IN ('1997-03', '1997-04', '1997-05')
+    AND o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey + 200000000 AS order_id, 'N' AS status,
+         CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.5 AS DECIMAL(2,1)), 2) AS DOUBLE) AS total_price,
+         2 AS version, strftime(o_orderdate, '%Y-%m') AS order_month
+  FROM orders
+  WHERE strftime(o_orderdate, '%Y-%m') IN ('1997-03', '1997-04', '1997-05')
+    AND o_orderkey % 11 = 0
+),
+merged AS (
+  SELECT *, 0 AS __src FROM base
+  UNION ALL
+  SELECT *, 1 AS __src FROM upd
+)
+SELECT order_id, status, total_price, version, order_month
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY order_id
+                               ORDER BY version DESC, __src DESC) AS rn
+  FROM merged
+)
+WHERE rn = 1
+""",
+)
+def cdc_merge_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    table_path = tempfile.mkdtemp(prefix="cdc_dyn_")
+    return run_partitioned_cdc(spark, sf_dir, table_path)

@@ -1,0 +1,78 @@
+"""Stream-stream and stream-static joins (Structured Streaming surface).
+
+The attribution join — purchases matched to the views that preceded them
+within a bounded horizon — is THE canonical stream-stream join: an inner
+join on a key plus an event-time range predicate. One definition serves both
+modes (the batch-parity contract of streaming/windows.py): batch execution
+is the oracle-checked registry query; streaming execution joins two
+watermarked streams, where the time-range condition is what lets Spark
+evict join state (without it, both sides buffer forever — the stream-join
+OOM trap).
+
+Scale: state per key is bounded by watermark + horizon; the join shuffles
+both streams on user_id exactly as the batch plan does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from wheels_in_motion_analytics_spark.registry import register
+from wheels_in_motion_analytics_spark.tables import table
+
+ATTRIBUTION_HOURS = 6
+
+
+def split_views_purchases(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return views, purchases
+
+
+def attribution_join(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Purchases joined to every view by the same user in the preceding
+    ATTRIBUTION_HOURS. Works identically on batch and watermarked streaming
+    inputs — the time-range predicate doubles as the streaming state bound."""
+    cond = (
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("purchase_ts") < F.col("view_ts") + F.expr(f"INTERVAL {ATTRIBUTION_HOURS} HOURS"))
+    )
+    return purchases.join(views, cond).select(
+        F.col("p_user").alias("user_id"), "purchase_id", "view_id", "purchase_ts", "view_ts"
+    )
+
+
+@register(
+    "stream_join_attribution",
+    category="streaming",
+    doc="Stream-stream interval join, batch-parity form: each purchase "
+    "matched to same-user views in the preceding 6h. The identical "
+    "transform runs as a real two-stream watermarked join in "
+    "tests/test_streaming.py — the range predicate bounds join state.",
+    oracle=f"""
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       v.event_id AS view_id,
+       p.ts AS purchase_ts,
+       v.ts AS view_ts
+FROM events p
+JOIN events v
+  ON p.event_type = 'purchase' AND v.event_type = 'view'
+ AND p.user_id = v.user_id
+ AND v.ts <= p.ts AND p.ts < v.ts + INTERVAL {ATTRIBUTION_HOURS} HOUR
+""",
+)
+def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    views, purchases = split_views_purchases(ev)
+    return attribution_join(views, purchases)
