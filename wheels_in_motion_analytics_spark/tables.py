@@ -141,10 +141,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reach the scan via Catalyst pushdown (verify with
     ``df.explain('formatted')`` → PushedFilters / ReadSchema).
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark has no native
-    type for (SPARK-40819): read the raw int64 via the nanosAsLong legacy
-    conf and floor-truncate to microseconds — exactly what DuckDB's
-    µs-native TIMESTAMP does, so both engines see identical values.
+    ``events.ts`` has shipped as both TIMESTAMP(NANOS) and timestamp[us]
+    parquet across testdata generations, so the loader dispatches on the
+    type Spark actually reads and normalizes every variant to the same
+    TIMESTAMP_NTZ wall clock DuckDB sees:
+
+    * int64 (TIMESTAMP(NANOS) via the nanosAsLong legacy conf, SPARK-40819):
+      floor-truncate nanos→µs — what DuckDB's µs-native TIMESTAMP does.
+    * TIMESTAMP (instant): re-anchor the UTC wall clock as NTZ, independent
+      of session timezone.
+    * TIMESTAMP_NTZ (µs, isAdjustedToUTC=false, the current generation):
+      already the naive wall clock both engines agree on — use as-is.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
@@ -154,14 +161,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        # integer div keeps full int64 precision (double would lose bits
-        # above 2^53); nanos are positive so div == floor-truncation.
-        # convert_timezone('UTC', instant) yields TIMESTAMP_NTZ with the
-        # stored wall clock regardless of the session timezone — matching
-        # the other tables' NTZ columns and DuckDB's naive TIMESTAMP.
-        return df.withColumn(
-            "ts", F.expr("convert_timezone('UTC', timestamp_micros(ts div 1000))")
-        )
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # integer div keeps full int64 precision (double would lose bits
+            # above 2^53); nanos are positive so div == floor-truncation.
+            return df.withColumn(
+                "ts", F.expr("convert_timezone('UTC', timestamp_micros(ts div 1000))")
+            )
+        if isinstance(ts_type, T.TimestampType):
+            return df.withColumn("ts", F.expr("convert_timezone('UTC', ts)"))
+        return df
     return spark.read.parquet(path)
 
 
