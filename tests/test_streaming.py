@@ -232,17 +232,15 @@ def test_stream_static_join_enriches_events(spark, stream_dir):
     """Stream-static join: the event stream enriched against the static
     customer dim (no watermark needed on the static side — it is re-read
     per micro-batch and broadcast when small)."""
+    from wheels_in_motion_analytics_spark.streaming.joins import enrich_events_with_segment
     from wheels_in_motion_analytics_spark.tables import SCHEMAS
 
-    static_dim = (
-        table(spark, SF_SMALL, "customer")
-        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    static_dim = table(spark, SF_SMALL, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
-    stream = (
-        spark.readStream.schema(SCHEMAS["events"])
-        .parquet(stream_dir)
-        .select("event_id", "user_id")
-        .join(static_dim, "user_id", "left")
+    stream = enrich_events_with_segment(
+        spark.readStream.schema(SCHEMAS["events"]).parquet(stream_dir).select("event_id", "user_id"),
+        table(spark, SF_SMALL, "customer"),
     )
     name = f"ss_{uuid.uuid4().hex[:8]}"
     out = _run_to_memory(spark, stream, name, "append")

@@ -1,14 +1,20 @@
-"""Columnar-format interop beyond parquet: ORC source/sink round-trip.
+"""Format interop beyond parquet: ORC / CSV / JSON-lines / XML round-trips.
 
 The reference's lake is parquet/BigQuery-only; a Spark-native engine also
-speaks ORC out of the box (same predicate-pushdown + column-pruning scan
-machinery, vectorized reader, zstd). The registered query proves the full
-path — write the table AS ORC, read it back, aggregate — and the DuckDB
-oracle runs the identical aggregate on the original parquet, so any value
-drift introduced by the format hop (type mapping, compression, statistics)
-would hash-fail.
+speaks ORC, CSV, JSONL and (Spark 4 native) XML out of the box. Each
+registered query proves the full path — write the table AS <format>, read
+it back (explicit schema for the text formats, so types survive the hop),
+aggregate — and the DuckDB oracle runs the identical aggregate on the
+original parquet, so any value drift introduced by the format hop (type
+mapping, double formatting, compression) would hash-fail. Doubles survive
+text serialization because Spark emits the shortest round-trippable
+representation (Java ``Double.toString``).
 
-Layout mirrors sources/partitioned.py: a content-deterministic derived copy
+avro is NOT registered: pyspark ships only the core avro jars, not the
+``spark-avro`` connector, so ``format("avro")`` raises — probed, not
+assumed.
+
+Layout mirrors sources/partitioned.py: content-deterministic derived copies
 under ``.derived/<sf>/``, built lazily once (``_SUCCESS``-guarded) and
 reused by every later run.
 """
@@ -22,14 +28,18 @@ import pyspark.sql.functions as F
 
 from wheels_in_motion_analytics_spark.compat import dsum, oracle_dsum
 from wheels_in_motion_analytics_spark.registry import register
-from wheels_in_motion_analytics_spark.tables import table
+from wheels_in_motion_analytics_spark.tables import SCHEMAS, table
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def orc_orders_path(sf_dir: str) -> str:
+def _derived_path(sf_dir: str, name: str) -> str:
     sf_name = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(_REPO_ROOT, ".derived", sf_name, "orders_orc")
+    return os.path.join(_REPO_ROOT, ".derived", sf_name, name)
+
+
+def orc_orders_path(sf_dir: str) -> str:
+    return _derived_path(sf_dir, "orders_orc")
 
 
 def ensure_orc_orders(spark: SparkSession, sf_dir: str) -> str:
@@ -72,5 +82,103 @@ def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             dsum("o_totalprice").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "csv_roundtrip_agg",
+    category="sources",
+    doc="CSV source/sink round-trip: customer written as gzip CSV with "
+    "header (once, derived layout), read back through the explicit star "
+    "schema (no inference — types are the contract), aggregated per market "
+    "segment. Oracle aggregates the original parquet, so the text hop must "
+    "be value-transparent including double formatting.",
+    oracle=f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_custs,
+       {oracle_dsum('c_acctbal')} AS total_bal
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _derived_path(sf_dir, "customer_csv")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        table(spark, sf_dir, "customer").write.mode("overwrite").option(
+            "header", "true"
+        ).option("compression", "gzip").csv(path)
+    return (
+        spark.read.schema(SCHEMAS["customer"])
+        .option("header", "true")
+        .csv(path)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "jsonl_roundtrip_agg",
+    category="sources",
+    doc="JSON-lines source/sink round-trip: supplier written as gzip JSONL "
+    "(once, derived layout), read back with the explicit schema, aggregated "
+    "per nation. Oracle aggregates the original parquet.",
+    oracle=f"""
+SELECT s_nationkey,
+       COUNT(*) AS n_suppliers,
+       {oracle_dsum('s_acctbal')} AS total_bal
+FROM supplier
+GROUP BY s_nationkey
+""",
+)
+def jsonl_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _derived_path(sf_dir, "supplier_jsonl")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        table(spark, sf_dir, "supplier").write.mode("overwrite").option(
+            "compression", "gzip"
+        ).json(path)
+    return (
+        spark.read.schema(SCHEMAS["supplier"])
+        .json(path)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            dsum("s_acctbal").alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "xml_roundtrip_agg",
+    category="sources",
+    doc="XML source/sink round-trip (Spark 4 native XML data source, "
+    "SPARK-44265): part written as <part> row-tagged XML (once, derived "
+    "layout), read back with the explicit schema, aggregated per p_type. "
+    "Oracle aggregates the original parquet.",
+    oracle=f"""
+SELECT p_type,
+       COUNT(*) AS n_parts,
+       {oracle_dsum('p_retailprice')} AS total_price
+FROM part
+GROUP BY p_type
+""",
+)
+def xml_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _derived_path(sf_dir, "part_xml")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        table(spark, sf_dir, "part").write.mode("overwrite").option(
+            "rowTag", "part"
+        ).xml(path)
+    return (
+        spark.read.schema(SCHEMAS["part"])
+        .option("rowTag", "part")
+        .xml(path)
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            dsum("p_retailprice").alias("total_price"),
         )
     )

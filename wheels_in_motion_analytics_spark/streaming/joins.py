@@ -76,3 +76,44 @@ def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
     views, purchases = split_views_purchases(ev)
     return attribution_join(views, purchases)
+
+
+def enrich_events_with_segment(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static enrichment: events left-joined to the customer dim on
+    user_id. The same expression runs streaming in
+    tests/test_streaming.py::test_stream_static_join_enriches_events, where
+    the static side is re-read per micro-batch and broadcast when small."""
+    dim = customer.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    return events.join(dim, "user_id", "left")
+
+
+@register(
+    "stream_static_enrich",
+    category="streaming",
+    doc="Stream-static dim join, batch-parity form: every event enriched "
+    "with its user's market segment (left join — unmatched users keep NULL "
+    "segment), then rolled up per segment × event type. Streaming execution "
+    "of the identical join runs in tests/test_streaming.py; at scale the "
+    "dim side broadcasts per micro-batch, so the stream never shuffles.",
+    oracle="""
+SELECT c_mktsegment, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+LEFT JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment, event_type
+""",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.compat import dsum
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    cust = table(spark, sf_dir, "customer")
+    return (
+        enrich_events_with_segment(ev, cust)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )
