@@ -269,3 +269,26 @@ def test_pricing_summary_is_scan_plus_partial_agg(spark):
     # map-side combine: a partial HashAggregate below the exchange
     assert plan.count("HashAggregate") >= 2
     assert "SortMergeJoin" not in plan and "Exchange" in plan
+
+
+def test_hll_sketch_rollup_tracks_exact_distinct(spark):
+    from tests.conftest import SF_SMALL
+    from wheels_in_motion_analytics_spark.registry import load_all_queries
+    from wheels_in_motion_analytics_spark.tables import table
+    import pyspark.sql.functions as F
+
+    est = {
+        r.order_year: r.est_distinct_customers
+        for r in load_all_queries()["hll_sketch_rollup"].fn(spark, SF_SMALL).collect()
+    }
+    exact = {
+        r.order_year: r.n
+        for r in table(spark, SF_SMALL, "orders")
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for y, n in exact.items():
+        # HLL default lgConfigK=12 → ~1.6% relative standard error; allow 5%
+        assert abs(est[y] - n) <= max(2, 0.05 * n), (y, est[y], n)

@@ -703,7 +703,10 @@ def lsh_topk(vectors: DataFrame, tables: int = ANN_TABLES, bits: int = ANN_BITS)
     )
 
     # Stage 2 (relational, the scale story): candidates = same (table,
-    # bucket) — a hash join on the bucket key, never all-pairs.
+    # bucket) — a hash join on the bucket key, never all-pairs. Generated as
+    # ORDERED pairs (a < b): cosine is symmetric, so each unordered pair is
+    # scored once and mirrored afterwards — half the dedup shuffle and half
+    # the re-rank join volume of emitting both directions.
     a = sigged.alias("a")
     b = sigged.alias("b")
     cand = (
@@ -711,7 +714,7 @@ def lsh_topk(vectors: DataFrame, tables: int = ANN_TABLES, bits: int = ANN_BITS)
             b,
             (F.col("a.tbl") == F.col("b.tbl"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
             F.col("a.vec_id").alias("query_id"),
@@ -721,11 +724,19 @@ def lsh_topk(vectors: DataFrame, tables: int = ANN_TABLES, bits: int = ANN_BITS)
     )
 
     # Stage 3: exact cosine via join-back to the vector table — no driver
-    # collect, no corpus broadcast (see _exact_cosine_rerank).
+    # collect, no corpus broadcast (see _exact_cosine_rerank). Mirror the
+    # scored pairs so every vector sees its full neighbor set for top-1.
     scored = _exact_cosine_rerank(vectors, cand)
+    both = scored.unionByName(
+        scored.select(
+            F.col("neighbor_id").alias("query_id"),
+            F.col("query_id").alias("neighbor_id"),
+            "cosine",
+        )
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        both.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") == 1)
         .select("query_id", "neighbor_id", "cosine")
     )

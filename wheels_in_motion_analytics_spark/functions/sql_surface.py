@@ -1,0 +1,121 @@
+"""Modern SQL surface: recursive CTEs (Spark 4), parameterized SQL, and
+mergeable HLL sketch roll-ups.
+
+These run through ``spark.sql`` over temp views registered inside the
+callable (vanilla-driver-session safe — no session-factory configs).
+
+Recursive-CTE limits probed, not assumed: Spark 4.1 supports UNION ALL
+recursion only (``UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE``), so the
+registered recursion is the acyclic series-generation pattern; cyclic
+transitive closure stays on the iterative DataFrame path
+(functions/similarity.py dedup_connected_components, whose DuckDB oracle
+IS a recursive CTE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from wheels_in_motion_analytics_spark.registry import register
+from wheels_in_motion_analytics_spark.tables import table
+
+
+@register(
+    "recursive_month_series_orders",
+    category="advanced",
+    doc="Recursive CTE (Spark 4 WITH RECURSIVE): generate the 1995-01 → "
+    "2001-08 month series by recursion, LEFT JOIN orders per month — the "
+    "calendar-spine pattern that reports empty periods as zero rows instead "
+    "of silently dropping them. The spine is 80 rows (driver-free, "
+    "engine-side); the join shuffles only the aggregated month keys.",
+    oracle="""
+WITH RECURSIVE months(month_start) AS (
+  SELECT TIMESTAMP '1995-01-01 00:00:00'
+  UNION ALL
+  SELECT month_start + INTERVAL 1 MONTH FROM months
+  WHERE month_start < TIMESTAMP '2001-08-01 00:00:00'
+)
+SELECT month_start,
+       COUNT(o_orderkey) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 0) AS DOUBLE) AS total_value
+FROM months
+LEFT JOIN orders ON CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) = month_start
+GROUP BY month_start
+""",
+)
+def recursive_month_series_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("sqlsurface_orders")
+    return spark.sql("""
+WITH RECURSIVE months(month_start) AS (
+  SELECT TIMESTAMP_NTZ '1995-01-01 00:00:00'
+  UNION ALL
+  SELECT month_start + INTERVAL 1 MONTH FROM months
+  WHERE month_start < TIMESTAMP_NTZ '2001-08-01 00:00:00'
+)
+SELECT month_start,
+       COUNT(o_orderkey) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 0) AS DOUBLE) AS total_value
+FROM months
+LEFT JOIN sqlsurface_orders ON date_trunc('month', o_orderdate) = month_start
+GROUP BY month_start
+""")
+
+
+@register(
+    "parameterized_sql_filter",
+    category="advanced",
+    doc="Named-parameter SQL (spark.sql(..., args={...})): the "
+    "injection-safe templating surface — parameters bind as typed literals "
+    "in the plan, so Catalyst still constant-folds and pushes the filter "
+    "into the scan. Oracle inlines the same literal values.",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM orders
+WHERE o_orderstatus = 'O' AND o_totalprice >= 50000.0
+GROUP BY o_orderpriority
+""",
+)
+def parameterized_sql_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("sqlsurface_orders")
+    return spark.sql(
+        """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM sqlsurface_orders
+WHERE o_orderstatus = :status AND o_totalprice >= :min_total
+GROUP BY o_orderpriority
+""",
+        args={"status": "O", "min_total": 50000.0},
+    )
+
+
+@register(
+    "hll_sketch_rollup",
+    category="aggregates",
+    doc="Mergeable HLL sketches (Datasketches, Spark 3.5+): per-month "
+    "hll_sketch_agg of the ordering customers, then hll_union_agg rolls the "
+    "monthly sketches up to per-year estimates WITHOUT re-scanning rows — "
+    "the pre-aggregation pattern that makes distinct-count dashboards "
+    "feasible at 100 TB (store tiny sketches, merge on demand). Rows-only "
+    "check: DuckDB's HLL implementation yields different estimates by "
+    "design; estimate-vs-exact error is asserted in "
+    "tests/test_operators.py.",
+    oracle=None,
+)
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.month("o_orderdate").cast("int").alias("order_month"),
+        )
+        .agg(F.hll_sketch_agg("o_custkey").alias("sketch"))
+    )
+    return (
+        monthly.groupBy("order_year")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_distinct_customers"))
+    )
