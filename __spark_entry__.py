@@ -96,9 +96,36 @@ _DRIVER_PRIORITY = [
 ]
 
 
+# Queries whose correctness the driver ALREADY verified green in round 1
+# (CORRECTNESS_r01.json). They sort to the back of the registry so that if
+# the driver's per-round budget ever exceeds len(_DRIVER_PRIORITY), the
+# extra slots fall on never-verified queries first.
+_R1_VERIFIED = {
+    "scan_parquet_project", "filter_null_predicate", "literal_default_columns",
+    "ordered_projection", "anti_join_new_keys", "semi_join_active_keys",
+    "band_join_price_buckets", "interval_proximity_join", "asof_join_last_signup",
+    "null_profile_agg", "count_total", "group_topk", "share_of_total",
+    "hist_by_hour", "distinct_pairs", "agg_stats_suite", "count_distinct_exact",
+    "rollup_agg", "cube_agg", "grouping_sets_agg", "percentile_exact",
+    "upsert_merge_by_key", "union_dedup_key", "union_by_name_missing_cols",
+    "dedup_key_deterministic", "intersect_keys", "except_keys", "except_all_bag",
+    "window_rank_dense", "window_running_sum", "window_lag_lead",
+    "window_ntile_percentiles", "window_range_frame", "window_first_last",
+    "pivot_status_by_priority", "unpivot_weather_measures",
+    "scalar_subquery_above_avg", "correlated_exists_subquery",
+    "in_subquery_hot_parts", "lateral_explode_tokens", "regression_corr_agg",
+    "array_set_ops", "salted_skew_join", "left_outer_join_missing_dims",
+    "full_outer_join_key_union", "cross_join_small_dims", "union_all_bag",
+    "approx_count_distinct",
+}
+
+
 def _ordered_specs():
     specs = load_all_queries()
     ordered = {n: specs[n] for n in _DRIVER_PRIORITY if n in specs}
+    ordered.update(
+        {n: s for n, s in specs.items() if n not in ordered and n not in _R1_VERIFIED}
+    )
     ordered.update({n: s for n, s in specs.items() if n not in ordered})
     return ordered
 
