@@ -372,3 +372,40 @@ def feature_binning_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg("l_discount").alias("avg_discount"),
         dsum(rev).alias("revenue"),
     )
+
+
+@register(
+    "curate_source_quota",
+    category="curation",
+    doc="Per-source document quota: rank each source's docs by length (desc, "
+    "doc_id tiebreak) and keep the top 20 — the domain-balancing cap a "
+    "pretraining mix applies so no single crawl source dominates. One "
+    "window shuffle on source; emits per-source kept-count + kept char "
+    "volume, so the oracle check covers both the ranking and the cut.",
+    oracle="""
+WITH ranked AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rnk
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+FROM ranked
+WHERE rnk <= 20
+GROUP BY source
+""",
+)
+def curate_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+    )

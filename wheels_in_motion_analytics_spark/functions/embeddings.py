@@ -176,3 +176,79 @@ def embedding_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
         )
     )
+
+
+Q12 = 1_000_000_000_000
+
+
+@register(
+    "embedding_quantize_error",
+    category="embeddings",
+    doc="Symmetric int8 embedding quantization audit: per-vector scale = "
+    "max|x|/127, quantize (clamped floor(x/scale + 0.5)), dequantize, and "
+    "report RMSE + worst-dimension error — the storage-compression "
+    "fidelity check run before shipping a quantized vector store (4x "
+    "smaller than float32, recall impact bounded by these errors). Pure "
+    "per-row array math, zero shuffle; squared errors integer-grid "
+    "quantized (Q12) so the cross-engine sum is exact; scale/err emission "
+    "rounded. Arrays are materialized between lambda stages (NOTES.md #5).",
+    oracle=f"""
+WITH ed AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+scaled AS (
+  SELECT vec_id, e,
+         GREATEST(list_max(list_transform(e, x -> abs(x))), 1e-12) / 127.0 AS scale
+  FROM ed
+),
+errs AS (
+  SELECT vec_id, e, scale,
+         list_transform(e, x -> x - LEAST(127.0, GREATEST(-127.0, floor(x / scale + 0.5))) * scale) AS err
+  FROM scaled
+)
+SELECT vec_id,
+       CAST(len(e) AS INTEGER) AS dim,
+       round(scale, 8) AS q_scale,
+       round(sqrt(CAST(list_sum(list_transform(err,
+             x -> CAST(floor(x * x * {Q12} + 0.5) AS BIGINT))) AS DOUBLE)
+             / {Q12} / len(e)), 6) AS rmse,
+       round(list_max(list_transform(err, x -> abs(x))), 6) AS max_abs_err
+FROM errs
+""",
+)
+def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    scaled = emb.withColumn(
+        "scale",
+        F.greatest(F.array_max(F.transform("e", lambda x: F.abs(x))), F.lit(1e-12))
+        / F.lit(127.0),
+    )
+    errs = scaled.withColumn(
+        "err",
+        F.transform(
+            "e",
+            lambda x: x
+            - F.least(
+                F.lit(127.0),
+                F.greatest(F.lit(-127.0), F.floor(x / F.col("scale") + 0.5).cast("double")),
+            )
+            * F.col("scale"),
+        ),
+    )
+    sq_sum = F.aggregate(
+        F.transform("err", lambda x: F.floor(x * x * F.lit(float(Q12)) + F.lit(0.5)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return errs.select(
+        "vec_id",
+        F.size("e").alias("dim"),
+        F.round("scale", 8).alias("q_scale"),
+        F.round(
+            F.sqrt(sq_sum.cast("double") / F.lit(float(Q12)) / F.size("e")), 6
+        ).alias("rmse"),
+        F.round(F.array_max(F.transform("err", lambda x: F.abs(x))), 6).alias("max_abs_err"),
+    )

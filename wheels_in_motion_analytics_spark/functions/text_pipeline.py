@@ -215,3 +215,46 @@ def corpus_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
     )
     return deduped.join(gated, "doc_id").select("doc_id", "quality")
+
+
+@register(
+    "ngram_bigram_topk",
+    category="text",
+    doc="Corpus bigram statistics: adjacent-token pairs from the shared "
+    "whitespace tokenizer, counted globally, top 20 with total-order "
+    "tiebreak. The n-gram language-model / collocation building block: one "
+    "explode + one count shuffle, partial-aggregated map-side; the token "
+    "array is materialized BEFORE the pairing lambda (expression-in-lambda "
+    "re-evaluation trap, NOTES.md #5).",
+    oracle=r"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tokens
+  FROM documents
+),
+big AS (
+  SELECT unnest(list_transform(generate_series(1, CAST(len(tokens) AS INTEGER) - 1),
+                               i -> tokens[i] || ' ' || tokens[i + 1])) AS bigram
+  FROM toks
+)
+SELECT bigram, COUNT(*) AS n
+FROM big
+GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 20
+""",
+)
+def ngram_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(tokens(F.col("text")).alias("toks"))
+    bigrams = docs.select(
+        F.expr(
+            "transform(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+            " (x, i) -> concat(x, ' ', element_at(toks, i + 2)))"
+        ).alias("bigrams")
+    )
+    return (
+        bigrams.select(F.explode("bigrams").alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
