@@ -75,3 +75,35 @@ def string_funcs_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein("s_name", F.lit("Supplier#000000001")).cast("int").alias("edit_dist"),
         F.instr("s_name", "#").cast("int").alias("hash_pos"),
     )
+
+
+@register(
+    "try_funcs_suite",
+    category="scalars",
+    doc="ANSI-safe try_* error handling: try_divide (NULL on zero divisor, "
+    "never a runtime error or silent ±Inf), try_cast (NULL on malformed "
+    "input, with a success case alongside), try_element_at (NULL past the "
+    "array bound; index 0 is rejected by Spark — INVALID_INDEX_OF_ZERO — so "
+    "the index expression maps to 1-based). DuckDB mirrors via NULLIF "
+    "division, TRY_CAST, and its NULL-on-out-of-bounds list indexing. The "
+    "at-scale story: one malformed row cannot kill a 1000-executor job.",
+    oracle="""
+SELECT o_orderkey,
+       o_totalprice / NULLIF(CAST(o_orderkey % 3 AS DOUBLE), 0.0) AS safe_ratio,
+       TRY_CAST(o_orderstatus AS INTEGER) AS bad_int,
+       TRY_CAST(CAST(o_orderkey AS VARCHAR) AS INTEGER) AS good_int,
+       (['a', 'b', 'c'])[CAST(o_orderkey % 5 AS INTEGER) + 1] AS elem
+FROM orders
+""",
+)
+def try_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.col("o_orderkey")
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), (k % 3).cast("double")).alias("safe_ratio"),
+        F.expr("try_cast(o_orderstatus AS INT)").alias("bad_int"),
+        F.expr("try_cast(CAST(o_orderkey AS STRING) AS INT)").alias("good_int"),
+        F.try_element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c")), ((k % 5) + 1).cast("int")
+        ).alias("elem"),
+    )

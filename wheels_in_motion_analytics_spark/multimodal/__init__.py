@@ -216,3 +216,34 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("feature", 2).alias("f1"),
         F.round(F.element_at("feature", 3), 6).alias("f2"),
     )
+
+
+@register(
+    "multimodal_dedup_payload",
+    category="multimodal",
+    doc="Asset-level exact dedup: md5 content hash of the binary payload, "
+    "one hash-groupBy keeping the smallest doc_id per digest — the "
+    "image/audio twin of document exact-dedup (same md5 on a BLOB in "
+    "DuckDB, so the digests themselves are oracle-checked bit-for-bit). "
+    "At 100 TB this is one shuffle on the 16-byte digest, payloads never "
+    "leave their executors.",
+    oracle="""
+SELECT md5(text) AS digest,
+       COUNT(*) AS n_copies,
+       MIN(doc_id) AS keeper_doc_id,
+       CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS dup_bytes
+FROM documents
+GROUP BY digest
+""",
+)
+def multimodal_dedup_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_table(spark, sf_dir)
+    return (
+        media.select("doc_id", F.md5("payload").alias("digest"), F.col("meta.n_bytes").alias("n_bytes"))
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.sum("n_bytes").alias("dup_bytes"),
+        )
+    )

@@ -7,6 +7,14 @@ micro-batches, with a processing-time timeout to expire idle users.
 Scale notes: state lives in the state store partitioned by the grouping key —
 the same shuffle boundary as a streaming groupBy; state size is O(|users|),
 bounded by the timeout-based eviction.
+
+Spark 4's successor API, ``transformWithStateInPandas`` (typed ValueState/
+ListState/MapState + timers), was probed in this environment and is
+unusable: its driver worker imports ``google.protobuf``
+(pyspark/sql/streaming/proto/StateMessage_pb2), which is not installed in
+the container, so every query fails with
+STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE. applyInPandasWithState is
+the dependency-free stateful surface and remains the implementation here.
 """
 
 from __future__ import annotations
