@@ -200,3 +200,54 @@ def test_partitioned_cdc_merge_scan_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan and "order_month" in plan
     n_files = pruned.select(F.input_file_name()).distinct().count()
     assert n_files <= len(cdc.DIRTY_MONTHS)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "local_supplier_volume",
+        "bilateral_trade_volume",
+        "product_profit_by_nation",
+        "sole_failing_supplier",
+        "large_volume_customers",
+        "customer_order_distribution",
+    ],
+)
+def test_wide_analytics_no_forced_fact_broadcast(spark, name):
+    """The wide TPC-H shapes (Q5/Q7/Q9/Q21/Q18/Q13) join lineitem⋈orders
+    (or lineitem⋈itself) without a broadcast hint: with auto-broadcast
+    disabled the fact⋈fact join must degrade to a shuffle join, proving no
+    hint forces a fact-scaled table into executor memory at 100 TB."""
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(spark, name)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), (
+        f"{name}: fact-side join did not degrade to a shuffle join — "
+        f"a forced broadcast survives on a fact-scaled input:\n{plan}"
+    )
+
+
+def test_q6_scan_only_plan(spark):
+    """Q6 (forecast_revenue_change) is the pure pushdown benchmark: no join
+    anywhere in the plan, all three predicates pushed to the parquet scan,
+    and only the four referenced columns read."""
+    plan = plan_of(spark, "forecast_revenue_change")
+    assert "Join" not in plan
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_orderkey" not in read_schema  # pruned
+    assert plan.count("Exchange") <= 1  # only the 1-row final agg exchange
+
+
+def test_q21_decorrelated_single_pass(spark):
+    """Q21's EXISTS/NOT-EXISTS pair must decorrelate into ONE per-order
+    aggregate joined back — the lineitem scan count stays bounded (base +
+    per-order agg), never a per-row re-scan."""
+    plan = plan_of(spark, "sole_failing_supplier")
+    assert plan.count("Scan parquet") <= 4  # lineitem x2, supplier, nation

@@ -68,6 +68,7 @@ _QUERY_MODULES = [
     "wheels_in_motion_analytics_spark.plans.enriched",
     "wheels_in_motion_analytics_spark.plans.analytics",
     "wheels_in_motion_analytics_spark.plans.analytics_deep",
+    "wheels_in_motion_analytics_spark.plans.analytics_wide",
     "wheels_in_motion_analytics_spark.streaming.windows",
     "wheels_in_motion_analytics_spark.streaming.joins",
     "wheels_in_motion_analytics_spark.multimodal",
