@@ -173,13 +173,13 @@ gated AS (
 ),
 deduped AS (
   SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
-         MIN(doc_id) AS doc_id
+         MIN(doc_id) AS doc_id,
+         arg_min(quality, doc_id) AS quality
   FROM gated
   WHERE quality >= {MIN_QUALITY}
   GROUP BY 1
 )
-SELECT d.doc_id, g.quality
-FROM deduped d JOIN gated g ON d.doc_id = g.doc_id
+SELECT doc_id, quality FROM deduped
 """,
 )
 def corpus_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -210,11 +210,15 @@ def corpus_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text", quality.alias("quality"))
         .where(F.col("quality") >= MIN_QUALITY)
     )
-    deduped = (
+    # Dedup keeps (lowest doc_id, its quality) per fingerprint via ONE
+    # min(struct) aggregate — a join-back to re-fetch quality would run the
+    # whole tokenize+gate subplan twice (the plan tree is reused by name,
+    # not materialized) and add a second shuffle.
+    return (
         gated.groupBy(fingerprint(F.col("text")).alias("fp"))
-        .agg(F.min("doc_id").alias("doc_id"))
+        .agg(F.min(F.struct("doc_id", "quality")).alias("m"))
+        .select(F.col("m.doc_id").alias("doc_id"), F.col("m.quality").alias("quality"))
     )
-    return deduped.join(gated, "doc_id").select("doc_id", "quality")
 
 
 @register(
@@ -252,7 +256,14 @@ def ngram_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bigrams")
     )
     return (
-        bigrams.select(F.explode("bigrams").alias("bigram"))
+        # explode_outer, NOT explode: plain explode makes the optimizer
+        # infer a `size(bigrams) > 0` filter BELOW the projection
+        # (InferFiltersFromGenerate), inlining the whole tokenize+pair
+        # expression into the Filter and re-evaluating it ~4x per row.
+        # Outer explode skips that rule; the null rows from empty docs are
+        # dropped by a cheap post-Generate filter on the output column.
+        bigrams.select(F.explode_outer("bigrams").alias("bigram"))
+        .where(F.col("bigram").isNotNull())
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("bigram"))
