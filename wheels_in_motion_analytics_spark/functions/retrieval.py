@@ -90,8 +90,26 @@ LIMIT {BM25_TOPK}
 """,
 )
 def bm25_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tf = _corpus_tf(spark, sf_dir)
-    matched = tf.where(F.col("tok").isin(*QUERY_TERMS))
+    # Filter to the query terms INSIDE the token array, before explode:
+    # exploding the full corpus vocabulary and filtering after the groupBy
+    # would shuffle O(total tokens) when only the query-term postings
+    # (a sliver) are ever used. explode_outer + post-filter, not explode —
+    # same InferFiltersFromGenerate re-evaluation trap as ngram_bigram_topk.
+    term_arr = F.array(*[F.lit(t) for t in QUERY_TERMS])
+    ws = tokens(F.col("text"))
+    matched = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(ws).alias("dl"),
+            F.explode_outer(
+                F.filter(ws, lambda t: F.array_contains(term_arr, t))
+            ).alias("tok"),
+        )
+        .where(F.col("tok").isNotNull())
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
     stats = (
         table(spark, sf_dir, "documents")
         .select(F.size(tokens(F.col("text"))).alias("dl"))
@@ -100,7 +118,14 @@ def bm25_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
         )
     )
-    df = matched.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # df per term as a window over the posting rows (one row per (doc,tok),
+    # so count(*) per tok IS the document frequency). The tok partitioning
+    # shuffles only the matched postings — bounded by the query's posting
+    # lists, never the corpus — so no second evaluation of the subplan is
+    # needed to aggregate df separately.
+    matched = matched.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("tok"))
+    )
     idf = F.round(
         F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1), 6
     )
@@ -115,8 +140,7 @@ def bm25_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return (
-        matched.join(F.broadcast(df), "tok")
-        .crossJoin(F.broadcast(stats))
+        matched.crossJoin(F.broadcast(stats))
         .select("doc_id", contrib.alias("c"))
         .groupBy("doc_id")
         .agg(F.sum(F.col("c").cast("decimal(18,6)")).cast("double").alias("bm25"))
