@@ -1,0 +1,132 @@
+"""Semantic tests for chunking / LM scoring / random projection beyond the
+oracle differential: reconstruction, smoothing sanity, distance preservation."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_SMALL
+from wheels_in_motion_analytics_spark.registry import load_all_queries
+
+SPECS = load_all_queries()
+
+
+def test_chunks_reconstruct_document(spark):
+    """Dropping each chunk's overlap prefix (except the first) and
+    concatenating in chunk_idx order reproduces the tokenized document."""
+    from wheels_in_motion_analytics_spark.functions.chunking import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+    )
+
+    chunks = SPECS["chunk_documents_overlap"].fn(spark, SF_SMALL)
+    overlap = CHUNK_SIZE - CHUNK_STRIDE
+    rebuilt = (
+        chunks.withColumn("toks", F.split("chunk_text", " "))
+        .withColumn(
+            "tail",
+            F.when(F.col("chunk_idx") == 0, F.col("toks")).otherwise(
+                F.slice(F.col("toks"), overlap + 1, CHUNK_SIZE)
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("chunk_idx", "tail"))
+                        ),
+                        lambda s: s["tail"],
+                    )
+                ),
+                " ",
+            ).alias("rebuilt")
+        )
+    )
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id",
+        F.array_join(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != ""), " "
+        ).alias("orig"),
+    )
+    bad = rebuilt.join(docs, "doc_id").where(F.col("rebuilt") != F.col("orig"))
+    assert bad.count() == 0
+
+
+def test_chunk_sizes_and_counts(spark):
+    from wheels_in_motion_analytics_spark.functions.chunking import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+    )
+
+    chunks = SPECS["chunk_documents_overlap"].fn(spark, SF_SMALL)
+    assert chunks.where(F.col("n_tokens") > CHUNK_SIZE).count() == 0
+    assert chunks.where(F.col("n_tokens") < 1).count() == 0
+    # every doc yields ceil(nt / stride) chunks
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        (F.max(F.col("chunk_idx") * CHUNK_STRIDE) + F.max("n_tokens")).alias("span"),
+    )
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id",
+        F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")).alias("nt"),
+    )
+    joined = per_doc.join(docs, "doc_id")
+    bad = joined.where(
+        F.col("n_chunks") != F.ceil(F.col("nt") / F.lit(float(CHUNK_STRIDE)))
+    )
+    assert bad.count() == 0
+
+
+def test_lm_scoring_favors_repetitive_text(spark):
+    """A document's avg NLL is a real probability: all scores positive, and
+    the corpus-level mean NLL is below ln(V * 2) (add-1 uniform ceiling)."""
+    scored = SPECS["lm_bigram_perplexity"].fn(spark, SF_SMALL)
+    rows = scored.collect()
+    assert all(r["avg_nll"] > 0 for r in rows)
+    vocab = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .where(F.col("w") != "")
+        .select("w")
+        .distinct()
+        .count()
+    )
+    mean_nll = sum(r["avg_nll"] for r in rows) / len(rows)
+    assert mean_nll < math.log(vocab * 2)
+
+
+def test_random_projection_preserves_distance_ordering(spark):
+    """JL guarantee, sampled: projected squared distances (scaled by
+    in_dim/out_dim) stay within a loose multiplicative band of the original
+    for a sample of pairs, and no projected vector collapses to zero."""
+    import numpy as np
+
+    from wheels_in_motion_analytics_spark.functions.embeddings import JL_OUT_DIM
+
+    proj = SPECS["embedding_random_projection"].fn(spark, SF_SMALL).limit(50).collect()
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        .limit(50)
+        .collect()
+    }
+    pcols = [f"p{j:02d}" for j in range(JL_OUT_DIM)]
+    pvecs = {r["vec_id"]: np.array([r[c] for c in pcols]) for r in proj}
+    common = sorted(set(emb) & set(pvecs))[:20]
+    assert len(common) >= 10
+    ratios = []
+    for a in common[:10]:
+        for b in common[10:20]:
+            d_orig = float(np.sum((emb[a] - emb[b]) ** 2))
+            # unnormalized ±1 rows: E[||Sx||^2] = out_dim * ||x||^2
+            d_proj = float(np.sum((pvecs[a] - pvecs[b]) ** 2)) / JL_OUT_DIM
+            if d_orig > 1e-9:
+                ratios.append(d_proj / d_orig)
+    # E[ratio] = 1; individual pairs vary but the mean must sit near 1.
+    mean_ratio = sum(ratios) / len(ratios)
+    assert 0.5 < mean_ratio < 2.0, mean_ratio
+    assert all(float(np.linalg.norm(v)) > 0 for v in pvecs.values())
