@@ -107,3 +107,65 @@ def try_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.lit("a"), F.lit("b"), F.lit("c")), ((k % 5) + 1).cast("int")
         ).alias("elem"),
     )
+
+
+@register(
+    "higher_order_funcs_suite",
+    category="scalars",
+    doc="Higher-order array lambdas: transform/filter/exists/forall/"
+    "aggregate/sequence/flatten/sort/reverse/slice over an array built "
+    "from lineitem measures. All JVM-side Catalyst lambda expressions "
+    "(one codegen stage, no UDF); integer-grid values so list_sum vs "
+    "aggregate accumulate identically. Array outputs emitted as joined "
+    "strings — scalar cells for the driver canonicalizer.",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       array_to_string(list_transform(a, x -> x * 2), ',') AS doubled,
+       array_to_string(list_filter(a, x -> x > 1000), ',') AS big_vals,
+       CAST(len(list_filter(a, x -> x > 1000)) > 0 AS BOOLEAN) AS any_big,
+       CAST(len(list_filter(a, x -> NOT (x >= 0))) = 0 AS BOOLEAN) AS all_nonneg,
+       CAST(list_sum(a) AS BIGINT) AS total,
+       array_to_string(list_sort(a), ',') AS sorted_a,
+       array_to_string(list_reverse(a), ',') AS reversed_a,
+       array_to_string(list_slice(a, 2, 3), ',') AS mid_slice,
+       array_to_string(generate_series(1, l_linenumber), ',') AS seq_ln,
+       array_to_string(flatten([a, list_reverse(a)]), ',') AS doubled_up,
+       CAST(list_position(a, CAST(l_quantity AS BIGINT)) AS INTEGER) AS qty_pos
+FROM (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         [CAST(l_quantity AS BIGINT),
+          CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT),
+          CAST(floor(l_discount * 100 + 0.5) AS BIGINT),
+          CAST(floor(l_tax * 100 + 0.5) AS BIGINT)] AS a
+  FROM lineitem
+) t
+""",
+)
+def higher_order_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    arr = F.array(
+        F.col("l_quantity").cast("bigint"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint"),
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint"),
+        F.floor(F.col("l_tax") * 100 + 0.5).cast("bigint"),
+    )
+    base = li.select("l_orderkey", "l_linenumber", "l_quantity", arr.alias("a"))
+    a = F.col("a")
+    j = lambda c: F.array_join(c, ",")  # noqa: E731
+    return base.select(
+        "l_orderkey",
+        "l_linenumber",
+        j(F.transform(a, lambda x: x * 2)).alias("doubled"),
+        j(F.filter(a, lambda x: x > 1000)).alias("big_vals"),
+        F.exists(a, lambda x: x > 1000).alias("any_big"),
+        F.forall(a, lambda x: x >= 0).alias("all_nonneg"),
+        F.aggregate(a, F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("total"),
+        j(F.sort_array(a)).alias("sorted_a"),
+        j(F.reverse(a)).alias("reversed_a"),
+        j(F.slice(a, 2, 2)).alias("mid_slice"),
+        j(F.sequence(F.lit(1), F.col("l_linenumber"))).alias("seq_ln"),
+        j(F.flatten(F.array(a, F.reverse(a)))).alias("doubled_up"),
+        F.array_position(a, F.col("l_quantity").cast("bigint"))
+        .cast("int")
+        .alias("qty_pos"),
+    )
