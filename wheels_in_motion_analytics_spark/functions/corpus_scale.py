@@ -28,6 +28,7 @@ import pyspark.sql.functions as F
 
 from wheels_in_motion_analytics_spark.functions.similarity import (
     ANN_DIM,
+    _oracle_lsh_topk,
     doc_shingles_of,
     fingerprint,
     hash_hex,
@@ -138,15 +139,33 @@ def scaled_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(hashed)
 
 
+_ORACLE_EXPANDED_NN = f"""
+base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS el
+  FROM embeddings
+),
+expanded_emb AS (
+  SELECT b.vec_id * {CORPUS_FACTOR} + r.rep AS vec_id,
+         CASE WHEN r.rep = 0 THEN el
+              ELSE list_concat(list_slice(el, r.rep + 1, {ANN_DIM}),
+                               list_slice(el, 1, r.rep))
+         END AS e
+  FROM base b
+  CROSS JOIN (SELECT unnest(range({CORPUS_FACTOR})) AS rep) r
+),
+nn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM expanded_emb)"""
+
+
 @register(
     "scaled_ann_lsh",
     category="similarity",
     doc=f"Bucketed LSH ANN at {CORPUS_FACTOR}× corpus (32k vectors at sf0.1 "
     f"bench): {SCALED_ANN_TABLES} tables × {SCALED_ANN_BITS}-bit buckets — "
     "the bucket count scales with the corpus so per-bucket candidate sets "
-    "stay bounded. Rows-only check (structure asserted in "
-    "tests/test_similarity.py).",
-    oracle=None,
+    "stay bounded. Fully oracle-checked (rotation expansion + planes + "
+    "re-rank replicated in DuckDB); structure additionally asserted in "
+    "tests/test_similarity.py.",
+    oracle=_oracle_lsh_topk(SCALED_ANN_TABLES, SCALED_ANN_BITS, _ORACLE_EXPANDED_NN),
 )
 def scaled_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(

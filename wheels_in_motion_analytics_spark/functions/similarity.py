@@ -9,8 +9,10 @@ Design for 100 TB:
   which are *banded* (LSH) so the join key space is tiny versus an all-pairs
   comparison. Brute-force all-pairs variants exist as correctness baselines
   and are marked as such.
-* All hashing is md5-derived and engine-portable, so every op except the ANN
-  bucket path is fully oracle-checkable in DuckDB with identical constants.
+* All hashing is md5-derived and engine-portable (and the ANN hyperplanes
+  are md5-seeded doubles embedded as literals in the oracle SQL), so every
+  op except the IVF path is fully oracle-checkable in DuckDB with identical
+  constants.
 * Everything is Catalyst built-ins (explode / higher-order array functions /
   window) — no Python UDF anywhere.
 """
@@ -742,6 +744,58 @@ def lsh_topk(vectors: DataFrame, tables: int = ANN_TABLES, bits: int = ANN_BITS)
     )
 
 
+def _oracle_lsh_topk(
+    tables: int = ANN_TABLES,
+    bits_per_table: int = ANN_BITS,
+    norm_cte: str | None = None,
+) -> str:
+    """DuckDB rendition of the full LSH pipeline: the md5-seeded planes are
+    embedded as repr'd double literals (bit-identical parse), bucket bits
+    from the same >= 0 sign rule, candidates from the same (tbl, bucket)
+    ordered-pair join, cosine rounded to 4 decimals with the same
+    neighbor_id tiebreak. ``norm_cte`` must end with an ``nn`` CTE exposing
+    (vec_id, e double[], nrm); defaults to the raw embeddings table."""
+    planes = _hyperplanes(tables * bits_per_table)
+    per_table = []
+    for t in range(tables):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(e, [{', '.join(repr(v) for v in planes[t * bits_per_table + i])}]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(bits_per_table)
+        )
+        per_table.append(
+            f"SELECT vec_id, {t} AS tbl, ({bits}) AS bucket FROM nn"
+        )
+    sig_sql = "\n  UNION ALL ".join(per_table)
+    return f"""
+WITH {norm_cte if norm_cte is not None else _ORACLE_NORM},
+sig AS (
+  {sig_sql}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS qa, b.vec_id AS qb
+  FROM sig a JOIN sig b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT qa AS query_id, qb AS neighbor_id,
+         round(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 4) AS cosine
+  FROM cand JOIN nn x ON qa = x.vec_id JOIN nn y ON qb = y.vec_id
+),
+mirrored AS (
+  SELECT query_id, neighbor_id, cosine FROM scored
+  UNION ALL
+  SELECT neighbor_id AS query_id, query_id AS neighbor_id, cosine FROM scored
+)
+SELECT query_id, neighbor_id, cosine FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM mirrored
+) WHERE rn = 1
+"""
+
+
 @register(
     "ann_lsh_bucketed",
     category="similarity",
@@ -751,9 +805,12 @@ def lsh_topk(vectors: DataFrame, tables: int = ANN_TABLES, bits: int = ANN_BITS)
     "broadcast); top-1 per query. The 100 TB path: per-table bucket joins "
     "are hash joins on (table, bucket) and the candidate set is a few "
     "buckets, never the corpus. (tables × bits) is the recall/cost dial — "
-    "more tables = higher recall, more candidates. Rows-only check (recall "
-    "vs brute force asserted in tests/test_similarity.py).",
-    oracle=None,
+    "more tables = higher recall, more candidates. Fully oracle-checked: "
+    "the md5-seeded planes embed as double literals in the DuckDB SQL, so "
+    "bucketing, candidate join, re-rank and tiebreak are all replicated "
+    "(recall vs brute force additionally asserted in "
+    "tests/test_similarity.py).",
+    oracle=_oracle_lsh_topk(),
 )
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
