@@ -37,7 +37,7 @@ def main() -> None:
 
     # min over iterations: steady-state per-query cost, robust to GC/JIT
     # noise from neighboring queries in the same JVM.
-    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     timings: dict[str, float] = {}
     for name in sorted(specs):
         best = float("inf")
@@ -64,6 +64,9 @@ def main() -> None:
         "similarity_topk_bruteforce",
         "ann_lsh_bucketed",
         "corpus_quality_pipeline",
+        "local_supplier_volume",
+        "lm_bigram_perplexity",
+        "embedding_random_projection",
         "percentile_exact",
         "salted_skew_join",
         "asof_join_last_signup",

@@ -173,7 +173,11 @@ def lateral_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         table(spark, sf_dir, "documents")
         .select("doc_id", tokens(F.col("text")).alias("ws"))
-        .select("doc_id", F.posexplode("ws").alias("pos", "tok"))
+        # posexplode_outer, not posexplode: the non-outer form makes the
+        # optimizer infer a size()>0 filter that inlines the tokenizer a
+        # second (and third) time below the Generate (see ngram_bigram_topk)
+        .select("doc_id", F.posexplode_outer("ws").alias("pos", "tok"))
+        .where(F.col("tok").isNotNull())
     )
 
 
