@@ -320,3 +320,133 @@ def percentile_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("pcts", 2).alias("p90"),
         )
     )
+
+
+@register(
+    "moment_stats_suite",
+    category="aggregates",
+    doc="Higher-moment statistics per group — skewness/kurtosis derived from "
+    "exact decimal power sums (Σq, Σq², Σq³, Σq⁴) with the IDENTICAL "
+    "closed-form expression on both engines (built-in skewness()/kurtosis() "
+    "differ across engines in bias correction), plus exact interpolated "
+    "median on integral quantities. Power sums accumulate in DECIMAL(38,0)-"
+    "range so the op survives 10^13-row groups.",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       round(CAST(SUM(CAST(l_quantity AS DECIMAL(38,1))) AS DOUBLE) / COUNT(*), 6) AS mean_qty,
+       round(
+         (CAST(SUM(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(38,1))) AS DOUBLE) / COUNT(*)
+          - 3 * (CAST(SUM(CAST(l_quantity AS DECIMAL(38,1))) AS DOUBLE) / COUNT(*))
+              * (CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,1))) AS DOUBLE) / COUNT(*))
+          + 2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(38,1))) AS DOUBLE) / COUNT(*))
+              * (CAST(SUM(CAST(l_quantity AS DECIMAL(38,1))) AS DOUBLE) / COUNT(*))
+              * (CAST(SUM(CAST(l_quantity AS DECIMAL(38,1))) AS DOUBLE) / COUNT(*)))
+         / ((CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,1))) AS DOUBLE) / COUNT(*)
+             - (CAST(SUM(CAST(l_quantity AS DECIMAL(38,1))) AS DOUBLE) / COUNT(*))
+               * (CAST(SUM(CAST(l_quantity AS DECIMAL(38,1))) AS DOUBLE) / COUNT(*)))
+            * sqrt(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,1))) AS DOUBLE) / COUNT(*)
+                   - (CAST(SUM(CAST(l_quantity AS DECIMAL(38,1))) AS DOUBLE) / COUNT(*))
+                     * (CAST(SUM(CAST(l_quantity AS DECIMAL(38,1))) AS DOUBLE) / COUNT(*)))),
+         6) AS skew_qty,
+       round(median(l_quantity), 6) AS median_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def moment_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    s1 = F.sum(q.cast("decimal(38,1)")).cast("double")
+    s2 = F.sum((q * q).cast("decimal(38,1)")).cast("double")
+    s3 = F.sum((q * q * q).cast("decimal(38,1)")).cast("double")
+    n = F.count(F.lit(1))
+    grouped = li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+        s3.alias("s3"),
+        F.median(q).alias("med"),
+    )
+    m1 = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n")
+    m3 = F.col("s3") / F.col("n")
+    var = m2 - m1 * m1
+    skew = (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / (var * F.sqrt(var))
+    return grouped.select(
+        "l_returnflag",
+        "n",
+        F.round(m1, 6).alias("mean_qty"),
+        F.round(skew, 6).alias("skew_qty"),
+        F.round("med", 6).alias("median_qty"),
+    )
+
+
+@register(
+    "mode_argminmax_suite",
+    category="aggregates",
+    doc="Deterministic mode + arg-min/arg-max per group: built-in mode() is "
+    "tie-arbitrary on BOTH engines, so the mode is a count aggregate plus a "
+    "rank window with a total-order tiebreak; first/last order ids use "
+    "min_by/max_by (arg_min/arg_max) on a composite days*grid+key sort key "
+    "that stays unique and overflow-safe at fact scale.",
+    oracle="""
+WITH counted AS (
+  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS c
+  FROM orders GROUP BY 1, 2
+),
+ranked AS (
+  SELECT o_orderpriority, o_orderstatus, c,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY c DESC, o_orderstatus ASC) AS rn
+  FROM counted
+),
+ends AS (
+  SELECT o_orderpriority,
+         arg_min(o_orderkey,
+                 date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+                 * 10000000000 + o_orderkey) AS first_orderkey,
+         arg_max(o_orderkey,
+                 date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+                 * 10000000000 + o_orderkey) AS last_orderkey
+  FROM orders GROUP BY 1
+)
+SELECT r.o_orderpriority, r.o_orderstatus AS mode_status, r.c AS mode_count,
+       e.first_orderkey, e.last_orderkey
+FROM ranked r JOIN ends e USING (o_orderpriority)
+WHERE r.rn = 1
+""",
+)
+def mode_argminmax_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    counted = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("c"), F.asc("o_orderstatus")
+    )
+    ranked = (
+        counted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("mode_status"),
+            F.col("c").alias("mode_count"),
+        )
+    )
+    skey = (
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).cast(
+            "bigint"
+        )
+        * F.lit(10000000000)
+        + F.col("o_orderkey")
+    )
+    ends = orders.groupBy("o_orderpriority").agg(
+        F.min_by("o_orderkey", skey).alias("first_orderkey"),
+        F.max_by("o_orderkey", skey).alias("last_orderkey"),
+    )
+    return ranked.join(ends, "o_orderpriority").select(
+        "o_orderpriority", "mode_status", "mode_count", "first_orderkey", "last_orderkey"
+    )

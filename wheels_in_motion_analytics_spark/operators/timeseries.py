@@ -214,3 +214,59 @@ def dq_violating_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.where(F.expr(any_pred)).select(
         "l_orderkey", "l_linenumber", failed.alias("failed_rules")
     )
+
+
+@register(
+    "ohlc_resample_5min",
+    category="timeseries",
+    doc="Downsample the event stream into 5-minute OHLC bars per event "
+    "type: open/close via min_by/max_by on a composite (ts, event_id) "
+    "sort key (total order — no first()/last() nondeterminism), high/low "
+    "as plain min/max, volume decimal-accumulated. One map-side-combinable "
+    "aggregate; at 100 TB this is the standard telemetry rollup shape.",
+    oracle=f"""
+SELECT event_type,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP)
+         + INTERVAL (CAST(minute(ts) AS INTEGER) // 5 * 5) MINUTE AS bar_ts,
+       arg_min(value, date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00', ts)
+                      * 100000 + event_id) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00', ts)
+                      * 100000 + event_id) AS close,
+       COUNT(*) AS n_events,
+       {{dsum}} AS volume
+FROM events
+GROUP BY 1, 2
+""".format(dsum="CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)"),
+)
+def ohlc_resample_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    # Ordering key: wall-clock microseconds from a fixed anchor (tz-free on
+    # both engines) scaled, plus event_id as the total-order tiebreak.
+    skey = (
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+        )
+        * F.lit(100000)
+        + F.col("event_id")
+    )
+    # Bar label: pure wall-clock arithmetic on the NTZ value — no session
+    # timezone anywhere in the plan.
+    bar = F.date_trunc("hour", F.col("ts")) + F.make_dt_interval(
+        mins=F.floor(F.minute("ts") / 5) * 5
+    )
+    return (
+        ev.groupBy(
+            "event_type",
+            bar.cast("timestamp_ntz").alias("bar_ts"),
+        )
+        .agg(
+            F.min_by("value", skey).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", skey).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("volume"),
+        )
+    )
