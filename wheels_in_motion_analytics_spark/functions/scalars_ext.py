@@ -169,3 +169,74 @@ def higher_order_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("qty_pos"),
     )
+
+
+@register(
+    "null_semantics_suite",
+    category="scalars",
+    doc="NULL semantics end-to-end: nullif manufactures NULLs (the testdata "
+    "ships none), then coalesce/ifnull/nvl2/null-safe equality (<=> / IS "
+    "NOT DISTINCT FROM) and NULL-vs-zero arithmetic propagation — the "
+    "corner every SQL port gets wrong first.",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       nullif(l_discount, 0.0) AS d_null,
+       coalesce(nullif(l_discount, 0.0), -1.0) AS d_coalesced,
+       CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 'no-disc' ELSE 'disc' END AS d_tag,
+       (nullif(l_discount, 0.0) IS NOT DISTINCT FROM nullif(l_tax, 0.0)) AS d_eq_t_nullsafe,
+       (nullif(l_discount, 0.0) = nullif(l_tax, 0.0)) AS d_eq_t_plain,
+       round(nullif(l_discount, 0.0) * 100, 6) AS d_scaled_nullprop,
+       CAST(count(nullif(l_discount, 0.0)) OVER () AS BIGINT) AS nonnull_total
+FROM lineitem
+""",
+)
+def null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    d = F.nullif(F.col("l_discount"), F.lit(0.0))
+    t = F.nullif(F.col("l_tax"), F.lit(0.0))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        d.alias("d_null"),
+        F.coalesce(d, F.lit(-1.0)).alias("d_coalesced"),
+        F.when(d.isNull(), "no-disc").otherwise("disc").alias("d_tag"),
+        d.eqNullSafe(t).alias("d_eq_t_nullsafe"),
+        (d == t).alias("d_eq_t_plain"),
+        F.round(d * 100, 6).alias("d_scaled_nullprop"),
+        F.count(d).over(Window.partitionBy()).alias("nonnull_total"),
+    )
+
+
+@register(
+    "conditional_agg_suite",
+    category="aggregates",
+    doc="Conditional/boolean aggregates per group: count_if, bool_and/"
+    "bool_or, conditional decimal sums (FILTER-style), and null-aware "
+    "count over a manufactured nullable column.",
+    oracle="""
+SELECT l_returnflag,
+       count_if(l_quantity > 25) AS n_big,
+       bool_and(l_quantity > 0) AS all_positive,
+       bool_or(l_discount > 0.09) AS any_deep_discount,
+       CAST(SUM(CAST(CASE WHEN l_quantity > 25 THEN l_extendedprice ELSE 0 END
+                AS DECIMAL(18,4))) AS DOUBLE) AS big_revenue,
+       COUNT(nullif(l_discount, 0.0)) AS n_discounted
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def conditional_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.compat import dsum
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") > 25).alias("n_big"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        dsum(
+            F.when(F.col("l_quantity") > 25, F.col("l_extendedprice")).otherwise(0.0)
+        ).alias("big_revenue"),
+        F.count(F.nullif(F.col("l_discount"), F.lit(0.0))).alias("n_discounted"),
+    )

@@ -375,3 +375,58 @@ def cdc_merge_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame
 
     table_path = tempfile.mkdtemp(prefix="cdc_dyn_")
     return run_partitioned_cdc(spark, sf_dir, table_path)
+
+
+@register(
+    "scd2_customer_status_history",
+    category="cdc",
+    doc="Slowly-Changing-Dimension Type 2 build: per-customer order-status "
+    "history compressed to change intervals (valid_from / valid_to / "
+    "is_current) via change-detection lag + lead windows over "
+    "(o_orderdate, o_orderkey) — one customer-keyed shuffle, the standard "
+    "warehouse dimension-history pattern (reference analogue: the serving "
+    "dims rebuilt per load, proc_2_GCS_to_BQ_dag.py WRITE_TRUNCATE).",
+    oracle="""
+WITH ordered AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         lag(o_orderstatus) OVER w AS prev_status
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+changes AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+  FROM ordered
+  WHERE prev_status IS NULL OR o_orderstatus <> prev_status
+)
+SELECT o_custkey AS custkey, o_orderstatus AS status,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS valid_to,
+       (lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) IS NULL)
+         AS is_current
+FROM changes
+""",
+)
+def scd2_customer_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = orders.withColumn(
+        "prev_status", F.lag("o_orderstatus").over(w)
+    ).where(
+        F.col("prev_status").isNull()
+        | (F.col("o_orderstatus") != F.col("prev_status"))
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w2)
+    return changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
