@@ -1,0 +1,65 @@
+"""Versioned-table contract: time travel, snapshot isolation, commit CAS,
+and manifest-over-listing reads."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_SMALL
+from wheels_in_motion_analytics_spark.sources.versioned import (
+    VersionConflict,
+    commit,
+    current_version,
+    read_version,
+)
+
+
+@pytest.fixture()
+def orders(spark):
+    from wheels_in_motion_analytics_spark.tables import table
+
+    return table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def test_time_travel_reads_each_version(spark, orders, tmp_path):
+    root = str(tmp_path / "t")
+    first = orders.limit(100)
+    commit(first, root, mode="overwrite")
+    commit(orders.limit(250).subtract(first), root, mode="append")
+    assert current_version(root) == 2
+    assert read_version(spark, root, 1).count() == 100
+    assert read_version(spark, root, 2).count() == 250
+    assert read_version(spark, root).count() == 250  # latest
+
+
+def test_overwrite_does_not_disturb_old_snapshots(spark, orders, tmp_path):
+    root = str(tmp_path / "t")
+    commit(orders, root, mode="overwrite")
+    v1_total = read_version(spark, root, 1).agg(F.sum("o_orderkey")).first()[0]
+    commit(orders.withColumn("o_orderkey", F.col("o_orderkey") * 0), root, mode="overwrite")
+    # v2 sees zeroed keys; v1 is byte-stable
+    assert read_version(spark, root, 2).agg(F.sum("o_orderkey")).first()[0] == 0
+    assert read_version(spark, root, 1).agg(F.sum("o_orderkey")).first()[0] == v1_total
+
+
+def test_commit_cas_rejects_stale_writer(spark, orders, tmp_path):
+    root = str(tmp_path / "t")
+    commit(orders.limit(10), root, mode="overwrite")
+    with pytest.raises(VersionConflict):
+        commit(orders.limit(5), root, mode="append", expected_version=0)
+    assert current_version(root) == 1
+
+
+def test_orphan_files_invisible_to_readers(spark, orders, tmp_path):
+    """Files in the data dir without a manifest entry (failed commit
+    leftovers) must not surface in reads."""
+    root = str(tmp_path / "t")
+    commit(orders.limit(50), root, mode="overwrite")
+    orphan_dir = os.path.join(root, "data", "v999")
+    orders.limit(7).write.parquet(orphan_dir)
+    assert read_version(spark, root).count() == 50

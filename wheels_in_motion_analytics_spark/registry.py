@@ -77,6 +77,7 @@ _QUERY_MODULES = [
     "wheels_in_motion_analytics_spark.sources.manifest",
     "wheels_in_motion_analytics_spark.sources.partitioned",
     "wheels_in_motion_analytics_spark.sources.cdc",
+    "wheels_in_motion_analytics_spark.sources.versioned",
     "wheels_in_motion_analytics_spark.sources.formats",
 ]
 

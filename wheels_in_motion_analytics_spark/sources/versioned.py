@@ -1,0 +1,182 @@
+"""Versioned parquet table with snapshot isolation and time travel — the
+transaction-log-lite the environment's missing Delta/Iceberg would provide.
+
+Layout::
+
+    <root>/data/v{N}-*.parquet      immutable data files
+    <root>/_log/v{N}.json           commit manifest: files + op + counts
+
+A *commit* writes new data files, then publishes the manifest via an
+atomic ``os.rename`` — readers either see the old version or the new one,
+never a half-written directory listing (the same single-writer atomic-
+rename contract Delta's _delta_log relies on). Old files are never mutated
+or deleted, so every historical version stays readable (time travel) and
+in-flight readers of version N are isolated from a concurrent commit of
+N+1. Optimistic concurrency: committing version N fails if ``v{N}.json``
+already exists (compare-and-swap on the log entry).
+
+``append`` commits reference the parent's files plus the new ones;
+``overwrite`` commits reference only the new ones. Readers NEVER list the
+data directory — the manifest is the source of truth, so stale files from
+failed commits are invisible (exactly the property directory-listing
+parquet lacks).
+
+Reference analogue: the serving loads are WRITE_TRUNCATE per run
+(proc_2_GCS_to_BQ_dag.py:89-91) — correct but destroys history; this keeps
+every load addressable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from wheels_in_motion_analytics_spark.registry import register
+from wheels_in_motion_analytics_spark.tables import table
+
+
+class VersionConflict(RuntimeError):
+    """Another writer committed this version first (CAS failure)."""
+
+
+def _log_dir(root: str) -> str:
+    return os.path.join(root, "_log")
+
+
+def _data_dir(root: str) -> str:
+    return os.path.join(root, "data")
+
+
+def current_version(root: str) -> int:
+    """Highest committed version, or 0 if the table is empty."""
+    log = _log_dir(root)
+    if not os.path.isdir(log):
+        return 0
+    versions = [
+        int(f[1:-5])
+        for f in os.listdir(log)
+        if f.startswith("v") and f.endswith(".json")
+    ]
+    return max(versions, default=0)
+
+
+def _manifest(root: str, version: int) -> dict:
+    with open(os.path.join(_log_dir(root), f"v{version}.json")) as fh:
+        return json.load(fh)
+
+
+def commit(
+    df: DataFrame,
+    root: str,
+    mode: str = "append",
+    expected_version: int | None = None,
+) -> int:
+    """Write ``df`` as a new table version; returns the committed version.
+
+    ``expected_version`` (optimistic CAS): fail with VersionConflict if the
+    table has moved past it. Data files are written BEFORE the manifest
+    rename, so a crash mid-commit leaves only invisible orphans.
+    """
+    os.makedirs(_log_dir(root), exist_ok=True)
+    os.makedirs(_data_dir(root), exist_ok=True)
+    base = current_version(root)
+    if expected_version is not None and base != expected_version:
+        raise VersionConflict(f"expected v{expected_version}, table is at v{base}")
+    version = base + 1
+
+    # Stage data files into a version-scoped subdirectory (names never
+    # collide across versions, files stay immutable).
+    stage = os.path.join(_data_dir(root), f"v{version}")
+    df.write.mode("errorifexists").parquet(stage)
+    new_files = sorted(
+        os.path.join(f"v{version}", f)
+        for f in os.listdir(stage)
+        if f.endswith(".parquet")
+    )
+    if mode == "append" and base > 0:
+        files = _manifest(root, base)["files"] + new_files
+    else:
+        files = new_files
+
+    manifest = {"version": version, "mode": mode, "files": files}
+    final = os.path.join(_log_dir(root), f"v{version}.json")
+    fd, tmp = tempfile.mkstemp(dir=_log_dir(root), suffix=".tmp")
+    with os.fdopen(fd, "w") as fh:
+        json.dump(manifest, fh)
+    if os.path.exists(final):  # CAS on the log entry
+        os.unlink(tmp)
+        raise VersionConflict(f"v{version} already committed")
+    os.rename(tmp, final)  # atomic publish
+    return version
+
+
+def read_version(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read of ``version`` (default: latest). File list comes from
+    the manifest, never a directory listing."""
+    v = current_version(root) if version is None else version
+    if v == 0:
+        raise ValueError(f"versioned table at {root} has no commits")
+    files = [os.path.join(_data_dir(root), f) for f in _manifest(root, v)["files"]]
+    return spark.read.parquet(*files)
+
+
+@register(
+    "versioned_table_time_travel",
+    category="cdc",
+    doc="Snapshot-isolated versioned table: three commits (initial load, "
+    "append, overwrite-correction) then a TIME-TRAVEL read of v2 — the "
+    "pre-correction state — aggregated per status. Readers resolve files "
+    "from the atomic-rename commit log, never directory listings, so "
+    "v2 stays byte-stable after v3 overwrites. Oracle reproduces v2's "
+    "logical content (orders before the 1999 cutoff) relationally.",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM orders
+WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY o_orderstatus
+""",
+)
+def versioned_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    cut_v1 = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    cut_v2 = F.lit("1999-01-01 00:00:00").cast("timestamp")
+    root = tempfile.mkdtemp(prefix="versioned_")
+    # v1: initial load (pre-1997)
+    commit(orders.where(F.col("o_orderdate") < cut_v1), root, mode="overwrite")
+    # v2: append 1997-1998
+    commit(
+        orders.where(
+            (F.col("o_orderdate") >= cut_v1) & (F.col("o_orderdate") < cut_v2)
+        ),
+        root,
+        mode="append",
+        expected_version=1,
+    )
+    # v3: full correction overwrite (everything, prices zeroed — a bad load
+    # the time-travel read must NOT see)
+    commit(
+        orders.withColumn("o_totalprice", F.lit(0.0)),
+        root,
+        mode="overwrite",
+        expected_version=2,
+    )
+    return (
+        read_version(spark, root, version=2)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
