@@ -221,3 +221,74 @@ def asof_join_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         purchases, views, on="user_id", left_ts="ts", right_ts="v_ts", right_cols=["last_view_ts"]
     ).select("event_id", "user_id", "ts", "last_view_ts")
+
+
+@register(
+    "fk_integrity_audit",
+    category="dq",
+    doc="Referential-integrity audit across the whole star in one result: "
+    "orphan counts for lineitem→orders, lineitem→part, lineitem→supplier, "
+    "orders→customer via anti-join counts, unioned with PK duplicate "
+    "counts for each key. Every branch is a semi/anti join or a count "
+    "aggregate — the scheduled consistency check of a serving layer.",
+    oracle="""
+SELECT 'lineitem->orders orphans' AS check_name,
+       (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_bad
+UNION ALL
+SELECT 'lineitem->part orphans',
+       (SELECT COUNT(*) FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+UNION ALL
+SELECT 'lineitem->supplier orphans',
+       (SELECT COUNT(*) FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+UNION ALL
+SELECT 'orders->customer orphans',
+       (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+UNION ALL
+SELECT 'orders pk duplicates',
+       (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1))
+UNION ALL
+SELECT 'lineitem pk duplicates',
+       (SELECT COUNT(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem
+                              GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1))
+ORDER BY check_name
+""",
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+
+    def orphans(fact, key, dim, dim_key):
+        return fact.join(
+            dim, F.col(key) == F.col(dim_key), "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_bad"))
+
+    def dupes(df, *keys):
+        return (
+            df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") > 1)
+            .agg(F.count(F.lit(1)).alias("n_bad"))
+        )
+
+    checks = [
+        ("lineitem->orders orphans",
+         orphans(li, "l_orderkey", orders.select("o_orderkey"), "o_orderkey")),
+        ("lineitem->part orphans",
+         orphans(li, "l_partkey",
+                 table(spark, sf_dir, "part").select("p_partkey"), "p_partkey")),
+        ("lineitem->supplier orphans",
+         orphans(li, "l_suppkey",
+                 table(spark, sf_dir, "supplier").select("s_suppkey"), "s_suppkey")),
+        ("orders->customer orphans",
+         orphans(orders, "o_custkey",
+                 table(spark, sf_dir, "customer").select("c_custkey"), "c_custkey")),
+        ("orders pk duplicates", dupes(orders, "o_orderkey")),
+        ("lineitem pk duplicates", dupes(li, "l_orderkey", "l_linenumber")),
+    ]
+    out = None
+    for name, df in checks:
+        branch = df.select(
+            F.lit(name).alias("check_name"), F.col("n_bad").cast("bigint")
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out.orderBy("check_name")

@@ -180,3 +180,78 @@ def versioned_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+@register(
+    "snapshot_diff_orders",
+    category="cdc",
+    doc="Snapshot reconciliation: FULL OUTER join of two table states on "
+    "the primary key, classifying every key as added / removed / changed / "
+    "unchanged (payload compared via md5 over a canonical column render). "
+    "The audit every CDC/backfill pipeline runs after a load; one key "
+    "shuffle, counts map-side combined.",
+    oracle="""
+WITH v_old AS (
+  SELECT o_orderkey,
+         md5(CAST(o_orderstatus AS VARCHAR) || '|' ||
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)) AS payload
+  FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+),
+v_new AS (
+  SELECT o_orderkey,
+         md5(CAST(CASE WHEN o_orderstatus = 'P' THEN 'F' ELSE o_orderstatus END
+                  AS VARCHAR) || '|' ||
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)) AS payload
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+)
+SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            WHEN o.payload <> n.payload THEN 'changed'
+            ELSE 'unchanged' END AS change_type,
+       COUNT(*) AS n_keys
+FROM v_old o FULL OUTER JOIN v_new n ON o.o_orderkey = n.o_orderkey
+GROUP BY 1
+ORDER BY change_type
+""",
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+
+    def payload(status_col):
+        return F.md5(
+            F.concat_ws(
+                "|",
+                status_col.cast("string"),
+                F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+            )
+        )
+
+    old = orders.where(
+        F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp")
+    ).select(
+        F.col("o_orderkey").alias("k_old"),
+        payload(F.col("o_orderstatus")).alias("p_old"),
+    )
+    new = orders.where(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    ).select(
+        F.col("o_orderkey").alias("k_new"),
+        payload(
+            F.when(F.col("o_orderstatus") == "P", "F").otherwise(
+                F.col("o_orderstatus")
+            )
+        ).alias("p_new"),
+    )
+    change = (
+        F.when(F.col("k_old").isNull(), "added")
+        .when(F.col("k_new").isNull(), "removed")
+        .when(F.col("p_old") != F.col("p_new"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        old.join(new, F.col("k_old") == F.col("k_new"), "full_outer")
+        .select(change.alias("change_type"))
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .orderBy("change_type")
+    )
