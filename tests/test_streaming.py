@@ -249,3 +249,19 @@ def test_stream_static_join_enriches_events(spark, stream_dir):
     seg = {r.user_id: r.c_mktsegment for r in static_dim.collect()}
     for r in out.collect():
         assert r.c_mktsegment == seg.get(r.user_id)
+
+
+def test_ohlc_bars_stream_matches_batch(spark, stream_dir):
+    from wheels_in_motion_analytics_spark.streaming.windows import ohlc_agg
+
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    out = _run_to_memory(
+        spark, stream_events(spark, stream_dir, ohlc_agg), name, "complete"
+    )
+    got = {tuple(r) for r in out.collect()}
+    # batch side through the same instant cast the stream boundary applies
+    batch = table(spark, SF_SMALL, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    expected = {tuple(r) for r in ohlc_agg(batch).collect()}
+    assert got == expected

@@ -178,3 +178,64 @@ SELECT DISTINCT user_id, event_type, event_id FROM events
 )
 def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "events").select("user_id", "event_type", "event_id").distinct()
+
+
+def ohlc_agg(df: DataFrame, ts: str = "ts") -> DataFrame:
+    """5-minute OHLC bars per event type — open/close via min_by/max_by on
+    an anchored wall-clock microsecond key (mergeable aggregates, so the
+    incremental streaming execution produces the same bars as batch)."""
+    skey = (
+        F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP '2024-01-01 00:00:00', {ts})"
+        )
+        * F.lit(100000)
+        + F.col("event_id")
+    )
+    return (
+        df.groupBy(F.window(ts, "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", skey).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", skey).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("volume"),
+        )
+        .select(
+            F.col("w.start").alias("bar_start"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "volume",
+        )
+    )
+
+
+@register(
+    "stream_ohlc_bars",
+    category="streaming",
+    doc="Streaming OHLC downsampling (batch-parity form): 5-minute bars per "
+    "event type with open/close as min_by/max_by over an anchored "
+    "wall-clock key — all aggregates mergeable, so watermarked incremental "
+    "execution finalizes identical bars (readStream parity in "
+    "tests/test_streaming.py).",
+    oracle=f"""
+SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS bar_start,
+       event_type,
+       arg_min(value, date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00', ts)
+                      * 100000 + event_id) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00', ts)
+                      * 100000 + event_id) AS close,
+       COUNT(*) AS n_events,
+       {oracle_dsum('value')} AS volume
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ohlc_agg(table(spark, sf_dir, "events"))
