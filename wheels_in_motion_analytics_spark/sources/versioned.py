@@ -255,3 +255,77 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_keys"))
         .orderBy("change_type")
     )
+
+
+def merge_agg_state(state: DataFrame, batch: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge a partial-aggregate batch into an aggregate state table: union
+    then re-sum. Works because (count, decimal-sum) are commutative
+    monoids — the core of incremental materialized-view maintenance."""
+    return (
+        state.unionByName(batch)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("total_q").alias("total_q"),
+        )
+    )
+
+
+def _order_agg_batch(orders: DataFrame) -> DataFrame:
+    """Partial aggregate of one order batch in mergeable form (decimal sum
+    kept as DECIMAL so later merges stay exact)."""
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("total_q"),
+    )
+
+
+@register(
+    "incremental_agg_maintenance",
+    category="cdc",
+    doc="Incremental materialized-view maintenance: a per-status aggregate "
+    "state table is seeded from the initial load, then two later batches "
+    "are merged as PARTIAL aggregates (union + re-sum of count/decimal-sum "
+    "monoids) — each refresh touches only the batch plus the tiny state, "
+    "never the full history. Every state version commits to the versioned "
+    "table (atomic rename, time-travelable). Oracle: the equivalent "
+    "one-shot aggregate over the full input — incremental == full is the "
+    "correctness property of the pattern.",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    c1 = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    c2 = F.lit("1999-01-01 00:00:00").cast("timestamp")
+    root = tempfile.mkdtemp(prefix="incr_agg_")
+    commit(
+        _order_agg_batch(orders.where(F.col("o_orderdate") < c1)).coalesce(1),
+        root,
+        mode="overwrite",
+    )
+    for batch_filter in (
+        (F.col("o_orderdate") >= c1) & (F.col("o_orderdate") < c2),
+        F.col("o_orderdate") >= c2,
+    ):
+        # No localCheckpoint needed: a commit writes into a NEW version
+        # directory, never over the files the state read came from.
+        # coalesce(1): the state is O(|groups|) rows — one file per version.
+        merged = merge_agg_state(
+            read_version(spark, root),
+            _order_agg_batch(orders.where(batch_filter)),
+            ["o_orderstatus"],
+        ).coalesce(1)
+        commit(merged, root, mode="overwrite")
+    return read_version(spark, root).select(
+        "o_orderstatus",
+        "n_orders",
+        F.col("total_q").cast("double").alias("total_value"),
+    )
