@@ -247,3 +247,55 @@ def multimodal_dedup_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bytes").alias("dup_bytes"),
         )
     )
+
+
+@register(
+    "multimodal_resize_digest",
+    category="multimodal",
+    doc="Resize plumbing verified end-to-end: the Arrow mapInPandas resize "
+    "(deterministic-fake codec — truncate/pad byte stream to w*h pixels) "
+    "runs for real, and the output bytes are md5-digested so the oracle "
+    "replicates the byte arithmetic relationally. Proves batch shape, "
+    "schema, and byte-exact kernel behavior without PIL in the container.",
+    oracle="""
+SELECT doc_id,
+       CAST(64 AS BIGINT) AS n_bytes_out,
+       md5(substr(repeat(text, CAST(64 / greatest(length(text), 1) AS INTEGER) + 1),
+                  1, 64)) AS resized_md5
+FROM documents
+""",
+)
+def multimodal_resize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    resized = resize_media(media_table(spark, sf_dir), width=8, height=8)
+    return resized.select(
+        "doc_id",
+        "n_bytes_out",
+        F.md5(F.col("resized")).alias("resized_md5"),
+    )
+
+
+@register(
+    "multimodal_frame_digest",
+    category="multimodal",
+    doc="Frame-sampling plumbing verified end-to-end: the mapInPandas "
+    "flatMap (one media row → 4 stride-sliced 'frames') runs for real; "
+    "frame bytes are md5-digested and the oracle replicates the stride "
+    "slicing with substr arithmetic. The video-pipeline fan-out shape, "
+    "byte-exact.",
+    oracle="""
+SELECT doc_id,
+       CAST(i AS INTEGER) AS frame_idx,
+       md5(substr(text,
+                  i * (length(text) // 4) + 1,
+                  length(text) // 4)) AS frame_md5
+FROM documents
+CROSS JOIN (SELECT unnest(range(4)) AS i) idx
+""",
+)
+def multimodal_frame_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = sample_media_frames(media_table(spark, sf_dir), n_frames=4)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.md5(F.col("frame")).alias("frame_md5"),
+    )
