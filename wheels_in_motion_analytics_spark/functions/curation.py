@@ -409,3 +409,66 @@ def curate_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("kept_chars"),
         )
     )
+
+
+@register(
+    "curate_importance_sample",
+    category="curation",
+    doc="Quality-weighted (importance) sampling: each document is kept with "
+    "probability proportional to a quality score, decided by comparing the "
+    "score against a deterministic md5-uniform draw keyed on doc_id — "
+    "reproducible across runs/engines/partitionings, no rand() anywhere. "
+    "The standard way to upsample high-quality text without a global sort.",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id,
+         round(least(CAST(n_chars AS DOUBLE) / 400, 1.0), 6) AS quality,
+         CAST(('0x' || substr(md5('imp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              AS DOUBLE) / 1152921504606846976 AS draw
+  FROM documents
+)
+SELECT doc_id, quality, round(draw, 6) AS draw_r
+FROM scored
+WHERE draw < quality
+""",
+)
+def curate_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    quality = F.round(
+        F.least(F.col("n_chars").cast("double") / 400, F.lit(1.0)), 6
+    )
+    draw = (
+        hash_hex(F.concat(F.lit("imp:"), F.col("doc_id").cast("string"))).cast(
+            "double"
+        )
+        / F.lit(float(1 << 60))
+    )
+    return (
+        docs.select(
+            "doc_id", quality.alias("quality"), draw.alias("draw")
+        )
+        .where(F.col("draw") < F.col("quality"))
+        .select("doc_id", "quality", F.round("draw", 6).alias("draw_r"))
+    )
+
+
+@register(
+    "curate_curriculum_order",
+    category="curation",
+    doc="Curriculum assignment: documents ranked by a difficulty proxy "
+    "(length, tie-broken by doc_id) and cut into 4 curriculum phases with "
+    "ntile — short/easy documents first. One global-ish window bounded by "
+    "the rank state; at 100 TB the same shape runs per-shard with a "
+    "distributed ntile (range partition + offset).",
+    oracle="""
+SELECT doc_id, n_chars,
+       CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS INTEGER) AS phase
+FROM documents
+""",
+)
+def curate_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id", "n_chars", F.ntile(4).over(w).alias("phase")
+    )
