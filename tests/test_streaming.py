@@ -265,3 +265,27 @@ def test_ohlc_bars_stream_matches_batch(spark, stream_dir):
     )
     expected = {tuple(r) for r in ohlc_agg(batch).collect()}
     assert got == expected
+
+
+def test_chained_window_rollup_stream(spark, stream_dir):
+    """Two chained stateful operators (5-min bars -> hourly rollup of the
+    bar window column) run as ONE streaming query in append mode; every
+    hourly row the stream finalizes must equal the batch rollup for that
+    (hour, event_type)."""
+    from wheels_in_motion_analytics_spark.streaming.windows import bars_then_hourly
+
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    out = _run_to_memory(
+        spark, stream_events(spark, stream_dir, bars_then_hourly), name, "append"
+    )
+    got = {tuple(r) for r in out.collect()}
+    batch = bars_then_hourly(
+        table(spark, SF_SMALL, "events").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+    )
+    expected = {tuple(r) for r in batch.collect()}
+    # append mode only emits windows closed by the final watermark — the
+    # finalized set must be a non-trivial exact subset of batch
+    assert got, "stream emitted no finalized hourly windows"
+    assert got <= expected

@@ -270,3 +270,57 @@ def ohlc_resample_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("volume"),
         )
     )
+
+
+@register(
+    "funnel_view_click_purchase",
+    category="timeseries",
+    doc="Sequential funnel: per user, first 'view', first 'click' AFTER "
+    "that view, first 'purchase' after that click — stage user counts for "
+    "conversion analysis. Three user-keyed conditional-min aggregates "
+    "chained by strictly-later joins; every shuffle is on user_id, so the "
+    "whole funnel co-partitions at scale.",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT 'stage1_view' AS stage, COUNT(*) AS n_users FROM v
+UNION ALL SELECT 'stage2_click', COUNT(*) FROM c
+UNION ALL SELECT 'stage3_purchase', COUNT(*) FROM p
+ORDER BY stage
+""",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def first_after(etype: str, prev: DataFrame | None, t_col: str, out: str) -> DataFrame:
+        stage = ev.where(F.col("event_type") == etype)
+        if prev is not None:
+            stage = stage.join(prev, "user_id").where(F.col("ts") > F.col(t_col))
+        return stage.groupBy("user_id").agg(F.min("ts").alias(out))
+
+    v = first_after("view", None, "", "t1")
+    c = first_after("click", v, "t1", "t2")
+    p = first_after("purchase", c, "t2", "t3")
+    out = None
+    for stage, df in (
+        ("stage1_view", v),
+        ("stage2_click", c),
+        ("stage3_purchase", p),
+    ):
+        branch = df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(stage).alias("stage"), "n_users"
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out.orderBy("stage")

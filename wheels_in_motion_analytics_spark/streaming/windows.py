@@ -239,3 +239,51 @@ GROUP BY 1, 2
 )
 def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ohlc_agg(table(spark, sf_dir, "events"))
+
+
+def bars_then_hourly(df: DataFrame, ts: str = "ts") -> DataFrame:
+    """Two-level windowed rollup: 5-minute count/volume bars, then an
+    hourly aggregate OVER THE BARS (window-of-window — chained stateful
+    operators in streaming mode, Spark 3.4+). The partial bars make the
+    hourly state O(bars), not O(events)."""
+    bars = (
+        df.groupBy(F.window(ts, "5 minutes").alias("w5"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("vol_dec"),
+        )
+    )
+    return (
+        bars.groupBy(F.window(F.col("w5"), "1 hour").alias("w"), "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("vol_dec").cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_hourly_rollup_of_bars",
+    category="streaming",
+    doc="Chained windowed aggregation (batch-parity form): 5-minute bars "
+    "rolled up into hourly totals by windowing OVER the bar window column "
+    "— the two-level stateful topology whose hourly state is O(bars). "
+    "Oracle: rolling up exact decimal partials equals aggregating the "
+    "events directly.",
+    oracle=f"""
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {oracle_dsum('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_hourly_rollup_of_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bars_then_hourly(table(spark, sf_dir, "events"))
