@@ -292,3 +292,56 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = branch if out is None else out.unionByName(branch)
     return out.orderBy("check_name")
+
+
+@register(
+    "temporal_point_in_time_join",
+    category="joins",
+    doc="Temporal (point-in-time) join: each order enriched with the "
+    "customer's SCD2 status VALID AT the order date. The validity-interval "
+    "range join rewrites to the as-of union-tag + window pass (one "
+    "custkey shuffle, no interval explosion); change rows are deduped to "
+    "one per (custkey, date) — max orderkey wins — so the as-of target is "
+    "unique and the result engine-independent. DuckDB ASOF JOIN oracle.",
+    oracle="""
+WITH ordered AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM orders
+),
+changes AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+  FROM ordered WHERE prev IS NULL OR o_orderstatus <> prev
+),
+dedup AS (
+  SELECT o_custkey AS c_key, o_orderdate AS valid_from,
+         arg_max(o_orderstatus, o_orderkey) AS status_at
+  FROM changes GROUP BY 1, 2
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, d.status_at
+FROM orders o
+ASOF LEFT JOIN dedup d
+  ON o.o_custkey = d.c_key AND o.o_orderdate >= d.valid_from
+""",
+)
+def temporal_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = orders.withColumn(
+        "prev", F.lag("o_orderstatus").over(w)
+    ).where(F.col("prev").isNull() | (F.col("o_orderstatus") != F.col("prev")))
+    dedup = changes.groupBy(
+        "o_custkey",
+        F.col("o_orderdate").alias("valid_from"),
+    ).agg(F.max_by("o_orderstatus", "o_orderkey").alias("status_at"))
+    return asof_join(
+        orders.drop("o_orderstatus"),
+        dedup,
+        on="o_custkey",
+        left_ts="o_orderdate",
+        right_ts="valid_from",
+        right_cols=["status_at"],
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "status_at")

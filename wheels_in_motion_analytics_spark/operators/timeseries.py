@@ -324,3 +324,56 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = branch if out is None else out.unionByName(branch)
     return out.orderBy("stage")
+
+
+@register(
+    "peak_concurrency_sweep",
+    category="timeseries",
+    doc="Sweep-line peak concurrency: each event opens a 10-minute activity "
+    "interval; +1/-1 boundary deltas are unioned and a running sum ordered "
+    "by (time, delta, event_id) — closes before opens at the same instant, "
+    "half-open intervals — yields concurrency; max per event type. The "
+    "interval-overlap aggregation that would explode as a self-join, done "
+    "as one sort per key.",
+    oracle="""
+WITH bounds AS (
+  SELECT event_type, ts AS t, 1 AS delta, event_id FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL 10 MINUTE, -1, event_id FROM events
+),
+running AS (
+  SELECT event_type,
+         SUM(delta) OVER (PARTITION BY event_type
+                          ORDER BY t, delta, event_id
+                          ROWS UNBOUNDED PRECEDING) AS live
+  FROM bounds
+)
+SELECT event_type, CAST(MAX(live) AS BIGINT) AS peak_concurrency
+FROM running
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def peak_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_type", "ts", "event_id")
+    opens = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta"), "event_id"
+    )
+    closes = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        opens.unionByName(closes)
+        .withColumn("live", F.sum("delta").over(w))
+        .groupBy("event_type")
+        .agg(F.max("live").cast("bigint").alias("peak_concurrency"))
+        .orderBy("event_type")
+    )
