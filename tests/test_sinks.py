@@ -140,3 +140,50 @@ def test_partition_overwrite_cdc_touches_only_dirty_months(spark, tmp_path):
     assert {r.order_month for r in changed.select("order_month").distinct().collect()} == set(
         cdc.DIRTY_MONTHS
     )
+
+
+def test_csv_corrupt_record_capture(spark, tmp_path):
+    """PERMISSIVE CSV parsing quarantines malformed rows into
+    _corrupt_record instead of failing the scan — the bad-row contract of
+    text ingestion (DROPMALFORMED then shrinks to the clean subset)."""
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+
+    p = tmp_path / "raw.csv"
+    p.write_text(
+        "id,qty,price\n"
+        "1,5,10.5\n"
+        "2,not_a_number,3.25\n"
+        "3,7,oops\n"
+        "4,2,99.0\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("qty", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(p))
+        .cache()  # corrupt-record column requires materialization before filter
+    )
+    bad = df.where(F.col("_corrupt_record").isNotNull()).collect()
+    good = df.where(F.col("_corrupt_record").isNull()).collect()
+    assert {r.id for r in good} == {1, 4}
+    assert len(bad) == 2 and all(r._corrupt_record for r in bad)
+    clean_schema = T.StructType(schema.fields[:3])  # no corrupt column
+    dropped = (
+        spark.read.schema(clean_schema)
+        .option("header", "true")
+        .option("mode", "DROPMALFORMED")
+        .csv(str(p))
+    )
+    # count() would read zero columns and skip parsing entirely (so nothing
+    # gets dropped) — force real column parsing to see the drops
+    assert len(dropped.collect()) == 2

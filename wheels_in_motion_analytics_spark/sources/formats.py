@@ -182,3 +182,55 @@ def xml_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("p_retailprice").alias("total_price"),
         )
     )
+
+
+@register(
+    "federated_multiformat_join",
+    category="sources",
+    doc="Federated star across three storage formats in ONE plan: lineitem "
+    "from parquet ⋈ orders from zstd ORC ⋈ customer from gzip CSV — "
+    "revenue per market segment. Format is an access-path detail; the "
+    "logical plan, pushdowns, and results are format-transparent (oracle "
+    "aggregates the original parquet tables).",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def federated_multiformat_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = read_orc(spark, ensure_orc_orders(spark, sf_dir)).select(
+        "o_orderkey", "o_custkey"
+    )
+    csv_path = _derived_path(sf_dir, "customer_csv")
+    if not os.path.exists(os.path.join(csv_path, "_SUCCESS")):
+        table(spark, sf_dir, "customer").write.mode("overwrite").option(
+            "header", "true"
+        ).option("compression", "gzip").csv(csv_path)
+    cust = (
+        spark.read.schema(SCHEMAS["customer"])
+        .option("header", "true")
+        .csv(csv_path)
+        .select("c_custkey", "c_mktsegment")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
