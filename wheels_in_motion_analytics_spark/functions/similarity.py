@@ -1051,3 +1051,54 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(nodes, edges).select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_rep")
     )
+
+
+@register(
+    "source_overlap_matrix",
+    category="dedup-llm",
+    doc="Cross-source contamination matrix: for every source pair, how many "
+    "distinct 3-gram shingles they share — the corpus-level view of "
+    "leakage (which crawls/dumps overlap before any pairwise doc check). "
+    "Shingle inverted index aggregated to (source, source) — join key "
+    "space is shingles, output is |sources|², never doc pairs.",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source AS src,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+idx AS (SELECT doc_id, src, ws, unnest(range(1, greatest(len(ws) - 1, 1))) AS i FROM toks),
+sh AS (
+  SELECT DISTINCT doc_id, src, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+  FROM idx WHERE i + 2 <= len(ws)
+),
+ss AS (SELECT DISTINCT src, s FROM sh),
+pairs AS (
+  SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS shared_shingles
+  FROM ss a JOIN ss b ON a.s = b.s AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, shared_shingles
+FROM pairs
+ORDER BY shared_shingles DESC, src_a, src_b
+LIMIT 50
+""",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("source").alias("src"), "text"
+    )
+    toks = docs.select("doc_id", "src", tokens(F.col("text")).alias("ws"))
+    ss = (
+        toks.select("src", F.explode(shingles_from_tokens(F.col("ws"))).alias("s"))
+        .distinct()
+    )
+    a = ss.alias("a")
+    b = ss.alias("b")
+    return (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.src") < F.col("b.src")))
+        .groupBy(F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+        .orderBy(F.desc("shared_shingles"), F.asc("src_a"), F.asc("src_b"))
+        .limit(50)
+    )

@@ -450,3 +450,71 @@ def mode_argminmax_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.join(ends, "o_orderpriority").select(
         "o_orderpriority", "mode_status", "mode_count", "first_orderkey", "last_orderkey"
     )
+
+
+@register(
+    "chi_square_independence",
+    category="aggregates",
+    doc="Chi-square independence statistic between market segment and order "
+    "priority, computed from the exact contingency table: chi2 = "
+    "Σ (O - E)² / E with E = row_total * col_total / N. All counts are "
+    "integers, E and the statistic derive from identical IEEE arithmetic "
+    "on both engines; per-cell terms quantize to a 1e-9 integer grid before the sum. Three small aggregates + one "
+    "broadcast-joined grid; the classic feature-dependence screen.",
+    oracle="""
+WITH joined AS (
+  SELECT c_mktsegment AS seg, o_orderpriority AS pri
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+obs AS (SELECT seg, pri, COUNT(*) AS o FROM joined GROUP BY seg, pri),
+rows_t AS (SELECT seg, COUNT(*) AS rt FROM joined GROUP BY seg),
+cols_t AS (SELECT pri, COUNT(*) AS ct FROM joined GROUP BY pri),
+n AS (SELECT COUNT(*) AS total FROM joined)
+SELECT CAST(SUM(CAST(floor( (o - CAST(rt AS DOUBLE) * ct / total)
+                           * (o - CAST(rt AS DOUBLE) * ct / total)
+                           / (CAST(rt AS DOUBLE) * ct / total)
+                           * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1000000000.0 AS chi2,
+       CAST((COUNT(DISTINCT obs.seg) - 1) * (COUNT(DISTINCT obs.pri) - 1) AS BIGINT)
+         AS dof
+FROM obs
+JOIN rows_t USING (seg)
+JOIN cols_t USING (pri)
+CROSS JOIN n
+""",
+)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    joined = (
+        table(spark, sf_dir, "orders")
+        .join(
+            table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+    )
+    obs = joined.groupBy("seg", "pri").agg(F.count(F.lit(1)).alias("o"))
+    rows_t = joined.groupBy("seg").agg(F.count(F.lit(1)).alias("rt"))
+    cols_t = joined.groupBy("pri").agg(F.count(F.lit(1)).alias("ct"))
+    n = joined.agg(F.count(F.lit(1)).alias("total"))
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("total")
+    return (
+        obs.join(F.broadcast(rows_t), "seg")
+        .join(F.broadcast(cols_t), "pri")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        (F.col("o") - e) * (F.col("o") - e) / e * 1000000000 + 0.5
+                    ).cast("long")
+                ).cast("double")
+                / 1000000000.0
+            ).alias("chi2"),
+            (
+                (F.count_distinct("seg") - 1) * (F.count_distinct("pri") - 1)
+            ).cast("bigint").alias("dof"),
+        )
+    )
