@@ -81,9 +81,12 @@ _DRIVER_PRIORITY = [
     "variant_json_extract",
     # datetime dimension suite
     "datetime_dim_explode",
-    "date_scalar_suite",
     "manifest_prune_latest",
-    "date_format_partition_keys",
+    # round-2 flagship engine features — hard driver signal this round
+    # (date_scalar_suite / date_format_partition_keys rotate to the tail;
+    # they stay builder-verified)
+    "versioned_table_time_travel",
+    "pagerank_part_supplier",
     # round-2 additions: partition pruning + storage-level CDC merge
     "partition_pruned_monthly_revenue",
     "cdc_merge_orders_state",
