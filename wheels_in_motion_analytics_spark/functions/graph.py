@@ -68,6 +68,9 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     """Quantized PageRank over a directed (src, dst) edge DataFrame where
     every node has out-degree ≥ 1 (symmetric graphs satisfy this)."""
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # Fold the out-degree INTO the edge table once — otherwise every
+    # iteration pays a second join just to fetch d.
+    edges_d = edges.join(outdeg, "src").localCheckpoint()
     ranks = edges.select("src").distinct().select(
         F.col("src").alias("node"), F.lit(1.0).alias("rank")
     )
@@ -76,8 +79,7 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
             F.col("rank") / F.col("d") * PR_GRID + 0.5
         ).cast("long")
         ranks = (
-            ranks.join(edges, F.col("node") == F.col("src"))
-            .join(outdeg, "src")
+            ranks.join(edges_d, F.col("node") == F.col("src"))
             .groupBy(F.col("dst").alias("next_node"))
             .agg(
                 (
