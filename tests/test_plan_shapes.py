@@ -251,3 +251,35 @@ def test_q21_decorrelated_single_pass(spark):
     per-order agg), never a per-row re-scan."""
     plan = plan_of(spark, "sole_failing_supplier")
     assert plan.count("Scan parquet") <= 4  # lineitem x2, supplier, nation
+
+
+def test_temporal_join_no_range_explosion(spark):
+    """The SCD2 point-in-time join must plan as the union-tag window pass:
+    no nested-loop/cartesian range join anywhere."""
+    plan = plan_of(spark, "temporal_point_in_time_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_federated_join_reads_three_formats(spark):
+    """One plan, three storage formats: parquet fact, ORC orders, CSV
+    customers."""
+    plan = plan_of(spark, "federated_multiformat_join")
+    low = plan.lower()
+    assert "parquet" in low and "orc" in low and "csv" in low
+
+
+def test_countmin_partial_final_agg(spark):
+    """The CMS build must partial-aggregate map-side — the sketch cell
+    count (depth x width) bounds the shuffle, not the row count."""
+    plan = plan_of(spark, "countmin_frequency_estimate")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_chained_rollup_two_agg_levels(spark):
+    """Window-of-window rollup: two distinct aggregate levels (bars, then
+    hourly) in one plan."""
+    plan = plan_of(spark, "stream_hourly_rollup_of_bars")
+    # 2 levels x (partial + final)
+    assert plan.count("HashAggregate") >= 4
