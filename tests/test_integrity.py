@@ -1,0 +1,83 @@
+"""Semantic properties of the integrity / graph-triangle operators
+(cross-engine exactness is covered by the differential harness)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_SMALL
+from wheels_in_motion_analytics_spark.functions import integrity
+from wheels_in_motion_analytics_spark.functions.graph import oriented_triangles
+from wheels_in_motion_analytics_spark.registry import load_all_queries
+from wheels_in_motion_analytics_spark.tables import table
+
+SPECS = load_all_queries()
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    row = SPECS["bloom_join_prune_audit"].fn(spark, SF_SMALL).collect()[0]
+    # the defining Bloom property: every true match survives the filter
+    assert row.n_passed >= row.n_true
+    assert row.n_false_positive == row.n_passed - row.n_true
+    assert row.n_false_positive >= 0
+    # the filter is genuinely small: at most k positions per build key
+    n_build = (
+        table(spark, SF_SMALL, "customer")
+        .where(F.col("c_mktsegment") == integrity.BLOOM_SEGMENT)
+        .count()
+    )
+    assert row.n_bits_set <= integrity.BLOOM_K * n_build
+    assert row.n_bits_set <= integrity.BLOOM_M
+    # pruning actually prunes: survivors are a small fraction of the probe
+    assert row.n_passed < row.n_probe
+
+
+def test_bloom_bit_set_is_broadcast(spark):
+    df = SPECS["bloom_join_prune_audit"].fn(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_fingerprints_are_order_and_partitioning_independent(spark):
+    base = table(spark, SF_SMALL, "orders")
+    specs = integrity._FP_COLS["orders"]
+    a = integrity.fingerprint_of(base.repartition(13), specs).collect()[0]
+    b = integrity.fingerprint_of(
+        base.orderBy(F.desc("o_totalprice")).coalesce(1), specs
+    ).collect()[0]
+    assert a.n_rows == b.n_rows
+    assert a.checksum == b.checksum
+
+
+def test_fingerprints_detect_single_row_change(spark):
+    base = table(spark, SF_SMALL, "orders")
+    specs = integrity._FP_COLS["orders"]
+    clean = integrity.fingerprint_of(base, specs).collect()[0]
+    tampered_df = base.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") == 1, F.col("o_totalprice") + 0.01).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    tampered = integrity.fingerprint_of(tampered_df, specs).collect()[0]
+    assert clean.n_rows == tampered.n_rows
+    assert clean.checksum != tampered.checksum
+
+
+def test_oriented_triangles_on_known_graph(spark):
+    # bowtie: triangles (1,2,3) and (3,4,5) sharing node 3, plus a
+    # dangling edge (5,6) that is in no triangle
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (3, 5), (4, 5), (5, 6)]
+    und = spark.createDataFrame(edges, ["s1", "s2"])
+    tri = oriented_triangles(und).collect()
+    assert len(tri) == 2
+    sets = sorted(tuple(sorted((r.a, r.b, r.c))) for r in tri)
+    assert sets == [(1, 2, 3), (3, 4, 5)]
+
+
+def test_triangle_query_counts_are_consistent(spark):
+    rows = SPECS["triangle_count_cosupply"].fn(spark, SF_SMALL).collect()
+    assert rows
+    counts = [r.tri_count for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(c >= 1 for c in counts)

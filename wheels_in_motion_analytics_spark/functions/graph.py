@@ -138,3 +138,115 @@ def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("node"))
         .limit(PR_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-ordered orientation)
+# ---------------------------------------------------------------------------
+
+TRI_MIN_QTY = 48  # co-supply link threshold (sparsifies the complete graph)
+TRI_MIN_SHARED = 2  # suppliers must share ≥ this many qualifying parts
+TRI_TOPK = 20
+
+_TRI_EDGES_ORACLE = f"""
+links AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+  WHERE l_quantity >= {TRI_MIN_QTY}
+),
+edges AS (
+  SELECT a.s AS s1, b.s AS s2
+  FROM links a JOIN links b ON a.p = b.p AND a.s < b.s
+  GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MIN_SHARED}
+)"""
+
+
+def oriented_triangles(und: DataFrame) -> DataFrame:
+    """(a, b, c) triangles of an undirected edge list (s1 < s2 per row),
+    via degree-ordered orientation + wedge join + closure semi-join."""
+    deg = (
+        und.select(F.col("s1").alias("n"))
+        .unionAll(und.select("s2"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = (
+        und.join(deg.withColumnRenamed("n", "s1").withColumnRenamed("d", "d1"), "s1")
+        .join(deg.withColumnRenamed("n", "s2").withColumnRenamed("d", "d2"), "s2")
+        .select(
+            F.when(
+                (F.col("d1") < F.col("d2"))
+                | ((F.col("d1") == F.col("d2")) & (F.col("s1") < F.col("s2"))),
+                F.struct(F.col("s1").alias("u"), F.col("s2").alias("v")),
+            )
+            .otherwise(F.struct(F.col("s2").alias("u"), F.col("s1").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+        .localCheckpoint()  # the wedge join + closure check reuse it 3x
+    )
+    wedge = e.select(F.col("u").alias("a"), F.col("v").alias("b")).join(
+        e.select(F.col("u").alias("b"), F.col("v").alias("c")), "b"
+    )
+    return wedge.join(
+        e.select(F.col("u").alias("a"), F.col("v").alias("c")),
+        ["a", "c"],
+        "left_semi",
+    )
+
+
+@register(
+    "triangle_count_cosupply",
+    category="graph",
+    doc="Per-node triangle counts in the co-supply graph (suppliers sharing "
+    f"≥{TRI_MIN_SHARED} parts with l_quantity ≥ {TRI_MIN_QTY}). The Spark "
+    "plan uses DEGREE-ORDERED orientation — every edge directed from the "
+    "(degree, id)-smaller endpoint, wedges enumerated only along out-edges "
+    "— which bounds per-node wedge fan-out by O(sqrt(|E|)) regardless of "
+    "skew (the standard distributed triangle algorithm). The oracle counts "
+    "the same triangle set with the simple a<b<c orientation: enumeration "
+    f"order differs, the triangle SET does not. Top {TRI_TOPK} nodes.",
+    oracle=f"""
+WITH {_TRI_EDGES_ORACLE},
+tri AS (
+  SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.s2 = e2.s1
+  JOIN edges e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+),
+members AS (
+  SELECT unnest([a, b, c]) AS node FROM tri
+)
+SELECT node, COUNT(*) AS tri_count
+FROM members
+GROUP BY node
+ORDER BY tri_count DESC, node
+LIMIT {TRI_TOPK}
+""",
+)
+def triangle_count_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    links = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= TRI_MIN_QTY)
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = links.select(F.col("p"), F.col("s").alias("s1"))
+    b = links.select(F.col("p"), F.col("s").alias("s2"))
+    und = (
+        a.join(b, "p")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= TRI_MIN_SHARED)
+        .select("s1", "s2")
+    )
+    tri = oriented_triangles(und)
+    members = tri.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
+    )
+    return (
+        members.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("tri_count"))
+        .orderBy(F.desc("tri_count"), F.asc("node"))
+        .limit(TRI_TOPK)
+    )

@@ -1,0 +1,222 @@
+"""Scan-pruning and integrity primitives: a portable Bloom-filter semi-join
+and order-independent whole-table fingerprints.
+
+* **Bloom-filter join pruning** is the 100 TB join strategy when the build
+  side is too big to broadcast as rows but its *bit set* is tiny: hash the
+  build keys into k positions of an m-bit filter (here k=3, m=4096), ship
+  the position set (≤ k·|keys| ints, kilobytes) to every probe task, and
+  drop probe rows whose positions aren't all present BEFORE the shuffle.
+  Spark's own runtime row-level filtering does this opaquely
+  (`spark.sql.optimizer.runtime.bloomFilter.enabled`); this operator builds
+  the filter declaratively with portable md5 hashing so the false-positive
+  behavior itself is oracle-checkable — the emitted audit row counts
+  probe-side survivors vs the exact semi-join (no false negatives, a
+  quantified false-positive rate).
+* **Table fingerprints** are the anti-entropy check between replicas /
+  before-and-after migrations: per table, an order-independent checksum =
+  exact DECIMAL(38,0) sum of a 60-bit md5 of each row's canonical rendering.
+  Any engine, any partitioning, any row order → same checksum. Floats are
+  quantized to a cent grid before rendering (double→string rendering differs
+  across engines; see NOTES.md), timestamps render via explicit format.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from wheels_in_motion_analytics_spark.functions.similarity import (
+    _oracle_hash,
+    hash_hex,
+)
+from wheels_in_motion_analytics_spark.registry import register
+from wheels_in_motion_analytics_spark.tables import table
+
+# --------------------------------------------------------------------------
+# Bloom-filter semi-join pruning audit
+# --------------------------------------------------------------------------
+
+BLOOM_M = 4096  # filter size (positions)
+BLOOM_K = 3  # hash functions
+BLOOM_SEGMENT = "BUILDING"  # build side: customers in this segment
+
+
+def _bloom_pos(key: Column, salt: int) -> Column:
+    return hash_hex(F.concat(F.lit(f"bloom{salt}|"), key.cast("string")), 15) % BLOOM_M
+
+
+def _oracle_bloom_pos(expr: str, salt: int) -> str:
+    salted = f"'bloom{salt}|' || CAST({expr} AS VARCHAR)"
+    return f"{_oracle_hash(salted)} % {BLOOM_M}"
+
+
+@register(
+    "bloom_join_prune_audit",
+    category="integrity",
+    doc=f"Bloom-filter semi-join pruning audit: custkeys of the "
+    f"'{BLOOM_SEGMENT}' segment hash into a {BLOOM_M}-position/{BLOOM_K}-hash "
+    "filter (portable md5); orders probe the broadcast position set and "
+    "survive only if all k positions hit. Emits one audit row — probe size, "
+    "bloom survivors, exact semi-join size, false positives — proving zero "
+    "false negatives and a quantified FP rate. At 100 TB the position set "
+    "stays kilobytes while the build side is unbroadcastable as rows.",
+    oracle=f"""
+WITH build AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = '{BLOOM_SEGMENT}'
+),
+bits AS (
+  SELECT DISTINCT pos FROM (
+    {" UNION ALL ".join(f"SELECT {_oracle_bloom_pos('c_custkey', i)} AS pos FROM build" for i in range(BLOOM_K))}
+  )
+),
+probe AS (
+  SELECT o_orderkey, o_custkey FROM orders
+),
+hits AS (
+  SELECT p.o_orderkey, p.o_custkey, COUNT(*) AS nhit
+  FROM (
+    {" UNION ALL ".join(f"SELECT o_orderkey, o_custkey, {_oracle_bloom_pos('o_custkey', i)} AS pos FROM probe" for i in range(BLOOM_K))}
+  ) p JOIN bits USING (pos)
+  GROUP BY 1, 2
+),
+passed AS (SELECT o_orderkey, o_custkey FROM hits WHERE nhit = {BLOOM_K}),
+truth AS (
+  SELECT o_orderkey FROM probe SEMI JOIN build ON o_custkey = c_custkey
+)
+SELECT (SELECT COUNT(*) FROM probe) AS n_probe,
+       (SELECT COUNT(*) FROM bits) AS n_bits_set,
+       (SELECT COUNT(*) FROM passed) AS n_passed,
+       (SELECT COUNT(*) FROM truth) AS n_true,
+       (SELECT COUNT(*) FROM passed) - (SELECT COUNT(*) FROM truth)
+         AS n_false_positive
+""",
+)
+def bloom_join_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    build = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == BLOOM_SEGMENT)
+        .select("c_custkey")
+    )
+    # the filter: distinct positions over k salted hashes — ≤ k·|build| ints
+    bits = (
+        build.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("c_custkey"), i) for i in range(BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    probe = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    probe_pos = probe.select(
+        "o_orderkey",
+        "o_custkey",
+        F.explode(
+            F.array(*[_bloom_pos(F.col("o_custkey"), i) for i in range(BLOOM_K)])
+        ).alias("pos"),
+    )
+    # broadcast the (tiny) bit set to every probe task — map-side pruning,
+    # no shuffle of the probe side
+    passed = (
+        probe_pos.join(F.broadcast(bits), "pos")
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("nhit"))
+        .where(F.col("nhit") == BLOOM_K)
+    )
+    truth = probe.join(F.broadcast(build), probe.o_custkey == build.c_custkey, "left_semi")
+    counts = [
+        probe.agg(F.count(F.lit(1)).alias("n_probe")),
+        bits.agg(F.count(F.lit(1)).alias("n_bits_set")),
+        passed.agg(F.count(F.lit(1)).alias("n_passed")),
+        truth.agg(F.count(F.lit(1)).alias("n_true")),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(c)
+    return out.withColumn(
+        "n_false_positive", F.col("n_passed") - F.col("n_true")
+    )
+
+
+# --------------------------------------------------------------------------
+# Order-independent table fingerprints
+# --------------------------------------------------------------------------
+
+# canonical per-table renderings: ints/strings as-is, doubles on a cent
+# grid, timestamps via explicit format — engine-portable by construction
+_FP_COLS: dict[str, list[str]] = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "CENTS:c_acctbal", "c_mktsegment"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "CENTS:s_acctbal"],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "CENTS:p_retailprice"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "CENTS:o_totalprice", "TS:o_orderdate", "o_orderpriority"],
+}
+
+
+def _render_spark(spec: str) -> Column:
+    if spec.startswith("CENTS:"):
+        c = F.col(spec[6:])
+        return F.floor(c * 100 + F.lit(0.5)).cast("bigint").cast("string")
+    if spec.startswith("TS:"):
+        return F.date_format(F.col(spec[3:]), "yyyy-MM-dd HH:mm:ss")
+    return F.col(spec).cast("string")
+
+
+def _render_oracle(spec: str) -> str:
+    if spec.startswith("CENTS:"):
+        return f"CAST(CAST(floor({spec[6:]} * 100 + 0.5) AS BIGINT) AS VARCHAR)"
+    if spec.startswith("TS:"):
+        return f"strftime({spec[3:]}, '%Y-%m-%d %H:%M:%S')"
+    return f"CAST({spec} AS VARCHAR)"
+
+
+def fingerprint_of(df: DataFrame, specs: list[str]) -> DataFrame:
+    """(n_rows, checksum) of a DataFrame under the canonical rendering —
+    one map-side-combinable aggregate, order/partitioning-independent."""
+    # F.concat (NULL-in → NULL-out) mirrors DuckDB `||`; concat_ws would
+    # silently skip NULL cells and desynchronize the two renderings
+    rendered = [_render_spark(s) for s in specs]
+    interleaved: list[Column] = []
+    for i, c in enumerate(rendered):
+        if i:
+            interleaved.append(F.lit("|"))
+        interleaved.append(c)
+    row_repr = F.concat(*interleaved)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(hash_hex(row_repr, 15).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("checksum"),
+    )
+
+
+@register(
+    "table_fingerprints",
+    category="integrity",
+    doc="Anti-entropy fingerprints for six tables: per table, row count + "
+    "order-independent checksum (exact DECIMAL(38,0) sum of 60-bit md5 of "
+    "each row's canonical rendering). The replica-comparison primitive: "
+    "one map-side-combinable aggregate per table, no shuffle beyond the "
+    "final 1-row combines; any row order / partitioning yields the same "
+    "checksum on any engine.",
+    oracle=" UNION ALL ".join(
+        f"""
+SELECT '{t}' AS tbl, COUNT(*) AS n_rows,
+       CAST(CAST(SUM(CAST({_oracle_hash(" || '|' || ".join(_render_oracle(s) for s in specs))} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+FROM {t}"""
+        for t, specs in _FP_COLS.items()
+    ),
+)
+def table_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = []
+    for t, specs in _FP_COLS.items():
+        parts.append(
+            fingerprint_of(table(spark, sf_dir, t), specs).select(
+                F.lit(t).alias("tbl"), "n_rows", "checksum"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
