@@ -1,0 +1,69 @@
+"""Semantic properties of the hypothesis-test / robust-outlier operators
+(cross-engine exactness is covered by the differential harness)."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_SMALL
+from wheels_in_motion_analytics_spark.registry import load_all_queries
+from wheels_in_motion_analytics_spark.tables import table
+
+SPECS = load_all_queries()
+
+
+def test_welch_all_pairs_present_and_antisymmetric_consistent(spark):
+    rows = SPECS["welch_ttest_segments"].fn(spark, SF_SMALL).collect()
+    segs = set()
+    for r in rows:
+        segs.update((r.seg_a, r.seg_b))
+        assert r.seg_a < r.seg_b
+        # t carries the sign of the mean difference
+        assert (r.t_stat >= 0) == (r.mean_diff >= 0)
+        # Welch dof lies between min(n)-1 and n_a+n_b-2
+        assert min(r.n_a, r.n_b) - 1 <= r.dof <= r.n_a + r.n_b - 2
+    k = len(segs)
+    assert len(rows) == k * (k - 1) / 2
+
+
+def test_welch_matches_scipy_free_formula(spark):
+    # independent recomputation from raw data, pure Python
+    rows = SPECS["welch_ttest_segments"].fn(spark, SF_SMALL).collect()
+    data = (
+        table(spark, SF_SMALL, "customer")
+        .select("c_mktsegment", "c_acctbal")
+        .collect()
+    )
+    by_seg: dict[str, list[float]] = {}
+    for r in data:
+        by_seg.setdefault(r.c_mktsegment, []).append(r.c_acctbal)
+    for r in rows[:3]:
+        xa, xb = by_seg[r.seg_a], by_seg[r.seg_b]
+        ma = sum(xa) / len(xa)
+        mb = sum(xb) / len(xb)
+        va = sum((x - ma) ** 2 for x in xa) / (len(xa) - 1)
+        vb = sum((x - mb) ** 2 for x in xb) / (len(xb) - 1)
+        t = (ma - mb) / math.sqrt(va / len(xa) + vb / len(xb))
+        assert abs(t - r.t_stat) < 1e-3
+
+
+def test_ks_statistic_bounds_and_exact_numerator(spark):
+    row = SPECS["ks_test_two_sample"].fn(spark, SF_SMALL).collect()[0]
+    assert row.n1 > 0 and row.n2 > 0
+    assert 0 <= row.d_num <= row.n1 * row.n2
+    assert 0.0 <= row.d_stat <= 1.0
+    assert abs(row.d_stat - row.d_num / (row.n1 * row.n2)) < 1e-6
+
+
+def test_mad_outliers_bounded_and_median_within_range(spark):
+    rows = SPECS["mad_outlier_audit"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_outliers <= r.n
+        assert r.mad >= 0
+    # a robust method on heavy-ish tails should flag only a small fraction
+    total = sum(r.n for r in rows)
+    flagged = sum(r.n_outliers for r in rows)
+    assert flagged / total < 0.2

@@ -1,0 +1,257 @@
+"""Hypothesis-testing and robust-outlier statistics as relational plans —
+the data-quality / experiment-analysis layer (the chi-square independence
+test lives in operators/aggregates.py).
+
+Scale shapes:
+
+* Welch's t runs on per-group POWER SUMS (n, Σx, Σx²) — one
+  map-side-combinable aggregate over the fact rows, then all pair math on
+  the k-row group relation (k = #segments, sub-linear, broadcast-trivial).
+* The KS statistic is computed on the per-distinct-value count relation:
+  one groupBy on (value), two running-sum windows, one max — never a
+  per-row sort of the raw samples. State is bounded by |distinct values|.
+* MAD outliers use exact medians (`percentile`) per group — inherently
+  sort-heavy, the documented exact baseline; its mergeable-sketch sibling
+  (`percentile_approx_sketch`) is the 100 TB fast path.
+
+Float discipline: sums accumulate in DECIMAL (compat.py); variances/t
+statistics are derived from identical doubles via IEEE basic ops and
+rounded in isolation; the KS D-statistic is kept as an exact INTEGER
+numerator (|ca·n2 − cb·n1|) next to the rounded double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+
+from wheels_in_motion_analytics_spark.registry import register
+from wheels_in_motion_analytics_spark.tables import table
+
+# --------------------------------------------------------------------------
+# Welch's unequal-variance t-test, all segment pairs
+# --------------------------------------------------------------------------
+
+
+@register(
+    "welch_ttest_segments",
+    category="stats",
+    doc="Welch's t-test of mean c_acctbal between every pair of market "
+    "segments: per-group power sums (one map-side-combinable aggregate, "
+    "decimal accumulation), then t and Welch–Satterthwaite dof on the "
+    "5-row group relation self-joined into 10 pairs. Rounded in isolation.",
+    oracle="""
+WITH g AS (
+  SELECT c_mktsegment AS seg,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(24,4))) AS DOUBLE) AS s2
+  FROM customer GROUP BY c_mktsegment
+),
+m AS (
+  SELECT seg, n, s1 / n AS mean,
+         (s2 - s1 * s1 / n) / (n - 1) AS var
+  FROM g
+)
+SELECT a.seg AS seg_a, b.seg AS seg_b, a.n AS n_a, b.n AS n_b,
+       round(a.mean - b.mean, 6) AS mean_diff,
+       round((a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n), 6) AS t_stat,
+       round(pow(a.var / a.n + b.var / b.n, 2)
+             / (pow(a.var / a.n, 2) / (a.n - 1)
+                + pow(b.var / b.n, 2) / (b.n - 1)), 4) AS dof
+FROM m a JOIN m b ON a.seg < b.seg
+""",
+)
+def welch_ttest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("s1"),
+            F.sum((F.col("c_acctbal") * F.col("c_acctbal")).cast("decimal(24,4)"))
+            .cast("double")
+            .alias("s2"),
+        )
+    )
+    m = g.select(
+        "seg",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)).alias(
+            "var"
+        ),
+    )
+    a = m.select(
+        F.col("seg").alias("seg_a"),
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_a"),
+        F.col("var").alias("var_a"),
+    )
+    b = m.select(
+        F.col("seg").alias("seg_b"),
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_b"),
+        F.col("var").alias("var_b"),
+    )
+    se_a = F.col("var_a") / F.col("n_a")
+    se_b = F.col("var_b") / F.col("n_b")
+    return (
+        a.crossJoin(b)
+        .where(F.col("seg_a") < F.col("seg_b"))
+        .select(
+            "seg_a",
+            "seg_b",
+            "n_a",
+            "n_b",
+            F.round(F.col("mean_a") - F.col("mean_b"), 6).alias("mean_diff"),
+            F.round(
+                (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se_a + se_b), 6
+            ).alias("t_stat"),
+            F.round(
+                F.pow(se_a + se_b, 2)
+                / (
+                    F.pow(se_a, 2) / (F.col("n_a") - 1)
+                    + F.pow(se_b, 2) / (F.col("n_b") - 1)
+                ),
+                4,
+            ).alias("dof"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Kolmogorov–Smirnov two-sample test (exact, integer numerator)
+# --------------------------------------------------------------------------
+
+KS_SEG_A = "BUILDING"
+KS_SEG_B = "MACHINERY"
+
+
+@register(
+    "ks_test_two_sample",
+    category="stats",
+    doc=f"Exact two-sample KS statistic between c_acctbal of "
+    f"'{KS_SEG_A}' and '{KS_SEG_B}' customers. Runs on the per-distinct-"
+    "value count relation (groupBy value → two running-sum windows → max), "
+    "never a raw-sample sort; D is carried as the exact integer numerator "
+    "|ca·n2 − cb·n1| alongside the rounded double D = num/(n1·n2).",
+    oracle=f"""
+WITH s AS (
+  SELECT c_acctbal AS v,
+         CASE WHEN c_mktsegment = '{KS_SEG_A}' THEN 1 ELSE 0 END AS ia,
+         CASE WHEN c_mktsegment = '{KS_SEG_B}' THEN 1 ELSE 0 END AS ib
+  FROM customer
+  WHERE c_mktsegment IN ('{KS_SEG_A}', '{KS_SEG_B}')
+),
+pv AS (SELECT v, SUM(ia) AS ca, SUM(ib) AS cb FROM s GROUP BY v),
+tot AS (SELECT SUM(ca) AS n1, SUM(cb) AS n2 FROM pv),
+run AS (
+  SELECT SUM(ca) OVER (ORDER BY v) AS ra,
+         SUM(cb) OVER (ORDER BY v) AS rb
+  FROM pv
+)
+SELECT tot.n1 AS n1, tot.n2 AS n2,
+       MAX(abs(ra * tot.n2 - rb * tot.n1)) AS d_num,
+       round(CAST(MAX(abs(ra * tot.n2 - rb * tot.n1)) AS DOUBLE)
+             / (tot.n1 * tot.n2), 6) AS d_stat
+FROM run CROSS JOIN tot
+GROUP BY tot.n1, tot.n2
+""",
+)
+def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment").isin(KS_SEG_A, KS_SEG_B))
+        .select(
+            F.col("c_acctbal").alias("v"),
+            F.when(F.col("c_mktsegment") == KS_SEG_A, 1).otherwise(0).alias("ia"),
+            F.when(F.col("c_mktsegment") == KS_SEG_B, 1).otherwise(0).alias("ib"),
+        )
+    )
+    pv = s.groupBy("v").agg(F.sum("ia").alias("ca"), F.sum("ib").alias("cb"))
+    tot = pv.agg(F.sum("ca").alias("n1"), F.sum("cb").alias("n2"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    run = pv.select(
+        F.sum("ca").over(w).alias("ra"), F.sum("cb").over(w).alias("rb")
+    )
+    num = F.abs(F.col("ra") * F.col("n2") - F.col("rb") * F.col("n1"))
+    return (
+        run.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(num).alias("d_num"),
+            F.round(
+                F.max(num).cast("double") / (F.col("n1") * F.col("n2")), 6
+            ).alias("d_stat"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# MAD-based robust outlier audit
+# --------------------------------------------------------------------------
+
+MAD_K = 3.0
+MAD_SCALE = 1.4826  # consistency constant for normal data
+
+
+@register(
+    "mad_outlier_audit",
+    category="stats",
+    doc=f"Robust outlier audit per nation: exact median and MAD of "
+    f"c_acctbal, rows flagged where |x − med| > {MAD_K}·{MAD_SCALE}·MAD. "
+    "Two exact-median passes (the documented sort-heavy exact baseline — "
+    "percentile_approx_sketch is the mergeable 100 TB path), then one "
+    "broadcast join back to the rows for the flag counts.",
+    oracle=f"""
+WITH med AS (
+  SELECT c_nationkey, CAST(quantile_cont(c_acctbal, 0.5) AS DOUBLE) AS med
+  FROM customer GROUP BY c_nationkey
+),
+mad AS (
+  SELECT c.c_nationkey,
+         ANY_VALUE(m.med) AS med,
+         CAST(quantile_cont(abs(c.c_acctbal - m.med), 0.5) AS DOUBLE) AS mad
+  FROM customer c JOIN med m USING (c_nationkey)
+  GROUP BY c.c_nationkey
+)
+SELECT c.c_nationkey AS nationkey,
+       COUNT(*) AS n,
+       round(ANY_VALUE(d.med), 4) AS med,
+       round(ANY_VALUE(d.mad), 4) AS mad,
+       COUNT(*) FILTER (
+         WHERE abs(c.c_acctbal - d.med) > {MAD_K} * {MAD_SCALE} * d.mad
+       ) AS n_outliers
+FROM customer c JOIN mad d USING (c_nationkey)
+GROUP BY c.c_nationkey
+""",
+)
+def mad_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    med = cust.groupBy("c_nationkey").agg(
+        F.expr("percentile(c_acctbal, 0.5)").alias("med")
+    )
+    mad = (
+        cust.join(F.broadcast(med), "c_nationkey")
+        .groupBy("c_nationkey")
+        .agg(
+            F.any_value(F.col("med")).alias("med"),
+            F.expr("percentile(abs(c_acctbal - med), 0.5)").alias("mad"),
+        )
+    )
+    thresh = MAD_K * MAD_SCALE * F.col("mad")
+    return (
+        cust.join(F.broadcast(mad), "c_nationkey")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.any_value(F.col("med")), 4).alias("med"),
+            F.round(F.any_value(F.col("mad")), 4).alias("mad"),
+            F.count(
+                F.when(F.abs(F.col("c_acctbal") - F.col("med")) > thresh, 1)
+            ).alias("n_outliers"),
+        )
+    )

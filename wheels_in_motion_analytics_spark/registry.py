@@ -69,6 +69,7 @@ _QUERY_MODULES = [
     "wheels_in_motion_analytics_spark.functions.retrieval",
     "wheels_in_motion_analytics_spark.functions.linkage",
     "wheels_in_motion_analytics_spark.functions.integrity",
+    "wheels_in_motion_analytics_spark.functions.stats",
     "wheels_in_motion_analytics_spark.functions.sql_surface",
     "wheels_in_motion_analytics_spark.plans.enriched",
     "wheels_in_motion_analytics_spark.plans.analytics",
