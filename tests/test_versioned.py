@@ -63,3 +63,35 @@ def test_orphan_files_invisible_to_readers(spark, orders, tmp_path):
     orphan_dir = os.path.join(root, "data", "v999")
     orders.limit(7).write.parquet(orphan_dir)
     assert read_version(spark, root).count() == 50
+
+
+def test_compaction_shrinks_files_preserves_content_and_history(
+    spark, orders, tmp_path
+):
+    from wheels_in_motion_analytics_spark.sources.versioned import (
+        compact,
+        manifest_file_count,
+    )
+
+    root = str(tmp_path / "c")
+    # 5 micro-appends, 2 files each → 10 small files
+    for i in range(5):
+        batch = orders.where(F.col("o_orderkey") % 5 == i).repartition(2)
+        commit(batch, root, mode="append" if i else "overwrite")
+    v_before = current_version(root)
+    files_before = manifest_file_count(root)
+    assert files_before == 10
+    rows_before = sorted(
+        read_version(spark, root).collect(), key=lambda r: r.o_orderkey
+    )
+
+    v_after = compact(spark, root, target_files=2)
+    assert v_after == v_before + 1
+    assert manifest_file_count(root) == 2
+    rows_after = sorted(
+        read_version(spark, root).collect(), key=lambda r: r.o_orderkey
+    )
+    assert rows_before == rows_after
+    # history intact: the pre-compaction version still reads its 10 files
+    assert manifest_file_count(root, v_before) == 10
+    assert read_version(spark, root, v_before).count() == len(rows_before)

@@ -377,3 +377,76 @@ def peak_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("live").cast("bigint").alias("peak_concurrency"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-horizon rolling feature windows (feature-store shape)
+# ---------------------------------------------------------------------------
+
+ROLL_HORIZONS = (30, 90)  # trailing days, inclusive of the current day
+
+
+@register(
+    "rolling_features_customer",
+    category="timeseries",
+    doc="Feature-store rolling windows: per (customer, order), trailing "
+    f"{ROLL_HORIZONS[0]}- and {ROLL_HORIZONS[1]}-day order counts and "
+    "revenue (RANGE frames over an epoch-day axis — value-based frames, so "
+    "same-day peers aggregate identically on every engine) plus "
+    "days-since-previous-order (lag). One shuffle on the customer key "
+    "serves all four windows; revenue accumulates in decimal. The backbone "
+    "of churn/recency-frequency-monetary feature pipelines.",
+    oracle=f"""
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         date_diff('day', TIMESTAMP '1990-01-01 00:00:00', o_orderdate) AS d,
+         o_totalprice
+  FROM orders
+)
+SELECT o_custkey, o_orderkey,
+       COUNT(*) OVER w30 AS cnt_30d,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w30 AS DOUBLE)
+         AS rev_30d,
+       COUNT(*) OVER w90 AS cnt_90d,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w90 AS DOUBLE)
+         AS rev_90d,
+       d - lag(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+         AS days_since_prev
+FROM o
+WINDOW
+  w30 AS (PARTITION BY o_custkey ORDER BY d
+          RANGE BETWEEN {ROLL_HORIZONS[0] - 1} PRECEDING AND CURRENT ROW),
+  w90 AS (PARTITION BY o_custkey ORDER BY d
+          RANGE BETWEEN {ROLL_HORIZONS[1] - 1} PRECEDING AND CURRENT ROW)
+""",
+)
+def rolling_features_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1990-01-01").cast("timestamp")
+        ).alias("d"),
+        "o_totalprice",
+    )
+    w30 = (
+        Window.partitionBy("o_custkey")
+        .orderBy("d")
+        .rangeBetween(-(ROLL_HORIZONS[0] - 1), 0)
+    )
+    w90 = (
+        Window.partitionBy("o_custkey")
+        .orderBy("d")
+        .rangeBetween(-(ROLL_HORIZONS[1] - 1), 0)
+    )
+    wlag = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    dec = F.col("o_totalprice").cast("decimal(18,4)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w30).alias("cnt_30d"),
+        F.sum(dec).over(w30).cast("double").alias("rev_30d"),
+        F.count(F.lit(1)).over(w90).alias("cnt_90d"),
+        F.sum(dec).over(w90).cast("double").alias("rev_90d"),
+        (F.col("d") - F.lag("d").over(wlag)).alias("days_since_prev"),
+    )

@@ -329,3 +329,99 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.col("total_q").cast("double").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE: small-file compaction
+# ---------------------------------------------------------------------------
+
+
+def compact(
+    spark: SparkSession, root: str, target_files: int = 4
+) -> int:
+    """Rewrite the latest version's content into ``target_files`` files and
+    commit it as a new overwrite version (Delta OPTIMIZE-lite). Logical
+    content is untouched; old versions remain time-travelable because their
+    files are immutable and still referenced by their manifests."""
+    v = current_version(root)
+    data = read_version(spark, root, v)
+    return commit(
+        data.repartition(target_files), root, mode="overwrite", expected_version=v
+    )
+
+
+def manifest_file_count(root: str, version: int | None = None) -> int:
+    v = current_version(root) if version is None else version
+    return len(_manifest(root, v)["files"])
+
+
+_COMPACT_CHECK_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "CENTS:o_totalprice",
+]
+
+
+@register(
+    "versioned_compact_optimize",
+    category="cdc",
+    doc="Small-file compaction (OPTIMIZE): 12 monthly micro-append commits "
+    "spray the table into many small files; compact() rewrites the content "
+    "into a handful and commits it as a new version (old versions stay "
+    "time-travelable — files are immutable). Emits (phase, n_rows, "
+    "checksum) before and after; the order-independent md5 checksum "
+    "proves byte-level logical invariance, and the oracle recomputes both "
+    "rows straight from the source relation.",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+),
+fp AS (
+  SELECT COUNT(*) AS n_rows,
+         CAST(CAST(SUM(CAST(('0x' || substr(md5(
+             CAST(o_orderkey AS VARCHAR) || '|' ||
+             CAST(o_custkey AS VARCHAR) || '|' ||
+             CAST(o_orderstatus AS VARCHAR) || '|' ||
+             CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
+           ), 1, 15))::BIGINT AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR)
+           AS checksum
+  FROM src
+)
+SELECT 'before' AS phase, n_rows, checksum FROM fp
+UNION ALL
+SELECT 'after' AS phase, n_rows, checksum FROM fp
+""",
+)
+def versioned_compact_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.functions.integrity import fingerprint_of
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    root = tempfile.mkdtemp(prefix="compact_")
+    for m in range(1, 13):  # 12 monthly micro-appends, 2 files each
+        lo = F.lit(f"1995-{m:02d}-01 00:00:00").cast("timestamp")
+        hi = (
+            F.lit(f"1995-{m + 1:02d}-01 00:00:00").cast("timestamp")
+            if m < 12
+            else F.lit("1996-01-01 00:00:00").cast("timestamp")
+        )
+        commit(
+            orders.where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+            .drop("o_orderdate")
+            .repartition(2),
+            root,
+            mode="append" if m > 1 else "overwrite",
+        )
+
+    def audit(phase: str) -> DataFrame:
+        return fingerprint_of(
+            read_version(spark, root), _COMPACT_CHECK_COLS
+        ).select(F.lit(phase).alias("phase"), "n_rows", "checksum")
+
+    before = audit("before").localCheckpoint()  # pin pre-compact answer
+    compact(spark, root, target_files=3)
+    return before.unionByName(audit("after"))
