@@ -289,3 +289,49 @@ def test_chained_window_rollup_stream(spark, stream_dir):
     # finalized set must be a non-trivial exact subset of batch
     assert got, "stream emitted no finalized hourly windows"
     assert got <= expected
+
+
+def test_stateful_exact_totals_survive_microbatch_splits(spark, stream_dir, tmp_path):
+    """The oracle-checked stateful op must give identical final state no
+    matter how the input is split into micro-batches: force one file per
+    trigger and compare against the single-batch run."""
+    from wheels_in_motion_analytics_spark.streaming.stateful import (
+        stateful_user_totals_exact,
+    )
+
+    src = str(tmp_path / "split_src")
+    table(spark, SF_SMALL, "events").select("user_id", "value").where(
+        F.col("user_id") < 30
+    ).repartition(4).write.mode("overwrite").parquet(src)
+
+    def run(max_files):
+        stream = (
+            spark.readStream.schema("user_id BIGINT, value DOUBLE")
+            .option("maxFilesPerTrigger", max_files)
+            .parquet(src)
+        )
+        name = f"mb_{uuid.uuid4().hex[:8]}"
+        q = (
+            stateful_user_totals_exact(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.sql(f"SELECT * FROM {name}")
+        return {
+            r.user_id: (r.n_events, r.sum_cents)
+            for r in out.groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max("sum_cents").alias("sum_cents"),
+            )
+            .collect()
+        }
+
+    one_batch = run(max_files=4)
+    four_batches = run(max_files=1)
+    assert one_batch == four_batches
+    assert len(one_batch) > 0
