@@ -1,0 +1,66 @@
+"""Semantic properties of the product-analytics operators (cross-engine
+exactness is covered by the differential harness)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_SMALL
+from wheels_in_motion_analytics_spark.registry import load_all_queries
+from wheels_in_motion_analytics_spark.tables import table
+
+SPECS = load_all_queries()
+
+
+def test_cohort_age_zero_is_cohort_size_upper_bound(spark):
+    rows = SPECS["cohort_retention_matrix"].fn(spark, SF_SMALL).collect()
+    by_cohort: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_q, {})[r.age_quarters] = r.active_customers
+    assert by_cohort
+    for cohort, ages in by_cohort.items():
+        # every cohort has an age-0 row (the quarter of the first order) and
+        # no later age exceeds the cohort's own size
+        assert 0 in ages
+        assert all(n <= ages[0] for n in ages.values())
+        assert all(a >= 0 for a in ages)
+
+
+def test_basket_lift_bounds_and_pair_orientation(spark):
+    rows = SPECS["basket_pair_lift"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.brand_a < r.brand_b
+        assert 0.0 < r.conf_a_to_b <= 1.0
+        assert r.lift > 0
+    lifts = [r.lift for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+
+
+def test_transition_shares_sum_to_one_per_from_state(spark):
+    rows = SPECS["event_transition_matrix"].fn(spark, SF_SMALL).collect()
+    by_from: dict[str, float] = {}
+    total_n = 0
+    for r in rows:
+        by_from[r.from_type] = by_from.get(r.from_type, 0.0) + r.share_of_from
+        total_n += r.n
+    for from_type, s in by_from.items():
+        assert abs(s - 1.0) < 1e-4, (from_type, s)
+    # transitions = events - one per user with ≥1 event
+    n_events = table(spark, SF_SMALL, "events").count()
+    n_users = table(spark, SF_SMALL, "events").select("user_id").distinct().count()
+    assert total_n == n_events - n_users
+
+
+def test_mom_growth_null_on_first_and_gap_months(spark):
+    rows = sorted(
+        SPECS["revenue_mom_growth"].fn(spark, SF_SMALL).collect(),
+        key=lambda r: (r.yr, r.mon),
+    )
+    assert rows[0].mom_growth is None
+    seen = {(r.yr, r.mon) for r in rows}
+    for r in rows:
+        prev = (r.yr, r.mon - 1) if r.mon > 1 else (r.yr - 1, 12)
+        if prev not in seen:
+            assert r.mom_growth is None
+        assert r.revenue > 0

@@ -1,0 +1,266 @@
+"""Product-analytics operators: cohort retention, market-basket lift,
+event-transition matrices, and period-over-period growth — the BI layer a
+serving warehouse exposes over the enriched star (reference analogue: the
+dashboard marts in /root/reference/README.md's BI section).
+
+Scale shapes:
+
+* Cohort retention: one window (first order per customer — min over the
+  customer partition) + one groupBy on (cohort, age). Both shuffles key on
+  the customer/cohort — map-side combinable, no fact-side explosion.
+* Basket lift: the pair explode is bounded by per-basket item count k
+  (k·(k−1)/2 pairs per order, k ≈ 4 here), never corpus-quadratic — the
+  standard distributed frequent-pair shape; item supports broadcast back.
+* Event transitions: per-user lag window → (from, to) count matrix; state
+  is bounded by per-user event history, the same partitioning the
+  sessionizer uses.
+* MoM growth: aggregate to the month grain FIRST (tiny relation), then a
+  1-step lag window over it — never a window over fact rows.
+
+Float discipline: revenue sums accumulate in decimal (compat.dsum);
+ratios/lift round in isolation from exact integer counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+
+from wheels_in_motion_analytics_spark.compat import dsum, oracle_dsum
+from wheels_in_motion_analytics_spark.registry import register
+from wheels_in_motion_analytics_spark.tables import table
+
+# --------------------------------------------------------------------------
+# Cohort retention matrix
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cohort_retention_matrix",
+    category="product-analytics",
+    doc="Cohort retention: customers cohorted by first-order quarter, "
+    "retention = distinct active customers per (cohort, quarters-since). "
+    "First-order via a min window over the customer partition, ages via "
+    "integer quarter arithmetic — one customer-keyed shuffle + one "
+    "(cohort, age) groupBy.",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey,
+         (year(o_orderdate) * 4 + (quarter(o_orderdate) - 1)) AS q
+  FROM orders
+),
+c AS (SELECT o_custkey, q, MIN(q) OVER (PARTITION BY o_custkey) AS cohort_q FROM o)
+SELECT cohort_q, q - cohort_q AS age_quarters,
+       COUNT(DISTINCT o_custkey) AS active_customers
+FROM c
+GROUP BY 1, 2
+""",
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            F.year("o_orderdate") * 4 + (F.quarter("o_orderdate") - 1)
+        ).alias("q"),
+    )
+    w = Window.partitionBy("o_custkey")
+    c = o.withColumn("cohort_q", F.min("q").over(w))
+    return (
+        c.groupBy("cohort_q", (F.col("q") - F.col("cohort_q")).alias("age_quarters"))
+        .agg(F.countDistinct("o_custkey").alias("active_customers"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Market-basket pair lift
+# --------------------------------------------------------------------------
+
+BASKET_MIN_PAIR_SUPPORT = 2
+BASKET_TOPK = 25
+
+
+@register(
+    "basket_pair_lift",
+    category="product-analytics",
+    doc="Market-basket analysis over order baskets: brand pairs co-occurring "
+    "in an order, support/confidence/lift from exact counts. The pair "
+    "explode is a within-basket self-join (k·(k−1)/2 pairs per order, k≈4) "
+    "— bounded by basket size, never corpus-quadratic; per-brand supports "
+    f"broadcast back onto the pair relation. Pairs with support ≥ "
+    f"{BASKET_MIN_PAIR_SUPPORT}, top {BASKET_TOPK} by lift.",
+    oracle=f"""
+WITH b AS (
+  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+n AS (SELECT COUNT(DISTINCT ok) AS n_baskets FROM b),
+sup AS (SELECT brand, COUNT(*) AS s FROM b GROUP BY brand),
+pairs AS (
+  SELECT a.brand AS brand_a, c.brand AS brand_b, COUNT(*) AS pair_n
+  FROM b a JOIN b c ON a.ok = c.ok AND a.brand < c.brand
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {BASKET_MIN_PAIR_SUPPORT}
+)
+SELECT brand_a, brand_b, pair_n,
+       round(CAST(pair_n AS DOUBLE) / sa.s, 6) AS conf_a_to_b,
+       round(CAST(pair_n AS DOUBLE) * n.n_baskets / (sa.s * sb.s), 6) AS lift
+FROM pairs
+JOIN sup sa ON sa.brand = pairs.brand_a
+JOIN sup sb ON sb.brand = pairs.brand_b
+CROSS JOIN n
+ORDER BY lift DESC, brand_a, brand_b
+LIMIT {BASKET_TOPK}
+""",
+)
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = (
+        table(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n = b.agg(F.countDistinct("ok").alias("n_baskets"))
+    sup = b.groupBy("brand").agg(F.count(F.lit(1)).alias("s"))
+    a = b.select("ok", F.col("brand").alias("brand_a"))
+    c = b.select("ok", F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(c, "ok")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .where(F.col("pair_n") >= BASKET_MIN_PAIR_SUPPORT)
+    )
+    sa = sup.select(F.col("brand").alias("brand_a"), F.col("s").alias("s_a"))
+    sb = sup.select(F.col("brand").alias("brand_b"), F.col("s").alias("s_b"))
+    return (
+        pairs.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_n",
+            F.round(F.col("pair_n").cast("double") / F.col("s_a"), 6).alias(
+                "conf_a_to_b"
+            ),
+            F.round(
+                F.col("pair_n").cast("double")
+                * F.col("n_baskets")
+                / (F.col("s_a") * F.col("s_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "brand_a", "brand_b")
+        .limit(BASKET_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# Event-transition matrix
+# --------------------------------------------------------------------------
+
+
+@register(
+    "event_transition_matrix",
+    category="product-analytics",
+    doc="Behavioral transition matrix: per-user event streams ordered by "
+    "time, adjacent (from → to) event-type pairs counted, with each "
+    "from-state's outgoing transition share. One lag window per user + one "
+    "(from, to) groupBy — the path-analysis primitive behind Sankey views.",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+t AS (
+  SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n
+  FROM s WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 6)
+         AS share_of_from
+FROM t
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wf = Window.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wf), 6).alias(
+            "share_of_from"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Month-over-month growth
+# --------------------------------------------------------------------------
+
+
+@register(
+    "revenue_mom_growth",
+    category="product-analytics",
+    doc="Month-over-month revenue growth: aggregate to the month grain "
+    "FIRST (decimal-accumulated), then one lag window over the tiny month "
+    "relation — the window never touches fact rows. NULL growth on the "
+    "first month and on gap months (lag is strictly previous-month).",
+    oracle=f"""
+WITH m AS (
+  SELECT year(o_orderdate) * 12 + (month(o_orderdate) - 1) AS mkey,
+         {oracle_dsum('o_totalprice')} AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT mkey // 12 AS yr, mkey % 12 + 1 AS mon, revenue,
+       CASE WHEN lag(mkey) OVER (ORDER BY mkey) = mkey - 1
+            THEN round((revenue - lag(revenue) OVER (ORDER BY mkey))
+                       / lag(revenue) OVER (ORDER BY mkey), 6)
+            END AS mom_growth
+FROM m
+""",
+)
+def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            (
+                F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1)
+            ).alias("mkey")
+        )
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    w = Window.orderBy("mkey")
+    growth = F.when(
+        F.lag("mkey").over(w) == F.col("mkey") - 1,
+        F.round(
+            (F.col("revenue") - F.lag("revenue").over(w))
+            / F.lag("revenue").over(w),
+            6,
+        ),
+    )
+    return m.select(
+        (F.col("mkey") / 12).cast("long").alias("yr"),
+        (F.col("mkey") % 12 + 1).alias("mon"),
+        "revenue",
+        growth.alias("mom_growth"),
+    )

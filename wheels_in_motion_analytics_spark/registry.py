@@ -70,6 +70,7 @@ _QUERY_MODULES = [
     "wheels_in_motion_analytics_spark.functions.linkage",
     "wheels_in_motion_analytics_spark.functions.integrity",
     "wheels_in_motion_analytics_spark.functions.stats",
+    "wheels_in_motion_analytics_spark.functions.product_analytics",
     "wheels_in_motion_analytics_spark.functions.sql_surface",
     "wheels_in_motion_analytics_spark.plans.enriched",
     "wheels_in_motion_analytics_spark.plans.analytics",
