@@ -52,6 +52,7 @@ _QUERY_MODULES = [
     "wheels_in_motion_analytics_spark.operators.advanced",
     "wheels_in_motion_analytics_spark.operators.outer_joins",
     "wheels_in_motion_analytics_spark.operators.timeseries",
+    "wheels_in_motion_analytics_spark.operators.spatial",
     "wheels_in_motion_analytics_spark.functions.udfs",
     "wheels_in_motion_analytics_spark.functions.arrow_native",
     "wheels_in_motion_analytics_spark.functions.datetime_dim",
