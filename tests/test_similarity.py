@@ -4,8 +4,10 @@ against their exact baselines on the test corpus."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from tests.conftest import SF_SMALL
+from wheels_in_motion_analytics_spark.functions.similarity import doc_shingles
 from wheels_in_motion_analytics_spark.registry import load_all_queries
 
 SPECS = load_all_queries()
@@ -207,3 +209,49 @@ def test_scaled_ann_lsh_structure(spark):
     assert len(qids) == len(set(qids))
     assert rows and all(-1.0001 <= r.cosine <= 1.0001 for r in rows)
     assert all(r.query_id != r.neighbor_id for r in rows)
+
+
+def test_minhash_lsh_recall_cross_validated_against_spark_ml(spark):
+    """Ecosystem parity: spark.ml's own MinHashLSH (approxSimilarityJoin at
+    Jaccard distance ≤ 0.5) and this repo's banded LSH must both recover
+    every exact-Jaccard>=0.8 near-duplicate pair — and our candidate set
+    should be no less complete than spark.ml's on those gold pairs."""
+    pytest.importorskip("pyspark.ml")
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    gold = {
+        (r.d1, r.d2)
+        for r in SPECS["dedup_ngram_jaccard"].fn(spark, SF_SMALL).collect()
+    }
+    assert gold, "corpus must contain near-duplicates"
+
+    ours = {
+        (r.d1, r.d2)
+        for r in SPECS["dedup_minhash_lsh"].fn(spark, SF_SMALL).collect()
+    }
+
+    sh = doc_shingles(spark, SF_SMALL)
+    docs = sh.groupBy("doc_id").agg(F.collect_set("s").alias("shingles"))
+    feats = (
+        CountVectorizer(inputCol="shingles", outputCol="features", binary=True)
+        .fit(docs)
+        .transform(docs)
+        .select("doc_id", "features")
+    )
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    ).fit(feats)
+    ml_pairs = {
+        (r.d1, r.d2)
+        for r in model.approxSimilarityJoin(feats, feats, 0.5, distCol="jd")
+        .select(
+            F.col("datasetA.doc_id").alias("d1"),
+            F.col("datasetB.doc_id").alias("d2"),
+        )
+        .where(F.col("d1") < F.col("d2"))
+        .collect()
+    }
+
+    # both implementations must fully recall the gold pairs
+    assert gold <= ours, f"our LSH missed {gold - ours}"
+    assert gold <= ml_pairs, f"spark.ml missed {gold - ml_pairs}"
