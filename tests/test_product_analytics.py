@@ -64,3 +64,31 @@ def test_mom_growth_null_on_first_and_gap_months(spark):
         if prev not in seen:
             assert r.mom_growth is None
         assert r.revenue > 0
+
+
+def test_cumulative_distinct_monotone_and_totals(spark):
+    rows = sorted(
+        SPECS["cumulative_distinct_users_daily"].fn(spark, SF_SMALL).collect(),
+        key=lambda r: r.day,
+    )
+    cums = [r.cum_distinct_users for r in rows]
+    assert cums == sorted(cums)
+    total_users = (
+        table(spark, SF_SMALL, "events").select("user_id").distinct().count()
+    )
+    assert cums[-1] == total_users
+    assert sum(r.new_users for r in rows) == total_users
+    for r in rows:
+        assert r.new_users <= r.active
+
+
+def test_pareto_frontier_has_no_dominated_member(spark):
+    rows = SPECS["pareto_frontier_parts"].fn(spark, SF_SMALL).collect()
+    assert rows
+    pts = [(r.p_size, r.cents) for r in rows]
+    for sz, c in pts:
+        for sz2, c2 in pts:
+            dominates = (
+                sz2 >= sz and c2 <= c and (sz2 > sz or c2 < c)
+            )
+            assert not dominates, ((sz, c), (sz2, c2))

@@ -255,3 +255,16 @@ def test_minhash_lsh_recall_cross_validated_against_spark_ml(spark):
     # both implementations must fully recall the gold pairs
     assert gold <= ours, f"our LSH missed {gold - ours}"
     assert gold <= ml_pairs, f"spark.ml missed {gold - ml_pairs}"
+
+
+def test_prefix_filter_join_is_lossless_vs_exact(spark):
+    exact = {
+        (r.d1, r.d2, r.jaccard)
+        for r in SPECS["dedup_ngram_jaccard"].fn(spark, SF_SMALL).collect()
+    }
+    pf = {
+        (r.d1, r.d2, r.jaccard)
+        for r in SPECS["dedup_prefix_filter_jaccard"].fn(spark, SF_SMALL).collect()
+    }
+    assert pf == exact
+    assert pf

@@ -264,3 +264,52 @@ def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         growth.alias("mom_growth"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cumulative distinct users (growth curve)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cumulative_distinct_users_daily",
+    category="product-analytics",
+    doc="Daily growth curve: active users per day, NEW users per day "
+    "(first-seen date via one min-groupBy — never a distinct-over-window), "
+    "and the cumulative distinct user count as a running sum of news. The "
+    "standard trick: cumulative COUNT(DISTINCT) is unwindowable at scale, "
+    "but first-occurrence flags turn it into an ordinary prefix sum over "
+    "the tiny day grain.",
+    oracle="""
+WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+firstd AS (SELECT user_id, MIN(d) AS fd FROM e GROUP BY user_id),
+daily AS (SELECT d, COUNT(DISTINCT user_id) AS active FROM e GROUP BY d),
+news AS (SELECT fd AS d, COUNT(*) AS new_users FROM firstd GROUP BY fd)
+SELECT daily.d AS day, daily.active,
+       COALESCE(news.new_users, 0) AS new_users,
+       SUM(COALESCE(news.new_users, 0)) OVER (ORDER BY daily.d)
+         AS cum_distinct_users
+FROM daily LEFT JOIN news ON news.d = daily.d
+""",
+)
+def cumulative_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    firstd = e.groupBy("user_id").agg(F.min("d").alias("fd"))
+    daily = e.groupBy("d").agg(F.countDistinct("user_id").alias("active"))
+    news = firstd.groupBy(F.col("fd").alias("d")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    joined = daily.join(news, "d", "left").select(
+        F.col("d").alias("day"),
+        "active",
+        F.coalesce("new_users", F.lit(0)).alias("new_users"),
+    )
+    return joined.withColumn(
+        "cum_distinct_users",
+        F.sum("new_users").over(
+            Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
 from wheels_in_motion_analytics_spark.functions.text import fingerprint, tokens
@@ -1101,4 +1101,100 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared_shingles"))
         .orderBy(F.desc("shared_shingles"), F.asc("src_a"), F.asc("src_b"))
         .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (PPJoin-style, lossless)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_prefix_filter_jaccard",
+    category="dedup-llm",
+    doc="Prefix-filtered exact Jaccard join (PPJoin prefix principle): "
+    "shingles get a global canonical order (ascending document frequency, "
+    "rarest first); each doc indexes ONLY its first n−⌈t·n⌉+1 shingles, and "
+    "two docs can pass t=0.8 only if their prefixes share a shingle — so "
+    "the inverted-index self-join touches a sliver of the postings instead "
+    "of all of them, provably LOSSLESS (candidates are verified with the "
+    "exact intersection). Same result set as dedup_ngram_jaccard; the "
+    "oracle is therefore the exact formulation. Prefix length uses pure "
+    "integer arithmetic (⌈4n/5⌉ = (4n+4)//5), no float rounding.",
+    oracle=f"""
+WITH {_ORACLE_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2,
+       ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = d1
+JOIN sizes sb ON sb.doc_id = d2
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+""",
+)
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = doc_shingles(spark, sf_dir).localCheckpoint()  # reused 3×
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # canonical order: rarest-first, tie on the shingle text — the order
+    # itself is arbitrary for correctness but rarest-first minimizes the
+    # candidate volume (frequent shingles never enter short prefixes)
+    ranked = (
+        sh.join(dfreq, "s")
+        .join(sizes, "doc_id")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "s")
+            ),
+        )
+    )
+    # integer prefix length: n - ceil(0.8*n) + 1 == n - (4n+4)//5 + 1
+    prefix = ranked.where(
+        F.col("rnk") <= F.col("n") - F.expr("(4 * n + 4) div 5") + 1
+    ).select("doc_id", "s")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .distinct()
+    )
+    # verify candidates with per-pair array intersection: each candidate
+    # row carries both docs' shingle sets, so verification is per-row array
+    # math bounded by |candidates| x set size — never a posting re-join
+    docsets = sh.groupBy("doc_id").agg(F.collect_set("s").alias("ss"))
+    inter = (
+        cand.join(
+            docsets.select(F.col("doc_id").alias("d1"), F.col("ss").alias("ss1")),
+            "d1",
+        )
+        .join(
+            docsets.select(F.col("doc_id").alias("d2"), F.col("ss").alias("ss2")),
+            "d2",
+        )
+        .select(
+            "d1",
+            "d2",
+            F.size(F.array_intersect("ss1", "ss2")).alias("i"),
+        )
+    )
+    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(F.broadcast(sa), "d1")
+        .join(F.broadcast(sb), "d2")
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
     )

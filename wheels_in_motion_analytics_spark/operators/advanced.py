@@ -295,3 +295,64 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(li, orders, "k").select(
         "l_orderkey", "l_extendedprice", "o_orderpriority"
     )
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (2-D skyline) — window formulation, no dominance self-join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pareto_frontier_parts",
+    category="advanced",
+    doc="2-D skyline: parts Pareto-optimal on (maximize p_size, minimize "
+    "p_retailprice). Instead of the quadratic dominance self-join, reduce "
+    "to the per-size min-price grain (tiny — |distinct sizes| rows), take "
+    "a running min over strictly-larger sizes (RANGE frame), and keep "
+    "grain rows strictly cheaper than everything larger; frontier parts "
+    "re-attach by broadcast semi-join. Exact integer/cent comparisons.",
+    oracle="""
+WITH g AS (
+  SELECT p_size, MIN(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))
+           AS min_cents
+  FROM part GROUP BY p_size
+),
+r AS (
+  SELECT p_size, min_cents,
+         MIN(min_cents) OVER (ORDER BY p_size
+              RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS best_larger
+  FROM g
+),
+front AS (
+  SELECT p_size, min_cents FROM r
+  WHERE best_larger IS NULL OR min_cents < best_larger
+)
+SELECT p.p_partkey, p.p_size,
+       CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+FROM part p JOIN front f
+  ON p.p_size = f.p_size
+ AND CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT) = f.min_cents
+""",
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cents = F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("bigint")
+    parts = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", cents.alias("cents")
+    )
+    g = parts.groupBy("p_size").agg(F.min("cents").alias("min_cents"))
+    w = Window.orderBy("p_size").rangeBetween(1, Window.unboundedFollowing)
+    front = (
+        g.withColumn("best_larger", F.min("min_cents").over(w))
+        .where(
+            F.col("best_larger").isNull()
+            | (F.col("min_cents") < F.col("best_larger"))
+        )
+        # rename to break the self-derived lineage ambiguity
+        .select(F.col("p_size").alias("f_size"), F.col("min_cents").alias("f_cents"))
+    )
+    return parts.join(
+        F.broadcast(front),
+        (F.col("p_size") == F.col("f_size")) & (F.col("cents") == F.col("f_cents")),
+    ).select("p_partkey", "p_size", "cents")
