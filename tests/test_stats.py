@@ -67,3 +67,30 @@ def test_mad_outliers_bounded_and_median_within_range(spark):
     total = sum(r.n for r in rows)
     flagged = sum(r.n_outliers for r in rows)
     assert flagged / total < 0.2
+
+
+def test_psi_terms_sum_to_total_and_drift_detected(spark):
+    rows = SPECS["psi_price_drift"].fn(spark, SF_SMALL).collect()
+    assert rows
+    total = rows[0].psi_total
+    assert all(abs(r.psi_total - total) < 1e-9 for r in rows)
+    assert abs(sum(r.psi_term for r in rows) - total) < 1e-4
+    assert total >= 0  # PSI is nonnegative by Gibbs' inequality
+
+
+def test_ewma_is_between_series_min_and_max(spark):
+    rows = SPECS["revenue_ewma_daily"].fn(spark, SF_SMALL).collect()
+    assert rows
+    by_prio: dict[str, list] = {}
+    for r in rows:
+        by_prio.setdefault(r.prio, []).append(r)
+    for prio, rs in by_prio.items():
+        vals = [r.ewma_revenue for r in rs]
+        assert all(v > 0 for v in vals)
+
+
+def test_embedding_dim_percentiles_ordered(spark):
+    rows = SPECS["embedding_dim_percentiles"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert r.vmin <= r.p5 <= r.p50 <= r.p95 <= r.vmax

@@ -331,3 +331,44 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(res)
 
     return emb.mapInPandas(project, f"vec_id bigint, {out_cols}")
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension distribution audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_dim_percentiles",
+    category="embeddings",
+    doc="Per-dimension distribution audit of the embedding column: exact "
+    "p5/p50/p95 and min/max for every dimension ordinal via one posexplode "
+    "+ per-dim aggregate (64 groups — map-side combinable, no global "
+    "sort). The feature-drift / normalization-check pass a vector pipeline "
+    "runs before training; pairs with psi_price_drift for scalars.",
+    oracle="""
+SELECT pos,
+       round(CAST(quantile_cont(v, 0.05) AS DOUBLE), 6) AS p5,
+       round(CAST(quantile_cont(v, 0.5) AS DOUBLE), 6) AS p50,
+       round(CAST(quantile_cont(v, 0.95) AS DOUBLE), 6) AS p95,
+       round(MIN(v), 6) AS vmin,
+       round(MAX(v), 6) AS vmax
+FROM (
+  SELECT CAST(u.i - 1 AS INTEGER) AS pos, CAST(embedding[u.i] AS DOUBLE) AS v
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+)
+GROUP BY pos
+""",
+)
+def embedding_dim_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").select(
+        F.posexplode("embedding").alias("pos", "v")
+    )
+    v = F.col("v").cast("double")
+    return e.groupBy("pos").agg(
+        F.round(F.expr("percentile(CAST(v AS DOUBLE), 0.05)"), 6).alias("p5"),
+        F.round(F.expr("percentile(CAST(v AS DOUBLE), 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(CAST(v AS DOUBLE), 0.95)"), 6).alias("p95"),
+        F.round(F.min(v), 6).alias("vmin"),
+        F.round(F.max(v), 6).alias("vmax"),
+    )

@@ -255,3 +255,83 @@ def mad_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Population Stability Index (data-drift monitor)
+# --------------------------------------------------------------------------
+
+PSI_BUCKETS = 10
+PSI_SPLIT = "1997-01-01 00:00:00"  # baseline period < split <= current
+PSI_LAPLACE = 1  # add-one smoothing: empty buckets stay finite
+
+
+@register(
+    "psi_price_drift",
+    category="stats",
+    doc=f"Population Stability Index between two periods' order-price "
+    f"distributions ({PSI_BUCKETS} fixed-width buckets, add-one smoothing "
+    "for empty cells): per-bucket shares from exact integer counts, "
+    "PSI = Σ (p−q)·ln(p/q) with each ln term rounded in isolation (the "
+    "one libm call). Emits the per-bucket decomposition plus the total on "
+    "every row — the standard production data-drift monitor for both "
+    "features and training corpora.",
+    oracle=f"""
+WITH b AS (
+  SELECT CASE WHEN o_orderdate < TIMESTAMP '{PSI_SPLIT}' THEN 'base' ELSE 'cur' END AS period,
+         least(CAST(floor(o_totalprice / 60000.0 * {PSI_BUCKETS}) AS INTEGER),
+               {PSI_BUCKETS - 1}) AS bucket
+  FROM orders
+),
+counts AS (
+  SELECT bucket,
+         COUNT(*) FILTER (WHERE period = 'base') + {PSI_LAPLACE} AS nb,
+         COUNT(*) FILTER (WHERE period = 'cur') + {PSI_LAPLACE} AS nc
+  FROM b GROUP BY bucket
+),
+tot AS (SELECT SUM(nb) AS tb, SUM(nc) AS tc FROM counts),
+terms AS (
+  SELECT bucket,
+         round((CAST(nb AS DOUBLE) / tb - CAST(nc AS DOUBLE) / tc)
+               * round(ln((CAST(nb AS DOUBLE) / tb) / (CAST(nc AS DOUBLE) / tc)), 6),
+               6) AS psi_term
+  FROM counts CROSS JOIN tot
+)
+SELECT bucket, psi_term,
+       CAST(SUM(CAST(psi_term AS DECIMAL(18,6))) OVER () AS DOUBLE) AS psi_total
+FROM terms
+""",
+)
+def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 60000.0 * PSI_BUCKETS).cast("int"),
+        F.lit(PSI_BUCKETS - 1),
+    )
+    period = F.when(
+        F.col("o_orderdate") < F.lit(PSI_SPLIT).cast("timestamp"), "base"
+    ).otherwise("cur")
+    counts = (
+        o.select(period.alias("period"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            (F.count(F.when(F.col("period") == "base", 1)) + PSI_LAPLACE).alias("nb"),
+            (F.count(F.when(F.col("period") == "cur", 1)) + PSI_LAPLACE).alias("nc"),
+        )
+    )
+    tot = counts.agg(F.sum("nb").alias("tb"), F.sum("nc").alias("tc"))
+    p = F.col("nb").cast("double") / F.col("tb")
+    q = F.col("nc").cast("double") / F.col("tc")
+    term = F.round((p - q) * F.round(F.log(p / q), 6), 6)
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket", term.alias("psi_term")
+    )
+    wall = Window.partitionBy()
+    return terms.select(
+        "bucket",
+        "psi_term",
+        F.sum(F.col("psi_term").cast("decimal(18,6)"))
+        .over(wall)
+        .cast("double")
+        .alias("psi_total"),
+    )

@@ -450,3 +450,65 @@ def rolling_features_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec).over(w90).cast("double").alias("rev_90d"),
         (F.col("d") - F.lag("d").over(wlag)).alias("days_since_prev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponentially-weighted moving average (exact dyadic weights)
+# ---------------------------------------------------------------------------
+
+EWMA_LAGS = 16  # truncation horizon; weight 2^-15 ≈ 3e-5 beyond it
+
+
+@register(
+    "revenue_ewma_daily",
+    category="timeseries",
+    doc="EWMA-smoothed daily revenue per order priority (α = 1/2, "
+    f"truncated at {EWMA_LAGS} lags): day-grain aggregate first, then one "
+    "lag-window per priority with weights 2^-j. Every term is an integer "
+    "number of cents times a power of two — EXACT in IEEE arithmetic, so "
+    "the smoothed value is bit-identical on any engine with no decimal "
+    "scaffolding. Normalized by the weights actually present (series "
+    "heads shorter than the horizon stay unbiased).",
+    oracle=f"""
+WITH d AS (
+  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT prio, day,
+       round((
+         {" + ".join(f"COALESCE(lag(cents, {j}) OVER w * {2.0 ** -j:.17g}, 0)" for j in range(EWMA_LAGS))}
+       ) / (
+         {" + ".join(f"CASE WHEN lag(cents, {j}) OVER w IS NOT NULL THEN {2.0 ** -j:.17g} ELSE 0 END" for j in range(EWMA_LAGS))}
+       ) / 100, 4) AS ewma_revenue
+FROM d
+WINDOW w AS (PARTITION BY prio ORDER BY day)
+""",
+)
+def revenue_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    w = Window.partitionBy("prio").orderBy("day")
+    num = None
+    den = None
+    for j in range(EWMA_LAGS):
+        wt = 2.0 ** -j
+        term = F.coalesce(F.lag("cents", j).over(w) * F.lit(wt), F.lit(0.0))
+        present = F.when(
+            F.lag("cents", j).over(w).isNotNull(), F.lit(wt)
+        ).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = present if den is None else den + present
+    return d.select(
+        "prio", "day", F.round(num / den / 100, 4).alias("ewma_revenue")
+    )
