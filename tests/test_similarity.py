@@ -268,3 +268,24 @@ def test_prefix_filter_join_is_lossless_vs_exact(spark):
     }
     assert pf == exact
     assert pf
+
+
+def test_cluster_representatives_partition_and_quality(spark):
+    reps = SPECS["dedup_cluster_representatives"].fn(spark, SF_SMALL).collect()
+    clusters = SPECS["dedup_connected_components"].fn(spark, SF_SMALL).collect()
+    assert sum(r.n_members for r in reps) == len(clusters)  # exact partition
+    quality = {
+        r.doc_id: r.quality
+        for r in SPECS["text_quality_score"].fn(spark, SF_SMALL).collect()
+    }
+    members: dict[int, list[int]] = {}
+    for c in clusters:
+        members.setdefault(c.cluster_rep, []).append(c.doc_id)
+    for r in reps:
+        ms = members[r.cluster_rep]
+        assert r.kept_doc in ms
+        assert r.n_dropped == len(ms) - 1
+        # the kept doc has max quality (doc_id-min among ties)
+        best_q = max(quality[m] for m in ms)
+        assert r.kept_quality == best_q
+        assert r.kept_doc == min(m for m in ms if quality[m] == best_q)

@@ -220,3 +220,49 @@ def table_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --------------------------------------------------------------------------
+# Column profiling (ANALYZE-style statistics collection)
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+@register(
+    "profile_orders_columns",
+    category="integrity",
+    doc="ANALYZE-style column profile of orders: per column, row count, "
+    "nulls, exact distinct count, min/max (as canonical strings). One pass "
+    "per profiled relation via a single multi-aggregate + an unpivot to "
+    "the (column, stat) grain — the optimizer-statistics collection every "
+    "warehouse runs; exact NDV here (the sketch variant is "
+    "approx_count_distinct).",
+    oracle=" UNION ALL ".join(
+        f"""
+SELECT '{c}' AS col, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_v,
+       CAST(MAX({c}) AS VARCHAR) AS max_v
+FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(
+            o.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(c)).alias("n_nulls"),
+                F.countDistinct(c).alias("n_distinct"),
+                F.min(c).cast("string").alias("min_v"),
+                F.max(c).cast("string").alias("max_v"),
+            ).select(F.lit(c).alias("col"), "*")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1198,3 +1198,102 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(jac >= JACCARD_THRESHOLD)
         .select("d1", "d2", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-representative selection — the end-to-end dedup decision
+# ---------------------------------------------------------------------------
+
+
+from wheels_in_motion_analytics_spark.functions import text as _text_mod
+
+_CLUSTER_REPS_ORACLE = ("""
+WITH RECURSIVE {shingles},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT d1, d2 FROM inter
+  JOIN sizes sa ON sa.doc_id = d1
+  JOIN sizes sb ON sb.doc_id = d2
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION ALL SELECT d2, d1 FROM pairs
+),
+reach(doc, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc
+),
+clusters AS (SELECT doc AS doc_id, MIN(lab) AS cluster_rep FROM reach GROUP BY doc),
+tq AS (SELECT doc_id, text, {toks} AS toks FROM documents),
+sq AS (
+  SELECT doc_id,
+         len(toks) AS nt,
+         CAST({stop_cnt} AS DOUBLE) / greatest(len(toks), 1) AS swr,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS pr
+  FROM tq
+),
+quality AS (
+  SELECT doc_id,
+         ROUND(0.5 * least(CAST(nt AS DOUBLE) / 100, 1.0) + 0.3 * least(swr * 5, 1.0)
+               + 0.2 * (1.0 - least(pr * 10, 1.0)), 6) AS quality
+  FROM sq
+),
+ranked AS (
+  SELECT c.cluster_rep, c.doc_id, q.quality,
+         row_number() OVER (PARTITION BY c.cluster_rep
+                            ORDER BY q.quality DESC, c.doc_id) AS rn
+  FROM clusters c JOIN quality q USING (doc_id)
+)
+SELECT cluster_rep,
+       MAX(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc,
+       MAX(CASE WHEN rn = 1 THEN quality END) AS kept_quality,
+       COUNT(*) AS n_members,
+       COUNT(*) - 1 AS n_dropped
+FROM ranked
+GROUP BY cluster_rep
+""").format(
+    shingles=_ORACLE_SHINGLES.lstrip(),
+    toks=_text_mod._ORACLE_TOKS,
+    stop_cnt=_text_mod._oracle_count_in(_text_mod.STOPWORDS),
+    JACCARD_THRESHOLD=JACCARD_THRESHOLD,
+)
+
+@register(
+    "dedup_cluster_representatives",
+    category="dedup-llm",
+    doc="END-TO-END dedup decision: near-dup pair graph → connected "
+    "components → per cluster KEEP the highest-quality member (quality "
+    "score desc, doc_id asc tiebreak) and count the rest as dropped. "
+    "Composes the exact-Jaccard pair graph, the iterative min-label "
+    "clustering, and the deterministic quality scorer into the single "
+    "keep/drop table a corpus build actually consumes. Oracle: recursive "
+    "CTE + the quality formula + a rank window.",
+    oracle=_CLUSTER_REPS_ORACLE,
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.functions.text import text_quality_score
+
+    clusters = dedup_connected_components(spark, sf_dir)
+    quality = text_quality_score(spark, sf_dir)
+    ranked = clusters.join(quality, "doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("cluster_rep").orderBy(
+                F.desc("quality"), F.asc("doc_id")
+            )
+        ),
+    )
+    return ranked.groupBy("cluster_rep").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("kept_doc"),
+        F.max(F.when(F.col("rn") == 1, F.col("quality"))).alias("kept_quality"),
+        F.count(F.lit(1)).alias("n_members"),
+        (F.count(F.lit(1)) - 1).alias("n_dropped"),
+    )

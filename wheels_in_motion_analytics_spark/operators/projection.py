@@ -156,3 +156,79 @@ def literal_default_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ordered_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "customer").select("c_mktsegment", "c_name", "c_custkey")
+
+
+@register(
+    "schema_drift_union_conform",
+    category="projection",
+    doc="Schema-drift ingestion, end-to-end: two generations of the orders "
+    "feed — an old one missing o_orderpriority with a legacy column name, "
+    "and a new one with an extra column — are conformed to the canonical "
+    "schema (conform_schema: rename → cast → typed-NULL fill → drop "
+    "extras) and unioned; aggregate proves NULL-fill and cast semantics. "
+    "The registered form of the §2a P2/P3/D2 tolerance machinery.",
+    oracle="""
+WITH old_gen AS (
+  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+         CAST(NULL AS VARCHAR) AS o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+new_gen AS (
+  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1
+),
+u AS (SELECT * FROM old_gen UNION ALL SELECT * FROM new_gen)
+SELECT o_orderstatus,
+       COALESCE(o_orderpriority, '<missing>') AS prio,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM u
+GROUP BY 1, 2
+""",
+)
+def schema_drift_union_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.types as T
+
+    target = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    )
+    orders = table(spark, sf_dir, "orders")
+    # old generation: legacy names, no priority column, extra audit column
+    old_gen = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total_price"),
+        F.lit("legacy-batch").alias("ingest_tag"),
+    )
+    # new generation: canonical names plus an extra column to drop
+    new_gen = orders.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+        F.lit(42).alias("ingest_version"),
+    )
+    conformed = conform_schema(
+        old_gen,
+        target,
+        rename_map={
+            "order_id": "o_orderkey",
+            "status": "o_orderstatus",
+            "total_price": "o_totalprice",
+        },
+    ).unionByName(conform_schema(new_gen, target))
+    return conformed.groupBy(
+        "o_orderstatus",
+        F.coalesce("o_orderpriority", F.lit("<missing>")).alias("prio"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total"),
+    )
