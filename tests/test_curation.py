@@ -98,3 +98,20 @@ def test_feature_binning_grid_semantics(spark):
     for r in rows:
         per_q[r.price_quartile] = per_q.get(r.price_quartile, 0) + r.n_items
     assert max(per_q.values()) - min(per_q.values()) <= 1
+
+
+def test_vocab_oov_rate_consistent_with_vocab(spark):
+    import pyspark.sql.functions as F
+    from wheels_in_motion_analytics_spark.functions.text import tokens as _toks
+    from wheels_in_motion_analytics_spark.tables import table as _table
+
+    rows = SPECS["vocab_oov_rate"].fn(spark, SF_SMALL).collect()
+    n_docs = _table(spark, SF_SMALL, "documents").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert 0 <= r.covered <= r.n_tokens
+        assert 0.0 <= r.oov_rate <= 1.0
+    # vocabulary has min_count 5, so coverage should dominate on this corpus
+    total = sum(r.n_tokens for r in rows)
+    covered = sum(r.covered for r in rows)
+    assert covered / total > 0.5

@@ -289,3 +289,14 @@ def test_cluster_representatives_partition_and_quality(spark):
         best_q = max(quality[m] for m in ms)
         assert r.kept_quality == best_q
         assert r.kept_doc == min(m for m in ms if quality[m] == best_q)
+
+
+def test_minhash_estimate_error_is_bounded(spark):
+    rows = SPECS["minhash_jaccard_estimate"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert abs(r.abs_err - abs(r.true_jaccard - r.est_jaccard)) < 1e-6
+    # 8-slot signatures on >=0.8-Jaccard pairs: mean error well under 0.3
+    mean_err = sum(r.abs_err for r in rows) / len(rows)
+    assert mean_err < 0.3

@@ -1297,3 +1297,91 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_members"),
         (F.count(F.lit(1)) - 1).alias("n_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimation-quality audit
+# ---------------------------------------------------------------------------
+
+_SIG_CTE = f"""
+h AS (SELECT doc_id, {_oracle_hash("s", 7)} AS h FROM sh),
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"MIN(({a} * h + {b}) % {MINHASH_P}) AS m{j}" for j, (a, b) in enumerate(MINHASH_COEFFS))}
+  FROM h GROUP BY doc_id
+)"""
+
+
+@register(
+    "minhash_jaccard_estimate",
+    category="dedup-llm",
+    doc=f"Sketch-estimation audit: for every exact-Jaccard≥{JACCARD_THRESHOLD} "
+    f"pair, the MinHash({MINHASH_K}) estimate (fraction of agreeing "
+    "signature slots — the unbiased Jaccard estimator) next to the true "
+    "value and absolute error. The quantified answer to 'how much recall "
+    "does the sketch buy at this signature length'; signatures and truth "
+    "are both md5-deterministic, so even the estimator itself is "
+    "oracle-checked.",
+    oracle=f"""
+WITH {_ORACLE_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+gold AS (
+  SELECT d1, d2,
+         ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS true_jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = d1
+  JOIN sizes sb ON sb.doc_id = d2
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+),
+{_SIG_CTE.lstrip()}
+SELECT g.d1, g.d2, g.true_jaccard,
+       round(({" + ".join(f"CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END" for j in range(MINHASH_K))})
+             / {MINHASH_K}.0, 6) AS est_jaccard,
+       round(abs(g.true_jaccard -
+             ({" + ".join(f"CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END" for j in range(MINHASH_K))})
+             / {MINHASH_K}.0), 6) AS abs_err
+FROM gold g JOIN sig a ON a.doc_id = g.d1 JOIN sig b ON b.doc_id = g.d2
+""",
+)
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gold = dedup_ngram_jaccard(spark, sf_dir).withColumnRenamed(
+        "jaccard", "true_jaccard"
+    )
+    hashed = doc_shingles(spark, sf_dir).select(
+        "doc_id", hash_hex(F.col("s"), 7).alias("h")
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"m{j}")
+            for j, (a, b) in enumerate(MINHASH_COEFFS)
+        ]
+    )
+    a = sig.select(
+        F.col("doc_id").alias("d1"), *[F.col(f"m{j}").alias(f"a{j}") for j in range(MINHASH_K)]
+    )
+    b = sig.select(
+        F.col("doc_id").alias("d2"), *[F.col(f"m{j}").alias(f"b{j}") for j in range(MINHASH_K)]
+    )
+    agree = None
+    for j in range(MINHASH_K):
+        t = F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        agree = t if agree is None else agree + t
+    est = F.round(agree / float(MINHASH_K), 6)
+    return (
+        gold.join(F.broadcast(a), "d1")
+        .join(F.broadcast(b), "d2")
+        .select(
+            "d1",
+            "d2",
+            "true_jaccard",
+            est.alias("est_jaccard"),
+            F.round(F.abs(F.col("true_jaccard") - agree / float(MINHASH_K)), 6).alias(
+                "abs_err"
+            ),
+        )
+    )

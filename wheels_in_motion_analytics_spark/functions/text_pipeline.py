@@ -269,3 +269,59 @@ def ngram_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(20)
     )
+
+
+@register(
+    "vocab_oov_rate",
+    category="text",
+    doc="Out-of-vocabulary audit: tokenizer coverage of the min-count "
+    "vocabulary per document — token occurrences found in the vocab vs "
+    "total, OOV rate as an exact integer ratio. One explode + one "
+    "broadcast join against the (tiny, aggregated) vocab — the coverage "
+    "check run before committing to a tokenizer/vocab size.",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT unnest(ws) AS tok FROM t
+  ) GROUP BY tok HAVING COUNT(*) >= {VOCAB_MIN_COUNT}
+),
+ex AS (SELECT doc_id, unnest(ws) AS tok FROM t)
+SELECT ex.doc_id,
+       COUNT(*) AS n_tokens,
+       COUNT(*) FILTER (WHERE v.tok IS NOT NULL) AS covered,
+       round(1.0 - CAST(COUNT(*) FILTER (WHERE v.tok IS NOT NULL) AS DOUBLE)
+             / COUNT(*), 6) AS oov_rate
+FROM ex LEFT JOIN vocab v ON ex.tok = v.tok
+GROUP BY ex.doc_id
+""",
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    par = spark.sparkContext.defaultParallelism
+    toks = (
+        table(spark, sf_dir, "documents")
+        .repartition(par)
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= VOCAB_MIN_COUNT)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.col("in_vocab")).alias("covered"),
+            F.round(
+                1.0 - F.count(F.col("in_vocab")).cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
