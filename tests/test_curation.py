@@ -115,3 +115,29 @@ def test_vocab_oov_rate_consistent_with_vocab(spark):
     total = sum(r.n_tokens for r in rows)
     covered = sum(r.covered for r in rows)
     assert covered / total > 0.5
+
+
+def test_temperature_mixture_flattens_language_skew(spark):
+    import pyspark.sql.functions as F
+    from wheels_in_motion_analytics_spark.tables import table as _table
+
+    kept = SPECS["curate_temperature_mixture"].fn(spark, SF_SMALL)
+    before = {
+        r.lang: r.n
+        for r in _table(spark, SF_SMALL, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    after = {
+        r.lang: r.n
+        for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # skew ratio (max/min) must strictly shrink toward balance
+    skew_before = max(before.values()) / min(before.values())
+    skew_after = max(after.values()) / min(after.values())
+    assert skew_after < skew_before
+    # the rarest language is kept (nearly) whole: keep_rate 1.0
+    rates = {r.lang: r.keep_rate for r in kept.select("lang", "keep_rate").distinct().collect()}
+    rare = min(before, key=before.get)
+    assert rates[rare] == 1.0

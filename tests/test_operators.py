@@ -292,3 +292,45 @@ def test_hll_sketch_rollup_tracks_exact_distinct(spark):
     for y, n in exact.items():
         # HLL default lgConfigK=12 → ~1.6% relative standard error; allow 5%
         assert abs(est[y] - n) <= max(2, 0.05 * n), (y, est[y], n)
+
+
+def test_streak_detection_on_known_sequence(spark):
+    import pyspark.sql.functions as F
+
+    from wheels_in_motion_analytics_spark.operators.windows import (
+        streak_increasing_orders,  # noqa: F401 — registered fn used via SPECS
+    )
+    from wheels_in_motion_analytics_spark.registry import REGISTRY
+
+    from tests.conftest import SF_SMALL
+
+    rows = REGISTRY["streak_increasing_orders"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.longest_increasing_streak >= 1
+
+
+def test_weighted_median_is_weight_balanced(spark):
+    import pyspark.sql.functions as F
+
+    from wheels_in_motion_analytics_spark.registry import REGISTRY
+    from wheels_in_motion_analytics_spark.tables import table as _table
+
+    from tests.conftest import SF_SMALL
+
+    meds = {
+        r.flag: r.weighted_median_cents
+        for r in REGISTRY["weighted_median_price"].fn(spark, SF_SMALL).collect()
+    }
+    li = _table(spark, SF_SMALL, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    for flag, med in meds.items():
+        rows = li.where(F.col("l_returnflag") == flag).collect()
+        total = sum(r.w for r in rows)
+        below = sum(r.w for r in rows if r.cents < med)
+        at_or_below = sum(r.w for r in rows if r.cents <= med)
+        # defining property of the lower weighted median
+        assert below * 2 < total <= at_or_below * 2

@@ -472,3 +472,48 @@ def curate_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", "n_chars", F.ntile(4).over(w).alias("phase")
     )
+
+
+@register(
+    "curate_temperature_mixture",
+    category="curation",
+    doc="Temperature-scaled language mixture (τ = 1/2): per-language keep "
+    "rate sqrt(min_lang_count / lang_count) — rare languages keep "
+    "everything, dominant ones downsample toward balance (the standard "
+    "multilingual mixing rule). sqrt is IEEE-correct on both engines so the "
+    "rounded rate is portable; the keep decision compares it against the "
+    "same md5-uniform draw machinery as importance sampling. One tiny "
+    "language-count aggregate broadcast back over the corpus — no shuffle "
+    "of the documents themselves. (source counts are uniform in this "
+    "corpus, lang is the skewed axis.)",
+    oracle="""
+WITH sc AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+mn AS (SELECT MIN(n) AS min_n FROM sc),
+rated AS (
+  SELECT d.doc_id, d.lang,
+         round(sqrt(CAST(mn.min_n AS DOUBLE) / sc.n), 6) AS keep_rate,
+         CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+              AS DOUBLE) / 1152921504606846976 AS draw
+  FROM documents d JOIN sc USING (lang) CROSS JOIN mn
+)
+SELECT doc_id, lang, keep_rate
+FROM rated WHERE draw < keep_rate
+""",
+)
+def curate_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sc = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    mn = sc.agg(F.min("n").alias("min_n"))
+    rate = F.round(
+        F.sqrt(F.col("min_n").cast("double") / F.col("n")), 6
+    )
+    draw = hash_hex(
+        F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))
+    ).cast("double") / F.lit(float(1 << 60))
+    return (
+        docs.join(F.broadcast(sc), "lang")
+        .crossJoin(F.broadcast(mn))
+        .select("doc_id", "lang", rate.alias("keep_rate"), draw.alias("draw"))
+        .where(F.col("draw") < F.col("keep_rate"))
+        .select("doc_id", "lang", "keep_rate")
+    )

@@ -184,3 +184,132 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("event_type").over(w_first).alias("first_event_type"),
         F.last("event_type").over(w_last).alias("last_event_type"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands streak detection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streak_increasing_orders",
+    category="windows",
+    doc="MATCH_RECOGNIZE-style pattern over order history: per customer, "
+    "the LONGEST streak of consecutive strictly-increasing order totals "
+    "(cents-exact comparison). Classic gaps-and-islands: a lag flag marks "
+    "streak breaks, a running sum of breaks assigns island ids, one "
+    "groupBy sizes the islands, a max picks the streak. All three windows "
+    "share the customer partitioning — one shuffle.",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS seq
+  FROM orders
+),
+flagged AS (
+  SELECT o_custkey, seq, cents,
+         CASE WHEN cents > lag(cents) OVER w THEN 0 ELSE 1 END AS brk
+  FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY seq)
+),
+islands AS (
+  SELECT o_custkey,
+         SUM(brk) OVER (PARTITION BY o_custkey ORDER BY seq) AS island
+  FROM flagged
+),
+sized AS (
+  SELECT o_custkey, island, COUNT(*) AS len FROM islands GROUP BY 1, 2
+)
+SELECT o_custkey, MAX(len) AS longest_increasing_streak
+FROM sized GROUP BY o_custkey
+""",
+)
+def streak_increasing_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+        .alias("seq"),
+    )
+    wseq = Window.partitionBy("o_custkey").orderBy("seq")
+    flagged = o.select(
+        "o_custkey",
+        "seq",
+        F.when(F.col("cents") > F.lag("cents").over(wseq), 0)
+        .otherwise(1)
+        .alias("brk"),
+    )
+    islands = flagged.select(
+        "o_custkey",
+        F.sum("brk")
+        .over(wseq.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    sized = islands.groupBy("o_custkey", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return sized.groupBy("o_custkey").agg(
+        F.max("len").alias("longest_increasing_streak")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weighted_median_price",
+    category="windows",
+    doc="Quantity-weighted median of extended price per return flag: "
+    "cumulative-weight window over the per-value grain, first value whose "
+    "running weight reaches half the group total (lower weighted median — "
+    "a deterministic convention, no interpolation). The value grain keeps "
+    "window state at |distinct prices per group|, not raw rows.",
+    oracle="""
+WITH g AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         SUM(CAST(l_quantity AS BIGINT)) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+c AS (
+  SELECT flag, cents,
+         SUM(w) OVER (PARTITION BY flag ORDER BY cents) AS cw,
+         SUM(w) OVER (PARTITION BY flag) AS tw
+  FROM g
+)
+SELECT flag, MIN(cents) AS weighted_median_cents
+FROM c WHERE cw * 2 >= tw
+GROUP BY flag
+""",
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
+    )
+    wc = Window.partitionBy("flag").orderBy("cents").rangeBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("flag")
+    c = g.select(
+        "flag",
+        "cents",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    return (
+        c.where(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("flag")
+        .agg(F.min("cents").alias("weighted_median_cents"))
+    )
