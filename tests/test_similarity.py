@@ -300,3 +300,22 @@ def test_minhash_estimate_error_is_bounded(spark):
     # 8-slot signatures on >=0.8-Jaccard pairs: mean error well under 0.3
     mean_err = sum(r.abs_err for r in rows) / len(rows)
     assert mean_err < 0.3
+
+
+def test_cdc_neardup_recalls_exact_near_duplicates(spark):
+    """Content-defined chunking must surface the corpus's known near-dup
+    pairs (exact Jaccard >= 0.8): shifted edits change at most the chunks
+    they touch, so high-overlap docs share most chunks."""
+    gold = {
+        (r.d1, r.d2)
+        for r in SPECS["dedup_ngram_jaccard"].fn(spark, SF_SMALL).collect()
+    }
+    cdc = {
+        (r.d1, r.d2): r.containment
+        for r in SPECS["multimodal_cdc_neardup"].fn(spark, SF_SMALL).collect()
+    }
+    assert gold, "corpus must contain near-duplicates"
+    recalled = sum(1 for p in gold if p in cdc)
+    assert recalled / len(gold) >= 0.8
+    for r in cdc.values():
+        assert 0.0 < r <= 1.0

@@ -20,7 +20,7 @@ from collections.abc import Iterator
 
 import pyspark.sql.functions as F
 import pyspark.sql.types as T
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from wheels_in_motion_analytics_spark.registry import register
 from wheels_in_motion_analytics_spark.tables import table
@@ -298,4 +298,122 @@ def multimodal_frame_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "frame_idx",
         F.md5(F.col("frame")).alias("frame_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) near-dup — codec-free binary asset dedup
+# ---------------------------------------------------------------------------
+
+CDC_WINDOW = 8  # rolling-window width for boundary detection
+CDC_MODULUS = 64  # expected chunk length ≈ modulus bytes
+CDC_MIN_SHARED = 2  # chunks two assets must share to pair
+
+
+@register(
+    "multimodal_cdc_neardup",
+    category="multimodal",
+    doc="Content-defined chunking near-dup over binary assets, no codec "
+    f"needed: boundaries where the md5 rolling hash of a {CDC_WINDOW}-byte "
+    f"window ≡ 0 (mod {CDC_MODULUS}) — shift-robust, unlike fixed-offset "
+    "chunking — then chunk-hash inverted-index join; asset pairs sharing "
+    f"≥{CDC_MIN_SHARED} chunks surface as near-dups with containment "
+    "ratios. The rsync/LBFS/backup-dedup algorithm as one relational plan "
+    "(explode positions → boundary filter → lead-window spans → hash "
+    "join); payloads here are the text bytes (media_table convention).",
+    oracle=f"""
+WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+pos AS (
+  SELECT doc_id, text, n, unnest(range(1, greatest(n - {CDC_WINDOW} - 1, 1))) AS i
+  FROM t
+),
+bnd AS (
+  SELECT doc_id, text, n, i FROM pos
+  WHERE ('0x' || substr(md5(substr(text, CAST(i AS INTEGER), {CDC_WINDOW})), 1, 7))::BIGINT
+        % {CDC_MODULUS} = 0
+  UNION ALL
+  SELECT doc_id, text, n, 1 FROM t
+),
+spans AS (
+  SELECT DISTINCT doc_id, text, i AS bstart,
+         COALESCE(lead(i) OVER (PARTITION BY doc_id ORDER BY i), n + 1) - i
+           AS blen
+  FROM (SELECT DISTINCT doc_id, text, n, i FROM bnd)
+),
+chunks AS (
+  SELECT DISTINCT doc_id,
+         md5(substr(text, CAST(bstart AS INTEGER), CAST(blen AS INTEGER))) AS ch
+  FROM spans WHERE blen >= 1
+),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+  FROM chunks a JOIN chunks b ON a.ch = b.ch AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {CDC_MIN_SHARED}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS nch FROM chunks GROUP BY doc_id)
+SELECT d1, d2, shared,
+       round(CAST(shared AS DOUBLE) / least(sa.nch, sb.nch), 6) AS containment
+FROM pairs
+JOIN sizes sa ON sa.doc_id = d1
+JOIN sizes sb ON sb.doc_id = d2
+""",
+)
+def multimodal_cdc_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.functions.similarity import hash_hex
+
+    par = spark.sparkContext.defaultParallelism
+    t = (
+        table(spark, sf_dir, "documents")
+        .repartition(par)
+        .select("doc_id", "text", F.length("text").alias("n"))
+    )
+    # candidate boundary positions: every window start whose rolling hash
+    # lands on the modulus, plus position 1 (every asset starts a chunk)
+    idx = F.sequence(F.lit(1), F.greatest(F.col("n") - CDC_WINDOW - 1, F.lit(1)))
+    pos = t.select("doc_id", "text", "n", F.explode(idx).alias("i"))
+    bnd = pos.where(
+        hash_hex(F.expr(f"substr(text, CAST(i AS INT), {CDC_WINDOW})"), 7)
+        % CDC_MODULUS
+        == 0
+    ).unionByName(t.select("doc_id", "text", "n", F.lit(1).alias("i")))
+    w = Window.partitionBy("doc_id").orderBy("i")
+    spans = (
+        bnd.dropDuplicates(["doc_id", "i"])
+        .withColumn(
+            "blen",
+            F.coalesce(F.lead("i").over(w), F.col("n") + 1) - F.col("i"),
+        )
+        .where(F.col("blen") >= 1)
+    )
+    chunks = spans.select(
+        "doc_id",
+        F.md5(F.expr("substr(text, CAST(i AS INT), CAST(blen AS INT))")).alias("ch"),
+    ).dropDuplicates(["doc_id", "ch"])
+    a = chunks.select(F.col("doc_id").alias("d1"), "ch")
+    b = chunks.select(F.col("doc_id").alias("d2"), F.col("ch").alias("ch2"))
+    pairs = (
+        a.join(b, (F.col("ch") == F.col("ch2")) & (F.col("d1") < F.col("d2")))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= CDC_MIN_SHARED)
+    )
+    sizes = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nch"))
+    return (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("d1"), F.col("nch").alias("na"))),
+            "d1",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("d2"), F.col("nch").alias("nb"))),
+            "d2",
+        )
+        .select(
+            "d1",
+            "d2",
+            "shared",
+            F.round(
+                F.col("shared").cast("double") / F.least("na", "nb"), 6
+            ).alias("containment"),
+        )
     )
