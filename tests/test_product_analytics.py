@@ -92,3 +92,36 @@ def test_pareto_frontier_has_no_dominated_member(spark):
                 sz2 >= sz and c2 <= c and (sz2 > sz or c2 < c)
             )
             assert not dominates, ((sz, c), (sz2, c2))
+
+
+def test_hierarchy_shares_sum_to_one(spark):
+    rows = SPECS["hierarchy_share_of_parent"].fn(spark, SF_SMALL).collect()
+    by_region: dict[str, float] = {}
+    region_share: dict[str, float] = {}
+    for r in rows:
+        by_region[r.region] = by_region.get(r.region, 0.0) + r.share_of_region
+        region_share[r.region] = r.region_share_of_total
+    for region, s in by_region.items():
+        assert abs(s - 1.0) < 1e-4
+    assert abs(sum(region_share.values()) - 1.0) < 1e-4
+
+
+def test_multi_touch_credits_conserve_purchase_value(spark):
+    import pyspark.sql.functions as F
+
+    out = SPECS["multi_touch_attribution"].fn(spark, SF_SMALL)
+    total_credited = out.agg(F.sum("credited_value")).collect()[0][0]
+    ev = table(spark, SF_SMALL, "events")
+    # exact conservation: credited value == value of purchases that HAD at
+    # least one view in the window; so it can't exceed total purchase value
+    total_purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .agg(
+            (
+                F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+                / 100.0
+            ).alias("v")
+        )
+        .collect()[0][0]
+    )
+    assert 0 < total_credited <= total_purchases + 1e-9

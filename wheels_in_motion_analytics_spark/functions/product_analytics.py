@@ -313,3 +313,159 @@ def cumulative_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFra
             Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Hierarchical share-of-parent
+# --------------------------------------------------------------------------
+
+
+@register(
+    "hierarchy_share_of_parent",
+    category="product-analytics",
+    doc="Hierarchical share-of-parent: revenue at the nation grain with "
+    "each nation's share of its region and each region's share of the "
+    "grand total — aggregate once at the leaf grain (decimal-accumulated), "
+    "then two sum-windows over the tiny grain relation. The drill-down "
+    "companion to rollup_agg's subtotals.",
+    oracle=f"""
+WITH leaf AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         {oracle_dsum('o.o_totalprice')} AS revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, nation, revenue,
+       round(revenue / SUM(revenue) OVER (PARTITION BY region), 6)
+         AS share_of_region,
+       round(SUM(revenue) OVER (PARTITION BY region)
+             / SUM(revenue) OVER (), 6) AS region_share_of_total
+FROM leaf
+""",
+)
+def hierarchy_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    leaf = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    wr = Window.partitionBy("region")
+    wall = Window.partitionBy()
+    return leaf.select(
+        "region",
+        "nation",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(wr), 6).alias(
+            "share_of_region"
+        ),
+        F.round(
+            F.sum("revenue").over(wr) / F.sum("revenue").over(wall), 6
+        ).alias("region_share_of_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-touch attribution
+# --------------------------------------------------------------------------
+
+ATTR_WINDOW_HOURS = 6
+
+
+@register(
+    "multi_touch_attribution",
+    category="product-analytics",
+    doc=f"Linear multi-touch attribution: each purchase splits its value "
+    f"equally across the same user's views in the preceding "
+    f"{ATTR_WINDOW_HOURS}h; per-view credits roll up to credited value per "
+    "user. The interval join is user-keyed and time-bounded (state = one "
+    "attribution window per user, the streaming-joinable shape); credit "
+    "division is exact integer cents split with remainder-to-first so the "
+    "credits sum EXACTLY to the purchase value.",
+    oracle=f"""
+WITH v AS (
+  SELECT user_id, event_id AS view_id, ts AS vts FROM events
+  WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS pts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT p.user_id, p.purchase_id, p.cents, v.view_id,
+         row_number() OVER (PARTITION BY p.purchase_id
+                            ORDER BY v.vts, v.view_id) AS tn,
+         COUNT(*) OVER (PARTITION BY p.purchase_id) AS k
+  FROM p JOIN v ON p.user_id = v.user_id
+     AND v.vts < p.pts
+     AND v.vts >= p.pts - INTERVAL {ATTR_WINDOW_HOURS} HOUR
+),
+credits AS (
+  SELECT user_id, view_id, purchase_id,
+         cents // k + CASE WHEN tn <= cents % k THEN 1 ELSE 0 END AS credit_cents
+  FROM touches
+)
+SELECT user_id,
+       COUNT(DISTINCT purchase_id) AS attributed_purchases,
+       COUNT(*) AS credited_views,
+       CAST(SUM(credit_cents) AS DOUBLE) / 100 AS credited_value
+FROM credits
+GROUP BY user_id
+""",
+)
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts", "value"
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("vts"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    touches = (
+        p.join(
+            v,
+            (F.col("user_id") == F.col("vu"))
+            & (F.col("vts") < F.col("pts"))
+            & (
+                F.col("vts")
+                >= F.col("pts") - F.expr(f"INTERVAL {ATTR_WINDOW_HOURS} HOURS")
+            ),
+        )
+        .withColumn(
+            "tn",
+            F.row_number().over(
+                Window.partitionBy("purchase_id").orderBy("vts", "view_id")
+            ),
+        )
+        .withColumn("k", F.count(F.lit(1)).over(Window.partitionBy("purchase_id")))
+    )
+    credit = F.expr("cents div k") + F.when(
+        F.col("tn") <= F.col("cents") % F.col("k"), 1
+    ).otherwise(0)
+    return (
+        touches.select("user_id", "view_id", "purchase_id", credit.alias("credit_cents"))
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("purchase_id").alias("attributed_purchases"),
+            F.count(F.lit(1)).alias("credited_views"),
+            (F.sum("credit_cents").cast("double") / 100).alias("credited_value"),
+        )
+    )

@@ -1385,3 +1385,120 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental batch dedup — new docs against an existing corpus
+# ---------------------------------------------------------------------------
+
+INCR_BATCH_START = 400  # doc_id >= this = the incoming batch
+
+
+@register(
+    "dedup_incremental_batch",
+    category="dedup-llm",
+    doc="Incremental ingestion dedup: an incoming batch (doc_id ≥ "
+    f"{INCR_BATCH_START}) is checked against the existing corpus AND "
+    "itself — exact fingerprints first (cheap kill), then the Jaccard "
+    "inverted index restricted to batch-side candidates. Corpus↔corpus "
+    "pairs are never recomputed (the point of incremental dedup: work is "
+    "O(batch × corpus-postings), not O(corpus²)). Emits each batch doc "
+    "with its verdict: exact-dup / near-dup (with match) / unique.",
+    oracle=f"""
+WITH {_ORACLE_SHINGLES},
+fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+  FROM documents
+),
+batch AS (SELECT doc_id, f FROM fp WHERE doc_id >= {INCR_BATCH_START}),
+exact_hit AS (
+  SELECT b.doc_id, MIN(o.doc_id) AS match_doc
+  FROM batch b JOIN fp o ON b.f = o.f AND o.doc_id < b.doc_id
+  GROUP BY b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT b.doc_id AS bd, o.doc_id AS od, COUNT(*) AS i
+  FROM sh b JOIN sh o ON b.s = o.s AND o.doc_id < b.doc_id
+  WHERE b.doc_id >= {INCR_BATCH_START}
+  GROUP BY 1, 2
+),
+near_hit AS (
+  SELECT bd AS doc_id, MIN(od) AS match_doc
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = bd
+  JOIN sizes sb ON sb.doc_id = od
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+  GROUP BY bd
+)
+SELECT b.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact-dup'
+            WHEN n.doc_id IS NOT NULL THEN 'near-dup'
+            ELSE 'unique' END AS verdict,
+       COALESCE(e.match_doc, n.match_doc, -1) AS match_doc
+FROM batch b
+LEFT JOIN exact_hit e ON e.doc_id = b.doc_id
+LEFT JOIN near_hit n ON n.doc_id = b.doc_id
+""",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", fingerprint(F.col("text")).alias("f"))
+    batch = fp.where(F.col("doc_id") >= INCR_BATCH_START)
+    exact_hit = (
+        batch.alias("b")
+        .join(
+            fp.alias("o"),
+            (F.col("b.f") == F.col("o.f"))
+            & (F.col("o.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("b.doc_id").alias("doc_id"))
+        .agg(F.min("o.doc_id").alias("e_match"))
+    )
+    sh = doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # postings join restricted: only batch docs on the left — the inverted
+    # index is probed, never self-joined corpus-wide
+    inter = (
+        sh.where(F.col("doc_id") >= INCR_BATCH_START)
+        .alias("b")
+        .join(
+            sh.alias("o"),
+            (F.col("b.s") == F.col("o.s"))
+            & (F.col("o.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("b.doc_id").alias("bd"), F.col("o.doc_id").alias("od")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    near_hit = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("bd"), F.col("n").alias("na"))),
+            "bd",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("od"), F.col("n").alias("nb"))),
+            "od",
+        )
+        .where(jac >= JACCARD_THRESHOLD)
+        .groupBy(F.col("bd").alias("doc_id"))
+        .agg(F.min("od").alias("n_match"))
+    )
+    verdict = (
+        F.when(F.col("e_match").isNotNull(), "exact-dup")
+        .when(F.col("n_match").isNotNull(), "near-dup")
+        .otherwise("unique")
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact_hit, "doc_id", "left")
+        .join(near_hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            verdict.alias("verdict"),
+            F.coalesce("e_match", "n_match", F.lit(-1)).alias("match_doc"),
+        )
+    )
