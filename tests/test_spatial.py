@@ -59,3 +59,24 @@ def test_all_distances_within_radius(spark):
     # each (customer, supplier) pair appears exactly once
     keys = [(r.c_custkey, r.s_suppkey) for r in rows]
     assert len(keys) == len(set(keys))
+
+
+def test_nearest_supplier_matches_bruteforce(spark):
+    cust, supp = _points(spark)
+    d2 = (F.col("px") - F.col("sx")) * (F.col("px") - F.col("sx")) + (
+        F.col("py") - F.col("sy")
+    ) * (F.col("py") - F.col("sy"))
+    brute = {}
+    for r in (
+        cust.crossJoin(supp)
+        .select("c_custkey", "s_suppkey", d2.alias("d2"))
+        .collect()
+    ):
+        cur = brute.get(r.c_custkey)
+        if cur is None or (r.d2, r.s_suppkey) < cur:
+            brute[r.c_custkey] = (r.d2, r.s_suppkey)
+    out = {
+        r.c_custkey: (r.dist_sq, r.nearest_supplier)
+        for r in SPECS["spatial_nearest_supplier"].fn(spark, SF_SMALL).collect()
+    }
+    assert out == brute

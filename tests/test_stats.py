@@ -94,3 +94,12 @@ def test_embedding_dim_percentiles_ordered(spark):
     assert len(rows) == 64
     for r in rows:
         assert r.vmin <= r.p5 <= r.p50 <= r.p95 <= r.vmax
+
+
+def test_winsorized_mean_moves_toward_center(spark):
+    rows = SPECS["winsorize_prices"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.lo <= r.hi
+        assert 0 < r.n_clipped < r.n  # something clipped, not everything
+        assert r.lo <= r.mean_winsor <= r.hi

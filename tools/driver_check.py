@@ -38,12 +38,18 @@ def canon(rows, cols):
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    spark = (
+    builder = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if os.environ.get("SPARK_GRAFT_ADVERSARIAL"):
+        # hostile accumulation orders: prime shuffle-partition count + tiny
+        # input splits (the NOTES.md determinism-stress recipe)
+        builder = builder.config("spark.sql.shuffle.partitions", "7").config(
+            "spark.sql.files.maxPartitionBytes", str(512 * 1024)
+        )
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entrymod

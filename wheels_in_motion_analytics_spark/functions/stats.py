@@ -335,3 +335,70 @@ def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("psi_total"),
     )
+
+
+# --------------------------------------------------------------------------
+# Winsorization (percentile clipping)
+# --------------------------------------------------------------------------
+
+WINSOR_LO = 0.01
+WINSOR_HI = 0.99
+
+
+@register(
+    "winsorize_prices",
+    category="stats",
+    doc=f"Winsorized aggregates: per return flag, l_extendedprice clipped "
+    f"at the exact p{int(WINSOR_LO * 100)}/p{int(WINSOR_HI * 100)} "
+    "percentiles (computed once per group, broadcast back), then "
+    "decimal-accumulated mean of raw vs clipped — the outlier-robust "
+    "preprocessing step for price-like features. Bounds rounded in "
+    "isolation; comparisons happen on the rounded bounds on both engines.",
+    oracle=f"""
+WITH b AS (
+  SELECT l_returnflag AS flag,
+         round(CAST(quantile_cont(l_extendedprice, {WINSOR_LO}) AS DOUBLE), 4) AS lo,
+         round(CAST(quantile_cont(l_extendedprice, {WINSOR_HI}) AS DOUBLE), 4) AS hi
+  FROM lineitem GROUP BY 1
+)
+SELECT b.flag, b.lo, b.hi,
+       COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE l_extendedprice < b.lo
+                           OR l_extendedprice > b.hi) AS n_clipped,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+         AS mean_raw,
+       CAST(SUM(CAST(greatest(least(l_extendedprice, b.hi), b.lo)
+                     AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mean_winsor
+FROM lineitem l JOIN b ON l.l_returnflag = b.flag
+GROUP BY 1, 2, 3
+""",
+)
+def winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    b = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.round(F.expr(f"percentile(l_extendedprice, {WINSOR_LO})"), 4).alias("lo"),
+        F.round(F.expr(f"percentile(l_extendedprice, {WINSOR_HI})"), 4).alias("hi"),
+    )
+    clipped = F.greatest(F.least(F.col("l_extendedprice"), F.col("hi")), F.col("lo"))
+    return (
+        li.join(F.broadcast(b), li.l_returnflag == b.flag)
+        .groupBy("flag", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(
+                F.when(
+                    (F.col("l_extendedprice") < F.col("lo"))
+                    | (F.col("l_extendedprice") > F.col("hi")),
+                    1,
+                )
+            ).alias("n_clipped"),
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_raw"),
+            (
+                F.sum(clipped.cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_winsor"),
+        )
+    )

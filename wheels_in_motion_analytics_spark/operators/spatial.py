@@ -123,3 +123,109 @@ def spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(d2 <= _R2)
         .select("c_custkey", "s_suppkey", d2.alias("dist_sq"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-neighbor (1-NN) join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "spatial_nearest_supplier",
+    category="spatial",
+    doc="1-NN join: each customer's nearest supplier by exact int64 squared "
+    "distance. Phase 1 answers customers with any supplier inside their "
+    "3×3 grid ring (the radius-join candidate machinery); phase 2 "
+    "brute-forces ONLY the unmatched remainder against the (broadcastable) "
+    "supplier relation — the standard two-phase distributed kNN: the ring "
+    "bounds candidate volume, the fallback bounds worst-case correctness. "
+    "Ties break on the smaller supplier key (min_by on (d2, key)).",
+    oracle=f"""
+WITH c AS (
+  SELECT c_custkey,
+         {_oracle_coord('sx|', 'c_custkey')} AS x,
+         {_oracle_coord('sy|', 'c_custkey')} AS y
+  FROM customer
+),
+s AS (
+  SELECT s_suppkey,
+         {_oracle_coord('sx|', 's_suppkey + 9000000')} AS x,
+         {_oracle_coord('sy|', 's_suppkey + 9000000')} AS y
+  FROM supplier
+),
+d AS (
+  SELECT c.c_custkey, s.s_suppkey,
+         (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS d2
+  FROM c CROSS JOIN s
+)
+SELECT c_custkey, s_suppkey AS nearest_supplier, d2 AS dist_sq
+FROM (
+  SELECT c_custkey, s_suppkey, d2,
+         row_number() OVER (PARTITION BY c_custkey
+                            ORDER BY d2, s_suppkey) AS rn
+  FROM d
+)
+WHERE rn = 1
+""",
+)
+def spatial_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _coord("sx|", F.col("c_custkey")).alias("px"),
+        _coord("sy|", F.col("c_custkey")).alias("py"),
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        _coord("sx|", F.col("s_suppkey") + 9_000_000).alias("sx"),
+        _coord("sy|", F.col("s_suppkey") + 9_000_000).alias("sy"),
+    )
+    d2 = (F.col("px") - F.col("sx")) * (F.col("px") - F.col("sx")) + (
+        F.col("py") - F.col("sy")
+    ) * (F.col("py") - F.col("sy"))
+
+    def argmin(pairs: DataFrame) -> DataFrame:
+        return pairs.groupBy("c_custkey").agg(
+            F.min_by(
+                F.col("s_suppkey"), F.struct(F.col("d2"), F.col("s_suppkey"))
+            ).alias("nearest_supplier"),
+            F.min("d2").alias("dist_sq"),
+        )
+
+    # phase 1: ring candidates via the shared grid machinery
+    s_cells = supp.select(
+        "s_suppkey",
+        "sx",
+        "sy",
+        (F.col("sx") - F.col("sx") % RADIUS).alias("cx"),
+        (F.col("sy") - F.col("sy") % RADIUS).alias("cy"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    c_cells = cust.select(
+        "c_custkey", "px", "py", F.explode(offsets).alias("o")
+    ).select(
+        "c_custkey",
+        "px",
+        "py",
+        (F.col("px") - F.col("px") % RADIUS + F.col("o.dx") * RADIUS).alias("cx"),
+        (F.col("py") - F.col("py") % RADIUS + F.col("o.dy") * RADIUS).alias("cy"),
+    )
+    ring = c_cells.join(s_cells, ["cx", "cy"]).select(
+        "c_custkey", "s_suppkey", d2.alias("d2")
+    )
+    # a ring candidate within RADIUS is provably the true 1-NN ONLY if its
+    # distance ≤ RADIUS (anything outside the ring is > RADIUS away)
+    ring_best = argmin(ring.where(F.col("d2") <= RADIUS * RADIUS))
+    # phase 2: brute-force the unmatched remainder (rare at real densities)
+    rest = cust.join(ring_best.select("c_custkey"), "c_custkey", "left_anti")
+    rest_best = argmin(
+        rest.crossJoin(F.broadcast(supp)).select(
+            "c_custkey", "s_suppkey", d2.alias("d2")
+        )
+    )
+    return ring_best.unionByName(rest_best)
