@@ -266,3 +266,70 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --------------------------------------------------------------------------
+# GDPR erasure audit (right-to-be-forgotten propagation)
+# --------------------------------------------------------------------------
+
+ERASE_SAMPLE_MOD = 97  # custkeys with key % 97 == 0 request erasure
+
+
+@register(
+    "gdpr_erasure_audit",
+    category="integrity",
+    doc="Right-to-be-forgotten propagation: a deterministic erasure set "
+    f"(custkey % {ERASE_SAMPLE_MOD} = 0) is deleted from customer and "
+    "cascaded through orders; the audit row proves completeness — rows "
+    "removed per table, zero surviving references (anti-join both "
+    "directions). The erasure set broadcasts; both deletes are map-side "
+    "anti-joins, no shuffle of the fact tables.",
+    oracle=f"""
+WITH erase AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % {ERASE_SAMPLE_MOD} = 0
+),
+c_after AS (
+  SELECT * FROM customer ANTI JOIN erase USING (c_custkey)
+),
+o_after AS (
+  SELECT * FROM orders o ANTI JOIN erase e ON o.o_custkey = e.c_custkey
+)
+SELECT (SELECT COUNT(*) FROM erase) AS n_erased_keys,
+       (SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM c_after)
+         AS customers_removed,
+       (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM o_after)
+         AS orders_removed,
+       (SELECT COUNT(*) FROM o_after o SEMI JOIN erase e
+         ON o.o_custkey = e.c_custkey) AS surviving_refs
+""",
+)
+def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    erase = cust.where(F.col("c_custkey") % ERASE_SAMPLE_MOD == 0).select(
+        "c_custkey"
+    )
+    c_after = cust.join(F.broadcast(erase), "c_custkey", "left_anti")
+    o_after = orders.join(
+        F.broadcast(erase), orders.o_custkey == erase.c_custkey, "left_anti"
+    )
+    surviving = o_after.join(
+        F.broadcast(erase), o_after.o_custkey == erase.c_custkey, "left_semi"
+    )
+    parts = [
+        erase.agg(F.count(F.lit(1)).alias("n_erased_keys")),
+        cust.agg(F.count(F.lit(1)).alias("c_total")),
+        c_after.agg(F.count(F.lit(1)).alias("c_after")),
+        orders.agg(F.count(F.lit(1)).alias("o_total")),
+        o_after.agg(F.count(F.lit(1)).alias("o_after")),
+        surviving.agg(F.count(F.lit(1)).alias("surviving_refs")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.crossJoin(p)
+    return out.select(
+        "n_erased_keys",
+        (F.col("c_total") - F.col("c_after")).alias("customers_removed"),
+        (F.col("o_total") - F.col("o_after")).alias("orders_removed"),
+        "surviving_refs",
+    )

@@ -512,3 +512,102 @@ def revenue_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "prio", "day", F.round(num / den / 100, 4).alias("ewma_revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# Session path mining
+# ---------------------------------------------------------------------------
+
+PATH_TOPK = 15
+PATH_MAX_LEN = 8
+
+
+@register(
+    "top_session_paths",
+    category="timeseries",
+    doc="Path mining: per session (same 30-min gaps-and-islands split as "
+    f"sessionize_events), the ordered sequence of the first {PATH_MAX_LEN} "
+    "event types joined into a path string; top "
+    f"{PATH_TOPK} paths by frequency. Ordering inside a session is made "
+    "total by (ts, event_id) and the path is assembled with array_sort "
+    "over (seq, type) structs — collect order never matters, so the "
+    "operator is partitioning-independent. Top-k via heap, not global sort.",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   <= INTERVAL 30 MINUTE
+              THEN 0 ELSE 1 END AS is_new
+  FROM events
+),
+sess AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM flagged
+),
+ranked AS (
+  SELECT user_id, session_seq, event_type,
+         row_number() OVER (PARTITION BY user_id, session_seq ORDER BY seq)
+           AS pos
+  FROM sess
+),
+paths AS (
+  SELECT user_id, session_seq,
+         string_agg(event_type, '>' ORDER BY pos) AS path
+  FROM ranked WHERE pos <= {PATH_MAX_LEN}
+  GROUP BY user_id, session_seq
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT {PATH_TOPK}
+""",
+)
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        table(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w_lag = Window.partitionBy("user_id").orderBy(*order)
+    w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    is_new = F.when(
+        F.col("ts") - F.lag("ts").over(w_lag) <= F.expr("INTERVAL 30 MINUTES"),
+        F.lit(0),
+    ).otherwise(F.lit(1))
+    sess = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w_lag).alias("seq"),
+        F.sum(is_new).over(w_run).alias("session_seq"),
+    )
+    pos = F.row_number().over(
+        Window.partitionBy("user_id", "session_seq").orderBy("seq")
+    )
+    ranked = sess.withColumn("pos", pos).where(F.col("pos") <= PATH_MAX_LEN)
+    # order-independent assembly: collect structs, sort by pos, then join —
+    # collect_list order is undefined under parallel aggregation
+    paths = (
+        ranked.groupBy("user_id", "session_seq")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("event_type")))
+                    ),
+                    lambda s: s.event_type,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(PATH_TOPK)
+    )
