@@ -283,3 +283,36 @@ def test_chained_rollup_two_agg_levels(spark):
     plan = plan_of(spark, "stream_hourly_rollup_of_bars")
     # 2 levels x (partial + final)
     assert plan.count("HashAggregate") >= 4
+
+
+def test_rolling_features_single_customer_exchange(spark):
+    """All four rolling frames + the lag share one hash partitioning on
+    o_custkey: exactly one shuffle Exchange in the whole plan."""
+    plan = plan_of(spark, "rolling_features_customer")
+    import re
+
+    shuffles = re.findall(r"Exchange hashpartitioning", plan)
+    assert len(shuffles) == 1, plan
+
+
+def test_hierarchy_share_dims_all_broadcast(spark):
+    plan = plan_of(spark, "hierarchy_share_of_parent")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_prefix_filter_join_no_cartesian(spark):
+    plan = plan_of(spark, "dedup_prefix_filter_jaccard")
+    assert "CartesianProduct" not in plan
+
+
+def test_rrf_rank_lists_heap_based(spark):
+    plan = plan_of(spark, "hybrid_rrf_retrieval")
+    assert plan.count("TakeOrderedAndProject") >= 2  # both lists + fusion
+
+
+def test_nearest_supplier_fallback_is_bounded_broadcast(spark):
+    """Phase-2 brute force must broadcast the supplier relation, never
+    shuffle the customer remainder into a sort-merge join."""
+    plan = plan_of(spark, "spatial_nearest_supplier")
+    assert "SortMergeJoin" not in plan
