@@ -335,3 +335,129 @@ def test_stateful_exact_totals_survive_microbatch_splits(spark, stream_dir, tmp_
     four_batches = run(max_files=1)
     assert one_batch == four_batches
     assert len(one_batch) > 0
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(
+    spark, stream_dir, tmp_path
+):
+    """LEFT OUTER stream-stream join: unmatched purchases (no prior view)
+    are emitted with NULL view columns once the watermark passes — the
+    result set must equal the batch left-outer formulation."""
+    from wheels_in_motion_analytics_spark.streaming.joins import (
+        attribution_left_outer,
+        split_views_purchases,
+    )
+    from wheels_in_motion_analytics_spark.tables import SCHEMAS
+
+    # left-outer emission needs the watermark to PASS the last purchase's
+    # horizon; a far-future sentinel view (user -1, joins nothing) advances
+    # it so the trailing unmatched purchases flush before the stream ends
+    src = str(tmp_path / "lo_src")
+    ev_all = table(spark, SF_SMALL, "events")
+    ev_all.coalesce(2).write.mode("overwrite").parquet(src)
+    # one sentinel per stream side: the join's global watermark is the MIN
+    # across both inputs, so views-only advancement would stall eviction
+    for etype in ("view", "purchase"):
+        sentinel = ev_all.limit(1).select(
+            F.lit(999_999_999).cast("long").alias("event_id"),
+            (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit(etype).alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        sentinel.select([f.name for f in ev_all.schema.fields]).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def watermarked_stream():
+        return (
+            spark.readStream.schema(SCHEMAS["events"])
+            .parquet(src)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+
+    views, _ = split_views_purchases(watermarked_stream())
+    _, purchases = split_views_purchases(watermarked_stream())
+    joined = attribution_left_outer(
+        views.withWatermark("view_ts", "10 minutes"),
+        purchases.withWatermark("purchase_ts", "10 minutes"),
+    )
+    name = f"lo_{uuid.uuid4().hex[:8]}"
+    out = _run_to_memory(spark, joined, name, "append")
+    got = {(r.user_id, r.purchase_id, r.view_id) for r in out.collect()}
+
+    ev = table(spark, SF_SMALL, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    bviews, bpurchases = split_views_purchases(ev)
+    expected = {
+        (r.user_id, r.purchase_id, r.view_id)
+        for r in attribution_left_outer(bviews, bpurchases).collect()
+    }
+    got = {t for t in got if t[0] != -1}
+    assert got == expected
+    # left-outer semantics actually exercised: some purchases unmatched
+    assert any(v is None for (_, _, v) in got)
+
+
+def test_stateful_stream_recovers_state_across_restart(spark, tmp_path):
+    """Kill a stateful query mid-input, restart from its checkpoint with
+    the remaining files: recovered state must continue the counts, not
+    restart them — the exactly-once state contract."""
+    from wheels_in_motion_analytics_spark.streaming.stateful import (
+        stateful_user_totals_exact,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    base = (
+        table(spark, SF_SMALL, "events")
+        .select("user_id", "value")
+        .where(F.col("user_id") < 20)
+    )
+    half1 = base.where(F.col("user_id") % 2 == 0)
+    half2 = base.where(F.col("user_id") % 2 == 1)
+    half1.coalesce(1).write.mode("overwrite").parquet(src)
+
+    emitted: dict[int, tuple[int, int]] = {}
+
+    def run_once():
+        stream = spark.readStream.schema("user_id BIGINT, value DOUBLE").parquet(src)
+
+        def sink(df, _bid):
+            for r in df.collect():
+                cur = emitted.get(r.user_id, (0, 0))
+                emitted[r.user_id] = (
+                    max(cur[0], r.n_events),
+                    max(cur[1], r.sum_cents),
+                )
+
+        q = (
+            stateful_user_totals_exact(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # processes half1, checkpoints state
+    # append the second half as new files, then restart from the checkpoint
+    half2.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    final = emitted
+    expected = {
+        r.user_id: (r.n, r.cents)
+        for r in base.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents"),
+        )
+        .collect()
+    }
+    assert final == expected

@@ -117,3 +117,74 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("total_value"),
         )
     )
+
+
+def attribution_left_outer(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """LEFT OUTER attribution: every purchase, with NULL view columns when
+    no view preceded it in the horizon. On streams, Spark emits the
+    unmatched rows only after the watermark passes the join horizon —
+    the state-expiry contract this operator exists to demonstrate."""
+    cond = (
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("purchase_ts")
+            < F.col("view_ts") + F.expr(f"INTERVAL {ATTRIBUTION_HOURS} HOURS")
+        )
+    )
+    return purchases.join(views, cond, "left_outer").select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "view_id",
+        "purchase_ts",
+    )
+
+
+@register(
+    "stream_attribution_unmatched",
+    category="streaming",
+    doc="Direct-conversion detection, batch-parity form of the LEFT OUTER "
+    "stream-stream join: purchases with NO view by the same user in the "
+    f"preceding {ATTRIBUTION_HOURS}h (the rows the streaming join emits "
+    "only after watermark expiry — exercised as a real two-stream "
+    "left-outer join in tests/test_streaming.py). Counts per user plus "
+    "the overall direct-share.",
+    oracle=f"""
+WITH v AS (
+  SELECT user_id AS v_user, ts AS view_ts FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id AS p_user, event_id AS purchase_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT p.p_user, p.purchase_id, v.view_ts
+  FROM p LEFT JOIN v
+    ON p.p_user = v.v_user
+   AND v.view_ts <= p.purchase_ts
+   AND p.purchase_ts < v.view_ts + INTERVAL {ATTRIBUTION_HOURS} HOUR
+),
+per_p AS (
+  SELECT p_user, purchase_id, COUNT(view_ts) AS n_views
+  FROM j GROUP BY 1, 2
+)
+SELECT p_user AS user_id,
+       COUNT(*) AS purchases,
+       COUNT(*) FILTER (WHERE n_views = 0) AS direct_purchases
+FROM per_p
+GROUP BY p_user
+""",
+)
+def stream_attribution_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    views, purchases = split_views_purchases(ev)
+    j = attribution_left_outer(views, purchases)
+    per_p = j.groupBy("user_id", "purchase_id").agg(
+        F.count("view_id").alias("n_views")
+    )
+    return per_p.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("purchases"),
+        F.count(F.when(F.col("n_views") == 0, 1)).alias("direct_purchases"),
+    )
