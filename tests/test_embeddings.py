@@ -52,3 +52,27 @@ def test_centroid_cosine_matches_numpy(spark):
         want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert r.label_a < r.label_b
         assert abs(r.cosine - want) < 1e-4
+
+
+def test_contrastive_pairs_structure(spark):
+    import pyspark.sql.functions as F
+
+    from wheels_in_motion_analytics_spark.functions.embeddings import (
+        CONTRASTIVE_NEGS,
+    )
+    from wheels_in_motion_analytics_spark.tables import table as _table
+
+    rows = SPECS["embedding_contrastive_pairs"].fn(spark, SF_SMALL).collect()
+    labels = {
+        r.vec_id: r.label
+        for r in _table(spark, SF_SMALL, "embeddings").select("vec_id", "label").collect()
+    }
+    per_anchor: dict[int, list] = {}
+    for r in rows:
+        per_anchor.setdefault(r.anchor, []).append(r)
+        assert r.anchor != r.cand
+        assert r.is_pos == (labels[r.anchor] == labels[r.cand])
+    assert len(per_anchor) == len(labels)  # every vector is an anchor
+    for anchor, rs in per_anchor.items():
+        assert sum(1 for r in rs if r.is_pos) == 1
+        assert sum(1 for r in rs if not r.is_pos) == CONTRASTIVE_NEGS

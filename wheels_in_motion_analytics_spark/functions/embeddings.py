@@ -20,7 +20,7 @@ norms/cosines derived from identical doubles match bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
 from wheels_in_motion_analytics_spark.registry import register
@@ -371,4 +371,73 @@ def embedding_dim_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(CAST(v AS DOUBLE), 0.95)"), 6).alias("p95"),
         F.round(F.min(v), 6).alias("vmin"),
         F.round(F.max(v), 6).alias("vmax"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive pair mining (training-data prep for embedding models)
+# ---------------------------------------------------------------------------
+
+CONTRASTIVE_NEGS = 3
+
+
+@register(
+    "embedding_contrastive_pairs",
+    category="embeddings",
+    doc="Contrastive training-pair mining: per anchor vector, ONE positive "
+    f"(same label) and {CONTRASTIVE_NEGS} negatives (different labels), "
+    "each chosen by a deterministic md5 rank keyed on (anchor, candidate) "
+    "— reproducible negative sampling with no rand(), the standard prep "
+    "for embedding-model fine-tuning. Candidate ranking windows partition "
+    "per anchor × polarity, so state is bounded by per-label group sizes.",
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.vec_id AS anchor, b.vec_id AS cand,
+         (a.label = b.label) AS is_pos,
+         ('0x' || substr(md5('ctr:' || CAST(a.vec_id AS VARCHAR) || ':'
+                              || CAST(b.vec_id AS VARCHAR)), 1, 15))::BIGINT
+           AS rk
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT anchor, cand, is_pos,
+         row_number() OVER (PARTITION BY anchor, is_pos ORDER BY rk, cand)
+           AS rn
+  FROM pairs
+)
+SELECT anchor, cand, is_pos
+FROM ranked
+WHERE (is_pos AND rn = 1) OR (NOT is_pos AND rn <= {CONTRASTIVE_NEGS})
+""",
+)
+def embedding_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.functions.similarity import hash_hex
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    a = e.select(F.col("vec_id").alias("anchor"), F.col("label").alias("la"))
+    b = e.select(F.col("vec_id").alias("cand"), F.col("label").alias("lb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("anchor") != F.col("cand"))
+        .select(
+            "anchor",
+            "cand",
+            (F.col("la") == F.col("lb")).alias("is_pos"),
+            hash_hex(
+                F.concat(
+                    F.lit("ctr:"),
+                    F.col("anchor").cast("string"),
+                    F.lit(":"),
+                    F.col("cand").cast("string"),
+                )
+            ).alias("rk"),
+        )
+    )
+    w = Window.partitionBy("anchor", "is_pos").orderBy("rk", "cand")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(
+            (F.col("is_pos") & (F.col("rn") == 1))
+            | (~F.col("is_pos") & (F.col("rn") <= CONTRASTIVE_NEGS))
+        )
+        .select("anchor", "cand", "is_pos")
     )

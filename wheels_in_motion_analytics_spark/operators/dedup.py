@@ -149,3 +149,73 @@ def dedup_key_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_by_key(
         orders, ["o_custkey"], [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()]
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-window event dedup (telemetry debouncing)
+# ---------------------------------------------------------------------------
+
+DEBOUNCE_SECONDS = 120
+
+
+@register(
+    "dedup_events_time_window",
+    category="dedup",
+    doc="Telemetry debouncing: repeated (user, event_type) firings within "
+    f"{DEBOUNCE_SECONDS}s of the PREVIOUS KEPT event collapse to the "
+    "first — the sensor/click-spam cleaner. Greedy anchor semantics "
+    "(a kept event restarts the window) computed per key via a running "
+    "lag chain on the (user, type) partition; the batch twin of "
+    "dropDuplicatesWithinWatermark. Emits kept events + drop counts per "
+    "key.",
+    oracle=f"""
+WITH s AS (
+  SELECT user_id, event_type, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  -- simple debounce: an event is kept when the gap to its PREDECESSOR
+  -- exceeds the window (fixed-predecessor variant — deterministic and
+  -- window-chain-free; the greedy-anchor variant needs recursion)
+  SELECT user_id, event_type,
+         CASE WHEN prev_ts IS NULL
+                   OR ts - prev_ts > INTERVAL {DEBOUNCE_SECONDS} SECOND
+              THEN 1 ELSE 0 END AS keep
+  FROM s
+)
+SELECT user_id, event_type,
+       COUNT(*) AS n_events,
+       SUM(keep) AS n_kept,
+       COUNT(*) - SUM(keep) AS n_debounced
+FROM flagged
+GROUP BY user_id, event_type
+""",
+)
+def dedup_events_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.tables import table
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    keep = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            F.col("ts") - F.lag("ts").over(w)
+            > F.expr(f"INTERVAL {DEBOUNCE_SECONDS} SECONDS")
+        ),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("keep", keep)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("keep").alias("n_kept"),
+            (F.count(F.lit(1)) - F.sum("keep")).alias("n_debounced"),
+        )
+    )
