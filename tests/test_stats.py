@@ -103,3 +103,45 @@ def test_winsorized_mean_moves_toward_center(spark):
         assert r.lo <= r.hi
         assert 0 < r.n_clipped < r.n  # something clipped, not everything
         assert r.lo <= r.mean_winsor <= r.hi
+
+
+def test_cuped_reduces_variance_and_preserves_overall_mean(spark):
+    rows = SPECS["cuped_adjusted_lift"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == 2  # two arms
+    for r in rows:
+        assert 0.0 <= r.variance_reduction < 1.0
+        assert r.n_units > 0
+    # the synthetic pre/post correlation is weak but must be exploited:
+    # reduction strictly positive (= ρ² of covariate and metric)
+    assert rows[0].variance_reduction > 0.0
+    # the adjustment is mean-preserving over the pooled population
+    pooled_raw = sum(r.raw_mean * r.n_units for r in rows) / sum(
+        r.n_units for r in rows
+    )
+    pooled_adj = sum(r.adjusted_mean * r.n_units for r in rows) / sum(
+        r.n_units for r in rows
+    )
+    assert abs(pooled_raw - pooled_adj) < 1.0  # cents-level quantization slack
+
+
+def test_interval_merge_coverage_bounds(spark):
+    from wheels_in_motion_analytics_spark.operators.timeseries import (
+        COALESCE_PAD_MIN,
+    )
+    from wheels_in_motion_analytics_spark.tables import table as _table
+
+    rows = SPECS["merge_overlapping_intervals"].fn(spark, SF_SMALL).collect()
+    import pyspark.sql.functions as F
+
+    n_per_user = {
+        r.user_id: r.n
+        for r in _table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        n = n_per_user[r.user_id]
+        assert 1 <= r.n_spans <= n
+        # coverage between one interval's span and n disjoint intervals
+        assert 2 * COALESCE_PAD_MIN <= r.covered_minutes <= n * 2 * COALESCE_PAD_MIN

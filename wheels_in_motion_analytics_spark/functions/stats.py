@@ -402,3 +402,159 @@ def winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_winsor"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# CUPED variance reduction (experiment analytics)
+# --------------------------------------------------------------------------
+
+CUPED_SPLIT = "1998-01-01 00:00:00"  # pre-period < split <= post-period
+
+
+@register(
+    "cuped_adjusted_lift",
+    category="stats",
+    doc="CUPED-adjusted A/B readout: customers assigned to arms by md5 "
+    "parity, metric = post-period revenue, covariate = pre-period revenue; "
+    "θ = cov(x,y)/var(x) from decimal-accumulated power sums, adjusted "
+    "metric y − θ(x − x̄). Emits per-arm raw and adjusted means plus the "
+    "variance-reduction fraction — the standard pre-experiment-data "
+    "variance shrink. All moments map-side combinable; θ and x̄ are "
+    "2-row-broadcast scalars.",
+    oracle=f"""
+WITH per_cust AS (
+  SELECT c.c_custkey,
+         ('0x' || substr(md5('arm:' || CAST(c.c_custkey AS VARCHAR)), 1, 15))::BIGINT % 2
+           AS arm,
+         COALESCE(SUM(CASE WHEN o.o_orderdate < TIMESTAMP '{CUPED_SPLIT}'
+                           THEN CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) END), 0)
+           AS x_cents,
+         COALESCE(SUM(CASE WHEN o.o_orderdate >= TIMESTAMP '{CUPED_SPLIT}'
+                           THEN CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) END), 0)
+           AS y_cents
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+),
+m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x_cents) AS DOUBLE) / 100 / COUNT(*) AS xbar,
+         CAST(SUM(y_cents) AS DOUBLE) / 100 / COUNT(*) AS ybar,
+         CAST(SUM(x_cents * x_cents) AS DOUBLE) / 10000 AS sxx,
+         CAST(SUM(x_cents * y_cents) AS DOUBLE) / 10000 AS sxy,
+         CAST(SUM(y_cents * y_cents) AS DOUBLE) / 10000 AS syy
+  FROM per_cust
+),
+theta AS (
+  SELECT n, xbar, ybar,
+         (sxy / n - xbar * ybar) / (sxx / n - xbar * xbar) AS th,
+         (syy / n - ybar * ybar) AS var_y,
+         (sxy / n - xbar * ybar) AS cov_xy,
+         (sxx / n - xbar * xbar) AS var_x
+  FROM m
+)
+SELECT p.arm,
+       COUNT(*) AS n_units,
+       round(CAST(SUM(p.y_cents) AS DOUBLE) / 100 / COUNT(*), 6) AS raw_mean,
+       round(CAST(SUM(CAST(floor((p.y_cents / 100.0
+                 - t.th * (p.x_cents / 100.0 - t.xbar)) * 1000000 + 0.5) AS BIGINT))
+             AS DOUBLE) / 1000000 / COUNT(*), 6) AS adjusted_mean,
+       round(1 - (t.var_y - t.cov_xy * t.cov_xy / t.var_x) / t.var_y, 6)
+         AS variance_reduction
+FROM per_cust p CROSS JOIN theta t
+GROUP BY p.arm, t.var_y, t.cov_xy, t.var_x
+""",
+)
+def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.functions.similarity import hash_hex
+
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = table(spark, sf_dir, "orders")
+    split = F.lit(CUPED_SPLIT).cast("timestamp")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("o_orderdate") < split, cents)), F.lit(0)
+            ).alias("x_cents"),
+            F.coalesce(
+                F.sum(F.when(F.col("o_orderdate") >= split, cents)), F.lit(0)
+            ).alias("y_cents"),
+        )
+        .withColumn(
+            "arm",
+            hash_hex(F.concat(F.lit("arm:"), F.col("c_custkey").cast("string")))
+            % 2,
+        )
+    )
+    m = per_cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("x_cents").cast("double") / 100 / F.count(F.lit(1))).alias("xbar"),
+        (F.sum("y_cents").cast("double") / 100 / F.count(F.lit(1))).alias("ybar"),
+        # cents products overflow int64 at scale — exact DECIMAL(38,0)
+        # accumulation (DuckDB promotes to INT128 natively)
+        (
+            F.sum(F.col("x_cents").cast("decimal(38,0)") * F.col("x_cents"))
+            .cast("double")
+            / 10000
+        ).alias("sxx"),
+        (
+            F.sum(F.col("x_cents").cast("decimal(38,0)") * F.col("y_cents"))
+            .cast("double")
+            / 10000
+        ).alias("sxy"),
+        (
+            F.sum(F.col("y_cents").cast("decimal(38,0)") * F.col("y_cents"))
+            .cast("double")
+            / 10000
+        ).alias("syy"),
+    )
+    theta = m.select(
+        "n",
+        "xbar",
+        "ybar",
+        (
+            (F.col("sxy") / F.col("n") - F.col("xbar") * F.col("ybar"))
+            / (F.col("sxx") / F.col("n") - F.col("xbar") * F.col("xbar"))
+        ).alias("th"),
+        (F.col("syy") / F.col("n") - F.col("ybar") * F.col("ybar")).alias("var_y"),
+        (F.col("sxy") / F.col("n") - F.col("xbar") * F.col("ybar")).alias("cov_xy"),
+        (F.col("sxx") / F.col("n") - F.col("xbar") * F.col("xbar")).alias("var_x"),
+    )
+    adj_q = F.floor(
+        (
+            F.col("y_cents") / 100.0
+            - F.col("th") * (F.col("x_cents") / 100.0 - F.col("xbar"))
+        )
+        * 1_000_000
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        per_cust.crossJoin(F.broadcast(theta))
+        .groupBy("arm", "var_y", "cov_xy", "var_x")
+        .agg(
+            F.count(F.lit(1)).alias("n_units"),
+            F.round(
+                F.sum("y_cents").cast("double") / 100 / F.count(F.lit(1)), 6
+            ).alias("raw_mean"),
+            F.round(
+                F.sum(adj_q).cast("double") / 1_000_000 / F.count(F.lit(1)), 6
+            ).alias("adjusted_mean"),
+        )
+        .select(
+            "arm",
+            "n_units",
+            "raw_mean",
+            "adjusted_mean",
+            F.round(
+                1
+                - (
+                    F.col("var_y")
+                    - F.col("cov_xy") * F.col("cov_xy") / F.col("var_x")
+                )
+                / F.col("var_y"),
+                6,
+            ).alias("variance_reduction"),
+        )
+    )

@@ -611,3 +611,88 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(PATH_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping-interval coalescing (interval union)
+# ---------------------------------------------------------------------------
+
+COALESCE_PAD_MIN = 10  # events pad to ±10-minute activity intervals
+
+
+@register(
+    "merge_overlapping_intervals",
+    category="timeseries",
+    doc="Interval union: each event becomes a ±"
+    f"{COALESCE_PAD_MIN}-minute activity interval; overlapping/touching "
+    "intervals per user merge into maximal spans (classic coalesce: "
+    "running max of interval ends, a new island when the next start "
+    "exceeds everything seen — one user-keyed window, no self-join). "
+    "Emits per-user span counts and total covered minutes, exact integer "
+    "epoch math.",
+    oracle=f"""
+WITH iv AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) - {COALESCE_PAD_MIN * 60} AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + {COALESCE_PAD_MIN * 60} AS e,
+         event_id
+  FROM events
+),
+m AS (
+  SELECT user_id, s, e, event_id,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max_e
+  FROM iv
+),
+islands AS (
+  SELECT user_id, s, e,
+         SUM(CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, event_id
+                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM m
+),
+spans AS (
+  SELECT user_id, island, MIN(s) AS span_s, MAX(e) AS span_e
+  FROM islands GROUP BY 1, 2
+)
+SELECT user_id,
+       COUNT(*) AS n_spans,
+       SUM(span_e - span_s) / 60 AS covered_minutes
+FROM spans GROUP BY user_id
+""",
+)
+def merge_overlapping_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pad = COALESCE_PAD_MIN * 60
+    iv = (
+        table(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select(
+            "user_id",
+            (F.unix_timestamp("ts") - pad).alias("s"),
+            (F.unix_timestamp("ts") + pad).alias("e"),
+            "event_id",
+        )
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = iv.withColumn("prev_max_e", F.max("e").over(w_prev))
+    is_new = F.when(
+        F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")), 1
+    ).otherwise(0)
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = m.withColumn("island", F.sum(is_new).over(w_run))
+    spans = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("span_s"), F.max("e").alias("span_e")
+    )
+    return spans.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        (F.sum(F.col("span_e") - F.col("span_s")) / 60).alias("covered_minutes"),
+    )
