@@ -973,7 +973,12 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 20)
     component whose diameter exceeds the budget.
     """
     labels = nodes.select("id", F.col("id").alias("label"))
-    changed = 0
+    # Convergence via the label-sum invariant: min-label propagation only
+    # ever DECREASES labels, so sum(label) is strictly monotone until the
+    # fixpoint — an unchanged sum proves an unchanged labeling. One cheap
+    # 1-row aggregate per iteration instead of a join+filter change scan.
+    prev_sum = labels.agg(F.sum("label").alias("s")).collect()[0].s
+    changed = 1
     for _ in range(max_iter):
         # smallest label among each node's neighbors (and itself)
         neighbor_min = (
@@ -981,7 +986,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 20)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        labels = (
             labels.join(neighbor_min, "id", "left")
             .select(
                 "id",
@@ -989,14 +994,9 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 20)
             )
             .localCheckpoint()  # cut the growing lineage each round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        new_sum = labels.agg(F.sum("label").alias("s")).collect()[0].s
+        changed = int(new_sum != prev_sum)
+        prev_sum = new_sum
         if changed == 0:
             break
     if changed != 0:
