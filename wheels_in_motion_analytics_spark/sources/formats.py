@@ -234,3 +234,84 @@ def federated_multiformat_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed synthetic data generation (dsdgen-in-SQL)
+# ---------------------------------------------------------------------------
+
+SYNTH_ROWS = 100_000
+
+
+@register(
+    "synthetic_generator_audit",
+    category="scan",
+    doc=f"Distributed synthetic data generation: {SYNTH_ROWS:,} rows built "
+    "ENGINE-SIDE from a range scan (spark.range — parallel, no driver "
+    "data) with md5-derived keys, categories, dates and amounts; the audit "
+    "row carries count, category cardinality, date bounds and an "
+    "order-independent checksum. The benchmark-fixture generator as a "
+    "relational plan — DuckDB reproduces the identical table from "
+    "range(), proving the generation is engine-portable (same trick the "
+    "scaled dedup fixtures use).",
+    oracle=f"""
+WITH g AS (
+  SELECT i,
+         ('0x' || substr(md5('k:' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 1000
+           AS cust,
+         'cat' || CAST(('0x' || substr(md5('c:' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 7 AS VARCHAR)
+           AS category,
+         DATE '2020-01-01' + INTERVAL (('0x' || substr(md5('d:' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 1461) DAY
+           AS d,
+         ('0x' || substr(md5('a:' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 1000000
+           AS amount_cents
+  FROM (SELECT unnest(range({SYNTH_ROWS})) AS i)
+)
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT category) AS n_categories,
+       COUNT(DISTINCT cust) AS n_custs,
+       CAST(MIN(d) AS DATE) AS min_date,
+       CAST(MAX(d) AS DATE) AS max_date,
+       CAST(CAST(SUM(CAST(('0x' || substr(md5(
+           CAST(i AS VARCHAR) || '|' || CAST(cust AS VARCHAR) || '|' ||
+           category || '|' || strftime(d, '%Y-%m-%d') || '|' ||
+           CAST(amount_cents AS VARCHAR)), 1, 15))::BIGINT AS DECIMAL(38,0)))
+           AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+FROM g
+""",
+)
+def synthetic_generator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.functions.similarity import hash_hex
+
+    def h(prefix: str) -> F.Column:
+        return hash_hex(F.concat(F.lit(prefix), F.col("id").cast("string")))
+
+    g = spark.range(SYNTH_ROWS).select(
+        F.col("id").alias("i"),
+        (h("k:") % 1000).alias("cust"),
+        F.concat(F.lit("cat"), (h("c:") % 7).cast("string")).alias("category"),
+        F.date_add(F.lit("2020-01-01").cast("date"), (h("d:") % 1461).cast("int")).alias("d"),
+        (h("a:") % 1_000_000).alias("amount_cents"),
+    )
+    row_repr = F.concat(
+        F.col("i").cast("string"),
+        F.lit("|"),
+        F.col("cust").cast("string"),
+        F.lit("|"),
+        F.col("category"),
+        F.lit("|"),
+        F.date_format("d", "yyyy-MM-dd"),
+        F.lit("|"),
+        F.col("amount_cents").cast("string"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("category").alias("n_categories"),
+        F.countDistinct("cust").alias("n_custs"),
+        F.min("d").alias("min_date"),
+        F.max("d").alias("max_date"),
+        F.sum(hash_hex(row_repr).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("checksum"),
+    )
