@@ -334,3 +334,22 @@ def test_weighted_median_is_weight_balanced(spark):
         at_or_below = sum(r.w for r in rows if r.cents <= med)
         # defining property of the lower weighted median
         assert below * 2 < total <= at_or_below * 2
+
+
+def test_fetch_binary_acquires_file_urls_and_captures_failures(spark, tmp_path):
+    """S6 fetch half: distributed urllib acquisition — file:// URLs fetched
+    byte-exact, bad URLs captured as status rows, nothing raised."""
+    from wheels_in_motion_analytics_spark.sources.readers import fetch_binary
+
+    p1 = tmp_path / "a.bin"
+    p2 = tmp_path / "b.bin"
+    p1.write_bytes(b"payload-one")
+    p2.write_bytes(b"\x00\x01\x02binary")
+    urls = [p1.as_uri(), p2.as_uri(), "file:///nonexistent/nope.bin"]
+    rows = {r.url: r for r in fetch_binary(spark, urls).collect()}
+    assert rows[p1.as_uri()].status == "ok"
+    assert bytes(rows[p1.as_uri()].content) == b"payload-one"
+    assert bytes(rows[p2.as_uri()].content) == b"\x00\x01\x02binary"
+    assert rows[p2.as_uri()].n_bytes == 9
+    bad = rows["file:///nonexistent/nope.bin"]
+    assert bad.status.startswith("error:") and bad.n_bytes == 0

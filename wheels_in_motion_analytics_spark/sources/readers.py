@@ -89,3 +89,42 @@ def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+# ---------------------------------------------------------------------------
+# S6 fetch half: distributed URL acquisition into a binary landing table
+# ---------------------------------------------------------------------------
+
+FETCH_SCHEMA = "url STRING, status STRING, n_bytes LONG, content BINARY"
+
+
+def fetch_binary(spark: SparkSession, urls: list[str], timeout_s: int = 10) -> DataFrame:
+    """Distributed acquisition (reference analogue: the requests-based
+    ingestion DAGs, /root/reference/airflow/dags/init_0_ingestion_to_GCS_dag.py:132-134
+    and proc_0 — there driver-side Airflow tasks; here each executor task
+    fetches a slice of the URL list via stdlib urllib, Arrow-batched, and
+    the result is an ordinary binary DataFrame ready for a parquet landing
+    write). Failures are captured per-URL as status text, never raised —
+    an ingestion sweep must not die on one bad link. file:// URLs make the
+    path testable offline (tests/test_operators.py)."""
+    import pandas as pd
+
+    def fetch(batches):
+        from urllib.request import urlopen
+
+        for pdf in batches:
+            out = []
+            for u in pdf["url"]:
+                try:
+                    with urlopen(u, timeout=timeout_s) as r:
+                        data = r.read()
+                    out.append((u, "ok", len(data), data))
+                except Exception as e:  # captured, not raised
+                    out.append((u, f"error: {type(e).__name__}", 0, b""))
+            yield pd.DataFrame(out, columns=["url", "status", "n_bytes", "content"])
+
+    src = spark.createDataFrame([(u,) for u in urls], "url STRING")
+    # one fetch task per small URL group — network-bound, so parallelism
+    # should track the URL count, not the default input splits
+    par = max(1, min(len(urls), spark.sparkContext.defaultParallelism))
+    return src.repartition(par).mapInPandas(fetch, FETCH_SCHEMA)
