@@ -222,3 +222,82 @@ def countmin_frequency_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("true_cnt"), F.asc("partkey"))
         .limit(CMS_TOPK)
     )
+
+
+@register(
+    "lateral_topk_per_key",
+    category="sql-surface",
+    doc="SQL LATERAL correlated subquery: top-2 customers by balance per "
+    "nation, the LATERAL form of top-k-per-group (each outer row drives "
+    "a correlated ORDER BY … LIMIT subquery; Catalyst decorrelates it "
+    "into the same window/aggregate shape the explicit rank query plans). "
+    "Deterministic tiebreak on custkey.",
+    oracle="""
+SELECT n.n_name AS nation, top.c_custkey, top.cents
+FROM nation n,
+LATERAL (
+  SELECT c_custkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY cents DESC, c_custkey
+  LIMIT 2
+) top
+""",
+)
+def lateral_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.tables import register_views
+
+    register_views(spark, sf_dir, ["nation", "customer"])
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, top.c_custkey, top.cents
+        FROM nation n,
+        LATERAL (
+          SELECT c_custkey,
+                 CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+          FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY cents DESC, c_custkey
+          LIMIT 2
+        ) top
+        """
+    )
+
+
+@register(
+    "pandas_api_groupby_agg",
+    category="udf-tiers",
+    doc="The FOURTH API tier — pandas API on Spark (pyspark.pandas): a "
+    "groupby/agg written as pandas code compiles to the same Catalyst "
+    "plan as the native DataFrame form (no Python execution in the hot "
+    "path; only the API differs). Sums run on exact integer cents so the "
+    "tier is oracle-checkable like every other.",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def pandas_api_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.tables import table
+
+    sdf = table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    psdf = sdf.pandas_api()
+    out = (
+        psdf.groupby("o_orderstatus")
+        .agg(n=("cents", "count"), total_cents=("cents", "sum"))
+        .reset_index()
+    )
+    return out.to_spark().select(
+        "o_orderstatus",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("total_cents").cast("bigint").alias("total_cents"),
+    )
