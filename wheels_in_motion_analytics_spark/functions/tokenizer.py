@@ -1,0 +1,190 @@
+"""Distributed BPE tokenizer training over the ``documents`` corpus — the
+tokenizer-construction half of an LLM data pipeline (the consumption half,
+BPE-regex token *counting*, lives in functions/text.py `text_stats`).
+
+Classic word-frequency BPE (Sennrich et al. 2016, public alg): the corpus is
+first collapsed to a (word, freq) vocabulary — at 100 TB this is the Zipf
+cliff, billions of tokens fold into a few million distinct words in ONE
+map-side-combined groupBy — and every merge round then runs on the tiny
+vocabulary relation, never on the corpus again:
+
+1. each word becomes a space-separated symbol sequence ``' w o r d </w> '``;
+2. per round: count adjacent symbol pairs weighted by word freq (explode +
+   sum — one shuffle over the vocab table), pick argmax (count desc, pair
+   asc — a 1-row collect: merge selection is the driver-side control flow of
+   the algorithm, like connected_components' convergence probe), and apply
+   the merge to every sequence.
+
+Merge application is two sweeps of literal space-padded ``replace`` — both
+engines (Java ``String.replace`` / DuckDB ``replace``) scan left-to-right
+over the ORIGINAL string, so one sweep skips every second pair of an
+``a b a b`` run; the second sweep catches it. The two-sweep greedy is applied
+IDENTICALLY in the DuckDB oracle (chained CTEs, scalar-subquery argmax), so
+the differential is exact by construction; vs textbook BPE it can differ only
+on 3+ repetitions of a merged pair inside one word (not present here, and a
+bounded artifact at worst).
+
+Registered:
+* ``bpe_merge_table`` — the learned merge rules (step, pair) — the actual
+  tokenizer artifact;
+* ``bpe_train_symbol_freqs`` — post-merge symbol frequencies (top-N), the
+  vocabulary a tokenizer build would emit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from wheels_in_motion_analytics_spark.registry import register
+from wheels_in_motion_analytics_spark.functions.text import tokens
+from wheels_in_motion_analytics_spark.tables import table
+
+BPE_MERGES = 3
+BPE_TOPN = 40
+
+_SYMS = "filter(split(seq, ' '), x -> x != '')"
+
+
+def word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, freq) vocabulary — the only corpus-sized scan in BPE training."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+
+
+def train_bpe(words: DataFrame, merges: int = BPE_MERGES) -> tuple[list[str], DataFrame]:
+    """Run ``merges`` BPE rounds over a (w, f) vocabulary; returns the merge
+    list (space-separated pairs, in learn order) and the final (w, f, seq)
+    sequences."""
+    seqs = words.select(
+        "w",
+        "f",
+        F.concat(
+            F.lit(" "),
+            F.array_join(F.filter(F.split("w", ""), lambda x: x != ""), " "),
+            F.lit(" </w> "),
+        ).alias("seq"),
+    ).localCheckpoint()
+    learned: list[str] = []
+    for _ in range(merges):
+        pair_counts = (
+            seqs.select(
+                "f",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, size({_SYMS}) - 1),"
+                        f" i -> concat(element_at({_SYMS}, i), ' ',"
+                        f" element_at({_SYMS}, i + 1)))"
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("f").alias("cnt"))
+        )
+        best = (
+            pair_counts.orderBy(F.desc("cnt"), F.asc("pair")).limit(1).collect()[0].pair
+        )
+        learned.append(best)
+        pat, rep = f" {best} ", f" {best.replace(' ', '')} "
+        merged_seq = F.replace(
+            F.replace(F.col("seq"), F.lit(pat), F.lit(rep)), F.lit(pat), F.lit(rep)
+        )
+        # cut lineage each round: the vocab relation is tiny post-groupBy and
+        # every round's pair scan would otherwise recompute all prior rounds
+        seqs = seqs.withColumn("seq", merged_seq).localCheckpoint()
+    return learned, seqs
+
+
+def _oracle_prefix(merges: int) -> str:
+    parts = [
+        """
+WITH words AS (
+  SELECT w, COUNT(*) AS f
+  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY w
+),
+seqs0 AS (
+  SELECT w, f,
+         ' ' || array_to_string(string_split(w, ''), ' ') || ' </w> ' AS seq
+  FROM words
+)"""
+    ]
+    for k in range(merges):
+        parts.append(
+            f""",
+pairs{k} AS (
+  SELECT syms[i] || ' ' || syms[i+1] AS pair, SUM(f) AS cnt
+  FROM (SELECT f, list_filter(string_split(seq, ' '), x -> x <> '') AS syms
+        FROM seqs{k}),
+       UNNEST(range(1, len(syms))) AS t(i)
+  GROUP BY pair
+),
+best{k} AS (SELECT pair FROM pairs{k} ORDER BY cnt DESC, pair LIMIT 1),
+seqs{k + 1} AS (
+  SELECT w, f,
+    replace(
+      replace(seq, ' ' || (SELECT pair FROM best{k}) || ' ',
+                   ' ' || replace((SELECT pair FROM best{k}), ' ', '') || ' '),
+      ' ' || (SELECT pair FROM best{k}) || ' ',
+      ' ' || replace((SELECT pair FROM best{k}), ' ', '') || ' ') AS seq
+  FROM seqs{k}
+)"""
+        )
+    return "".join(parts)
+
+
+_MERGE_ROWS = "\nUNION ALL\n".join(
+    f"SELECT {k} AS step, (SELECT pair FROM best{k}) AS pair"
+    for k in range(BPE_MERGES)
+)
+
+
+@register(
+    "bpe_merge_table",
+    category="tokenizer-llm",
+    doc="BPE tokenizer training, merge-rule artifact: the learned merge list "
+    "(step, pair) after BPE_MERGES rounds over the word-frequency vocabulary "
+    "— per round one vocab-sized pair-count shuffle + a 1-row argmax collect "
+    "(driver-side control flow, like connected_components' convergence "
+    "probe). Oracle: identical chained-CTE rounds in DuckDB.",
+    oracle=_oracle_prefix(BPE_MERGES) + "\n" + _MERGE_ROWS,
+)
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    learned, _ = train_bpe(word_freqs(spark, sf_dir))
+    return spark.createDataFrame(
+        [(k, p) for k, p in enumerate(learned)], "step int, pair string"
+    )
+
+
+@register(
+    "bpe_train_symbol_freqs",
+    category="tokenizer-llm",
+    doc="BPE tokenizer training, vocabulary artifact: corpus-weighted symbol "
+    "frequencies after BPE_MERGES merge rounds (top-N, freq desc / symbol "
+    "asc). The merged symbols ('er', 'e</w>', ...) surface exactly when "
+    "their merge rule wins a round in BOTH engines.",
+    oracle=_oracle_prefix(BPE_MERGES)
+    + f"""
+SELECT sym, CAST(SUM(f) AS BIGINT) AS freq
+FROM (SELECT f, unnest(list_filter(string_split(seq, ' '), x -> x <> '')) AS sym
+      FROM seqs{BPE_MERGES})
+GROUP BY sym
+ORDER BY freq DESC, sym
+LIMIT {BPE_TOPN}
+""",
+)
+def bpe_train_symbol_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, seqs = train_bpe(word_freqs(spark, sf_dir))
+    return (
+        seqs.select("f", F.explode(F.expr(_SYMS)).alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("f").cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("sym"))
+        .limit(BPE_TOPN)
+    )

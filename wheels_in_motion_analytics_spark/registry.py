@@ -65,6 +65,7 @@ _QUERY_MODULES = [
     "wheels_in_motion_analytics_spark.functions.embeddings",
     "wheels_in_motion_analytics_spark.functions.curation",
     "wheels_in_motion_analytics_spark.functions.chunking",
+    "wheels_in_motion_analytics_spark.functions.tokenizer",
     "wheels_in_motion_analytics_spark.functions.layout",
     "wheels_in_motion_analytics_spark.functions.graph",
     "wheels_in_motion_analytics_spark.functions.retrieval",
