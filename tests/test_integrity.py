@@ -81,3 +81,27 @@ def test_triangle_query_counts_are_consistent(spark):
     counts = [r.tri_count for r in rows]
     assert counts == sorted(counts, reverse=True)
     assert all(c >= 1 for c in counts)
+
+
+def test_bfs_min_hops_on_known_graph(spark):
+    """Path 1-2-3-4-5 with a shortcut 1-4: hop(4) must take the shortcut (1,
+    not 3), hop(5) = 2; node 9 in a separate component is never reached."""
+    from wheels_in_motion_analytics_spark.functions.graph import bfs_min_hops
+
+    und = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4), (9, 10)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {r.node: r.hop for r in bfs_min_hops(edges, seed=1, max_hops=4).collect()}
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+
+
+def test_bfs_hop_bound_truncates(spark):
+    from wheels_in_motion_analytics_spark.functions.graph import bfs_min_hops
+
+    chain = [(i, i + 1) for i in range(1, 6)]  # 1-2-3-4-5-6
+    edges = spark.createDataFrame(
+        chain + [(b, a) for a, b in chain], "src long, dst long"
+    )
+    got = {r.node: r.hop for r in bfs_min_hops(edges, seed=1, max_hops=2).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}

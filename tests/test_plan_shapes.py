@@ -316,3 +316,36 @@ def test_nearest_supplier_fallback_is_bounded_broadcast(spark):
     shuffle the customer remainder into a sort-merge join."""
     plan = plan_of(spark, "spatial_nearest_supplier")
     assert "SortMergeJoin" not in plan
+
+
+def test_dpp_injects_dynamic_pruning_subquery(spark):
+    """When the month set comes from a runtime dim (no static fact filter),
+    dynamic partition pruning must inject a pruning subquery into the
+    partitioned scan — and the files actually read must be only the three
+    1996-Q2 month directories."""
+    import pyspark.sql.functions as F
+
+    from wheels_in_motion_analytics_spark.sources.partitioned import (
+        dpp_join,
+        ensure_partitioned_lineitem,
+        month_dim,
+    )
+
+    plan = (
+        dpp_join(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+    # input_file_name() only supports a single source, so tag the fact side
+    # BEFORE the join; the partition filter still lands on the scan.
+    fact = spark.read.parquet(ensure_partitioned_lineitem(spark, SF_SMALL)).withColumn(
+        "f", F.input_file_name()
+    )
+    df = fact.join(month_dim(spark, SF_SMALL), "ship_month")
+    files = [r.f for r in df.select("f").distinct().collect()]
+    assert files, "dpp join read no files"
+    want = ("ship_month=1996-04", "ship_month=1996-05", "ship_month=1996-06")
+    assert all(any(m in f for m in want) for f in files), files[:5]

@@ -251,3 +251,93 @@ def triangle_count_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tri_count"), F.asc("node"))
         .limit(TRI_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# BFS shortest hop counts (bounded single-source shortest paths)
+# ---------------------------------------------------------------------------
+
+BFS_HOPS = 4
+
+
+def bfs_min_hops(edges: DataFrame, seed: int, max_hops: int = BFS_HOPS) -> DataFrame:
+    """Single-source BFS over a directed (src, dst) edge DataFrame: returns
+    (node, hop) with the MINIMUM hop count ≤ ``max_hops`` from ``seed``.
+
+    Frontier expansion: each round joins only the NEW frontier against the
+    edge table and anti-joins the visited set — per-round work is
+    O(frontier × avg-degree), the textbook distributed BFS (Pregel's
+    message step as a join). The driver loop is bounded control flow;
+    an empty frontier short-circuits.
+    """
+    spark = edges.sparkSession
+    visited = spark.createDataFrame([(seed, 0)], "node long, hop int").localCheckpoint()
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("hop", F.lit(h))
+            .localCheckpoint()  # reused by the next round's anti-join AND union
+        )
+        if not nxt.take(1):
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
+@register(
+    "bfs_cosupply_hops",
+    category="graph",
+    doc=f"Bounded single-source BFS (≤{BFS_HOPS} hops) over the symmetric "
+    "co-supply graph, seeded at the minimum node id: per-round "
+    "frontier⋈edges + visited anti-join (Pregel-style message step as a "
+    "join). Oracle: recursive CTE with DISTINCT union — the working set is "
+    "deduped (node, hop) pairs, so cycles cannot blow up the recursion; "
+    "MIN(hop) per node equals the BFS level on both engines.",
+    oracle=f"""
+WITH RECURSIVE {_TRI_EDGES_ORACLE.lstrip()},
+sym AS (
+  SELECT s1 AS src, s2 AS dst FROM edges
+  UNION ALL
+  SELECT s2, s1 FROM edges
+),
+r(node, hop) AS (
+  SELECT (SELECT MIN(src) FROM sym), 0
+  UNION
+  SELECT s.dst, r.hop + 1
+  FROM r JOIN sym s ON s.src = r.node
+  WHERE r.hop < {BFS_HOPS}
+)
+SELECT node, CAST(MIN(hop) AS INTEGER) AS hop
+FROM r GROUP BY node
+""",
+)
+def bfs_cosupply_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    links = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= TRI_MIN_QTY)
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    und = (
+        links.select("p", F.col("s").alias("s1"))
+        .join(links.select("p", F.col("s").alias("s2")), "p")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= TRI_MIN_SHARED)
+        .select("s1", "s2")
+    )
+    edges = (
+        und.select(F.col("s1").alias("src"), F.col("s2").alias("dst"))
+        .unionByName(und.select(F.col("s2").alias("src"), F.col("s1").alias("dst")))
+        .localCheckpoint()  # every BFS round joins this
+    )
+    seed = edges.agg(F.min("src").alias("m")).collect()[0].m
+    return bfs_min_hops(edges, int(seed)).select(
+        F.col("node").cast("long").alias("node"), "hop"
+    )

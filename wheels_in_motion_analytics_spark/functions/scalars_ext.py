@@ -240,3 +240,42 @@ def conditional_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("big_revenue"),
         F.count(F.nullif(F.col("l_discount"), F.lit(0.0))).alias("n_discounted"),
     )
+
+
+@register(
+    "collated_group_case_insensitive",
+    category="scalars",
+    doc="Collation-aware grouping (Spark 4 collations): order priorities with "
+    "manufactured case variation (upper on even keys, lower on odd) grouped "
+    "under UTF8_LCASE — the engine merges case variants WITHOUT a lower() "
+    "rewrite on the grouping expression. Because the collation picks an "
+    "arbitrary representative per group, the emitted key is normalized with "
+    "lower() so the output (not the grouping mechanism) is deterministic. "
+    "Oracle: the lower() rewrite, which is semantically equivalent for "
+    "ASCII data.",
+    oracle="""
+SELECT lower(p) AS priority,
+       COUNT(*) AS n_orders
+FROM (
+  SELECT CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
+              ELSE lower(o_orderpriority) END AS p
+  FROM orders
+)
+GROUP BY 1
+""",
+)
+def collated_group_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cased = table(spark, sf_dir, "orders").select(
+        F.when(
+            F.col("o_orderkey") % 2 == 0, F.upper("o_orderpriority")
+        )
+        .otherwise(F.lower("o_orderpriority"))
+        .alias("p")
+    )
+    return (
+        cased.groupBy(F.expr("p COLLATE UTF8_LCASE").alias("pk"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.lower(F.col("pk").cast("string")).alias("priority"), "n_orders"
+        )
+    )

@@ -93,3 +93,66 @@ def partition_pruned_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFr
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         )
     )
+
+
+DPP_YEAR = 1996
+DPP_QUARTER = 2
+
+
+def month_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-derived pruning dim: the distinct order months of one
+    quarter — only known after scanning orders, so static pruning can't
+    use it."""
+    return (
+        table(spark, sf_dir, "orders")
+        .where(
+            (F.year("o_orderdate") == DPP_YEAR)
+            & (F.quarter("o_orderdate") == DPP_QUARTER)
+        )
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("ship_month"))
+        .distinct()
+    )
+
+
+def dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dynamically-pruned join itself (shared with the plan-shape test):
+    partitioned fact ⋈ runtime-derived month dim on the partition column."""
+    fact = spark.read.parquet(ensure_partitioned_lineitem(spark, sf_dir))
+    return fact.join(month_dim(spark, sf_dir), "ship_month")
+
+
+@register(
+    "dpp_join_pruned_revenue",
+    category="sources",
+    doc="DYNAMIC partition pruning: the month predicate lives on a runtime-"
+    "derived dim (distinct order months of one quarter), not on the fact, "
+    "so static pruning can't fire — Catalyst instead injects a dynamic-"
+    "pruning subquery into the partitioned scan's PartitionFilters "
+    "(broadcast-reuse DPP, asserted in tests/test_plan_shapes.py) and the "
+    "fact read still touches 3 of ~83 month directories. This is the scan "
+    "lever for star joins at 100 TB where the pruning set is only known at "
+    "run time. Oracle: the equivalent month-set semi-join on the original "
+    "single-file table.",
+    oracle=f"""
+WITH months AS (
+  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS ship_month
+  FROM orders
+  WHERE year(o_orderdate) = {DPP_YEAR} AND quarter(o_orderdate) = {DPP_QUARTER}
+)
+SELECT m.ship_month,
+       COUNT(*) AS n_items,
+       {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem l
+JOIN months m ON strftime(l.l_shipdate, '%Y-%m') = m.ship_month
+GROUP BY 1
+""",
+)
+def dpp_join_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        dpp_join(spark, sf_dir)
+        .groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
