@@ -379,25 +379,37 @@ def embedding_dim_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 CONTRASTIVE_NEGS = 3
+CONTRASTIVE_BATCHES = 8
 
 
 @register(
     "embedding_contrastive_pairs",
     category="embeddings",
-    doc="Contrastive training-pair mining: per anchor vector, ONE positive "
-    f"(same label) and {CONTRASTIVE_NEGS} negatives (different labels), "
-    "each chosen by a deterministic md5 rank keyed on (anchor, candidate) "
-    "— reproducible negative sampling with no rand(), the standard prep "
-    "for embedding-model fine-tuning. Candidate ranking windows partition "
-    "per anchor × polarity, so state is bounded by per-label group sizes.",
+    doc="IN-BATCH contrastive training-pair mining: vectors are sharded "
+    f"into {CONTRASTIVE_BATCHES} deterministic md5 batches and each anchor "
+    f"mines ONE positive (same label) and {CONTRASTIVE_NEGS} negatives "
+    "(different labels) FROM ITS OWN BATCH, each chosen by a deterministic "
+    "md5 rank keyed on (anchor, candidate) — reproducible sampling with no "
+    "rand(). Batch-restricting the candidate pool is how this survives "
+    "scale: the pair space is sum-of-squared-batch-sizes, not corpus², "
+    "exactly like in-batch negatives during real contrastive training "
+    "(anchors whose batch lacks a same-label partner yield no positive "
+    "row, as in a real batch). Ranking windows partition per anchor × "
+    "polarity, so window state is bounded by batch size.",
     oracle=f"""
-WITH pairs AS (
+WITH e AS (
+  SELECT vec_id, label,
+         ('0x' || substr(md5('b:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+           % {CONTRASTIVE_BATCHES} AS batch
+  FROM embeddings
+),
+pairs AS (
   SELECT a.vec_id AS anchor, b.vec_id AS cand,
          (a.label = b.label) AS is_pos,
          ('0x' || substr(md5('ctr:' || CAST(a.vec_id AS VARCHAR) || ':'
                               || CAST(b.vec_id AS VARCHAR)), 1, 15))::BIGINT
            AS rk
-  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  FROM e a JOIN e b ON a.batch = b.batch AND a.vec_id <> b.vec_id
 ),
 ranked AS (
   SELECT anchor, cand, is_pos,
@@ -413,11 +425,21 @@ WHERE (is_pos AND rn = 1) OR (NOT is_pos AND rn <= {CONTRASTIVE_NEGS})
 def embedding_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wheels_in_motion_analytics_spark.functions.similarity import hash_hex
 
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    a = e.select(F.col("vec_id").alias("anchor"), F.col("label").alias("la"))
-    b = e.select(F.col("vec_id").alias("cand"), F.col("label").alias("lb"))
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        (
+            hash_hex(F.concat(F.lit("b:"), F.col("vec_id").cast("string")))
+            % CONTRASTIVE_BATCHES
+        ).alias("batch"),
+    )
+    a = e.select(
+        F.col("vec_id").alias("anchor"), F.col("label").alias("la"), "batch"
+    )
+    b = e.select(F.col("vec_id").alias("cand"), F.col("label").alias("lb"), "batch")
     pairs = (
-        a.join(F.broadcast(b), F.col("anchor") != F.col("cand"))
+        a.join(F.broadcast(b), ["batch"])
+        .where(F.col("anchor") != F.col("cand"))
         .select(
             "anchor",
             "cand",
