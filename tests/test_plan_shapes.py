@@ -349,3 +349,36 @@ def test_dpp_injects_dynamic_pruning_subquery(spark):
     assert files, "dpp join read no files"
     want = ("ship_month=1996-04", "ship_month=1996-05", "ship_month=1996-06")
     assert all(any(m in f for m in want) for f in files), files[:5]
+
+
+def test_aqe_coalesces_post_shuffle_partitions(spark):
+    """AQE folds underfilled shuffle partitions at runtime — the knob that
+    keeps reducer counts sane when a 100 TB stage's output is small."""
+    import pyspark.sql.functions as F
+
+    from wheels_in_motion_analytics_spark.tables import table
+
+    df = (
+        table(spark, SF_SMALL, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    df.collect()  # final adaptive plan exists only after execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan and "coalesced" in plan, plan[:1500]
+
+
+def test_shuffle_hash_join_hint_is_honored(spark):
+    """The engine can steer a specific physical join: shuffle_hash avoids
+    the sort phase of SMJ for large joins where one side hashes in memory."""
+    from wheels_in_motion_analytics_spark.tables import table
+
+    li = table(spark, SF_SMALL, "lineitem")
+    orders = table(spark, SF_SMALL, "orders").hint("shuffle_hash")
+    plan = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ShuffledHashJoin" in plan, plan[:1500]

@@ -517,3 +517,52 @@ def curate_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("draw") < F.col("keep_rate"))
         .select("doc_id", "lang", "keep_rate")
     )
+
+
+UPSAMPLE_GRID = 1_000  # fractional-epoch draw resolution
+
+
+@register(
+    "curate_upsample_epochs",
+    category="curation",
+    doc="Fractional-epoch UPSAMPLING (the mixture-weights complement of the "
+    "downsampling ops): each source gets an epoch factor 1.0/1.5/2.0/2.5 "
+    "(source-number mod 4); every document is emitted floor(epochs) times "
+    "plus one extra copy when a deterministic md5 draw lands under the "
+    "fractional part — so a 1.5-epoch source repeats half its docs, chosen "
+    "reproducibly, no rand(). Emission is explode(sequence(1, n_copies)) — "
+    "per-row fan-out, zero shuffles, exactly how a training-data epoch "
+    "plan materializes at 100 TB. Output: (doc_id, copy_idx) rows.",
+    oracle=f"""
+WITH planned AS (
+  SELECT doc_id,
+         CAST(substr(source, 4) AS INTEGER) % 4 AS bucket,
+         1 + (CAST(substr(source, 4) AS INTEGER) % 4) * 5 / 10.0 AS epochs,
+         ('0x' || substr(md5('ups:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % {UPSAMPLE_GRID} AS draw
+  FROM documents
+),
+copies AS (
+  SELECT doc_id,
+         CAST(floor(epochs) AS INTEGER)
+           + CASE WHEN draw < (epochs - floor(epochs)) * {UPSAMPLE_GRID}
+                  THEN 1 ELSE 0 END AS n_copies
+  FROM planned
+)
+SELECT c.doc_id, CAST(t.i AS INTEGER) AS copy_idx
+FROM copies c, UNNEST(range(1, n_copies + 1)) AS t(i)
+""",
+)
+def curate_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    epochs = 1 + (src_num % 4) * F.lit(5) / F.lit(10.0)
+    draw = hash_hex(
+        F.concat(F.lit("ups:"), F.col("doc_id").cast("string"))
+    ) % UPSAMPLE_GRID
+    n_copies = F.floor(epochs).cast("int") + F.when(
+        draw < (epochs - F.floor(epochs)) * UPSAMPLE_GRID, 1
+    ).otherwise(0)
+    return docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(1), n_copies)).alias("copy_idx")
+    )

@@ -188,3 +188,51 @@ def bpe_train_symbol_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("sym"))
         .limit(BPE_TOPN)
     )
+
+
+@register(
+    "bpe_encode_token_counts",
+    category="tokenizer-llm",
+    doc="BPE tokenizer APPLICATION via dictionary encoding: the trained "
+    "merges tokenize only the DISTINCT-WORD dictionary (vocab-sized), and "
+    "documents get their token counts by joining their exploded words back "
+    "to the dictionary — the corpus is never re-tokenized row by row. At "
+    "100 TB this is the difference between O(vocab) merge work + one "
+    "hash join and running the merge loop over every document. Emits "
+    "per-document whitespace-word and BPE-token counts.",
+    oracle=_oracle_prefix(BPE_MERGES)
+    + f"""
+, dict AS (
+  SELECT w, CAST(len(list_filter(string_split(seq, ' '), x -> x <> ''))
+                 AS BIGINT) AS n_sym
+  FROM seqs{BPE_MERGES}
+),
+dw AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+)
+SELECT dw.doc_id,
+       COUNT(*) AS n_words,
+       SUM(d.n_sym) AS n_bpe_tokens
+FROM dw JOIN dict d ON d.w = dw.w
+GROUP BY dw.doc_id
+""",
+)
+def bpe_encode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, seqs = train_bpe(word_freqs(spark, sf_dir))
+    dictionary = seqs.select(
+        "w", F.size(F.expr(_SYMS)).cast("long").alias("n_sym")
+    )
+    doc_words = table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    return (
+        doc_words.join(dictionary, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
+    )
