@@ -22,7 +22,7 @@ and order-independent whole-table fingerprints.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
 from wheels_in_motion_analytics_spark.functions.similarity import (
@@ -332,4 +332,121 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_total") - F.col("c_after")).alias("customers_removed"),
         (F.col("o_total") - F.col("o_after")).alias("orders_removed"),
         "surviving_refs",
+    )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit
+# --------------------------------------------------------------------------
+
+
+@register(
+    "benford_first_digit_audit",
+    category="integrity",
+    doc="Benford's-law first-digit audit over order totals — the classic "
+    "fabricated-data screen: observed first-significant-digit share next "
+    "to the Benford expectation log10(1+1/d) and the absolute deviation. "
+    "First digit comes from the DECIMAL(18,2) string rendering (identical "
+    "digits on both engines; no float-to-string drift), shares and the "
+    "libm log10 are rounded to 6dp before the exact subtraction.",
+    oracle="""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+              AS INTEGER) AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+counts AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts)
+SELECT digit, n,
+       round(CAST(n AS DOUBLE) / t, 6) AS pct,
+       round(log10(1 + 1.0 / digit), 6) AS benford_pct,
+       abs(round(CAST(n AS DOUBLE) / t, 6)
+           - round(log10(1 + 1.0 / digit), 6)) AS abs_dev
+FROM counts, tot
+""",
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = F.sum("n").over(Window.partitionBy())
+    pct = F.round(F.col("n").cast("double") / t, 6)
+    benford = F.round(F.log10(1 + 1.0 / F.col("digit")), 6)
+    return counts.select(
+        "digit",
+        "n",
+        pct.alias("pct"),
+        benford.alias("benford_pct"),
+        F.abs(pct - benford).alias("abs_dev"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Governance: row-level security + column masking view
+# --------------------------------------------------------------------------
+
+RLS_REGION = "ASIA"
+
+
+@register(
+    "masked_customer_view",
+    category="integrity",
+    doc="Governance surface: a masked, row-filtered serving view — "
+    f"row-level policy keeps only {RLS_REGION}-region customers (semi-join "
+    "through nation⋈region, both broadcast dims); column policies emit a "
+    "salted-md5 pseudonym key, mask() over the name (upper→X, lower→x, "
+    "digit→n), and the account balance generalized to a 100-unit band "
+    "(integer-cents floor — no float banding drift). The Spark mask() "
+    "built-in is replicated in the oracle with a regexp chain.",
+    oracle=f"""
+WITH allowed AS (
+  SELECT n.n_nationkey FROM nation n
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = '{RLS_REGION}'
+)
+SELECT md5('pseudo:' || CAST(c_custkey AS VARCHAR)) AS pseudo_id,
+       regexp_replace(regexp_replace(regexp_replace(
+         c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+         AS masked_name,
+       CAST(floor(CAST(round(c_acctbal * 100) AS BIGINT) / 10000.0) AS BIGINT)
+         * 100 AS acctbal_band,
+       c_mktsegment
+FROM customer
+WHERE c_nationkey IN (SELECT n_nationkey FROM allowed)
+""",
+)
+def masked_customer_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    allowed = (
+        table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(table(spark, sf_dir, "region")),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .where(F.col("r_name") == RLS_REGION)
+        .select("n_nationkey")
+    )
+    cust = table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    return (
+        cust.join(
+            F.broadcast(allowed),
+            cust.c_nationkey == allowed.n_nationkey,
+            "left_semi",
+        )
+        .select(
+            F.md5(F.concat(F.lit("pseudo:"), F.col("c_custkey").cast("string")))
+            .alias("pseudo_id"),
+            F.mask(F.col("c_name")).alias("masked_name"),
+            (F.floor(cents / 10000.0).cast("long") * 100).alias("acctbal_band"),
+            "c_mktsegment",
+        )
     )

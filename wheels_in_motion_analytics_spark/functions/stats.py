@@ -558,3 +558,98 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("variance_reduction"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U (rank-sum) two-sample test
+# --------------------------------------------------------------------------
+
+
+@register(
+    "mann_whitney_u_prices",
+    category="stats",
+    doc="Mann-Whitney U rank-sum test, F-status vs O-status order totals — "
+    "the nonparametric sibling of welch_ttest_segments. SCALE SHAPE: ranks "
+    "are never assigned per row; values aggregate to a distinct-value "
+    "relation first and average ranks come from a cumulative window over "
+    "THAT (the vocab_build posture — global window only over aggregated "
+    "values). Rank sums are exact (multiples of 1/2 summed well below "
+    "2^52), tie correction exact integer math; only the final z pays one "
+    "libm sqrt, rounded to 6dp on both engines.",
+    oracle="""
+WITH s AS (
+  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS g
+  FROM orders WHERE o_orderstatus IN ('F', 'O')
+),
+vals AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS n_tot, CAST(SUM(g) AS BIGINT) AS n1v
+  FROM s GROUP BY v
+),
+cum AS (
+  SELECT n_tot, n1v,
+         CAST(COALESCE(SUM(n_tot) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM vals
+),
+agg AS (
+  SELECT CAST(SUM(n1v) AS BIGINT) AS n1,
+         CAST(SUM(n_tot) AS BIGINT) AS n,
+         SUM(n1v * (cum_before + (n_tot + 1) / 2.0)) AS r1,
+         CAST(SUM(n_tot * n_tot * n_tot - n_tot) AS BIGINT) AS ties
+  FROM cum
+)
+SELECT n1,
+       n - n1 AS n2,
+       r1 - n1 * (n1 + 1) / 2.0 AS u1,
+       round((r1 - n1 * (n1 + 1) / 2.0 - n1 * (n - n1) / 2.0)
+             / sqrt(n1 * (n - n1) / 12.0
+                    * ((n + 1) - CAST(ties AS DOUBLE) / (n * (n - 1.0)))),
+             6) AS z
+FROM agg
+""",
+)
+def mann_whitney_u_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus").isin("F", "O"))
+        .select(
+            F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+            (F.col("o_orderstatus") == "F").cast("int").alias("g"),
+        )
+    )
+    vals = s.groupBy("v").agg(
+        F.count(F.lit(1)).alias("n_tot"), F.sum("g").alias("n1v")
+    )
+    w = (
+        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = vals.select(
+        "n_tot",
+        "n1v",
+        F.coalesce(F.sum("n_tot").over(w), F.lit(0)).alias("cum_before"),
+    )
+    agg = cum.agg(
+        F.sum("n1v").alias("n1"),
+        F.sum("n_tot").alias("n"),
+        F.sum(
+            F.col("n1v") * (F.col("cum_before") + (F.col("n_tot") + 1) / 2.0)
+        ).alias("r1"),
+        F.sum(
+            F.col("n_tot") * F.col("n_tot") * F.col("n_tot") - F.col("n_tot")
+        ).alias("ties"),
+    )
+    n1, n, r1, ties = F.col("n1"), F.col("n"), F.col("r1"), F.col("ties")
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    mu = n1 * (n - n1) / 2.0
+    sig2 = (
+        n1 * (n - n1) / 12.0
+        * ((n + 1) - ties.cast("double") / (n * (n - 1.0)))
+    )
+    return agg.select(
+        n1.alias("n1"),
+        (n - n1).alias("n2"),
+        u1.alias("u1"),
+        F.round((u1 - mu) / F.sqrt(sig2), 6).alias("z"),
+    )
