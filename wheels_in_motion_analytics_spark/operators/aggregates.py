@@ -518,3 +518,76 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("dof"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sampling-based approximate query (AQP) with accuracy audit
+# ---------------------------------------------------------------------------
+
+AQP_PCT = 10  # deterministic 1-in-10 sample
+
+
+@register(
+    "approx_revenue_sampled",
+    category="aggregates",
+    doc=f"Approximate query processing: total revenue estimated from a "
+    f"deterministic md5 {AQP_PCT}% row sample (Horvitz-Thompson scale-up), "
+    "audited against the exact total in the same query. The sample "
+    "predicate is a pushed-down hash filter — at 100 TB the approximate "
+    "path reads every block but decodes/aggregates a tenth of the rows, "
+    "and the md5 keying makes the 'random' sample reproducible across "
+    "engines, runs and partitionings (no TABLESAMPLE nondeterminism). "
+    "Estimate and relative error are decimal-exact.",
+    oracle=f"""
+WITH r AS (
+  SELECT CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+         ('0x' || substr(md5('smp:' || CAST(l_orderkey AS VARCHAR) || ':'
+                              || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+           % {AQP_PCT} = 0 AS in_sample
+  FROM lineitem
+)
+SELECT CAST(COUNT(*) FILTER (WHERE in_sample) AS BIGINT) AS n_sample,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(rev) FILTER (WHERE in_sample) * {AQP_PCT} AS DOUBLE)
+         AS est_revenue,
+       CAST(SUM(rev) AS DOUBLE) AS true_revenue,
+       round(CAST(SUM(rev) FILTER (WHERE in_sample) * {AQP_PCT} AS DOUBLE)
+             / CAST(SUM(rev) AS DOUBLE) - 1, 6) AS rel_err
+FROM r
+""",
+)
+def approx_revenue_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.functions.similarity import hash_hex
+
+    li = table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(18,2)")
+    )
+    in_sample = (
+        hash_hex(
+            F.concat(
+                F.lit("smp:"),
+                F.col("l_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("l_linenumber").cast("string"),
+            )
+        )
+        % AQP_PCT
+        == 0
+    )
+    agg = li.select(rev.alias("rev"), in_sample.alias("in_sample")).agg(
+        F.count(F.when(F.col("in_sample"), 1)).alias("n_sample"),
+        F.count(F.lit(1)).alias("n_total"),
+        (
+            F.sum(F.when(F.col("in_sample"), F.col("rev"))) * AQP_PCT
+        ).cast("double").alias("est_revenue"),
+        F.sum("rev").cast("double").alias("true_revenue"),
+    )
+    return agg.select(
+        "n_sample",
+        "n_total",
+        "est_revenue",
+        "true_revenue",
+        F.round(F.col("est_revenue") / F.col("true_revenue") - 1, 6).alias("rel_err"),
+    )

@@ -315,3 +315,88 @@ def synthetic_generator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Malformed-input handling: PERMISSIVE corrupt-record capture
+# ---------------------------------------------------------------------------
+
+CORRUPT_EVERY = 97  # orderkey % CORRUPT_EVERY == 0 rows are written broken
+
+
+def corrupt_jsonl_path(sf_dir: str) -> str:
+    return _derived_path(sf_dir, "orders_corrupt_jsonl")
+
+
+def ensure_corrupt_jsonl(spark: SparkSession, sf_dir: str) -> str:
+    """Write orders as JSONL where every ``o_orderkey % 97 == 0`` row is a
+    deliberately truncated (unparseable) line — the fixture for the
+    PERMISSIVE-mode audit. Content-deterministic, _SUCCESS-guarded."""
+    path = corrupt_jsonl_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        good = F.to_json(
+            F.struct(
+                F.col("o_orderkey").alias("order_id"),
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_totalprice").alias("total"),
+            )
+        )
+        broken = F.concat(
+            F.lit('{"order_id": '),
+            F.col("o_orderkey").cast("string"),
+            F.lit(', "status": '),
+        )
+        (
+            table(spark, sf_dir, "orders")
+            .select(
+                F.when(F.col("o_orderkey") % CORRUPT_EVERY == 0, broken)
+                .otherwise(good)
+                .alias("value")
+            )
+            .write.mode("overwrite")
+            .text(path)
+        )
+    return path
+
+
+@register(
+    "jsonl_corrupt_records_audit",
+    category="sources",
+    doc="Malformed-input ingestion: a JSONL feed where every 97th order is "
+    "a truncated line, read in PERMISSIVE mode with an explicit schema and "
+    "columnNameOfCorruptRecord — broken lines surface as rows with the "
+    "raw text in the corrupt column instead of failing the job (the "
+    "quarantine half of a production loader; the reference trusts its "
+    "inputs, web_scraper.py:18-52). Audit: good/corrupt counts and the "
+    "decimal-exact revenue over successfully parsed rows. The oracle "
+    "re-derives both from the original table and the writer's corruption "
+    "rule.",
+    oracle=f"""
+SELECT COUNT(*) AS n_total,
+       COUNT(*) FILTER (WHERE o_orderkey % {CORRUPT_EVERY} <> 0) AS n_good,
+       COUNT(*) FILTER (WHERE o_orderkey % {CORRUPT_EVERY} = 0) AS n_corrupt,
+       {oracle_dsum(f'CASE WHEN o_orderkey % {CORRUPT_EVERY} <> 0 THEN o_totalprice END')}
+         AS good_revenue
+FROM orders
+""",
+)
+def jsonl_corrupt_records_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = ensure_corrupt_jsonl(spark, sf_dir)
+    parsed = (
+        spark.read.schema(
+            "order_id bigint, status string, total double, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+        # corrupt-column-only queries on raw JSON are disallowed (Spark
+        # requires a materialized parse first) — and the audit reads the
+        # parse result twice anyway
+        .localCheckpoint()
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.col("total")).alias("n_good"),
+        F.count(F.col("_corrupt")).alias("n_corrupt"),
+        dsum(F.col("total")).alias("good_revenue"),
+    )
