@@ -59,18 +59,23 @@ _DRIVER_PRIORITY = [
     "vocab_build",
     "stopword_prune_tokens",
     "corpus_quality_pipeline",
-    # streaming batch-parity windows
+    # streaming batch-parity windows (sliding rotates to the tail: tumbling +
+    # session already pin the family in the head)
     "stream_tumbling_window",
-    "stream_sliding_window",
     "stream_session_window",
+    # session-6 headline engine features: dynamic partition pruning + BPE
+    # tokenizer training (swap-ins for the family-covered sliding window and
+    # one of five UDF-tier entries)
+    "dpp_join_pruned_revenue",
+    "bpe_merge_table",
     # multimodal + manifest source
     "multimodal_meta",
     "manifest_filter_years",
     # time series + data quality
     "gap_fill_locf_daily",
     "dq_violation_counts",
-    # UDF tiers + arrow-native
-    "pandas_udf_scalar_normalize",
+    # UDF tiers + arrow-native (scalar-normalize rotates to the tail; four
+    # tier representatives remain)
     "pandas_udaf_weighted_mean",
     "grouped_map_demean",
     "udtf_expand_installments",

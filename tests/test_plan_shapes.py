@@ -382,3 +382,51 @@ def test_shuffle_hash_join_hint_is_honored(spark):
         .toString()
     )
     assert "ShuffledHashJoin" in plan, plan[:1500]
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The engine's automatic answer to join skew (complement of the manual
+    salting in salted_skew_join): a hot key whose shuffle partition dwarfs
+    the rest is SPLIT at runtime — SortMergeJoin(skew=true) over an
+    'AQEShuffleRead skewed' — instead of one straggler task."""
+    import pyspark.sql.functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # scale the skew thresholds down to the test rig's data volume
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        left = spark.range(0, 500_000).select(
+            F.when(F.col("id") % 10 < 9, 0)
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        df = left.join(right, "k")
+        df.collect()  # the skew decision exists only in the FINAL adaptive plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:1500]
+        assert "AQEShuffleRead skewed" in plan, plan[:1500]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -400,3 +400,60 @@ def jsonl_corrupt_records_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.col("_corrupt")).alias("n_corrupt"),
         dsum(F.col("total")).alias("good_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution on read: mergeSchema across parquet generations
+# ---------------------------------------------------------------------------
+
+
+def evolving_orders_path(sf_dir: str) -> str:
+    return _derived_path(sf_dir, "orders_evolving")
+
+
+def ensure_evolving_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Two parquet 'generations' under one root: gen=1 (even order keys)
+    predates the status column; gen=2 (odd keys) carries it. Deterministic,
+    _SUCCESS-guarded per generation directory."""
+    root = evolving_orders_path(sf_dir)
+    orders = table(spark, sf_dir, "orders")
+    gens = {
+        1: orders.where(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ),
+        2: orders.where(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        ),
+    }
+    for gen, df in gens.items():
+        path = os.path.join(root, f"gen={gen}")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            df.write.mode("overwrite").parquet(path)
+    return root
+
+
+@register(
+    "schema_evolution_merge_read",
+    category="sources",
+    doc="Schema evolution ON READ: two parquet generations (the older one "
+    "written before a column existed) unify under mergeSchema=true — the "
+    "old generation's rows surface NULL for the late column, no rewrite of "
+    "historical files (the lake counterpart of the conditional-rename "
+    "drift tolerance, journey-data-transformation.py:63-71). Audit: row "
+    "and revenue totals per status bucket, where the NULL bucket is "
+    "exactly the pre-evolution generation.",
+    oracle=f"""
+SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS status,
+       COUNT(*) AS n_orders,
+       {oracle_dsum('o_totalprice')} AS revenue
+FROM orders
+GROUP BY 1
+""",
+)
+def schema_evolution_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = ensure_evolving_orders(spark, sf_dir)
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    return merged.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("revenue"),
+    )
