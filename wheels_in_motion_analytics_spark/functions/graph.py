@@ -69,8 +69,12 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     every node has out-degree ≥ 1 (symmetric graphs satisfy this)."""
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     # Fold the out-degree INTO the edge table once — otherwise every
-    # iteration pays a second join just to fetch d.
-    edges_d = edges.join(outdeg, "src").localCheckpoint()
+    # iteration pays a second join just to fetch d — and hash-partition it
+    # on src BEFORE the lineage cut (GraphX's static edge partitioning):
+    # the checkpointed partitioning satisfies every iteration's join
+    # requirement, so once ranks outgrow the broadcast threshold only the
+    # node-cardinality ranks side shuffles per round, never the edges.
+    edges_d = edges.join(outdeg, "src").repartition("src").localCheckpoint()
     # initial ranks come from the (already-aggregated) out-degree relation —
     # it IS the distinct source set, so no second distinct shuffle
     ranks = outdeg.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
