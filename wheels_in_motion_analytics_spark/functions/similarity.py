@@ -665,6 +665,11 @@ def lsh_topk(vectors: DataFrame, tables: int = ANN_TABLES, bits: int = ANN_BITS)
     import pyspark.sql.types as T
     from pyspark.sql import Window
 
+    # Callers may pass a COMPUTED corpus (e.g. the 16x rotation expansion);
+    # three downstream consumers re-derive it otherwise (signature matmul,
+    # query-side and neighbor-side of the re-rank join). Materialize once.
+    vectors = vectors.localCheckpoint()
+
     planes = _hyperplanes(tables * bits)
 
     def signatures(batches):
@@ -728,7 +733,10 @@ def lsh_topk(vectors: DataFrame, tables: int = ANN_TABLES, bits: int = ANN_BITS)
     # Stage 3: exact cosine via join-back to the vector table — no driver
     # collect, no corpus broadcast (see _exact_cosine_rerank). Mirror the
     # scored pairs so every vector sees its full neighbor set for top-1.
-    scored = _exact_cosine_rerank(vectors, cand)
+    # The mirror below references `scored` twice; without a lineage cut the
+    # whole candidate join + re-rank runs once per branch (exchange reuse is
+    # plan-dependent under AQE — make it unconditional).
+    scored = _exact_cosine_rerank(vectors, cand).localCheckpoint()
     both = scored.unionByName(
         scored.select(
             F.col("neighbor_id").alias("query_id"),
