@@ -170,7 +170,8 @@ WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
 """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = doc_shingles(spark, sf_dir)
+    # Three consumers (both join sides + the size agg): shingle once.
+    sh = doc_shingles(spark, sf_dir).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -280,7 +281,9 @@ def minhash_lsh_pairs(hashed: DataFrame) -> DataFrame:
     )
     banded = sig.select(
         "doc_id", F.posexplode(band_keys).alias("band_idx", "band_key")
-    )
+    ).localCheckpoint()  # self-joined: cut lineage so shingling + the
+    # signature agg run once, not once per join side (exchange reuse under
+    # AQE is best-effort, and at 16x corpus the recompute dominates).
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -402,7 +405,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("chunk_idx", "chunk"),
-    )
+    ).localCheckpoint()  # self-joined: tokenize + signature agg run once
     a = chunked.alias("a")
     b = chunked.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
@@ -1100,6 +1103,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ss = (
         toks.select("src", F.explode(shingles_from_tokens(F.col("ws"))).alias("s"))
         .distinct()
+        .localCheckpoint()  # self-joined: shingle + distinct run once
     )
     a = ss.alias("a")
     b = ss.alias("b")
