@@ -353,3 +353,34 @@ def test_fetch_binary_acquires_file_urls_and_captures_failures(spark, tmp_path):
     assert rows[p2.as_uri()].n_bytes == 9
     bad = rows["file:///nonexistent/nope.bin"]
     assert bad.status.startswith("error:") and bad.n_bytes == 0
+
+
+def test_global_row_number_matches_single_partition_window(spark):
+    from pyspark.sql import Window
+    from wheels_in_motion_analytics_spark.operators.windows import (
+        global_ntile,
+        global_row_number,
+    )
+
+    # values with heavy ties so range-partition boundaries land inside tie
+    # runs; unique (k, i) tiebreak makes the order total
+    rows = [(v % 7, i) for i, v in enumerate(range(997, 0, -13))]
+    df = spark.createDataFrame(rows, "k int, i int")
+    got = global_row_number(df, ["k", "i"], partitions=5)
+    w = Window.orderBy("k", "i")
+    want = df.withColumn("rn", F.row_number().over(w))
+    assert sorted(got.collect()) == sorted(want.collect())
+
+    got_t = global_ntile(df, 4, ["k", "i"], partitions=5)
+    want_t = df.withColumn("tile", F.ntile(4).over(w))
+    assert sorted(got_t.collect()) == sorted(want_t.collect())
+
+
+def test_global_ntile_uneven_split_semantics(spark):
+    # 10 rows into 4 tiles: ntile gives sizes 3,3,2,2 (first N%n get extra)
+    from wheels_in_motion_analytics_spark.operators.windows import global_ntile
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "x int")
+    out = global_ntile(df, 4, ["x"], partitions=3)
+    sizes = {r["tile"]: r["n"] for r in out.groupBy("tile").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {1: 3, 2: 3, 3: 2, 4: 2}

@@ -327,9 +327,10 @@ def curate_rebalance_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="curation",
     doc="Feature discretization for model prep: fixed-width buckets "
     "(width_bucket over quantity — stateless per-row math, zero shuffle) "
-    "crossed with exact quartiles (global ntile with a total-order tiebreak "
-    "— the exact baseline; at 100 TB swap the ntile for approx_percentile "
-    "cutpoints computed in one pass, keeping the same bucket schema). "
+    "crossed with EXACT quartiles computed by the distributed two-phase "
+    "rank (operators/windows.py:global_ntile — range-partitioned parallel "
+    "sort + per-partition offsets), identical ntile semantics to a global "
+    "window with NO single-task sort stage anywhere in the plan. "
     "Output is the binned feature grid with per-cell counts and "
     "decimal-deterministic revenue.",
     oracle=f"""
@@ -354,15 +355,22 @@ GROUP BY qty_bucket, price_quartile
     ),
 )
 def feature_binning_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.operators.windows import global_ntile
+
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
     )
-    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-    binned = li.select(
+    tiled = global_ntile(
+        li,
+        4,
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        tile_name="price_quartile",
+    )
+    binned = tiled.select(
         F.width_bucket("l_quantity", F.lit(0.0), F.lit(50.0), F.lit(5)).alias(
             "qty_bucket"
         ),
-        F.ntile(4).over(w).alias("price_quartile"),
+        "price_quartile",
         "l_extendedprice",
         "l_discount",
     )

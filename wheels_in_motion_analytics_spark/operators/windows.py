@@ -313,3 +313,92 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("flag")
         .agg(F.min("cents").alias("weighted_median_cents"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed exact global rank (two-phase, TeraSort-shaped)
+# ---------------------------------------------------------------------------
+
+
+def _ranked_by_range(
+    df: DataFrame,
+    order_cols: list,
+    rn_name: str,
+    partitions: int | None,
+) -> tuple[DataFrame, int]:
+    """Shared core of :func:`global_row_number` / :func:`global_ntile`:
+    returns (ranked df, total row count) — the count falls out of the
+    offset pass for free, so callers never pay a separate counting job."""
+    spark = df.sparkSession
+    if partitions is None:
+        # scan/shuffle-width default: enough to keep every core busy without
+        # spraying a local run into hundreds of tiny range partitions
+        partitions = spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(partitions, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    offsets, acc = [], 0
+    for row in sorted(counts, key=lambda r: r["__pid"]):
+        offsets.append((row["__pid"], acc))
+        acc += row["c"]
+    off = spark.createDataFrame(offsets or [], "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    ranked = (
+        ranged.withColumn("__lrn", F.row_number().over(w))
+        .join(F.broadcast(off), "__pid")
+        .withColumn(rn_name, (F.col("__lrn") + F.col("__off")).cast("long"))
+        .drop("__pid", "__lrn", "__off")
+    )
+    return ranked, acc
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list,
+    rn_name: str = "rn",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact global ``row_number`` over a TOTAL order without the
+    single-task funnel of an unpartitioned window.
+
+    TeraSort-shaped two-phase rank:
+
+    1. ``repartitionByRange`` on the order columns — a sampled range
+       partitioner sorts in parallel (partition *i* holds strictly lower
+       key tuples than partition *i+1*);
+    2. per-partition row counts → cumulative offsets. The only driver-side
+       state is one number per partition — bounded by the partition count,
+       never by data size;
+    3. a window partitioned by the RANGE partition id computes the local
+       row_number, and local + offset is the exact global rank. Every
+       window group is one range partition, so parallelism equals the sort
+       parallelism — no single-task stage anywhere in the plan.
+
+    Exact for any partition boundaries as long as ``order_cols`` is a total
+    order (include a unique tiebreak). The range input is checkpointed once
+    because two jobs consume it (the count pass and the rank pass).
+    """
+    return _ranked_by_range(df, order_cols, rn_name, partitions)[0]
+
+
+def global_ntile(
+    df: DataFrame,
+    n_tiles: int,
+    order_cols: list,
+    tile_name: str = "tile",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact global ``ntile(n)`` on top of the two-phase rank — identical
+    semantics to ``ntile`` over an unpartitioned window (the first
+    ``N mod n`` tiles get the extra row), minus its single-task sort."""
+    ranked, n_total = _ranked_by_range(df, order_cols, "__grn", partitions)
+    q, r = divmod(n_total, n_tiles)
+    big = q + 1  # tiles 1..r have q+1 rows; tiles r+1..n have q rows
+    rn = F.col("__grn")
+    tile = F.when(
+        rn <= big * r, ((rn - 1) / big).cast("long") + 1
+    ).otherwise(F.lit(r) + ((rn - 1 - big * r) / F.greatest(F.lit(q), F.lit(1))).cast("long") + 1)
+    return ranked.withColumn(tile_name, tile.cast("int")).drop("__grn")
