@@ -384,3 +384,25 @@ def test_global_ntile_uneven_split_semantics(spark):
     out = global_ntile(df, 4, ["x"], partitions=3)
     sizes = {r["tile"]: r["n"] for r in out.groupBy("tile").agg(F.count("*").alias("n")).collect()}
     assert sizes == {1: 3, 2: 3, 3: 2, 4: 2}
+
+
+def test_global_prefix_sums_matches_global_window(spark):
+    from pyspark.sql import Window
+    from wheels_in_motion_analytics_spark.operators.windows import global_prefix_sums
+
+    rows = [((i * 37) % 11, i % 5 + 1, (i * 3) % 7) for i in range(300)]
+    df = spark.createDataFrame(rows, "k int, a long, b long")
+    # ties on k are fine: both the window and the two-phase sum accumulate
+    # per distinct key order; group first so the order is total
+    g = df.groupBy("k").agg(F.sum("a").alias("a"), F.sum("b").alias("b"))
+    got = global_prefix_sums(g, ["k"], ["a", "b"], partitions=4)
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = g.select(
+        "k", "a", "b",
+        F.sum("a").over(w).alias("a_cum"),
+        F.sum("b").over(w).alias("b_cum"),
+    )
+    key = lambda r: r["k"]
+    assert sorted(got.select("k", "a", "b", "a_cum", "b_cum").collect(), key=key) == sorted(
+        want.collect(), key=key
+    )

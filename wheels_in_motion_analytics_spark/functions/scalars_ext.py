@@ -196,6 +196,9 @@ def null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     d = F.nullif(F.col("l_discount"), F.lit(0.0))
     t = F.nullif(F.col("l_tax"), F.lit(0.0))
+    # count(...) OVER () as a broadcast scalar join, not an empty-partition
+    # window — the window form funnels the whole fact through one task.
+    total = li.agg(F.count(d).alias("nonnull_total"))
     return li.select(
         "l_orderkey",
         "l_linenumber",
@@ -205,8 +208,7 @@ def null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.eqNullSafe(t).alias("d_eq_t_nullsafe"),
         (d == t).alias("d_eq_t_plain"),
         F.round(d * 100, 6).alias("d_scaled_nullprop"),
-        F.count(d).over(Window.partitionBy()).alias("nonnull_total"),
-    )
+    ).crossJoin(F.broadcast(total))
 
 
 @register(

@@ -135,8 +135,9 @@ KS_SEG_B = "MACHINERY"
     category="stats",
     doc=f"Exact two-sample KS statistic between c_acctbal of "
     f"'{KS_SEG_A}' and '{KS_SEG_B}' customers. Runs on the per-distinct-"
-    "value count relation (groupBy value → two running-sum windows → max), "
-    "never a raw-sample sort; D is carried as the exact integer numerator "
+    "value count relation (groupBy value → two-phase exact prefix sums via "
+    "operators/windows.py:global_prefix_sums → max) — no single-task "
+    "window even with near-unique values; D is the exact integer numerator "
     "|ca·n2 − cb·n1| alongside the rounded double D = num/(n1·n2).",
     oracle=f"""
 WITH s AS (
@@ -173,9 +174,13 @@ def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pv = s.groupBy("v").agg(F.sum("ia").alias("ca"), F.sum("ib").alias("cb"))
     tot = pv.agg(F.sum("ca").alias("n1"), F.sum("cb").alias("n2"))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    run = pv.select(
-        F.sum("ca").over(w).alias("ra"), F.sum("cb").over(w).alias("rb")
+    # distinct acctbals are ~99% of row count, so a global running-sum
+    # window would be a single-task sort of the whole relation — use the
+    # two-phase exact prefix sum instead (operators/windows.py)
+    from wheels_in_motion_analytics_spark.operators.windows import global_prefix_sums
+
+    run = global_prefix_sums(pv, ["v"], ["ca", "cb"]).select(
+        F.col("ca_cum").alias("ra"), F.col("cb_cum").alias("rb")
     )
     num = F.abs(F.col("ra") * F.col("n2") - F.col("rb") * F.col("n1"))
     return (
@@ -571,9 +576,10 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Mann-Whitney U rank-sum test, F-status vs O-status order totals — "
     "the nonparametric sibling of welch_ttest_segments. SCALE SHAPE: ranks "
     "are never assigned per row; values aggregate to a distinct-value "
-    "relation first and average ranks come from a cumulative window over "
-    "THAT (the vocab_build posture — global window only over aggregated "
-    "values). Rank sums are exact (multiples of 1/2 summed well below "
+    "relation and cumulative counts come from the TWO-PHASE exact prefix "
+    "sum (operators/windows.py:global_prefix_sums — range-partitioned "
+    "parallel sort, no single-task window even though prices are nearly "
+    "unique). Rank sums are exact (multiples of 1/2 summed well below "
     "2^52), tie correction exact integer math; only the final z pays one "
     "libm sqrt, rounded to 6dp on both engines.",
     oracle="""
@@ -622,13 +628,16 @@ def mann_whitney_u_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = s.groupBy("v").agg(
         F.count(F.lit(1)).alias("n_tot"), F.sum("g").alias("n1v")
     )
-    w = (
-        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum = vals.select(
+    # o_totalprice is nearly unique, so the "distinct-value relation" is
+    # row-cardinality: a global window here would serialize the whole
+    # relation onto one task. Exclusive prefix = inclusive two-phase
+    # prefix sum minus the row's own count.
+    from wheels_in_motion_analytics_spark.operators.windows import global_prefix_sums
+
+    cum = global_prefix_sums(vals, ["v"], ["n_tot"]).select(
         "n_tot",
         "n1v",
-        F.coalesce(F.sum("n_tot").over(w), F.lit(0)).alias("cum_before"),
+        (F.col("n_tot_cum") - F.col("n_tot")).alias("cum_before"),
     )
     agg = cum.agg(
         F.sum("n1v").alias("n1"),

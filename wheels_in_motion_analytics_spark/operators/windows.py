@@ -402,3 +402,52 @@ def global_ntile(
         rn <= big * r, ((rn - 1) / big).cast("long") + 1
     ).otherwise(F.lit(r) + ((rn - 1 - big * r) / F.greatest(F.lit(q), F.lit(1))).cast("long") + 1)
     return ranked.withColumn(tile_name, tile.cast("int")).drop("__grn")
+
+
+def global_prefix_sums(
+    df: DataFrame,
+    order_cols: list,
+    value_cols: list,
+    partitions: int | None = None,
+    suffix: str = "_cum",
+) -> DataFrame:
+    """Exact INCLUSIVE global running sums of integral ``value_cols`` over a
+    total order — the same two-phase shape as :func:`global_row_number`
+    (range-partition parallel sort → per-partition sums → local running sum
+    + partition offset), so rank statistics (Mann-Whitney, KS, CDFs) never
+    pay a single-task global window even when the distinct-value relation
+    is nearly row-cardinality. Values must be integral (LONG offsets keep
+    the result exact under any partitioning)."""
+    spark = df.sparkSession
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(partitions, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    per = (
+        ranged.groupBy("__pid")
+        .agg(*[F.sum(c).cast("long").alias(c) for c in value_cols])
+        .collect()
+    )
+    rows, acc = [], {c: 0 for c in value_cols}
+    for r in sorted(per, key=lambda r: r["__pid"]):
+        rows.append(tuple([r["__pid"]] + [acc[c] for c in value_cols]))
+        for c in value_cols:
+            acc[c] += r[c] or 0
+    off_cols = [f"__off{i}" for i in range(len(value_cols))]
+    off = spark.createDataFrame(
+        rows or [], "__pid int, " + ", ".join(f"{c} long" for c in off_cols)
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = ranged.join(F.broadcast(off), "__pid")
+    for i, c in enumerate(value_cols):
+        out = out.withColumn(
+            c + suffix, (F.sum(c).over(w) + F.col(off_cols[i])).cast("long")
+        )
+    return out.drop("__pid", *off_cols)
