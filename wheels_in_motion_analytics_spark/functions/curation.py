@@ -475,11 +475,12 @@ FROM documents
 """,
 )
 def curate_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    w = Window.orderBy("n_chars", "doc_id")
-    return docs.select(
-        "doc_id", "n_chars", F.ntile(4).over(w).alias("phase")
-    )
+    from wheels_in_motion_analytics_spark.operators.windows import global_ntile
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # curriculum phases span the WHOLE corpus: use the two-phase exact
+    # ntile, not a single-task global window over every document
+    return global_ntile(docs, 4, ["n_chars", "doc_id"], tile_name="phase")
 
 
 @register(

@@ -92,11 +92,16 @@ def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= VOCAB_MIN_COUNT)
     )
-    # empty partition spec is fine HERE: the window input is the aggregated
-    # vocab (|distinct tokens| rows), never the corpus
-    w = Window.orderBy(F.desc("n"), F.asc("token"))
-    return counts.select(
-        "token", "n", (F.row_number().over(w) - 1).cast("int").alias("token_id")
+    # token ids span the whole vocab; at web-corpus scale the vocab relation
+    # is itself millions of rows, so assign ids with the two-phase exact
+    # rank (range-partitioned parallel sort), not a single-task window
+    from wheels_in_motion_analytics_spark.operators.windows import global_row_number
+
+    ranked = global_row_number(
+        counts, [F.desc("n"), F.asc("token")], rn_name="__rn"
+    )
+    return ranked.select(
+        "token", "n", (F.col("__rn") - 1).cast("int").alias("token_id")
     )
 
 
