@@ -35,6 +35,22 @@ def main() -> None:
         lambda it: (pdf for pdf in it), "x int"
     ).write.mode("overwrite").format("noop").save()
 
+    def release_blocks() -> None:
+        """Drop localCheckpoint/cache blocks left by the previous query.
+
+        Checkpoint-heavy queries leave persisted RDD blocks behind; across
+        244 queries in one JVM they accumulate into enough memory pressure
+        that late-alphabet queries measure 3-6x slower than in a fresh
+        session. Safe here because every timing iteration rebuilds its
+        DataFrame from scratch — nothing persists across fn() calls.
+        """
+        import gc
+
+        gc.collect()  # release py4j-held JVM refs first
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in list(jmap.values()):
+            jrdd.unpersist(False)
+
     # min over iterations: steady-state per-query cost, robust to GC/JIT
     # noise from neighboring queries in the same JVM.
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
@@ -42,6 +58,7 @@ def main() -> None:
     for name in sorted(specs):
         best = float("inf")
         for _ in range(iters):
+            release_blocks()
             t0 = time.perf_counter()
             specs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)

@@ -461,3 +461,16 @@ def test_stateful_stream_recovers_state_across_restart(spark, tmp_path):
         .collect()
     }
     assert final == expected
+
+
+def test_stream_upsert_state_independent_of_batch_boundaries(spark):
+    from wheels_in_motion_analytics_spark.streaming.sinks import run_stream_upsert
+
+    sf = "/root/testdata/sf0.001"
+    split = run_stream_upsert(spark, sf, max_files_per_trigger=1)
+    whole = run_stream_upsert(spark, sf, max_files_per_trigger=None)
+    key = lambda r: r["order_id"]
+    assert sorted(split.collect(), key=key) == sorted(whole.collect(), key=key)
+    # 2/3 of keys got the v2 final, the rest stay at the v1 placeholder
+    versions = {r["version"] for r in split.collect()}
+    assert versions == {1, 2}

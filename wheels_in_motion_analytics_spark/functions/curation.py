@@ -575,3 +575,80 @@ def curate_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.explode(F.sequence(F.lit(1), n_copies)).alias("copy_idx")
     )
+
+
+# --------------------------------------------------------------------------
+# SFT conversation assembly (chat-template rendering)
+# --------------------------------------------------------------------------
+
+SFT_MAX_TURNS = 8
+
+
+@register(
+    "sft_render_conversations",
+    category="curation",
+    doc="SFT training-sample assembly: each user's event stream becomes a "
+    f"chat-templated conversation (first {SFT_MAX_TURNS} turns by (ts, "
+    "event_id); roles alternate user/assistant by turn parity; values "
+    "carried as exact integer cents so the rendered string is identical "
+    "across engines). The per-user window shuffles once on user_id — "
+    "key-partitioned, no global sort; rendering is collect_list → "
+    "array_sort → array_join, all JVM-side. Emits the rendered text plus "
+    "turn/char counts — the exact shape a chat-SFT tokenizer consumes.",
+    oracle=f"""
+WITH turns AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+capped AS (SELECT * FROM turns WHERE rn <= {SFT_MAX_TURNS}),
+rendered AS (
+  SELECT user_id,
+         string_agg('<|' || CASE WHEN rn % 2 = 1 THEN 'user' ELSE 'assistant' END
+                    || '|>' || event_type || '=' || CAST(cents AS VARCHAR),
+                    chr(10) ORDER BY rn) AS conversation,
+         COUNT(*) AS n_turns
+  FROM capped GROUP BY user_id
+)
+SELECT user_id, n_turns, conversation,
+       CAST(len(conversation) AS INTEGER) AS n_chars
+FROM rendered
+""",
+)
+def sft_render_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    turns = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= SFT_MAX_TURNS)
+        .select(
+            "user_id",
+            "rn",
+            F.concat(
+                F.lit("<|"),
+                F.when(F.col("rn") % 2 == 1, "user").otherwise("assistant"),
+                F.lit("|>"),
+                F.col("event_type"),
+                F.lit("="),
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").cast("string"),
+            ).alias("turn"),
+        )
+    )
+    rendered = (
+        turns.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "turn"))),
+                    lambda x: x["turn"],
+                ),
+                "\n",
+            ).alias("conversation"),
+            F.count(F.lit(1)).alias("n_turns"),
+        )
+    )
+    return rendered.select(
+        "user_id", "n_turns", "conversation", F.length("conversation").alias("n_chars")
+    )

@@ -81,6 +81,7 @@ _QUERY_MODULES = [
     "wheels_in_motion_analytics_spark.streaming.windows",
     "wheels_in_motion_analytics_spark.streaming.joins",
     "wheels_in_motion_analytics_spark.streaming.stateful",
+    "wheels_in_motion_analytics_spark.streaming.sinks",
     "wheels_in_motion_analytics_spark.multimodal",
     "wheels_in_motion_analytics_spark.sources.manifest",
     "wheels_in_motion_analytics_spark.sources.partitioned",

@@ -44,3 +44,118 @@ def foreach_batch_parquet_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC: foreachBatch + keyed MERGE (exactly-once upsert sink)
+# ---------------------------------------------------------------------------
+
+from wheels_in_motion_analytics_spark.registry import register  # noqa: E402
+
+_SU_KEY_MOD = 23  # keep ~1/23 of orders as CDC keys
+_SU_V2_MOD = 3  # keys with o_orderkey % 3 != 0 receive a second version
+
+
+@register(
+    "stream_upsert_foreachbatch",
+    category="streaming",
+    doc="STREAMING CDC UPSERT, oracle-checked end-to-end: a change stream "
+    "(version-1 'P' placeholder rows, then version-2 finals for 2/3 of the "
+    "keys, staged as separate files) runs through foreachBatch under "
+    "trigger availableNow with maxFilesPerTrigger=1, and EVERY micro-batch "
+    "is applied to a parquet target via the keyed MERGE from sources/cdc.py "
+    "(max-version-per-key within the batch first, then merge; batch-ledger "
+    "exactly-once guard). Because the merge keeps the highest version per "
+    "key, the final table state is independent of micro-batch boundaries — "
+    "which is what makes a streaming SINK value-hash-comparable to a batch "
+    "SQL oracle. The batch handler is the same merge the batch CDC "
+    "pipeline uses: one code path for batch and streaming apply.",
+    oracle=f"""
+WITH k AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % {_SU_KEY_MOD} = 0
+)
+SELECT o_orderkey AS order_id,
+       CASE WHEN o_orderkey % {_SU_V2_MOD} <> 0 THEN o_orderstatus ELSE 'P' END AS status,
+       CASE WHEN o_orderkey % {_SU_V2_MOD} <> 0 THEN o_totalprice ELSE 0.0 END AS total_price,
+       CASE WHEN o_orderkey % {_SU_V2_MOD} <> 0 THEN 2 ELSE 1 END AS version
+FROM k
+""",
+)
+def stream_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_upsert(spark, sf_dir, max_files_per_trigger=1)
+
+
+def run_stream_upsert(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None
+) -> DataFrame:
+    """Core of ``stream_upsert_foreachbatch``, parameterized on the
+    micro-batch split so tests can assert the final state is identical for
+    one-file-per-batch vs everything-in-one-batch."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from wheels_in_motion_analytics_spark.sources.cdc import merge_upsert
+    from wheels_in_motion_analytics_spark.tables import table
+
+    base = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % _SU_KEY_MOD == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    v1 = base.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.lit("P").alias("status"),
+        F.lit(0.0).alias("total_price"),
+        F.lit(1).alias("version"),
+    )
+    v2 = base.where(F.col("o_orderkey") % _SU_V2_MOD != 0).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total_price"),
+        F.lit(2).alias("version"),
+    )
+
+    stage = tempfile.mkdtemp(prefix="stream_upsert_src_")
+    target = tempfile.mkdtemp(prefix="stream_upsert_tgt_")
+    ckpt = tempfile.mkdtemp(prefix="stream_upsert_ckpt_")
+    # two files staged in arrival order → with maxFilesPerTrigger=1 the
+    # stream applies them as separate micro-batches
+    v1.coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, "f1"))
+    v2.coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, "f2"))
+    # empty base state (schema only) so the first merge has a target
+    v1.limit(0).write.mode("overwrite").parquet(os.path.join(target, "data"))
+
+    schema = "order_id BIGINT, status STRING, total_price DOUBLE, version INT"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("order_id").orderBy(F.col("version").desc())
+        dedup = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        merge_upsert(
+            batch_df.sparkSession,
+            target,
+            dedup,
+            ["order_id"],
+            "version",
+            f"stream-batch-{batch_id}",
+        )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    q = (
+        reader.parquet(os.path.join(stage, "*"))
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(os.path.join(target, "data"))
