@@ -29,23 +29,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # correctness has NOT yet been driver-verified go first, so each round
 # converts the maximum amount of existing quality into hard signal. Names not
 # listed here follow in registry order; unknown names are ignored.
-# Kept to exactly 50 entries: python_udf_row_at_a_time (the labeled
-# anti-pattern exhibit) and stream_dedup_events wait for a later round.
+# Kept to exactly 50 entries. Session-6 rotation: sft_render_conversations,
+# feature_binning_buckets (two-phase ntile), mann_whitney_u_prices
+# (two-phase prefix sums), stream_upsert_foreachbatch (streaming CDC) in;
+# three family-covered analytics/simhash entries and the rows-only
+# percentile_approx_sketch out.
 _DRIVER_PRIORITY = [
     # plans: flagship + star join + composed analytics
     "flagship_rides_by_dim",
     "star_join_enriched",
     "top_unshipped_orders",
-    "returned_item_customers",
+    "sft_render_conversations",
     "regional_market_share",
     "priority_shipping_summary",
-    "promo_revenue_share",
+    "feature_binning_buckets",
     # LLM-pipeline: dedup / similarity / ANN
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "simhash_signature",
-    "dedup_simhash_pairs",
+    "mann_whitney_u_prices",
     "similarity_topk_bruteforce",
     "embedding_near_dup_pairs",
     "ann_lsh_bucketed",
@@ -90,7 +93,7 @@ _DRIVER_PRIORITY = [
     "cdc_merge_orders_state",
     # round-1 driver failures, now fixed — must re-verify
     "project_rename_cast",
-    "percentile_approx_sketch",
+    "stream_upsert_foreachbatch",
     # round-2 curation ops (two representatives; rest rotate in next round)
     "curate_decontaminate",
     "curate_pack_sequences",
