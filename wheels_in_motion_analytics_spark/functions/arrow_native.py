@@ -73,3 +73,61 @@ def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("variant_get(v, '$.k', 'bigint')").alias("k_typed"),
         )
     )
+
+
+@register(
+    "apply_in_arrow_group_stats",
+    category="udf",
+    doc="applyInArrow (Spark 4 grouped-map WITHOUT the pandas layer): "
+    "per-user event stats computed directly on the group's Arrow table "
+    "with pyarrow.compute kernels — exact int64-cents arithmetic, so the "
+    "result is engine-portable and fully oracle-checked. Grouping key is "
+    "user_id (high cardinality ⇒ bounded per-group memory at scale; "
+    "grouping the same op by a 5-value key would funnel 20% of the table "
+    "into one Python worker).",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+       MIN(event_id) AS first_event_id,
+       MAX(event_id) AS last_event_id
+FROM events
+GROUP BY user_id
+""",
+)
+def apply_in_arrow_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.types as T
+
+    def stats(tbl):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(tbl.column("value"), pa.scalar(100.0)), pa.scalar(0.5))),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "user_id": pa.array([tbl.column("user_id")[0].as_py()], pa.int64()),
+                "n_events": pa.array([tbl.num_rows], pa.int64()),
+                "sum_cents": pa.array([pc.sum(cents).as_py()], pa.int64()),
+                "first_event_id": pa.array([pc.min(tbl.column("event_id")).as_py()], pa.int64()),
+                "last_event_id": pa.array([pc.max(tbl.column("event_id")).as_py()], pa.int64()),
+            }
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_cents", T.LongType()),
+            T.StructField("first_event_id", T.LongType()),
+            T.StructField("last_event_id", T.LongType()),
+        ]
+    )
+    return (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "value")
+        .groupBy("user_id")
+        .applyInArrow(stats, schema)
+    )

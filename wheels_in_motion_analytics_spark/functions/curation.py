@@ -652,3 +652,71 @@ def sft_render_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rendered.select(
         "user_id", "n_turns", "conversation", F.length("conversation").alias("n_chars")
     )
+
+
+# --------------------------------------------------------------------------
+# RLHF preference-pair construction
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rlhf_preference_pairs",
+    category="curation",
+    doc="Preference-pair assembly for reward-model training: documents are "
+    "paired within their source by deterministic md5 order (pair_id = "
+    "rank/2 — the no-rand() analogue of random pairing), and within each "
+    "pair the higher-quality document (length proxy, doc_id tiebreak) "
+    "becomes 'chosen', the other 'rejected', with the integer quality "
+    "margin. Two key-partitioned windows (source; source×pair) — no "
+    "global state; incomplete trailing pairs are dropped, as in a real "
+    "pairing pass. Oracle replicates both windows verbatim.",
+    oracle="""
+WITH ordered AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+),
+paired AS (
+  SELECT source, doc_id, n_chars,
+         CAST(floor((rn - 1) / 2) AS BIGINT) AS pair_id,
+         row_number() OVER (PARTITION BY source, floor((rn - 1) / 2)
+                            ORDER BY n_chars DESC, doc_id ASC) AS pref
+  FROM ordered
+)
+SELECT source, pair_id,
+       MAX(CASE WHEN pref = 1 THEN doc_id END) AS chosen_doc,
+       MAX(CASE WHEN pref = 2 THEN doc_id END) AS rejected_doc,
+       CAST(MAX(CASE WHEN pref = 1 THEN n_chars END)
+            - MAX(CASE WHEN pref = 2 THEN n_chars END) AS BIGINT) AS quality_margin
+FROM paired
+GROUP BY source, pair_id
+HAVING COUNT(*) = 2
+""",
+)
+def rlhf_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    w_ord = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ordered = docs.withColumn("rn", F.row_number().over(w_ord)).withColumn(
+        "pair_id", F.floor((F.col("rn") - 1) / 2).cast("bigint")
+    )
+    w_pref = Window.partitionBy("source", "pair_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    paired = ordered.withColumn("pref", F.row_number().over(w_pref))
+    return (
+        paired.groupBy("source", "pair_id")
+        .agg(
+            F.max(F.when(F.col("pref") == 1, F.col("doc_id"))).alias("chosen_doc"),
+            F.max(F.when(F.col("pref") == 2, F.col("doc_id"))).alias("rejected_doc"),
+            (
+                F.max(F.when(F.col("pref") == 1, F.col("n_chars")))
+                - F.max(F.when(F.col("pref") == 2, F.col("n_chars")))
+            ).cast("bigint").alias("quality_margin"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .where(F.col("__n") == 2)
+        .drop("__n")
+    )
