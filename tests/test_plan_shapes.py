@@ -430,3 +430,28 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "feature_binning_buckets",
+        "vocab_build",
+        "curate_curriculum_order",
+        "mann_whitney_u_prices",
+        "ks_test_two_sample",
+    ],
+)
+def test_two_phase_rank_queries_have_no_single_partition_stage(spark, name):
+    """The two-phase global rank/prefix-sum rewrites must never reintroduce
+    an unpartitioned window. A SinglePartition exchange is allowed ONLY as
+    the merge step of a scalar aggregate (its input is the per-partition
+    partial-agg rows, not data) — any other occurrence (Window, Sort over
+    raw rows) is the funnel the rewrite removed."""
+    plan = plan_of(spark, name)
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        below = "\n".join(lines[i + 1 : i + 3])
+        assert "partial_" in below, plan[:2000]
