@@ -406,3 +406,35 @@ def test_global_prefix_sums_matches_global_window(spark):
     assert sorted(got.select("k", "a", "b", "a_cum", "b_cum").collect(), key=key) == sorted(
         want.collect(), key=key
     )
+
+
+def test_custom_manifest_datasource_write_roundtrip(spark, tmp_path):
+    """The write half of the custom Python DataSource: distributed task
+    writes + driver-side commit merge into one manifest file, then the read
+    half serves it back."""
+    from wheels_in_motion_analytics_spark.sources.manifest_datasource import (
+        register_manifest_source,
+    )
+
+    register_manifest_source(spark)
+    target = str(tmp_path / "out" / "manifest.json")
+    df = spark.createDataFrame(
+        [(f"0{i}Jan2024", f"y/m/file_{i}.csv", f"file_{i}.csv") for i in range(10)],
+        "date_key string, rel_path string, filename string",
+    ).repartition(4)
+    df.write.format("manifest").option("path", target).mode("overwrite").save()
+
+    back = (
+        spark.read.format("manifest").option("path", target).load().collect()
+    )
+    assert sorted((r.date_key, r.rel_path) for r in back) == [
+        (f"0{i}Jan2024", f"y/m/file_{i}.csv") for i in range(10)
+    ]
+    # append mode merges with the existing manifest instead of replacing it
+    extra = spark.createDataFrame(
+        [("31Dec2024", "y/m/extra.csv", "extra.csv")],
+        "date_key string, rel_path string, filename string",
+    )
+    extra.write.format("manifest").option("path", target).mode("append").save()
+    n = spark.read.format("manifest").option("path", target).load().count()
+    assert n == 11

@@ -17,7 +17,15 @@ from __future__ import annotations
 import json
 import zlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 import pyspark.sql.types as T
 
 MANIFEST_SCHEMA = T.StructType(
@@ -43,6 +51,9 @@ class ManifestDataSource(DataSource):
     def reader(self, schema: T.StructType) -> "ManifestReader":
         return ManifestReader(self.options)
 
+    def writer(self, schema: T.StructType, overwrite: bool) -> "ManifestWriter":
+        return ManifestWriter(self.options, overwrite)
+
 
 class ManifestReader(DataSourceReader):
     N_SPLITS = 4
@@ -66,6 +77,68 @@ class ManifestReader(DataSourceReader):
             # membership (duplicate/lost rows on a real cluster)
             if zlib.crc32(date_key.encode()) % self.N_SPLITS == partition.value:
                 yield (date_key, rel_path, rel_path.rsplit("/", 1)[-1])
+
+
+@dataclass
+class _PartMessage(WriterCommitMessage):
+    part_path: str
+
+
+class ManifestWriter(DataSourceWriter):
+    """``df.write.format("manifest")``: the write half of the connector —
+    each task serializes ITS partition's (date_key, rel_path) rows to a
+    staged part file (executor-side, embarrassingly parallel), and
+    ``commit`` merges the staged parts into the final single-file JSON
+    manifest on the driver. This is the Spark 4 Python DataSource commit
+    protocol: task writes are speculative until the driver-side commit, so
+    a failed/aborted job leaves no torn manifest behind (``abort`` removes
+    the staged parts)."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("manifest sink requires .option('path', <json file>)")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _PartMessage:
+        import json as _json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        part = dict()
+        for row in iterator:
+            part[row.date_key] = row.rel_path
+        staged = f"{self.path}.part-{TaskContext.get().partitionId()}-{uuid.uuid4().hex[:8]}"
+        os.makedirs(os.path.dirname(staged) or ".", exist_ok=True)
+        with open(staged, "w") as f:
+            _json.dump(part, f)
+        return _PartMessage(part_path=staged)
+
+    def commit(self, messages) -> None:
+        import json as _json
+        import os
+
+        merged: dict = {}
+        for m in messages:
+            with open(m.part_path) as f:
+                merged.update(_json.load(f))
+            os.remove(m.part_path)
+        if not self.overwrite and os.path.exists(self.path):
+            with open(self.path) as f:
+                existing = _json.load(f)
+            existing.update(merged)
+            merged = existing
+        with open(self.path, "w") as f:
+            _json.dump(merged, f, sort_keys=True)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.part_path):
+                os.remove(m.part_path)
 
 
 def register_manifest_source(spark) -> None:
