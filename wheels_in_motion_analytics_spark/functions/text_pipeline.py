@@ -330,3 +330,78 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card: corpus-level summary audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_dataset_card",
+    category="text-pipeline",
+    doc="The dataset-card summary every released training corpus ships "
+    "with, as ONE relational pass per language: document and source "
+    "counts, char/token volume, exact-duplicate rate (distinct "
+    "normalization fingerprints vs rows), and share of corpus tokens. "
+    "Everything is count/sum aggregates over a single scan plus one "
+    "tiny share join — no per-doc state survives the aggregation, so "
+    "the plan is partial+final agg all the way down.",
+    oracle="""
+WITH per_doc AS (
+  SELECT lang, source, n_chars,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+           AS n_tokens
+  FROM documents
+),
+by_lang AS (
+  SELECT lang,
+         COUNT(*) AS n_docs,
+         COUNT(DISTINCT source) AS n_sources,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         COUNT(DISTINCT fp) AS n_unique,
+         ROUND(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 6)
+           AS dup_rate
+  FROM per_doc GROUP BY lang
+),
+tot AS (SELECT CAST(SUM(total_tokens) AS BIGINT) AS corpus_tokens FROM by_lang)
+SELECT lang, n_docs, n_sources, total_chars, total_tokens, n_unique, dup_rate,
+       ROUND(CAST(total_tokens AS DOUBLE) / corpus_tokens, 6) AS token_share
+FROM by_lang CROSS JOIN tot
+""",
+)
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.functions.text import fingerprint, tokens
+
+    per_doc = table(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        "n_chars",
+        fingerprint(F.col("text")).alias("fp"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    by_lang = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("fp").alias("n_unique"),
+        F.round(
+            1.0 - F.countDistinct("fp").cast("double") / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+    )
+    tot = by_lang.agg(F.sum("total_tokens").alias("corpus_tokens"))
+    return by_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_sources",
+        "total_chars",
+        "total_tokens",
+        "n_unique",
+        "dup_rate",
+        F.round(F.col("total_tokens").cast("double") / F.col("corpus_tokens"), 6).alias(
+            "token_share"
+        ),
+    )
