@@ -451,3 +451,84 @@ def global_prefix_sums(
             c + suffix, (F.sum(c).over(w) + F.col(off_cols[i])).cast("long")
         )
     return out.drop("__pid", *off_cols)
+
+
+@register(
+    "global_quartiles_exact",
+    category="windows",
+    doc="EXACT corpus-wide p25/p50/p75 of l_extendedprice by distributed "
+    "order-statistic selection: prices quantize to integer cents, the "
+    "two-phase global rank assigns every row its exact position, and each "
+    "quartile is read off the two straddling ranks with quantile_cont "
+    "interpolation done in EXACT integer arithmetic (result × 4 is an "
+    "integer because the interpolation fractions are quarters). No "
+    "single-task sort, no float accumulation anywhere — the 100 TB exact-"
+    "quantile answer when a sketch's error bound is not acceptable. "
+    "Boundary ranks are computed relationally from the row count "
+    "(broadcast scalar), so the whole query is one Catalyst plan over the "
+    "ranked relation.",
+    oracle="""
+WITH c AS (
+  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         row_number() OVER (ORDER BY floor(l_extendedprice * 100 + 0.5),
+                            l_orderkey, l_linenumber) AS rn
+  FROM lineitem
+),
+n AS (SELECT COUNT(*) AS n FROM c),
+sel AS (
+  SELECT rn, cents FROM c CROSS JOIN n
+  WHERE rn IN ((1 * (n - 1)) // 4 + 1, (1 * (n - 1)) // 4 + 1 + CASE WHEN (1 * (n - 1)) % 4 > 0 THEN 1 ELSE 0 END,
+               (2 * (n - 1)) // 4 + 1, (2 * (n - 1)) // 4 + 1 + CASE WHEN (2 * (n - 1)) % 4 > 0 THEN 1 ELSE 0 END,
+               (3 * (n - 1)) // 4 + 1, (3 * (n - 1)) // 4 + 1 + CASE WHEN (3 * (n - 1)) % 4 > 0 THEN 1 ELSE 0 END)
+)
+SELECT n.n AS n,
+       CAST(MAX(CASE WHEN rn = (1 * (n - 1)) // 4 + 1 THEN cents END) * (4 - (1 * (n - 1)) % 4)
+          + MAX(CASE WHEN rn = (1 * (n - 1)) // 4 + 1 + CASE WHEN (1 * (n - 1)) % 4 > 0 THEN 1 ELSE 0 END THEN cents END) * ((1 * (n - 1)) % 4) AS BIGINT) AS p25_cents_x4,
+       CAST(MAX(CASE WHEN rn = (2 * (n - 1)) // 4 + 1 THEN cents END) * (4 - (2 * (n - 1)) % 4)
+          + MAX(CASE WHEN rn = (2 * (n - 1)) // 4 + 1 + CASE WHEN (2 * (n - 1)) % 4 > 0 THEN 1 ELSE 0 END THEN cents END) * ((2 * (n - 1)) % 4) AS BIGINT) AS p50_cents_x4,
+       CAST(MAX(CASE WHEN rn = (3 * (n - 1)) // 4 + 1 THEN cents END) * (4 - (3 * (n - 1)) % 4)
+          + MAX(CASE WHEN rn = (3 * (n - 1)) // 4 + 1 + CASE WHEN (3 * (n - 1)) % 4 > 0 THEN 1 ELSE 0 END THEN cents END) * ((3 * (n - 1)) % 4) AS BIGINT) AS p75_cents_x4
+FROM sel CROSS JOIN n
+GROUP BY n.n
+""",
+)
+def global_quartiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked = global_row_number(
+        li, ["cents", "l_orderkey", "l_linenumber"], rn_name="rn"
+    ).select("rn", "cents")
+    nrel = ranked.agg(F.count(F.lit(1)).alias("n"))
+    sel = ranked.crossJoin(F.broadcast(nrel))
+
+    def bounds(k: int):
+        m = F.lit(k) * (F.col("n") - 1)
+        lo = F.floor(m / 4).cast("bigint") + 1
+        r = (m % 4).cast("bigint")
+        hi = lo + F.when(r > 0, 1).otherwise(0)
+        return lo, hi, r
+
+    conds = None
+    for k in (1, 2, 3):
+        lo, hi, _ = bounds(k)
+        c = (F.col("rn") == lo) | (F.col("rn") == hi)
+        conds = c if conds is None else (conds | c)
+    picked = sel.where(conds)
+
+    aggs = []
+    for k in (1, 2, 3):
+        lo, hi, r = bounds(k)
+        aggs.append(
+            (
+                F.max(F.when(F.col("rn") == lo, F.col("cents"))) * (4 - F.max(F.when(F.col("rn") == lo, r)))
+                + F.max(F.when(F.col("rn") == hi, F.col("cents"))) * F.max(F.when(F.col("rn") == hi, r))
+            )
+            .cast("bigint")
+            .alias(f"p{k * 25}_cents_x4")
+        )
+    return picked.groupBy("n").agg(*aggs)
