@@ -438,3 +438,24 @@ def test_custom_manifest_datasource_write_roundtrip(spark, tmp_path):
     extra.write.format("manifest").option("path", target).mode("append").save()
     n = spark.read.format("manifest").option("path", target).load().count()
     assert n == 11
+
+
+def test_global_quartiles_match_spark_percentile(spark):
+    """Cross-engine-independent check: the rank-selected exact quartiles
+    equal Spark's own percentile() (which interpolates the same
+    quantile_cont way) on the real table."""
+    from wheels_in_motion_analytics_spark.registry import load_all_queries
+
+    sf = "/root/testdata/sf0.001"
+    row = load_all_queries()["global_quartiles_exact"].fn(spark, sf).collect()[0]
+    got = {k: row[f"p{k}_cents_x4"] / 400.0 for k in (25, 50, 75)}
+    want_row = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .selectExpr(
+            "percentile(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) / 100.0,"
+            " array(0.25, 0.5, 0.75)) AS p"
+        )
+        .collect()[0]
+    )
+    for i, k in enumerate((25, 50, 75)):
+        assert abs(got[k] - want_row["p"][i]) < 1e-6, (k, got[k], want_row["p"][i])

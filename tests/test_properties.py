@@ -99,3 +99,47 @@ def test_asof_join_property(spark, left, right):
             best_rt = max(rt for rt, _ in cands)
             vals_at_best = {val for rt, val in cands if rt == best_rt}
             assert r.val in vals_at_best
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-50, max_value=50),
+            st.integers(min_value=0, max_value=10),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    parts=st.integers(min_value=1, max_value=7),
+    tiles=st.integers(min_value=1, max_value=5),
+)
+@settings(**SETTINGS)
+def test_two_phase_rank_family_matches_global_window(spark, rows, parts, tiles):
+    """global_row_number / global_ntile / global_prefix_sums equal the
+    single-partition window forms for ANY data, tie pattern, and partition
+    count — the exactness contract the rank-statistic rewrites rely on."""
+    from pyspark.sql import Window
+    from wheels_in_motion_analytics_spark.operators.windows import (
+        global_ntile,
+        global_prefix_sums,
+        global_row_number,
+    )
+
+    # unique tiebreak via index; heavy ties on k and weights on w
+    data = [(k, w, i) for i, (k, w) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k int, w long, i int")
+    order = ["k", "i"]
+    w_all = Window.orderBy(*order)
+
+    got_rn = {r["i"]: r["rn"] for r in global_row_number(df, order, partitions=parts).collect()}
+    want_rn = {r["i"]: r["rn"] for r in df.withColumn("rn", F.row_number().over(w_all)).collect()}
+    assert got_rn == want_rn
+
+    got_t = {r["i"]: r["tile"] for r in global_ntile(df, tiles, order, partitions=parts).collect()}
+    want_t = {r["i"]: r["tile"] for r in df.withColumn("tile", F.ntile(tiles).over(w_all)).collect()}
+    assert got_t == want_t
+
+    wr = w_all.rowsBetween(Window.unboundedPreceding, 0)
+    got_ps = {r["i"]: r["w_cum"] for r in global_prefix_sums(df, order, ["w"], partitions=parts).collect()}
+    want_ps = {r["i"]: r["w_cum"] for r in df.withColumn("w_cum", F.sum("w").over(wr)).collect()}
+    assert got_ps == want_ps
