@@ -696,3 +696,72 @@ def merge_overlapping_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_spans"),
         (F.sum(F.col("span_e") - F.col("span_s")) / 60).alias("covered_minutes"),
     )
+
+
+LATE_MOD = 20  # ~5% of events play the late-arrival set
+
+
+@register(
+    "late_data_bar_restatement",
+    category="timeseries",
+    doc="Late-data restatement: a deterministic md5 slice of events (~5%) "
+    "plays the late arrivals, and ONLY the 5-minute OHLC bars containing "
+    "at least one late event are restated — emitted with their n_late "
+    "count so downstream consumers see exactly which bars changed and "
+    "why. Same mergeable min_by/max_by bar aggregate as "
+    "ohlc_resample_5min. At 100 TB the affected-bar list joins against "
+    "the bar-partitioned table so the rescan prunes to touched "
+    "partitions (the dpp_join_pruned_revenue mechanism); the restated "
+    "output is identical.",
+    oracle=f"""
+SELECT event_type,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP)
+         + INTERVAL (CAST(minute(ts) AS INTEGER) // 5 * 5) MINUTE AS bar_ts,
+       arg_min(value, date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00', ts)
+                      * 100000 + event_id) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00', ts)
+                      * 100000 + event_id) AS close,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN ('0x' || substr(md5('late:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+                          % {LATE_MOD} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS volume
+FROM events
+GROUP BY 1, 2
+HAVING SUM(CASE WHEN ('0x' || substr(md5('late:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+                     % {LATE_MOD} = 0 THEN 1 ELSE 0 END) > 0
+""",
+)
+def late_data_bar_restatement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.functions.similarity import hash_hex
+
+    ev = table(spark, sf_dir, "events")
+    skey = (
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+        )
+        * F.lit(100000)
+        + F.col("event_id")
+    )
+    bar = F.date_trunc("hour", F.col("ts")) + F.make_dt_interval(
+        mins=F.floor(F.minute("ts") / 5) * 5
+    )
+    is_late = (
+        hash_hex(F.concat(F.lit("late:"), F.col("event_id").cast("string")))
+        % LATE_MOD
+        == 0
+    ).cast("int")
+    return (
+        ev.groupBy("event_type", bar.cast("timestamp_ntz").alias("bar_ts"))
+        .agg(
+            F.min_by("value", skey).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", skey).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(is_late).cast("bigint").alias("n_late"),
+            dsum("value").alias("volume"),
+        )
+        .where(F.col("n_late") > 0)
+    )
