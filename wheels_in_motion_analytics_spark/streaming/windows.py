@@ -287,3 +287,47 @@ GROUP BY 1, 2
 )
 def stream_hourly_rollup_of_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bars_then_hourly(table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_complete_mode_totals",
+    category="streaming",
+    doc="COMPLETE-mode streaming aggregation, run for real: events stage "
+    "as a file stream, an unwindowed groupBy(event_type) aggregate runs "
+    "under trigger availableNow into a memory sink with outputMode "
+    "complete — every trigger REPLACES the result table, so after the "
+    "final trigger the sink holds exactly the batch aggregate (the mode's "
+    "defining semantics, and why no watermark is needed). State is exact "
+    "int64 cents; fully oracle-checked against the batch GROUP BY.",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY event_type
+""",
+)
+def stream_complete_mode_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    stage = tempfile.mkdtemp(prefix="complete_mode_src_")
+    table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    ).coalesce(2).write.mode("overwrite").parquet(stage)
+    stream = spark.readStream.schema("event_type STRING, cents BIGINT").parquet(stage)
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    name = f"complete_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT event_type, n_events, sum_cents FROM {name}")
