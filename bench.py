@@ -51,18 +51,28 @@ def main() -> None:
         for jrdd in list(jmap.values()):
             jrdd.unpersist(False)
 
-    # min over iterations: steady-state per-query cost, robust to GC/JIT
-    # noise from neighboring queries in the same JVM.
-    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
+    # min over passes: steady-state per-query cost, robust to GC/JIT noise
+    # from neighboring queries in the same JVM. TIME-BOXED: the first full
+    # pass always completes (every query gets a number), then extra
+    # min-passes run only while the wall budget allows — so a larger
+    # registry can never push the run past an external timeout and lose
+    # the whole benchmark, it just degrades toward min-of-1.
+    max_iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "420"))
+    bench_start = time.monotonic()
     timings: dict[str, float] = {}
-    for name in sorted(specs):
-        best = float("inf")
-        for _ in range(iters):
+    for it in range(max_iters):
+        for name in sorted(specs):
+            # pass 1 always completes; re-measure passes stop mid-pass the
+            # moment the budget runs out (those queries keep their pass-1
+            # number — min-of-k degrades gracefully, never truncates output)
+            if it > 0 and time.monotonic() - bench_start > budget_s:
+                break
             release_blocks()
             t0 = time.perf_counter()
             specs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            dt = time.perf_counter() - t0
+            timings[name] = round(min(timings.get(name, dt), dt), 3)
 
     # The driver captures only a bounded tail of stdout; a 105-query JSON
     # line (~5KB) gets truncated mid-line and fails to parse (BENCH_r01).
