@@ -405,3 +405,54 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_share"
         ),
     )
+
+
+@register(
+    "token_length_histogram",
+    category="text-pipeline",
+    doc="Sequence-length distribution for batch-shape planning: documents "
+    "bucketed by floor(log2(token count)) — the stat that decides packing "
+    "bin sizes and truncation limits before a training run. Per-bucket "
+    "doc/token counts plus cumulative token share; the cumulative window "
+    "runs over the aggregated bucket relation (≤ ~15 rows), never rows.",
+    oracle="""
+WITH t AS (
+  SELECT greatest(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')), 1) AS nt
+  FROM documents
+),
+b AS (
+  SELECT CAST(floor(log2(nt)) AS INTEGER) AS len_bucket,
+         COUNT(*) AS n_docs,
+         CAST(SUM(nt) AS BIGINT) AS bucket_tokens
+  FROM t GROUP BY 1
+)
+SELECT len_bucket, n_docs, bucket_tokens,
+       ROUND(CAST(SUM(bucket_tokens) OVER (ORDER BY len_bucket) AS DOUBLE)
+             / SUM(bucket_tokens) OVER (), 6) AS cum_token_share
+FROM b
+""",
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nt = F.greatest(F.size(tokens(F.col("text"))), F.lit(1))
+    b = (
+        table(spark, sf_dir, "documents")
+        .select(F.floor(F.log2(nt)).cast("int").alias("len_bucket"), nt.alias("nt"))
+        .groupBy("len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("bucket_tokens"),
+        )
+    )
+    w_cum = Window.orderBy("len_bucket").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    return b.select(
+        "len_bucket",
+        "n_docs",
+        "bucket_tokens",
+        F.round(
+            F.sum("bucket_tokens").over(w_cum).cast("double")
+            / F.sum("bucket_tokens").over(w_all),
+            6,
+        ).alias("cum_token_share"),
+    )
