@@ -62,6 +62,23 @@ def test_ann_bucketed_recall_vs_bruteforce(spark):
     assert recall >= 0.3, f"bucketed ANN top-1 agreement too low: {recall:.2f}"
 
 
+def test_bruteforce_matmul_twin_matches_blocked_plan(spark):
+    """The bench-only driver-collect matmul twin must produce exactly the
+    registered collect-free block-nested-loop plan's relation — pins that
+    de-collecting the baseline changed the plan, not the semantics."""
+    from wheels_in_motion_analytics_spark.functions.similarity import bruteforce_topk_matmul
+
+    rel = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.cosine)
+        for r in SPECS["similarity_topk_bruteforce"].fn(spark, SF_SMALL).collect()
+    }
+    mm = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.cosine)
+        for r in bruteforce_topk_matmul(spark, SF_SMALL).collect()
+    }
+    assert rel == mm
+
+
 def test_multimodal_feature_extraction_batch_shape(spark):
     """mapInPandas features: deterministic fake decode, one row per doc,
     3-dim feature vector."""

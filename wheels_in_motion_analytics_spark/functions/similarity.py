@@ -442,12 +442,15 @@ def _norm_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _broadcast_candidate_matrix(spark: SparkSession, sf_dir: str):
-    """Candidate side of brute-force similarity as a broadcast numpy matrix.
+    """BENCH/TEST-ONLY: corpus as a broadcast numpy matrix (driver collect).
 
-    Same memory contract as a broadcast hash join build side: the candidate
-    set must fit on every executor (here: |vectors| × dim × 8 bytes). That is
-    exactly the brute-force baseline's stated scale limit — the unbounded
-    path is ann_lsh_bucketed, whose candidate sets are per-bucket.
+    Not used by any registry query — the registered exact baselines
+    (similarity_topk_bruteforce / embedding_near_dup_pairs) score candidate
+    pairs through the collect-free :func:`_exact_cosine_rerank` join-back.
+    This gather exists only so tests and the LSH-vs-exact crossover bench
+    can compare the BLAS-matmul formulation against the relational plan.
+    Memory contract = broadcast hash-join build side: |vectors| × dim × 8 B
+    must fit per executor.
     """
     import numpy as np
 
@@ -463,38 +466,10 @@ def _broadcast_candidate_matrix(spark: SparkSession, sf_dir: str):
     return spark.sparkContext.broadcast((ids, mat, norms))
 
 
-_ORACLE_NORM = """
-n AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-  FROM embeddings
-), nn AS (
-  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM n
-)"""
-
-ANN_TOPK = 3
-
-
-@register(
-    "similarity_topk_bruteforce",
-    category="similarity",
-    doc=f"Brute-force cosine top-{ANN_TOPK} neighbors per vector — the exact "
-    "baseline ANN variants are measured against. All-pairs: correctness "
-    "tool, not the scale path (see ann_lsh_bucketed).",
-    oracle=f"""
-WITH {_ORACLE_NORM}
-SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rnk FROM (
-  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS cosine,
-         row_number() OVER (
-           PARTITION BY a.vec_id
-           ORDER BY ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) DESC,
-                    b.vec_id ASC
-         ) AS rnk
-  FROM nn a JOIN nn b ON a.vec_id <> b.vec_id
-) WHERE rnk <= {ANN_TOPK}
-""",
-)
-def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bruteforce_topk_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCH/TEST-ONLY matmul twin of similarity_topk_bruteforce: one BLAS
+    matmul per Arrow batch against the broadcast corpus matrix. Same output
+    relation; kept for the crossover benchmark and an equality test."""
     import pyspark.sql.types as T
 
     bc = _broadcast_candidate_matrix(spark, sf_dir)
@@ -510,20 +485,17 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             q = np.stack(pdf["embedding"].to_numpy()).astype("float64")
             qids = pdf["vec_id"].to_numpy()
             qn = np.sqrt((q * q).sum(axis=1))
-            # One BLAS matmul per Arrow batch; cosine rounded to 4 dp so the
-            # blocked summation agrees with the oracle's sequential sum.
+            # cosine rounded to 4 dp so the blocked summation agrees with
+            # the sequential-sum relational plan and the DuckDB oracle
             sims = np.round((q @ mat.T) / np.outer(qn, norms), 4)
             out_q, out_n, out_c, out_r = [], [], [], []
             for i in range(len(qids)):
                 row = sims[i]
                 mask = ids != qids[i]
-                # deterministic order: cosine desc, neighbor id asc
                 cand = np.lexsort((ids[mask], -row[mask]))[:ANN_TOPK]
-                sel_ids = ids[mask][cand]
-                sel_cos = row[mask][cand]
                 out_q.extend([qids[i]] * len(cand))
-                out_n.extend(sel_ids.tolist())
-                out_c.extend(sel_cos.tolist())
+                out_n.extend(ids[mask][cand].tolist())
+                out_c.extend(row[mask][cand].tolist())
                 out_r.extend(range(1, len(cand) + 1))
             yield pd.DataFrame(
                 {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c, "rnk": out_r}
@@ -544,6 +516,137 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BF_BLOCK_TARGET = 512  # vectors per block-matmul chunk (bounds task memory)
+
+
+def _blocked_pair_scores(vectors: DataFrame, mode: str, topk: int = 3) -> DataFrame:
+    """Distributed block-nested-loop exact cosine scorer — the collect-free,
+    matmul-speed formulation of all-pairs similarity.
+
+    Both sides are chunked into B = ceil(n / BF_BLOCK_TARGET) blocks
+    (collect_list per block → B rows of ≤ BF_BLOCK_TARGET vectors); the B²
+    block-pair cells are a crossJoin of two tiny relations, and each cell is
+    one numpy matmul inside mapInPandas. Task memory is bounded by two
+    chunks (BF_BLOCK_TARGET² score cells), independent of corpus size, and
+    no task — and crucially no driver — ever sees the whole corpus. At 100 TB
+    the quadratic cell count is the DEFINITION of exact all-pairs; the scale
+    path remains LSH (ann_lsh_bucketed), which prunes cells instead.
+
+    mode='topk':   per-cell top-k per query by (rounded cosine desc, id asc);
+                   exact because global top-k = top-k of per-cell top-k.
+    mode='thresh': pairs with query_id < neighbor_id (each unordered pair
+                   scored in exactly one cell), threshold applied by caller.
+    """
+    import pyspark.sql.types as T
+
+    n = vectors.count()
+    blocks = max(1, -(-n // BF_BLOCK_TARGET))
+
+    def side(prefix: str) -> DataFrame:
+        return (
+            vectors.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(blocks)).cast("int"))
+            .groupBy("blk")
+            .agg(F.collect_list(F.struct("vec_id", "embedding")).alias(f"{prefix}_chunk"))
+            .withColumnRenamed("blk", f"{prefix}_blk")
+        )
+
+    cells = side("q").crossJoin(side("c"))
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            for q_chunk, c_chunk in zip(pdf["q_chunk"], pdf["c_chunk"]):
+                q_ids = np.array([r["vec_id"] for r in q_chunk], dtype="int64")
+                c_ids = np.array([r["vec_id"] for r in c_chunk], dtype="int64")
+                q = np.stack([np.asarray(r["embedding"], dtype="float64") for r in q_chunk])
+                c = np.stack([np.asarray(r["embedding"], dtype="float64") for r in c_chunk])
+                qn = np.sqrt((q * q).sum(axis=1))
+                cn = np.sqrt((c * c).sum(axis=1))
+                # rounded to 4 dp so blocked summation agrees with the
+                # oracle's sequential sum and ranking ties are portable
+                sims = np.round((q @ c.T) / np.outer(qn, cn), 4)
+                if mode == "topk":
+                    out_q, out_n, out_c = [], [], []
+                    for i in range(len(q_ids)):
+                        row = sims[i]
+                        mask = c_ids != q_ids[i]
+                        sel = np.lexsort((c_ids[mask], -row[mask]))[:topk]
+                        out_q.extend([q_ids[i]] * len(sel))
+                        out_n.extend(c_ids[mask][sel].tolist())
+                        out_c.extend(row[mask][sel].tolist())
+                    yield pd.DataFrame(
+                        {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+                    )
+                else:
+                    ii, jj = np.nonzero(q_ids[:, None] < c_ids[None, :])
+                    yield pd.DataFrame(
+                        {
+                            "query_id": q_ids[ii],
+                            "neighbor_id": c_ids[jj],
+                            "cosine": sims[ii, jj],
+                        }
+                    )
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    return cells.mapInPandas(score, schema)
+
+
+_ORACLE_NORM = """
+n AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), nn AS (
+  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM n
+)"""
+
+ANN_TOPK = 3
+
+
+@register(
+    "similarity_topk_bruteforce",
+    category="similarity",
+    doc=f"Brute-force cosine top-{ANN_TOPK} neighbors per vector — the exact "
+    "baseline ANN variants are measured against. All-pairs by DEFINITION "
+    "(quadratic cell count), but collect-free AND matmul-speed: distributed "
+    "block-nested-loop via _blocked_pair_scores (bounded chunks, one numpy "
+    "matmul per cell, exact global top-k merge). No driver collect / corpus "
+    "broadcast anywhere in the plan. The scale path is ann_lsh_bucketed; "
+    "the driver-collect matmul twin bruteforce_topk_matmul is bench/test-only.",
+    oracle=f"""
+WITH {_ORACLE_NORM}
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rnk FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS cosine,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) DESC,
+                    b.vec_id ASC
+         ) AS rnk
+  FROM nn a JOIN nn b ON a.vec_id <> b.vec_id
+) WHERE rnk <= {ANN_TOPK}
+""",
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    vectors = table(spark, sf_dir, "embeddings").select("vec_id", "embedding").localCheckpoint()
+    # per-cell top-k candidates (B×k per query), then exact global top-k
+    cand = _blocked_pair_scores(vectors, mode="topk", topk=ANN_TOPK)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= ANN_TOPK)
+    )
+
+
 NEAR_DUP_COSINE = 0.4
 
 
@@ -561,41 +664,17 @@ WHERE ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= {NEAR_DUP_COSINE
 """,
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pyspark.sql.types as T
-
-    bc = _broadcast_candidate_matrix(spark, sf_dir)
-
-    def block(batches):
-        import numpy as np
-        import pandas as pd
-
-        ids, mat, norms = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            q = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-            qids = pdf["vec_id"].to_numpy()
-            qn = np.sqrt((q * q).sum(axis=1))
-            sims = np.round((q @ mat.T) / np.outer(qn, norms), 4)
-            # emit only (d1 < d2) halves — each pair computed exactly once
-            # across all batches because the candidate set is the full corpus
-            mask = (qids[:, None] < ids[None, :]) & (sims >= NEAR_DUP_COSINE)
-            ii, jj = np.nonzero(mask)
-            yield pd.DataFrame(
-                {"d1": qids[ii], "d2": ids[jj], "cosine": sims[ii, jj]}
-            )
-
-    schema = T.StructType(
-        [
-            T.StructField("d1", T.LongType()),
-            T.StructField("d2", T.LongType()),
-            T.StructField("cosine", T.DoubleType()),
-        ]
-    )
+    # Unordered pairs (d1 < d2): each pair scored in exactly one block cell,
+    # no driver collect anywhere in the plan.
+    vectors = table(spark, sf_dir, "embeddings").select("vec_id", "embedding").localCheckpoint()
     return (
-        table(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .mapInPandas(block, schema)
+        _blocked_pair_scores(vectors, mode="thresh")
+        .where(F.col("cosine") >= NEAR_DUP_COSINE)
+        .select(
+            F.col("query_id").alias("d1"),
+            F.col("neighbor_id").alias("d2"),
+            "cosine",
+        )
     )
 
 
