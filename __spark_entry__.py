@@ -25,96 +25,109 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness verifies registry entries in dict order
-# with a bounded budget (round 1 covered exactly the first 50). Queries whose
-# correctness has NOT yet been driver-verified go first, so each round
-# converts the maximum amount of existing quality into hard signal. Names not
-# listed here follow in registry order; unknown names are ignored.
-# Kept to exactly 50 entries. Session-6 rotation: sft_render_conversations,
-# feature_binning_buckets (two-phase ntile), mann_whitney_u_prices
-# (two-phase prefix sums), stream_upsert_foreachbatch (streaming CDC) in;
-# three family-covered analytics/simhash entries and the rows-only
-# percentile_approx_sketch out.
+# with a bounded budget (rounds 1-2 covered exactly the first 50 each).
+# Queries whose correctness has NOT yet been driver-verified go first, so
+# each round converts the maximum amount of existing quality into hard
+# signal. Names not listed here follow in registry order; unknown names are
+# ignored. Kept to exactly 50 entries. Round-3 rotation: ALL 50 r2-verified
+# entries moved to _DRIVER_VERIFIED; the head is now the never-verified
+# blocks the round-2 verdict ranked first (ten scalar suites, the deep/wide
+# TPC-H shapes, versioned-table siblings, stats, retrieval, spatial,
+# curation) plus the four sketch/ANN entries upgraded this round from
+# rows-only to audit-checked oracles (percentile_approx_sketch,
+# hll_sketch_rollup, ann_ivf_cells, approx_count_distinct — the last was
+# rows-only green in r1 and now re-verifies with a hash).
 _DRIVER_PRIORITY = [
-    # plans: flagship + star join + composed analytics
-    "flagship_rides_by_dim",
-    "star_join_enriched",
-    "top_unshipped_orders",
-    "sft_render_conversations",
-    "regional_market_share",
-    "priority_shipping_summary",
-    "feature_binning_buckets",
-    # LLM-pipeline: dedup / similarity / ANN
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "simhash_signature",
-    "mann_whitney_u_prices",
-    "similarity_topk_bruteforce",
-    "embedding_near_dup_pairs",
-    "ann_lsh_bucketed",
-    "dedup_connected_components",
-    # LLM-pipeline: text analysis + corpus prep
-    "text_stats",
-    "text_quality_score",
-    "lang_id_heuristic",
-    "doc_fingerprint",
-    "pii_redact",
-    "vocab_build",
-    "stopword_prune_tokens",
-    "corpus_quality_pipeline",
-    # streaming batch-parity windows (sliding rotates to the tail: tumbling +
-    # session already pin the family in the head)
-    "stream_tumbling_window",
-    "stream_session_window",
-    # session-6 headline engine features: dynamic partition pruning + BPE
-    # tokenizer training (swap-ins for the family-covered sliding window and
-    # one of five UDF-tier entries)
-    "dpp_join_pruned_revenue",
-    "bpe_merge_table",
-    # multimodal + manifest source
-    "multimodal_meta",
-    "manifest_filter_years",
-    # time series + data quality
-    "gap_fill_locf_daily",
-    "dq_violation_counts",
-    # UDF tiers + arrow-native (scalar-normalize rotates to the tail; four
-    # tier representatives remain)
-    "pandas_udaf_weighted_mean",
-    "grouped_map_demean",
-    "udtf_expand_installments",
-    "map_in_arrow_scale",
-    # round-2 flagship engine features — hard driver signal this round
-    # (date_scalar_suite / date_format_partition_keys rotate to the tail;
-    # they stay builder-verified)
-    "versioned_table_time_travel",
-    "pagerank_part_supplier",
-    # round-2 additions: partition pruning + storage-level CDC merge
-    "partition_pruned_monthly_revenue",
-    "cdc_merge_orders_state",
-    # round-1 driver failures, now fixed — must re-verify
-    "project_rename_cast",
-    "stream_upsert_foreachbatch",
-    # round-2 curation ops (two representatives; rest rotate in next round)
-    "curate_decontaminate",
-    "curate_pack_sequences",
-    # round-2 session-5 headline ops (swap-ins: ann_ivf_cells /
-    # multimodal_features are rows-only — weaker signal than these
-    # oracle-checked entries; dq_violating_rows / manifest_prune_latest /
-    # datetime_dim_explode / variant_json_extract are family-covered by a
-    # sibling already in the head and rotate to the tail, builder-verified)
-    "stream_stateful_running_totals",
-    "bloom_join_prune_audit",
-    "triangle_count_cosupply",
-    "hybrid_rrf_retrieval",
-    "versioned_compact_optimize",
-    "record_linkage_part_names",
+    # scalar-function suites (never driver-verified; string2 stays in the
+    # tail — family-covered by string_funcs_suite)
+    "string_funcs_suite",
+    "math_funcs_suite",
+    "json_funcs_suite",
+    "date_scalar_suite",
+    "conditional_funcs_suite",
+    "array_funcs_suite",
+    "map_struct_funcs",
+    "bitwise_funcs_suite",
+    "pattern_match_suite",
+    "try_funcs_suite",
+    # timestamp decomposition + manifest date pruning (SURVEY §2a F1/F2)
+    "datetime_dim_explode",
+    "manifest_prune_latest",
+    # deep/wide TPC-H analytic shapes (plans/analytics_deep.py, _wide.py)
+    "pricing_summary_report",
+    "min_cost_supplier_per_part",
+    "dormant_high_value_customers",
+    "small_qty_revenue_fraction",
+    "large_volume_customers",
+    "order_priority_fulfilment",
+    "local_supplier_volume",
+    "bilateral_trade_volume",
+    "product_profit_by_nation",
+    "part_value_concentration",
+    "customer_order_distribution",
+    "top_revenue_supplier",
+    "supplier_diversity_by_part",
+    "disjunctive_bracket_revenue",
+    "promo_supply_candidates",
+    "sole_failing_supplier",
+    # versioned-table siblings
+    "snapshot_diff_orders",
+    "scd2_customer_status_history",
+    "incremental_agg_maintenance",
+    # stats suite
+    "welch_ttest_segments",
+    "ks_test_two_sample",
+    "psi_price_drift",
+    "global_quartiles_exact",
+    # retrieval + spatial
+    "bm25_topk_search",
+    "tfidf_top_terms",
+    "spatial_radius_join",
+    # curation ops
+    "curate_split_train_val_test",
+    "curate_stratified_sample",
+    "curate_source_quota",
+    "curate_curriculum_order",
+    "rlhf_preference_pairs",
+    # sketch/ANN entries upgraded rows-only → audit-checked oracles (r3)
+    "percentile_approx_sketch",
+    "hll_sketch_rollup",
+    "ann_ivf_cells",
+    "approx_count_distinct",
+    # scaled dedup/ANN siblings + time series
+    "scaled_ann_lsh",
+    "dedup_cluster_representatives",
+    "revenue_ewma_daily",
 ]
 
 
-# Queries whose correctness the driver ALREADY verified green in round 1
-# (CORRECTNESS_r01.json). They sort to the back of the registry so that if
-# the driver's per-round budget ever exceeds len(_DRIVER_PRIORITY), the
-# extra slots fall on never-verified queries first.
+# Queries whose correctness the driver ALREADY verified green (round 1:
+# CORRECTNESS_r01.json, round 2: CORRECTNESS_r02.json). They sort to the
+# back of the registry so that if the driver's per-round budget ever exceeds
+# len(_DRIVER_PRIORITY), the extra slots fall on never-verified queries
+# first. approx_count_distinct / percentile_approx_sketch are deliberately
+# NOT here: their r1 rows were rows-only/err and they re-verify this round
+# with the new audited oracles.
+_R2_VERIFIED = {
+    "ann_lsh_bucketed", "bloom_join_prune_audit", "bpe_merge_table",
+    "cdc_merge_orders_state", "corpus_quality_pipeline", "curate_decontaminate",
+    "curate_pack_sequences", "dedup_connected_components", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "doc_fingerprint",
+    "dpp_join_pruned_revenue", "dq_violation_counts", "embedding_near_dup_pairs",
+    "feature_binning_buckets", "flagship_rides_by_dim", "gap_fill_locf_daily",
+    "grouped_map_demean", "hybrid_rrf_retrieval", "lang_id_heuristic",
+    "manifest_filter_years", "mann_whitney_u_prices", "map_in_arrow_scale",
+    "multimodal_meta", "pagerank_part_supplier", "pandas_udaf_weighted_mean",
+    "partition_pruned_monthly_revenue", "pii_redact", "priority_shipping_summary",
+    "project_rename_cast", "record_linkage_part_names", "regional_market_share",
+    "sft_render_conversations", "simhash_signature", "similarity_topk_bruteforce",
+    "star_join_enriched", "stopword_prune_tokens", "stream_session_window",
+    "stream_stateful_running_totals", "stream_tumbling_window",
+    "stream_upsert_foreachbatch", "text_quality_score", "text_stats",
+    "top_unshipped_orders", "triangle_count_cosupply", "udtf_expand_installments",
+    "versioned_compact_optimize", "versioned_table_time_travel", "vocab_build",
+}
+
 _R1_VERIFIED = {
     "scan_parquet_project", "filter_null_predicate", "literal_default_columns",
     "ordered_projection", "anti_join_new_keys", "semi_join_active_keys",
@@ -131,15 +144,16 @@ _R1_VERIFIED = {
     "in_subquery_hot_parts", "lateral_explode_tokens", "regression_corr_agg",
     "array_set_ops", "salted_skew_join", "left_outer_join_missing_dims",
     "full_outer_join_key_union", "cross_join_small_dims", "union_all_bag",
-    "approx_count_distinct",
 }
+
+_VERIFIED = _R1_VERIFIED | _R2_VERIFIED
 
 
 def _ordered_specs():
     specs = load_all_queries()
     ordered = {n: specs[n] for n in _DRIVER_PRIORITY if n in specs}
     ordered.update(
-        {n: s for n, s in specs.items() if n not in ordered and n not in _R1_VERIFIED}
+        {n: s for n, s in specs.items() if n not in ordered and n not in _VERIFIED}
     )
     ordered.update({n: s for n, s in specs.items() if n not in ordered})
     return ordered

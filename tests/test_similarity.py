@@ -62,6 +62,23 @@ def test_ann_bucketed_recall_vs_bruteforce(spark):
     assert recall >= 0.3, f"bucketed ANN top-1 agreement too low: {recall:.2f}"
 
 
+def test_ivf_frozen_artifact_matches_trainer(spark):
+    """The frozen quantizer artifact must be bit-identical to what the
+    production per-corpus trainer produces on the training corpus — pins
+    that freezing (for oracle checkability) didn't fork the model."""
+    import numpy as np
+
+    from wheels_in_motion_analytics_spark.functions.ivf_artifact import (
+        IVF_FROZEN_CENTROIDS,
+    )
+    from wheels_in_motion_analytics_spark.functions.similarity import (
+        _train_ivf_centroids,
+    )
+
+    trained = _train_ivf_centroids(spark, "/root/testdata/sf0.01")
+    assert np.array_equal(np.asarray(trained), np.asarray(IVF_FROZEN_CENTROIDS))
+
+
 def test_bruteforce_matmul_twin_matches_blocked_plan(spark):
     """The bench-only driver-collect matmul twin must produce exactly the
     registered collect-free block-nested-loop plan's relation — pins that

@@ -960,66 +960,110 @@ def _train_ivf_centroids(spark: SparkSession, sf_dir: str):
     return _ivf_centroids(mat, norms)
 
 
+def _oracle_ivf_topk() -> str:
+    """DuckDB rendition of the full IVF pipeline: the frozen centroids embed
+    as repr'd double literals (bit-identical parse); cell similarity is
+    rounded to 6 dp on both engines so ranking ties break portably on cell
+    id; probe(nprobe)⋈assign(rank 1) candidate join, 4-dp re-rank and
+    neighbor tiebreak all replicated."""
+    from wheels_in_motion_analytics_spark.functions.ivf_artifact import (
+        IVF_FROZEN_CENTROIDS,
+    )
+
+    cent_values = ",\n    ".join(
+        f"({c}, [{', '.join(repr(float(v)) for v in row)}])"
+        for c, row in enumerate(IVF_FROZEN_CENTROIDS)
+    )
+    return f"""
+WITH {_ORACLE_NORM},
+cents (cell, cvec) AS (
+  SELECT * FROM (VALUES
+    {cent_values}
+  ) AS t(cell, cvec)
+),
+sims AS (
+  SELECT vec_id, cell,
+         ROUND(list_dot_product(e, cvec) / nrm, 6) AS sim
+  FROM nn CROSS JOIN cents
+),
+ranked AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rnk
+  FROM sims
+),
+probes AS (SELECT vec_id AS query_id, cell FROM ranked WHERE rnk <= {IVF_NPROBE}),
+assign AS (SELECT vec_id AS neighbor_id, cell FROM ranked WHERE rnk = 1),
+cand AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM probes JOIN assign USING (cell)
+  WHERE query_id <> neighbor_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS cosine
+  FROM cand JOIN nn a ON cand.query_id = a.vec_id
+            JOIN nn b ON cand.neighbor_id = b.vec_id
+)
+SELECT query_id, neighbor_id, cosine FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
 @register(
     "ann_ivf_cells",
     category="similarity",
-    doc=f"IVF ANN: {IVF_CELLS}-cell spherical k-means coarse quantizer "
-    f"trained once on a bounded {IVF_TRAIN_SAMPLE}-row sample; each query "
-    f"probes its {IVF_NPROBE} nearest cells; candidates come from a hash "
-    "join on the cell id and are exact-ranked via join-back to embeddings — "
-    "no corpus collect/broadcast anywhere. The inverted-file counterpart to "
-    "LSH bucketing. Rows-only check; recall vs brute force asserted in "
-    "tests/test_similarity.py.",
-    oracle=None,
+    doc=f"IVF ANN: {IVF_CELLS}-cell spherical k-means coarse quantizer — a "
+    "FROZEN model artifact (functions/ivf_artifact.py, trained once by "
+    "tools/gen_ivf_artifact.py on the bounded md5 sample; the production "
+    "per-corpus trainer _train_ivf_centroids stays and is pinned equal to "
+    f"the artifact in tests). Each query probes its {IVF_NPROBE} nearest "
+    "cells; candidates come from a hash join on the cell id and are "
+    "exact-ranked via join-back to embeddings — no corpus collect/broadcast "
+    "anywhere. The inverted-file counterpart to LSH bucketing. FULLY "
+    "oracle-checked: centroids embed as double literals in the DuckDB SQL "
+    "(cell ranking, probe/assign join, re-rank, tiebreaks all replicated); "
+    "recall vs brute force additionally asserted in tests/test_similarity.py.",
+    oracle=_oracle_ivf_topk(),
 )
 def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pyspark.sql.types as T
     from pyspark.sql import Window
 
-    cents = _train_ivf_centroids(spark, sf_dir)  # tiny: IVF_CELLS × dim
-
-    def cell_ranks(batches):
-        """Per vector: its IVF_NPROBE nearest cells, ranked. rank 1 is the
-        vector's home cell (corpus assignment); all ranks are its probe set
-        (query side). Centroids ride along in the task closure — a few KB,
-        the legitimate small-artifact broadcast."""
-        import numpy as np
-        import pandas as pd
-
-        cmat = np.asarray(cents, dtype="float64")
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            q = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-            qn = np.sqrt((q * q).sum(axis=1))
-            sims = (q / qn[:, None]) @ cmat.T
-            order = np.argsort(-sims, axis=1)[:, :IVF_NPROBE]
-            n = len(q)
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), IVF_NPROBE),
-                    "rank": np.tile(np.arange(1, IVF_NPROBE + 1), n),
-                    "cell": order.reshape(-1),
-                }
-            )
-
-    rank_schema = T.StructType(
-        [
-            T.StructField("vec_id", T.LongType()),
-            T.StructField("rank", T.IntegerType()),
-            T.StructField("cell", T.LongType()),
-        ]
+    from wheels_in_motion_analytics_spark.functions.ivf_artifact import (
+        IVF_FROZEN_CENTROIDS,
     )
+
+    vectors = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cdf = spark.createDataFrame(
+        [(c, [float(v) for v in row]) for c, row in enumerate(IVF_FROZEN_CENTROIDS)],
+        "cell INT, cvec ARRAY<DOUBLE>",
+    )
+    # Relational cell ranking: 16-row centroid relation broadcast into a
+    # crossJoin (n × IVF_CELLS rows), JVM-side sequential-fold dot product
+    # (matches the oracle's list_dot_product), rounded to 6 dp so ranking
+    # ties break portably on cell id.
+    sims = (
+        _norm_vectors_of(vectors)
+        .crossJoin(F.broadcast(cdf))
+        .select(
+            "vec_id",
+            "cell",
+            F.round(dot(F.col("e"), F.col("cvec")) / F.col("nrm"), 6).alias("sim"),
+        )
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
     ranked = (
-        table(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .mapInPandas(cell_ranks, rank_schema)
+        sims.withColumn("rnk", F.row_number().over(wc))
+        .where(F.col("rnk") <= IVF_NPROBE)
         # Both sides of the probe⋈assign self-join read this — materialize
-        # once so the signature stage doesn't run twice (same guard as
+        # once so the ranking stage doesn't run twice (same guard as
         # connected_components' lineage cut).
         .localCheckpoint()
     )
-    assign = ranked.where(F.col("rank") == 1).select(
+    assign = ranked.where(F.col("rnk") == 1).select(
         F.col("vec_id").alias("neighbor_id"), "cell"
     )
     probes = ranked.select(F.col("vec_id").alias("query_id"), "cell")

@@ -194,15 +194,35 @@ def count_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_count_distinct",
     category="aggregates",
     doc="HyperLogLog++ approximate distinct — sketch-based, mergeable, the "
-    "100 TB path where exact distinct would shuffle every key. No SQL oracle "
-    "(engine-specific sketch); driver records rows-only.",
-    oracle=None,
+    "100 TB path where exact distinct would shuffle every key. AUDITED "
+    "oracle (Count-Min pattern): the sketch estimate itself is "
+    "engine-specific, so the emitted relation carries the exact count plus "
+    "a bounded-relative-error verdict computed from the estimate; the "
+    "oracle asserts the verdict is TRUE for every group (rsd=0.01, audited "
+    "at 5× that). A drifting sketch flips the verdict and fails the hash.",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS exact_customers,
+       TRUE AS approx_within_5pct
+FROM orders GROUP BY o_orderpriority
+""",
 )
 def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
-        .agg(F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers"))
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_customers"),
+            F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx"),
+        )
+        .select(
+            "o_orderpriority",
+            "exact_customers",
+            (
+                F.abs(F.col("approx") - F.col("exact_customers"))
+                <= F.greatest(F.lit(1), F.col("exact_customers") * 0.05)
+            ).alias("approx_within_5pct"),
+        )
     )
 
 
@@ -305,19 +325,41 @@ def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "percentile_approx_sketch",
     category="aggregates",
     doc="approx_percentile (KLL-style sketch) — the mergeable 100 TB "
-    "quantile path; rows-only check (sketch is engine-specific). Scalar "
-    "p50/p90 output — array-typed cells crash the driver canonicalizer.",
-    oracle=None,
+    "quantile path. AUDITED oracle (Count-Min pattern): the sketch's picked "
+    "elements are engine-specific, so the emitted relation carries the "
+    "exact interpolated percentiles plus bounded-relative-error verdicts "
+    "computed from the sketch output; the oracle asserts both verdicts are "
+    "TRUE per group (accuracy 10000 → rank error 1e-4; value audited at 2% "
+    "since the sketch returns discrete elements vs the continuous exact).",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4) AS p50_exact,
+       ROUND(CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE), 4) AS p90_exact,
+       TRUE AS p50_within_2pct,
+       TRUE AS p90_within_2pct
+FROM lineitem GROUP BY l_returnflag
+""",
 )
 def percentile_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.percentile_approx("l_extendedprice", [0.5, 0.9], 10000).alias("pcts"))
+        .agg(
+            F.percentile_approx("l_extendedprice", [0.5, 0.9], 10000).alias("apcts"),
+            F.expr("percentile(l_extendedprice, array(0.5, 0.9))").alias("epcts"),
+        )
         .select(
             "l_returnflag",
-            F.element_at("pcts", 1).alias("p50"),
-            F.element_at("pcts", 2).alias("p90"),
+            F.round(F.element_at("epcts", 1), 4).alias("p50_exact"),
+            F.round(F.element_at("epcts", 2), 4).alias("p90_exact"),
+            (
+                F.abs(F.element_at("apcts", 1) - F.element_at("epcts", 1))
+                <= F.element_at("epcts", 1) * 0.02
+            ).alias("p50_within_2pct"),
+            (
+                F.abs(F.element_at("apcts", 2) - F.element_at("epcts", 2))
+                <= F.element_at("epcts", 2) * 0.02
+            ).alias("p90_within_2pct"),
         )
     )
 
