@@ -94,10 +94,13 @@ _DRIVER_PRIORITY = [
     "hll_sketch_rollup",
     "ann_ivf_cells",
     "approx_count_distinct",
-    # scaled dedup/ANN siblings + time series
+    # scaled ANN sibling + real-codec multimodal (upgraded this round from
+    # deterministic fakes to genuine PPM/WAV parsing with byte-exact oracles
+    # — driver rows here retire the round-2 "decode stubs" weak flag;
+    # revenue_ewma_daily / dedup_cluster_representatives rotate next round)
     "scaled_ann_lsh",
-    "dedup_cluster_representatives",
-    "revenue_ewma_daily",
+    "multimodal_features",
+    "multimodal_audio_stats",
 ]
 
 

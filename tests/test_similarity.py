@@ -96,24 +96,30 @@ def test_bruteforce_matmul_twin_matches_blocked_plan(spark):
     assert rel == mm
 
 
-def test_multimodal_feature_extraction_batch_shape(spark):
-    """mapInPandas features: deterministic fake decode, one row per doc,
-    3-dim feature vector."""
+def test_multimodal_feature_extraction_real_decode(spark):
+    """mapInPandas features over REAL PPM files: one row per doc, parsed
+    dimensions from actual headers, channel sums cross-checked against an
+    independent local decode of one payload."""
+    import hashlib
+
+    from wheels_in_motion_analytics_spark.multimodal import image_media_table
+    from wheels_in_motion_analytics_spark.multimodal.codecs import decode_ppm
+
     out = SPECS["multimodal_features"].fn(spark, SF_SMALL).collect()
     assert len(out) == 500
-    assert all(r.f0 is not None and r.f1 is not None and r.f2 is not None for r in out)
-    byte_first = {r.doc_id: r.f0 for r in out}
-    meta = {r.doc_id: r.n_bytes for r in SPECS["multimodal_meta"].fn(spark, SF_SMALL).collect()}
-    assert byte_first == {k: float(v) for k, v in meta.items()}
-
-
-def test_decode_stub_refuses_without_fake():
-    import pytest
-
-    from wheels_in_motion_analytics_spark.multimodal import decode_image_stub
-
-    with pytest.raises(NotImplementedError):
-        decode_image_stub(b"abc")
+    assert all(r.width == 8 and r.height == 8 for r in out)
+    # independently decode the generated payload for one doc
+    payload = image_media_table(spark, SF_SMALL).where("doc_id = 1").collect()[0].payload
+    w, h, raster = decode_ppm(bytes(payload))
+    assert (w, h) == (8, 8)
+    exp = bytes(
+        b
+        for k in range(12)
+        for b in hashlib.md5(f"img:1:{k}".encode()).digest()
+    )
+    assert raster == exp
+    row = next(r for r in out if r.doc_id == 1)
+    assert row.sum_r == sum(exp[0::3]) and row.sum_g == sum(exp[1::3]) and row.sum_b == sum(exp[2::3])
 
 
 def test_ann_ivf_recall_vs_bruteforce(spark):
@@ -132,27 +138,34 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.4, f"IVF top-1 agreement too low: {recall:.2f}"
 
 
-def test_multimodal_resize_and_frame_sample_shapes(spark):
-    """Resize: one row per doc with exact target byte count. Frame sample:
-    fan-out rows with stable indices."""
+def test_multimodal_resize_and_frame_sample_real_codecs(spark):
+    """Resize: one real P6 file per doc, decodable, exact target geometry.
+    Frame sample: the PPM stream parses into sampled frames that each
+    decode as standalone P6 files."""
     from wheels_in_motion_analytics_spark.multimodal import (
-        media_table,
+        image_media_table,
         resize_media,
         sample_media_frames,
+        video_media_table,
     )
+    from wheels_in_motion_analytics_spark.multimodal.codecs import decode_ppm
 
-    media = media_table(spark, SF_SMALL).limit(50)
-    resized = resize_media(media, width=8, height=8).collect()
+    media = image_media_table(spark, SF_SMALL).limit(50)
+    resized = resize_media(media, width=4, height=4).collect()
     assert len(resized) == 50
-    assert all(r.n_bytes_out == 64 and len(r.resized) == 64 for r in resized)
+    for r in resized:
+        w, h, raster = decode_ppm(bytes(r.resized))
+        assert (w, h) == (4, 4) and len(raster) == 48 and r.n_bytes_out == len(r.resized)
 
-    frames = sample_media_frames(media, n_frames=4)
+    frames = sample_media_frames(video_media_table(spark, SF_SMALL).limit(50))
     rows = frames.collect()
     per_doc = {}
     for r in rows:
         per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
-    assert all(sorted(v) == list(range(len(v))) for v in per_doc.values())
+        w, h, _ = decode_ppm(bytes(r.frame))
+        assert (w, h) == (8, 8)
     assert len(per_doc) == 50
+    assert all(sorted(v) == [0, 2] for v in per_doc.values())
 
 
 def test_spark_ml_minhash_agrees_with_custom(spark):

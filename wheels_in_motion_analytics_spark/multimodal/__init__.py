@@ -3,10 +3,14 @@ surface, BASELINE.json).
 
 Model: media is an opaque ``binary`` column with a metadata struct; decode /
 feature-extract / resize / frame-sample run as Arrow-batched pandas functions
-over ``mapInPandas`` — the Spark-side plumbing (schema, partitioning, batch
-shape) is real and tested; the actual codec call is STUBBED (image/audio
-libraries are not in this container) behind ``decode_image_stub``, which
-raises ``NotImplementedError`` unless ``deterministic_fake=True``.
+over ``mapInPandas``. The codec layer is REAL for the public formats a
+pure-Python parser can handle — binary PPM images, PPM frame streams,
+24-bit BMP, 16-bit PCM WAV (``multimodal/codecs.py``) — and the fixtures
+are genuine files in those formats, generated JVM-side from md5-derived
+bytes so the DuckDB oracles reconstruct every decoded property byte for
+byte. Formats that genuinely need native libraries (JPEG, MP4, …) are out
+of scope for this container; their pipelines would slot into the same
+mapInPandas kernels.
 
 Scale notes: mapInPandas streams Arrow batches — constant memory per task, no
 driver collect; binary payloads never pass through Python row-at-a-time.
@@ -45,8 +49,11 @@ MEDIA_SCHEMA = T.StructType(
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
-        T.StructField("n_bytes", T.LongType()),
-        T.StructField("feature", T.ArrayType(T.DoubleType())),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
     ]
 )
 
@@ -67,37 +74,80 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_image_stub(payload: bytes, deterministic_fake: bool = False) -> list[float]:
-    """STUB decode step. Real deployments plug in PIL/ffmpeg here; this
-    container has neither, so either fake deterministically or refuse."""
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "image/audio codecs are not available in this environment; "
-            "pass deterministic_fake=True for the test fake"
+# ---------------------------------------------------------------------------
+# Real-codec media fixtures: md5-derived content wrapped in REAL container
+# formats (binary PPM, 24-bit BMP, PCM WAV — parsed by the pure-Python
+# codecs in multimodal/codecs.py). Generation is JVM-side (md5 → unhex →
+# concat around literal format headers), so every decoded property is
+# reconstructable by the DuckDB oracle byte for byte.
+# ---------------------------------------------------------------------------
+
+from wheels_in_motion_analytics_spark.multimodal import codecs  # noqa: E402
+
+PPM_BLOCKS = codecs.PPM_PIXEL_BYTES // 16  # 12 md5 blocks = 192 raster bytes
+WAV_BLOCKS = codecs.WAV_SAMPLES * 2 // 16  # 32 md5 blocks = 512 PCM bytes
+
+
+def _md5_blocks(prefix, n_blocks: int):
+    """concat(unhex(md5(prefix || ':k'))) for k in 0..n — deterministic
+    synthetic bytes both engines can derive."""
+    return F.concat(
+        *[F.unhex(F.md5(F.concat(prefix, F.lit(f":{k}")))) for k in range(n_blocks)]
+    )
+
+
+def _doc_prefix(kind: str):
+    return F.concat(F.lit(f"{kind}:"), F.col("doc_id").cast("string"))
+
+
+def image_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One real binary-PPM (P6) image per document."""
+    header = F.unhex(F.lit(codecs.PPM_HEADER.hex()))
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .select("doc_id", F.concat(header, _md5_blocks(_doc_prefix("img"), PPM_BLOCKS)).alias("payload"))
+    )
+
+
+def video_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One real PPM stream (ffmpeg image2pipe shape) of VIDEO_FRAMES frames
+    per document."""
+    header = F.unhex(F.lit(codecs.PPM_HEADER.hex()))
+    frames = [
+        F.concat(
+            header,
+            _md5_blocks(
+                F.concat(_doc_prefix("vid"), F.lit(f":{f}")), PPM_BLOCKS
+            ),
         )
-    # Deterministic fake "feature": byte-histogram moments, stable across runs.
-    n = len(payload) or 1
-    s = sum(payload)
-    return [float(n), float(s % 997), float(s) / n]
+        for f in range(codecs.VIDEO_FRAMES)
+    ]
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .select("doc_id", F.concat(*frames).alias("payload"))
+    )
 
 
-def resize_image_stub(payload: bytes, width: int, height: int, deterministic_fake: bool = False) -> bytes:
-    """STUB resize: real deployments call PIL's Image.resize here."""
-    if not deterministic_fake:
-        raise NotImplementedError("no image codec in this environment")
-    # Deterministic fake: truncate/pad the byte stream to w*h "pixels".
-    target = max(width * height, 1)
-    return (payload * (target // max(len(payload), 1) + 1))[:target]
+def audio_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One real 16-bit PCM WAV (stdlib-wave-decodable) per document."""
+    header = F.unhex(F.lit(codecs.wav_header().hex()))
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .select("doc_id", F.concat(header, _md5_blocks(_doc_prefix("wav"), WAV_BLOCKS)).alias("payload"))
+    )
 
 
-def sample_frames_stub(payload: bytes, n_frames: int, deterministic_fake: bool = False) -> list[bytes]:
-    """STUB frame sampler: real deployments run ffmpeg keyframe extraction."""
-    if not deterministic_fake:
-        raise NotImplementedError("no video codec in this environment")
-    if not payload:
-        return []
-    stride = max(len(payload) // max(n_frames, 1), 1)
-    return [payload[i * stride : (i + 1) * stride] for i in range(min(n_frames, len(payload)))]
+def bmp_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One real 24-bit uncompressed BMP (bottom-up BGR) per document."""
+    header = F.unhex(F.lit(codecs.bmp_header(codecs.IMG_W, codecs.IMG_H).hex()))
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .select("doc_id", F.concat(header, _md5_blocks(_doc_prefix("bmp"), PPM_BLOCKS)).alias("payload"))
+    )
 
 
 RESIZED_SCHEMA = T.StructType(
@@ -117,14 +167,16 @@ FRAMES_SCHEMA = T.StructType(
 )
 
 
-def resize_media(media: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
-    """Resize over mapInPandas — binary in, binary out, Arrow end to end."""
+def resize_media(media: DataFrame, width: int = 4, height: int = 4) -> DataFrame:
+    """REAL resize over mapInPandas — decode the P6 payload, nearest-neighbor
+    resample on actual pixels, re-encode as P6. Binary in, binary out, Arrow
+    end to end."""
 
     def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
         import pandas as pd
 
         for pdf in batches:
-            out = [resize_image_stub(p, width, height, deterministic_fake=True) for p in pdf["payload"]]
+            out = [codecs.resize_ppm_nearest(p, width, height) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -136,8 +188,9 @@ def resize_media(media: DataFrame, width: int = 8, height: int = 8) -> DataFrame
     return media.mapInPandas(run, RESIZED_SCHEMA)
 
 
-def sample_media_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
-    """Frame sampling over mapInPandas — one media row fans out to N frame
+def sample_media_frames(media: DataFrame, every: int = codecs.FRAME_SAMPLE_EVERY) -> DataFrame:
+    """REAL frame sampling over mapInPandas — parse the PPM stream (header
+    by header) and keep every Nth frame; one media row fans out to frame
     rows (the flatMap shape of video pipelines)."""
 
     def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
@@ -146,29 +199,43 @@ def sample_media_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                for i, fr in enumerate(sample_frames_stub(payload, n_frames, deterministic_fake=True)):
-                    ids.append(doc_id)
-                    idxs.append(i)
-                    frames.append(fr)
+                for i, fr in enumerate(codecs.split_ppm_stream(payload)):
+                    if i % every == 0:
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        frames.append(fr)
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return media.mapInPandas(run, FRAMES_SCHEMA)
 
 
-def extract_features(media: DataFrame, batch_fake: bool = True) -> DataFrame:
-    """Feature extraction over mapInPandas: Arrow batches in, Arrow batches
-    out — the canonical multimodal hot path."""
+def extract_features(media: DataFrame) -> DataFrame:
+    """REAL feature extraction over mapInPandas: decode the P6 image and emit
+    parsed dimensions + per-channel pixel sums — Arrow batches in, Arrow
+    batches out, the canonical multimodal hot path."""
 
     def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            feats = [decode_image_stub(p, deterministic_fake=batch_fake) for p in pdf["payload"]]
+            ws, hs, sr, sg, sb = [], [], [], [], []
+            for payload in pdf["payload"]:
+                w, h, raster = codecs.decode_ppm(payload)
+                px = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
+                ws.append(w)
+                hs.append(h)
+                sr.append(int(px[0::3].sum()))
+                sg.append(int(px[1::3].sum()))
+                sb.append(int(px[2::3].sum()))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
-                    "feature": feats,
+                    "width": ws,
+                    "height": hs,
+                    "sum_r": sr,
+                    "sum_g": sg,
+                    "sum_b": sb,
                 }
             )
 
@@ -198,24 +265,43 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _oracle_ppm_features() -> str:
+    """Reconstruct the P6 raster bytes arithmetically (raster byte i lives
+    at hex offset (i%16)*2 of md5('img:<doc>:<i//16>')) and aggregate the
+    same per-channel sums the real decoder produces."""
+    return f"""
+WITH bytes AS (
+  SELECT doc_id, i,
+         ('0x' || substr(md5('img:' || CAST(doc_id AS VARCHAR) || ':' ||
+                              CAST(i // 16 AS VARCHAR)),
+                         CAST((i % 16) * 2 + 1 AS INTEGER), 2))::BIGINT AS val
+  FROM documents
+  CROSS JOIN (SELECT unnest(range({codecs.PPM_PIXEL_BYTES})) AS i) ii
+)
+SELECT doc_id,
+       CAST({codecs.IMG_W} AS INTEGER) AS width,
+       CAST({codecs.IMG_H} AS INTEGER) AS height,
+       CAST(SUM(CASE WHEN i % 3 = 0 THEN val ELSE 0 END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN i % 3 = 1 THEN val ELSE 0 END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN i % 3 = 2 THEN val ELSE 0 END) AS BIGINT) AS sum_b
+FROM bytes GROUP BY doc_id
+"""
+
+
 @register(
     "multimodal_features",
     category="multimodal",
-    doc="mapInPandas feature extraction over binary payloads (stubbed "
-    "decoder, deterministic fake) — rows-only check; batch shape and "
-    "schema are the real contract. Feature vector flattened to scalar "
-    "columns for the driver (array cells crash its canonicalizer).",
-    oracle=None,
+    doc="REAL image decode + feature extraction over mapInPandas: each doc's "
+    "payload is a genuine binary-PPM (P6) file (md5-derived pixels behind a "
+    "real header), parsed by the pure-Python codec (multimodal/codecs.py — "
+    "header tokenizer, raster slice), features = parsed dimensions + "
+    "per-channel pixel sums. FULLY oracle-checked: DuckDB reconstructs the "
+    "raster bytes arithmetically and must agree with what the decoder read "
+    "from the actual file bytes.",
+    oracle=_oracle_ppm_features(),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feats = extract_features(media_table(spark, sf_dir))
-    return feats.select(
-        "doc_id",
-        "n_bytes",
-        F.element_at("feature", 1).alias("f0"),
-        F.element_at("feature", 2).alias("f1"),
-        F.round(F.element_at("feature", 3), 6).alias("f2"),
-    )
+    return extract_features(image_media_table(spark, sf_dir))
 
 
 @register(
@@ -249,56 +335,228 @@ def multimodal_dedup_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _raster_hex_sql(prefix_sql: str, n_blocks: int = None) -> str:
+    """Hex string of the md5-derived raster: concat of the md5 hex digests
+    themselves (md5 already returns lowercase hex — no unhex needed)."""
+    n = PPM_BLOCKS if n_blocks is None else n_blocks
+    return " || ".join(f"md5({prefix_sql} || ':{k}')" for k in range(n))
+
+
+def _oracle_resize_digest() -> str:
+    out_w = out_h = 4
+    hdr_out = f"P6\n{out_w} {out_h}\n255\n".encode()
+    picks = []
+    for r in range(out_h):
+        for c in range(out_w):
+            src = (
+                (r * codecs.IMG_H // out_h) * codecs.IMG_W
+                + (c * codecs.IMG_W // out_w)
+            ) * 3
+            picks.append(f"substr(rh, {src * 2 + 1}, 6)")
+    n_out = len(hdr_out) + out_w * out_h * 3
+    return f"""
+WITH rast AS (
+  SELECT doc_id, {_raster_hex_sql("'img:' || CAST(doc_id AS VARCHAR)")} AS rh
+  FROM documents
+)
+SELECT doc_id,
+       CAST({n_out} AS BIGINT) AS n_bytes_out,
+       md5('{hdr_out.hex()}' || {" || ".join(picks)}) AS resized_md5
+FROM rast
+"""
+
+
 @register(
     "multimodal_resize_digest",
     category="multimodal",
-    doc="Resize plumbing verified end-to-end: the Arrow mapInPandas resize "
-    "(deterministic-fake codec — truncate/pad byte stream to w*h pixels) "
-    "runs for real, and the output bytes are md5-digested so the oracle "
-    "replicates the byte arithmetic relationally. Proves batch shape, "
-    "schema, and byte-exact kernel behavior without PIL in the container.",
-    oracle="""
-SELECT doc_id,
-       CAST(64 AS BIGINT) AS n_bytes_out,
-       md5(substr(repeat(text, CAST(64 / greatest(length(text), 1) AS INTEGER) + 1),
-                  1, 64)) AS resized_md5
-FROM documents
-""",
+    doc="REAL image resize verified end-to-end: decode the genuine P6 "
+    "payload with the pure-Python codec, nearest-neighbor resample 8×8→4×4 "
+    "on actual pixels, re-encode as P6, md5 the hex of the output file. "
+    "The oracle reconstructs the resized payload byte-for-byte (header hex "
+    "literal + the 16 nearest-neighbor source picks over the md5-derived "
+    "raster) — decoder, resampler and encoder all byte-exact.",
+    oracle=_oracle_resize_digest(),
 )
 def multimodal_resize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    resized = resize_media(media_table(spark, sf_dir), width=8, height=8)
+    resized = resize_media(image_media_table(spark, sf_dir), width=4, height=4)
     return resized.select(
         "doc_id",
         "n_bytes_out",
-        F.md5(F.col("resized")).alias("resized_md5"),
+        F.md5(F.lower(F.hex(F.col("resized")))).alias("resized_md5"),
     )
+
+
+def _oracle_frame_digest() -> str:
+    kept = list(range(0, codecs.VIDEO_FRAMES, codecs.FRAME_SAMPLE_EVERY))
+    return f"""
+SELECT doc_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       md5('{codecs.PPM_HEADER.hex()}' ||
+           {_raster_hex_sql("'vid:' || CAST(doc_id AS VARCHAR) || ':' || CAST(f AS VARCHAR)")}
+       ) AS frame_md5
+FROM documents
+CROSS JOIN (SELECT unnest([{", ".join(str(f) for f in kept)}]) AS f) ff
+"""
 
 
 @register(
     "multimodal_frame_digest",
     category="multimodal",
-    doc="Frame-sampling plumbing verified end-to-end: the mapInPandas "
-    "flatMap (one media row → 4 stride-sliced 'frames') runs for real; "
-    "frame bytes are md5-digested and the oracle replicates the stride "
-    "slicing with substr arithmetic. The video-pipeline fan-out shape, "
-    "byte-exact.",
-    oracle="""
-SELECT doc_id,
-       CAST(i AS INTEGER) AS frame_idx,
-       md5(substr(text,
-                  i * (length(text) // 4) + 1,
-                  length(text) // 4)) AS frame_md5
-FROM documents
-CROSS JOIN (SELECT unnest(range(4)) AS i) idx
-""",
+    doc="REAL frame sampling verified end-to-end: each doc's payload is a "
+    f"genuine {codecs.VIDEO_FRAMES}-frame PPM stream (ffmpeg image2pipe "
+    "shape); the mapInPandas flatMap parses frame headers to find frame "
+    f"boundaries and keeps every {codecs.FRAME_SAMPLE_EVERY}nd frame; kept "
+    "frame files are md5-digested over their hex. The oracle reconstructs "
+    "each kept frame's bytes (header literal + md5-derived raster) — "
+    "stream parsing, sampling and fan-out all byte-exact.",
+    oracle=_oracle_frame_digest(),
 )
 def multimodal_frame_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    frames = sample_media_frames(media_table(spark, sf_dir), n_frames=4)
+    frames = sample_media_frames(video_media_table(spark, sf_dir))
     return frames.select(
         "doc_id",
         "frame_idx",
-        F.md5(F.col("frame")).alias("frame_md5"),
+        F.md5(F.lower(F.hex(F.col("frame")))).alias("frame_md5"),
     )
+
+
+def _oracle_audio_stats() -> str:
+    return f"""
+WITH h AS (
+  SELECT doc_id, k,
+         md5('wav:' || CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)) AS hx
+  FROM documents
+  CROSS JOIN (SELECT unnest(range({WAV_BLOCKS})) AS k) kk
+),
+s AS (
+  SELECT doc_id,
+         ('0x' || substr(hx, CAST(j * 4 + 1 AS INTEGER), 2))::BIGINT
+         + 256 * ('0x' || substr(hx, CAST(j * 4 + 3 AS INTEGER), 2))::BIGINT AS u
+  FROM h CROSS JOIN (SELECT unnest(range(8)) AS j) jj
+)
+SELECT doc_id,
+       CAST({codecs.WAV_RATE} AS INTEGER) AS sample_rate,
+       CAST({codecs.WAV_SAMPLES} AS INTEGER) AS n_samples,
+       CAST(SUM(CASE WHEN u >= 32768 THEN 65536 - u ELSE u END) AS BIGINT) AS sum_abs,
+       MAX(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS peak
+FROM s GROUP BY doc_id
+"""
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("sum_abs", T.LongType()),
+        T.StructField("peak", T.LongType()),
+    ]
+)
+
+
+@register(
+    "multimodal_audio_stats",
+    category="multimodal",
+    doc="REAL audio decode: each doc's payload is a genuine mono 16-bit PCM "
+    "WAV file (canonical 44-byte RIFF header + md5-derived samples), decoded "
+    "with the stdlib wave module inside mapInPandas; emits the sample rate "
+    "and frame count AS PARSED FROM THE REAL HEADER plus exact integer "
+    "sum(|sample|) and peak. FULLY oracle-checked: DuckDB reconstructs the "
+    "little-endian int16 samples from the md5 hex and must agree — header "
+    "parsing, PCM decode and sign handling all verified.",
+    oracle=_oracle_audio_stats(),
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = audio_media_table(spark, sf_dir)
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rates, counts, sums, peaks = [], [], [], []
+            for payload in pdf["payload"]:
+                rate, n, samples = codecs.decode_wav(payload)
+                rates.append(rate)
+                counts.append(n)
+                sums.append(sum(abs(s) for s in samples))
+                peaks.append(max(samples))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": rates,
+                    "n_samples": counts,
+                    "sum_abs": sums,
+                    "peak": peaks,
+                }
+            )
+
+    return media.mapInPandas(run, AUDIO_SCHEMA)
+
+
+def _oracle_bmp_roundtrip() -> str:
+    """Reconstruct the decoder's TOP-DOWN RGB output from the stored
+    bottom-up BGR rows: decoded pixel (r, c) channel R|G|B = stored raster
+    byte ((H-1-r)*rowbytes + c*3 + {{2|1|0}})."""
+    row_bytes = codecs.IMG_W * 3
+    picks = []
+    for r in range(codecs.IMG_H):
+        for c in range(codecs.IMG_W):
+            base = (codecs.IMG_H - 1 - r) * row_bytes + c * 3
+            for ch_off in (2, 1, 0):  # stored BGR → decoded RGB
+                picks.append(f"substr(rh, {(base + ch_off) * 2 + 1}, 2)")
+    return f"""
+WITH rast AS (
+  SELECT doc_id, {_raster_hex_sql("'bmp:' || CAST(doc_id AS VARCHAR)")} AS rh
+  FROM documents
+)
+SELECT doc_id,
+       CAST({codecs.IMG_W} AS INTEGER) AS width,
+       CAST({codecs.IMG_H} AS INTEGER) AS height,
+       md5(concat({", ".join(picks)})) AS decoded_md5
+FROM rast
+"""
+
+
+BMP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("decoded_md5", T.StringType()),
+    ]
+)
+
+
+@register(
+    "multimodal_bmp_roundtrip",
+    category="multimodal",
+    doc="REAL BMP decode: each doc's payload is a genuine 24-bit "
+    "uncompressed BMP (BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up BGR "
+    "rows); the pure-Python decoder parses the headers, undoes the row flip "
+    "and channel order, and the decoded top-down RGB raster is md5-digested "
+    "over its hex. FULLY oracle-checked: DuckDB reconstructs the decoded "
+    "raster with the flip/BGR index arithmetic — wrong header offsets, row "
+    "order or channel order would all fail the hash.",
+    oracle=_oracle_bmp_roundtrip(),
+)
+def multimodal_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = bmp_media_table(spark, sf_dir)
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            ws, hs, digests = [], [], []
+            for payload in pdf["payload"]:
+                w, h, rgb = codecs.decode_bmp(payload)
+                ws.append(w)
+                hs.append(h)
+                digests.append(__import__("hashlib").md5(rgb.hex().encode()).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "width": ws, "height": hs, "decoded_md5": digests}
+            )
+
+    return media.mapInPandas(run, BMP_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
