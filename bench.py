@@ -51,6 +51,53 @@ def main() -> None:
         for jrdd in list(jmap.values()):
             jrdd.unpersist(False)
 
+    def measure(name: str) -> float:
+        release_blocks()
+        t0 = time.perf_counter()
+        specs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    # PINNED COMPARABLE SUBSET — run FIRST (right after warmup, before the
+    # full sweep can pollute the JVM) at guaranteed min-of-3, immune to the
+    # time box. This is the round-over-round comparison protocol: same 25
+    # queries, same position in a fresh JVM, same pass count every round —
+    # so cross-round per-query deltas measure plans, not tail-position luck.
+    # DO NOT rotate members; add a new pinned list instead if families shift.
+    pinned = [
+        "flagship_rides_by_dim",
+        "star_join_enriched",
+        "pricing_summary_report",
+        "local_supplier_volume",
+        "scan_parquet_project",
+        "anti_join_new_keys",
+        "group_topk",
+        "window_running_sum",
+        "dedup_key_deterministic",
+        "dedup_minhash_lsh",
+        "similarity_topk_bruteforce",
+        "ann_lsh_bucketed",
+        "text_quality_score",
+        "bm25_topk_search",
+        "bpe_merge_table",
+        "curate_pack_sequences",
+        "sft_render_conversations",
+        "multimodal_features",
+        "stream_tumbling_window",
+        "cdc_merge_orders_state",
+        "versioned_table_time_travel",
+        "triangle_count_cosupply",
+        "pandas_udaf_weighted_mean",
+        "global_quartiles_exact",
+        "gap_fill_locf_daily",
+    ]
+    subset: dict[str, float] = {}
+    for _ in range(3):
+        for name in pinned:
+            if name not in specs:
+                continue
+            dt = measure(name)
+            subset[name] = round(min(subset.get(name, dt), dt), 3)
+
     # min over passes: steady-state per-query cost, robust to GC/JIT noise
     # from neighboring queries in the same JVM. TIME-BOXED: the first full
     # pass always completes (every query gets a number), then extra
@@ -61,18 +108,20 @@ def main() -> None:
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "420"))
     bench_start = time.monotonic()
     timings: dict[str, float] = {}
+    passes: dict[str, int] = {}
+    budget_cutoff: str | None = None
     for it in range(max_iters):
         for name in sorted(specs):
             # pass 1 always completes; re-measure passes stop mid-pass the
             # moment the budget runs out (those queries keep their pass-1
             # number — min-of-k degrades gracefully, never truncates output)
             if it > 0 and time.monotonic() - bench_start > budget_s:
+                if budget_cutoff is None:
+                    budget_cutoff = name
                 break
-            release_blocks()
-            t0 = time.perf_counter()
-            specs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            dt = time.perf_counter() - t0
+            dt = measure(name)
             timings[name] = round(min(timings.get(name, dt), dt), 3)
+            passes[name] = passes.get(name, 0) + 1
 
     # The driver captures only a bounded tail of stdout; a 105-query JSON
     # line (~5KB) gets truncated mid-line and fails to parse (BENCH_r01).
@@ -108,11 +157,20 @@ def main() -> None:
         "n_queries": len(timings),
         "queries": timings,
         "sf": sf_val,
+        "subset": subset,
+        "subset_total": round(sum(subset.values()), 3),
+        # methodology metadata: how many min-passes each query actually got
+        # (the time box can cut re-measure passes short) and where the
+        # budget ran out — so cross-run comparisons can tell budget
+        # truncation from real regressions.
+        "passes": passes,
+        "budget_cutoff": budget_cutoff,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
     compact = dict(full)
     compact["queries"] = {q: timings[q] for q in headline if q in timings}
+    del compact["passes"]  # full map lives in BENCH_FULL.json; keep line compact
     print(json.dumps(compact))
     spark.stop()
 

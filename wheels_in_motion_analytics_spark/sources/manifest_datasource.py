@@ -130,8 +130,13 @@ class ManifestWriter(DataSourceWriter):
                 existing = _json.load(f)
             existing.update(merged)
             merged = existing
-        with open(self.path, "w") as f:
+        # atomic commit: write beside the target, then os.replace — a driver
+        # crash mid-commit leaves either the old manifest or the new one,
+        # never a torn file (task staging above only covers task failures)
+        tmp = f"{self.path}.commit-{os.getpid()}"
+        with open(tmp, "w") as f:
             _json.dump(merged, f, sort_keys=True)
+        os.replace(tmp, self.path)
 
     def abort(self, messages) -> None:
         import os

@@ -157,5 +157,14 @@ def run_stream_upsert(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    return spark.read.parquet(os.path.join(target, "data"))
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow upsert stream did not finish in 300s")
+    # materialize the final state, then reclaim the staged copies — each
+    # bench/driver invocation would otherwise leak three temp dirs
+    import shutil
+
+    final = spark.read.parquet(os.path.join(target, "data")).localCheckpoint()
+    for d in (stage, target, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    return final

@@ -169,7 +169,12 @@ def stream_stateful_running_totals(spark, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow stateful stream did not finish in 300s")
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)  # memory sink already holds the result
     emitted = spark.sql(f"SELECT * FROM {name}")
     # final state per user = the row with the largest n_events (emissions
     # are monotone in both fields)

@@ -329,5 +329,10 @@ def stream_complete_mode_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow complete-mode stream did not finish in 300s")
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)  # memory sink already holds the result
     return spark.sql(f"SELECT event_type, n_events, sum_cents FROM {name}")
