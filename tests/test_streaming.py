@@ -474,3 +474,36 @@ def test_stream_upsert_state_independent_of_batch_boundaries(spark):
     # 2/3 of keys got the v2 final, the rest stay at the v1 placeholder
     versions = {r["version"] for r in split.collect()}
     assert versions == {1, 2}
+
+
+def test_dedup_within_watermark_drops_cross_batch_duplicates(spark):
+    """The real dropDuplicatesWithinWatermark run must emit exactly the
+    batch DISTINCT of the slice even though the staged stream contains the
+    full slice twice (separate micro-batches) plus an intra-batch duplicate
+    half — i.e. cross-micro-batch duplicates are dropped from
+    watermark-retained state, and nothing is double-emitted."""
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_SMALL
+    from wheels_in_motion_analytics_spark.registry import load_all_queries
+    from wheels_in_motion_analytics_spark.tables import table
+
+    out = load_all_queries()["stream_dedup_within_watermark"].fn(spark, SF_SMALL)
+    emitted = [(r.user_id, r.event_type, r.ts, r.cents) for r in out.collect()]
+    expected = {
+        (r.user_id, r.event_type, r.ts, r.cents)
+        for r in (
+            table(spark, SF_SMALL, "events")
+            .where(F.col("user_id") % 10 == 0)
+            .select(
+                "user_id",
+                "event_type",
+                "ts",
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+            )
+            .distinct()
+            .collect()
+        )
+    }
+    assert len(emitted) == len(set(emitted)), "duplicate rows emitted"
+    assert set(emitted) == expected

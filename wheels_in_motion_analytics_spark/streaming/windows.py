@@ -180,6 +180,77 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "events").select("user_id", "event_type", "event_id").distinct()
 
 
+@register(
+    "stream_dedup_within_watermark",
+    category="streaming",
+    doc="dropDuplicatesWithinWatermark run FOR REAL: a duplicated events "
+    "slice (the full slice staged twice, plus an intra-file duplicate "
+    "half) streams as multiple file micro-batches under trigger "
+    "availableNow; duplicates arriving in LATER micro-batches are dropped "
+    "because their keys are still inside the watermark-retained state — "
+    "the operator's raison d'être vs plain dropDuplicates, whose state "
+    "never expires. The 60-day watermark exceeds the corpus span, so "
+    "every duplicate is in-state and the emitted append stream equals the "
+    "batch DISTINCT — fully oracle-checked. State at 100 TB is bounded by "
+    "keys-per-watermark-window, not corpus size.",
+    oracle="""
+SELECT DISTINCT user_id, event_type, ts,
+       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+FROM events
+WHERE user_id % 10 = 0
+""",
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    base = (
+        table(spark, sf_dir, "events")
+        .where(F.col("user_id") % 10 == 0)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        )
+    )
+    stage = tempfile.mkdtemp(prefix="dedup_wm_src_")
+    # file 1: the slice + an intra-batch duplicate half; file 2: the whole
+    # slice again — with maxFilesPerTrigger=1 the second copy arrives as a
+    # separate micro-batch and must be dropped from watermark state
+    base.unionAll(base.where(F.col("user_id") % 20 == 0)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(stage, "f1"))
+    base.coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, "f2"))
+
+    ckpt = tempfile.mkdtemp(prefix="dedup_wm_ckpt_")
+    name = f"dedup_wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.schema("user_id BIGINT, event_type STRING, ts TIMESTAMP, cents BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(stage, "*"))
+        .withWatermark("ts", "60 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "ts", "cents"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow dedup-within-watermark stream did not finish in 300s")
+    final = spark.sql(
+        f"SELECT user_id, event_type, CAST(ts AS TIMESTAMP_NTZ) AS ts, cents FROM {name}"
+    ).localCheckpoint()
+    for d in (stage, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    return final
+
+
 def ohlc_agg(df: DataFrame, ts: str = "ts") -> DataFrame:
     """5-minute OHLC bars per event type — open/close via min_by/max_by on
     an anchored wall-clock microsecond key (mergeable aggregates, so the
