@@ -1,0 +1,70 @@
+"""Tests for the custom Python streaming DataSource (synthetic tick feed)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_SMALL
+from wheels_in_motion_analytics_spark.registry import load_all_queries
+from wheels_in_motion_analytics_spark.sources.stream_datasource import (
+    TICKS_PER_BATCH,
+    TICKS_SPLITS,
+    TICKS_TOTAL,
+    SyntheticTicksStreamReader,
+    register_ticks_source,
+    tick_row,
+)
+
+
+def test_partitions_tile_offset_range_exactly():
+    """partitions() must cover [start, end) with no gaps or overlaps — the
+    engine commits `end` as the batch offset, so a hole would lose rows."""
+    r = SyntheticTicksStreamReader()
+    parts = r.partitions({"seq": 0}, {"seq": TICKS_TOTAL})
+    assert parts[0].start == 0 and parts[-1].end == TICKS_TOTAL
+    for a, b in zip(parts, parts[1:]):
+        assert a.end == b.start
+    assert len(parts) >= TICKS_SPLITS
+    # ragged range still tiles exactly
+    parts = r.partitions({"seq": 37}, {"seq": 1003})
+    assert parts[0].start == 37 and parts[-1].end == 1003
+    assert all(a.end == b.start for a, b in zip(parts, parts[1:]))
+    assert all(p.end - p.start <= TICKS_PER_BATCH // TICKS_SPLITS for p in parts)
+
+
+def test_stream_read_yields_every_tick_exactly_once(spark):
+    """Raw availableNow read of the custom source: all TICKS_TOTAL rows,
+    each exactly once, with the deterministic md5-derived content."""
+    import tempfile
+    import uuid
+
+    register_ticks_source(spark)
+    name = f"ticks_raw_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("synthetic_ticks")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ticks_raw_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    rows = spark.sql(f"SELECT seq, bucket, cents FROM {name}").collect()
+    assert len(rows) == TICKS_TOTAL
+    got = {(r.seq, r.bucket, r.cents) for r in rows}
+    assert got == {tick_row(i) for i in range(TICKS_TOTAL)}
+
+
+def test_registered_query_matches_batch_recompute(spark):
+    out = {
+        r.bucket: (r.n_ticks, r.sum_cents)
+        for r in load_all_queries()["python_stream_datasource_read"].fn(spark, SF_SMALL).collect()
+    }
+    exp: dict[int, list[int]] = {}
+    for i in range(TICKS_TOTAL):
+        _, b, c = tick_row(i)
+        n, s = exp.get(b, (0, 0))
+        exp[b] = (n + 1, s + c)
+    assert out == exp

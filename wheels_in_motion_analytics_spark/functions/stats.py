@@ -662,3 +662,190 @@ def mann_whitney_u_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         u1.alias("u1"),
         F.round((u1 - mu) / F.sqrt(sig2), 6).alias("z"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-feature OLS via aggregated normal equations (distributed learning
+# as ONE mergeable aggregate)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "linreg_normal_equations",
+    category="stats",
+    doc="Multi-feature ordinary least squares fit WITHOUT any iterative "
+    "solver or driver-side data: y = extended price (cents) on x1 = "
+    "quantity, x2 = discount(%), via the normal equations. The entire "
+    "training pass is ONE map-side-combinable aggregate producing the "
+    "exact integer moment matrix (n, Σx1, Σx2, Σy, Σx1², Σx1x2, Σx2², "
+    "Σx1y, Σx2y, Σy²) on integer grids — at 100 TB this is a single "
+    "partial-agg scan, the same shape as count(*). The 3×3 solve is "
+    "Cramer's rule over those exact moments as a fixed closed-form "
+    "expression (identical IEEE arithmetic on both engines), so "
+    "coefficients + R² are fully oracle-checked. The standard trick for "
+    "fitting small linear models on cluster-scale data.",
+    oracle="""
+WITH m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s11,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS s12,
+         CAST(SUM(CAST(floor(l_discount * 100 + 0.5) AS BIGINT) * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS s22,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS s1y,
+         CAST(SUM(CAST(floor(l_discount * 100 + 0.5) AS BIGINT) * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS s2y,
+         CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) AS syy
+  FROM lineitem
+),
+solved AS (
+  SELECT n, sy, syy,
+         (n * (s11 * s22 - s12 * s12)
+          - s1 * (s1 * s22 - s12 * s2)
+          + s2 * (s1 * s12 - s11 * s2)) AS det,
+         (sy * (s11 * s22 - s12 * s12)
+          - s1 * (s1y * s22 - s12 * s2y)
+          + s2 * (s1y * s12 - s11 * s2y)) AS det0,
+         (n * (s1y * s22 - s12 * s2y)
+          - sy * (s1 * s22 - s12 * s2)
+          + s2 * (s1 * s2y - s1y * s2)) AS det1,
+         (n * (s11 * s2y - s1y * s12)
+          - s1 * (s1 * s2y - s1y * s2)
+          + sy * (s1 * s12 - s11 * s2)) AS det2,
+         s1y, s2y, s1, s2
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       round(det0 / det, 4) AS beta0,
+       round(det1 / det, 4) AS beta1,
+       round(det2 / det, 4) AS beta2,
+       round(1 - (syy - (det0 / det) * sy - (det1 / det) * s1y - (det2 / det) * s2y)
+                 / (syy - sy * sy / n), 6) AS r2
+FROM solved
+""",
+)
+def linreg_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    x1 = F.col("l_quantity").cast("bigint")
+    x2 = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")
+    y = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    m = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x1).cast("double").alias("s1"),
+        F.sum(x2).cast("double").alias("s2"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x1 * x1).cast("double").alias("s11"),
+        F.sum(x1 * x2).cast("double").alias("s12"),
+        F.sum(x2 * x2).cast("double").alias("s22"),
+        F.sum(x1 * y).cast("double").alias("s1y"),
+        F.sum(x2 * y).cast("double").alias("s2y"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    c = F.col
+    minor0 = c("s11") * c("s22") - c("s12") * c("s12")
+    det = (
+        c("n") * minor0
+        - c("s1") * (c("s1") * c("s22") - c("s12") * c("s2"))
+        + c("s2") * (c("s1") * c("s12") - c("s11") * c("s2"))
+    )
+    det0 = (
+        c("sy") * minor0
+        - c("s1") * (c("s1y") * c("s22") - c("s12") * c("s2y"))
+        + c("s2") * (c("s1y") * c("s12") - c("s11") * c("s2y"))
+    )
+    det1 = (
+        c("n") * (c("s1y") * c("s22") - c("s12") * c("s2y"))
+        - c("sy") * (c("s1") * c("s22") - c("s12") * c("s2"))
+        + c("s2") * (c("s1") * c("s2y") - c("s1y") * c("s2"))
+    )
+    det2 = (
+        c("n") * (c("s11") * c("s2y") - c("s1y") * c("s12"))
+        - c("s1") * (c("s1") * c("s2y") - c("s1y") * c("s2"))
+        + c("sy") * (c("s1") * c("s12") - c("s11") * c("s2"))
+    )
+    b0, b1, b2 = det0 / det, det1 / det, det2 / det
+    ss_res = c("syy") - b0 * c("sy") - b1 * c("s1y") - b2 * c("s2y")
+    ss_tot = c("syy") - c("sy") * c("sy") / c("n")
+    return m.select(
+        c("n").cast("bigint").alias("n_rows"),
+        F.round(b0, 4).alias("beta0"),
+        F.round(b1, 4).alias("beta1"),
+        F.round(b2, 4).alias("beta2"),
+        F.round(F.lit(1) - ss_res / ss_tot, 6).alias("r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Entropy / mutual information — column-dependence profiling
+# --------------------------------------------------------------------------
+
+
+@register(
+    "column_entropy_mi",
+    category="stats",
+    doc="Column-dependence profile of (o_orderpriority, o_orderstatus): "
+    "Shannon entropies H(X), H(Y), joint H(X,Y) and mutual information "
+    "I(X;Y) = H(X)+H(Y)−H(X,Y), all in nats from EXACT integer cell "
+    "counts (one groupBy over the pair — the contingency relation is "
+    "k₁×k₂ cells regardless of corpus size). Each p·ln(p) term is rounded "
+    "in isolation (the one libm call — same discipline as psi_price_drift) "
+    "and the k-term sums accumulate in DECIMAL, so the result is "
+    "cross-engine exact. The profiling primitive behind feature-redundancy "
+    "and leakage audits on training tables.",
+    oracle="""
+WITH cells AS (
+  SELECT o_orderpriority AS x, o_orderstatus AS y, COUNT(*) AS c
+  FROM orders GROUP BY 1, 2
+),
+tot AS (SELECT SUM(c) AS n FROM cells),
+hx AS (
+  SELECT CAST(SUM(CAST(round(-(CAST(cx AS DOUBLE) / n) * round(ln(CAST(cx AS DOUBLE) / n), 9), 9) AS DECIMAL(18,9))) AS DOUBLE) AS h
+  FROM (SELECT x, SUM(c) AS cx FROM cells GROUP BY x) g CROSS JOIN tot
+),
+hy AS (
+  SELECT CAST(SUM(CAST(round(-(CAST(cy AS DOUBLE) / n) * round(ln(CAST(cy AS DOUBLE) / n), 9), 9) AS DECIMAL(18,9))) AS DOUBLE) AS h
+  FROM (SELECT y, SUM(c) AS cy FROM cells GROUP BY y) g CROSS JOIN tot
+),
+hxy AS (
+  SELECT CAST(SUM(CAST(round(-(CAST(c AS DOUBLE) / n) * round(ln(CAST(c AS DOUBLE) / n), 9), 9) AS DECIMAL(18,9))) AS DOUBLE) AS h
+  FROM cells CROSS JOIN tot
+)
+SELECT round(hx.h, 6) AS h_x,
+       round(hy.h, 6) AS h_y,
+       round(hxy.h, 6) AS h_xy,
+       round(hx.h + hy.h - hxy.h, 6) AS mutual_information
+FROM hx, hy, hxy
+""",
+)
+def column_entropy_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cells = (
+        o.groupBy(F.col("o_orderpriority").alias("x"), F.col("o_orderstatus").alias("y"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()  # three entropy consumers below share the cells
+    )
+    tot = cells.agg(F.sum("c").alias("n"))
+
+    def entropy(counts: DataFrame, col: str) -> DataFrame:
+        p = F.col(col).cast("double") / F.col("n")
+        term = F.round(-p * F.round(F.log(p), 9), 9)
+        return (
+            counts.crossJoin(F.broadcast(tot))
+            .select(term.cast("decimal(18,9)").alias("t"))
+            .agg(F.sum("t").cast("double").alias("h"))
+        )
+
+    hx = entropy(cells.groupBy("x").agg(F.sum("c").alias("cx")), "cx")
+    hy = entropy(cells.groupBy("y").agg(F.sum("c").alias("cy")), "cy")
+    hxy = entropy(cells, "c")
+    return (
+        hx.select(F.col("h").alias("h_x"))
+        .crossJoin(hy.select(F.col("h").alias("h_y")))
+        .crossJoin(hxy.select(F.col("h").alias("h_xy")))
+        .select(
+            F.round("h_x", 6).alias("h_x"),
+            F.round("h_y", 6).alias("h_y"),
+            F.round("h_xy", 6).alias("h_xy"),
+            F.round(F.col("h_x") + F.col("h_y") - F.col("h_xy"), 6).alias("mutual_information"),
+        )
+    )
