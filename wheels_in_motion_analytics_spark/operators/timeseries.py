@@ -765,3 +765,91 @@ def late_data_bar_restatement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_late") > 0)
     )
+
+
+# --------------------------------------------------------------------------
+# Classical seasonal decomposition (trend + day-of-week seasonality +
+# residual) — the time-series profiling primitive, fully relational
+# --------------------------------------------------------------------------
+
+
+@register(
+    "seasonal_decompose_daily",
+    category="timeseries",
+    doc="Classical additive seasonal decomposition of daily order revenue: "
+    "trend = centered 7-day moving average (integer RANGE frame over day "
+    "numbers — exact BIGINT cent sums / counts, one shuffle), seasonal = "
+    "per-day-of-week mean of the detrended series, residual = remainder. "
+    "All means are ratios of exact integers or DECIMAL-accumulated 4-dp "
+    "terms, so the decomposition is cross-engine exact. The profiling "
+    "primitive behind anomaly detection and forecast baselining; at 100 TB "
+    "the input to the windows is the DAILY aggregate (≤ a few k rows per "
+    "year), never fact rows.",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS dn,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+),
+tr AS (
+  SELECT d, dn, cents,
+         round(CAST(SUM(cents) OVER w AS DOUBLE) / COUNT(*) OVER w, 4) AS trend
+  FROM daily
+  WINDOW w AS (ORDER BY dn RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+  SELECT d, dn, cents, trend,
+         CAST(round(cents - trend, 4) AS DECIMAL(18,4)) AS detr,
+         (dayofweek(d) + 1) % 7 AS dow
+  FROM tr
+),
+seas AS (
+  SELECT dow,
+         round(CAST(SUM(detr) AS DOUBLE) / COUNT(*), 4) AS seasonal
+  FROM det GROUP BY dow
+)
+SELECT det.d AS order_date, cents AS revenue_cents, trend, seasonal,
+       round(CAST(detr AS DOUBLE) - seasonal, 4) AS residual
+FROM det JOIN seas ON det.dow = seas.dow
+""",
+)
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents")
+        )
+        .withColumn("dn", F.datediff(F.col("d"), F.lit("1995-01-01").cast("date")))
+    )
+    w = Window.orderBy("dn").rangeBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "cents",
+        F.round(F.sum("cents").over(w).cast("double") / F.count(F.lit(1)).over(w), 4).alias(
+            "trend"
+        ),
+    )
+    det = tr.select(
+        "d",
+        "cents",
+        "trend",
+        F.round(F.col("cents") - F.col("trend"), 4).cast("decimal(18,4)").alias("detr"),
+        F.dayofweek("d").alias("dow"),  # Spark: Sunday=1 ... DuckDB handled in oracle
+    ).localCheckpoint()  # seasonal + final join both read this
+    seas = det.groupBy("dow").agg(
+        F.round(F.sum("detr").cast("double") / F.count(F.lit(1)), 4).alias("seasonal")
+    )
+    return (
+        det.join(F.broadcast(seas), "dow")
+        .select(
+            F.col("d").alias("order_date"),
+            F.col("cents").alias("revenue_cents"),
+            "trend",
+            "seasonal",
+            F.round(F.col("detr").cast("double") - F.col("seasonal"), 4).alias("residual"),
+        )
+    )
