@@ -184,3 +184,36 @@ def udtf_expand_installments(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL installments_udtf(o.o_orderkey, o.o_totalprice) i
         """
     )
+
+
+@register(
+    "arrow_python_udf_bucket",
+    category="udf",
+    doc="Arrow-OPTIMIZED scalar Python UDF (@udf(useArrow=True), Spark "
+    "3.5+): the same bucketing logic as the row-at-a-time anti-pattern "
+    "exhibit, but serialized as Arrow batches instead of pickled rows — "
+    "the drop-in mitigation tier between a row UDF and a pandas UDF "
+    "(completes the Python-UDF tier matrix: row / arrow-scalar / "
+    "pandas-scalar / pandas-agg / grouped-map / mapInArrow / "
+    "applyInArrow / UDTF). Same oracle as the row exhibit — benchmark "
+    "the pair to see the serialization tax in isolation.",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 200000 THEN 'high'
+            WHEN o_totalprice > 50000 THEN 'mid'
+            ELSE 'low' END AS bucket
+FROM orders
+""",
+)
+def arrow_python_udf_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.udf("string", useArrow=True)
+    def bucket(price: float) -> str:
+        if price > 200000:
+            return "high"
+        if price > 50000:
+            return "mid"
+        return "low"
+
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey", bucket("o_totalprice").alias("bucket")
+    )
