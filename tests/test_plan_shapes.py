@@ -455,3 +455,73 @@ def test_two_phase_rank_queries_have_no_single_partition_stage(spark, name):
             continue
         below = "\n".join(lines[i + 1 : i + 3])
         assert "partial_" in below, plan[:2000]
+
+
+def test_linreg_single_aggregate_scan(spark):
+    """The OLS fit must be ONE partial+final aggregate over the scan — no
+    joins, no sorts, no extra shuffles (the moment-matrix shape that makes
+    it a count(*)-cost training pass at 100 TB)."""
+    plan = plan_of(spark, "linreg_normal_equations")
+    assert plan.count("HashAggregate") >= 2
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "Sort "):
+        assert op not in plan, f"unexpected {op} in linreg plan"
+
+
+def test_bitmap_rollup_partial_final_aggregates(spark):
+    """Bitmap distinct rollup: map-side-combinable aggregates at every
+    level (month-bucket build, year OR-merge, final sum) — never an
+    expand-based exact distinct over fact rows."""
+    plan = plan_of(spark, "bitmap_distinct_rollup")
+    # bitmap_construct_agg/or_agg compile to Sort/ObjectHashAggregate pairs
+    n_aggs = (
+        plan.count("HashAggregate")
+        + plan.count("ObjectHashAggregate")
+        + plan.count("SortAggregate")
+    )
+    assert n_aggs >= 4, plan
+    assert "Expand" not in plan  # countDistinct's expand shape would scan-blow
+
+
+def test_blocked_bruteforce_cross_join_only_on_chunked_relations(spark):
+    """The exact-similarity block plan may cartesian only the B-row chunked
+    relations (each side is a collect_list aggregate), never raw vectors:
+    the join inputs must be aggregates."""
+    plan = plan_of(spark, "similarity_topk_bruteforce")
+    assert "collect_list" in plan
+    # cells = crossJoin of two aggregated sides; the python runner consumes it
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+
+
+def test_ivf_relational_cell_ranking_broadcasts_centroids(spark):
+    """IVF cell ranking must broadcast the 16-row centroid relation into
+    the crossJoin (the registered query localCheckpoints the ranking, so
+    inspect the pre-checkpoint subplan directly); the post-checkpoint
+    candidate/re-rank joins must be hash joins, never cartesian."""
+    import pyspark.sql.functions as F
+
+    from wheels_in_motion_analytics_spark.functions.ivf_artifact import (
+        IVF_FROZEN_CENTROIDS,
+    )
+    from wheels_in_motion_analytics_spark.functions.similarity import (
+        _norm_vectors_of,
+        dot,
+    )
+    from wheels_in_motion_analytics_spark.tables import table
+
+    vectors = table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    cdf = spark.createDataFrame(
+        [(c, [float(v) for v in row]) for c, row in enumerate(IVF_FROZEN_CENTROIDS)],
+        "cell INT, cvec ARRAY<DOUBLE>",
+    )
+    sims = (
+        _norm_vectors_of(vectors)
+        .crossJoin(F.broadcast(cdf))
+        .select("vec_id", "cell", (dot(F.col("e"), F.col("cvec")) / F.col("nrm")).alias("sim"))
+    )
+    subplan = sims._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in subplan
+    assert "CartesianProduct" not in subplan
+
+    plan = plan_of(spark, "ann_ivf_cells")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
