@@ -525,3 +525,22 @@ def test_ivf_relational_cell_ranking_broadcasts_centroids(spark):
     plan = plan_of(spark, "ann_ivf_cells")
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_inverted_index_lookup_prunes_partitions(spark):
+    """The index-backed lookup must scan ONLY the query terms' first-letter
+    partitions of the persisted postings index — partition pruning is the
+    whole point of the serving artifact."""
+    from wheels_in_motion_analytics_spark.functions.indexing import (
+        INDEX_QUERY_TERMS,
+        ensure_inverted_index,
+    )
+
+    ensure_inverted_index(spark, SF_SMALL)
+    plan = plan_of(spark, "inverted_index_lookup")
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "term_pfx" in m.group(1), plan
+    # and the scan's data filter carries the exact terms
+    assert all(t[0] in m.group(1) for t in INDEX_QUERY_TERMS), m.group(1)
