@@ -82,3 +82,65 @@ def test_contrastive_pairs_structure(spark):
         n_with_pos += n_pos
         assert sum(1 for r in rs if not r.is_pos) == CONTRASTIVE_NEGS
     assert n_with_pos >= 0.95 * len(per_anchor)  # batches are label-dense
+
+
+def test_covariance_matrix_matches_numpy(spark):
+    """Exact covariance cells equal a local numpy recompute on the same
+    quantized grid (bit-exact sums, 10-dp rounded assembly)."""
+    import numpy as np
+
+    from tests.conftest import SF_SMALL
+    from wheels_in_motion_analytics_spark.functions.embeddings import (
+        COV_GRID,
+        covariance_matrix,
+    )
+    from wheels_in_motion_analytics_spark.registry import load_all_queries
+    from wheels_in_motion_analytics_spark.tables import table
+
+    rows = covariance_matrix(spark, SF_SMALL).collect()
+    e = np.stack(
+        [
+            np.asarray(r.embedding, dtype="float64")
+            for r in table(spark, SF_SMALL, "embeddings").select("embedding").collect()
+        ]
+    )
+    q = np.floor(e * COV_GRID + 0.5).astype("int64")
+    n = len(q)
+    outer = (q.T @ q).astype("float64")
+    sx = q.sum(axis=0).astype("float64")
+    cov = (outer - np.outer(sx, sx) / n) / n / float(COV_GRID) ** 2
+    for r in rows:
+        assert r.cov == round(cov[r.i, r.j], 10), (r.i, r.j)
+
+
+def test_pca_power_iteration_matches_eigh(spark):
+    """The audited PCA's implied top eigenvalue must agree with
+    numpy.linalg.eigh on the same covariance matrix (the oracle only sees
+    the verdicts; this pins the solver itself)."""
+    import hashlib
+
+    import numpy as np
+
+    from tests.conftest import SF_SMALL
+    from wheels_in_motion_analytics_spark.functions.embeddings import (
+        COV_DIM,
+        PCA_ITERS,
+        covariance_matrix,
+    )
+
+    A = np.zeros((COV_DIM, COV_DIM))
+    for r in covariance_matrix(spark, SF_SMALL).collect():
+        A[r.i, r.j] = r.cov
+    v = np.array(
+        [
+            int(hashlib.md5(f"pca:{d}".encode()).hexdigest()[:8], 16) / float(1 << 32)
+            for d in range(COV_DIM)
+        ]
+    )
+    v /= np.linalg.norm(v)
+    for _ in range(PCA_ITERS):
+        w = A @ v
+        v = w / np.linalg.norm(w)
+    lam = float(v @ (A @ v))
+    top = float(np.linalg.eigh(A)[0][-1])
+    assert abs(lam - top) <= 1e-6 * top
