@@ -95,3 +95,53 @@ def test_compaction_shrinks_files_preserves_content_and_history(
     # history intact: the pre-compaction version still reads its 10 files
     assert manifest_file_count(root, v_before) == 10
     assert read_version(spark, root, v_before).count() == len(rows_before)
+
+
+def test_branch_merge_surfaces_conflicts_and_branch_wins(spark, tmp_path):
+    """Three-way merge with a genuine divergence: both main and branch
+    rewrite the same key after the fork — the key must surface as a
+    conflict and the merged state must carry the BRANCH's value
+    (documented branch-wins resolution); keys touched on only one side
+    merge cleanly."""
+    import pyspark.sql.functions as F
+
+    from wheels_in_motion_analytics_spark.sources.versioned import (
+        commit,
+        create_branch,
+        merge_branch,
+    )
+
+    root = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 100), (2, "b", 200), (3, "c", 300)], "k INT, name STRING, v INT"
+    )
+    commit(base, root, mode="overwrite")
+    create_branch(root, "fix")
+    # main rewrites k=1 and adds k=4
+    commit(
+        spark.createDataFrame(
+            [(1, "a", 111), (2, "b", 200), (3, "c", 300), (4, "d", 400)],
+            "k INT, name STRING, v INT",
+        ),
+        root,
+        mode="overwrite",
+    )
+    # branch rewrites k=1 (conflict with main) and k=3 (clean), drops k=2
+    import os
+
+    commit(
+        spark.createDataFrame(
+            [(1, "a", 999), (3, "c", 333)], "k INT, name STRING, v INT"
+        ),
+        os.path.join(root, "branches", "fix"),
+        mode="overwrite",
+    )
+    merged, conflicts = merge_branch(spark, root, "fix", "k")
+    assert [r.k for r in conflicts.collect()] == [1]
+    state = {r.k: (r.name, r.v) for r in merged.collect()}
+    assert state == {
+        1: ("a", 999),  # conflict: branch wins
+        3: ("c", 333),  # branch-only change applied
+        4: ("d", 400),  # main-only addition kept
+        # 2 deleted by the branch
+    }

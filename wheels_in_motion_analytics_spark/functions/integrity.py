@@ -450,3 +450,55 @@ def masked_customer_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_mktsegment",
         )
     )
+
+
+@register(
+    "k_anonymity_audit",
+    category="integrity",
+    doc="k-anonymity audit of the customer table under the quasi-identifier "
+    "(nation, market segment, account-balance decile): equivalence-class "
+    "sizes from one groupBy, per-class k, the anonymity verdict (k >= 5), "
+    "and the share of customers at risk — the re-identification audit run "
+    "before releasing a 'de-identified' extract (pairs with "
+    "masked_customer_view / pii_redact / gdpr_erasure_audit as the "
+    "governance suite). One shuffle on the QI tuple at any scale.",
+    oracle="""
+WITH qi AS (
+  SELECT c_nationkey,
+         c_mktsegment,
+         least(CAST(floor(c_acctbal / 1200.0) AS INTEGER), 9) AS bal_decile
+  FROM customer
+),
+classes AS (
+  SELECT c_nationkey, c_mktsegment, bal_decile, COUNT(*) AS k
+  FROM qi GROUP BY 1, 2, 3
+),
+tot AS (SELECT CAST(SUM(k) AS DOUBLE) AS n FROM classes)
+SELECT c_nationkey, c_mktsegment, bal_decile, k,
+       k >= 5 AS k_anonymous,
+       round(CASE WHEN k < 5 THEN k / n ELSE 0 END, 6) AS at_risk_share
+FROM classes CROSS JOIN tot
+""",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qi = table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.least(F.floor(F.col("c_acctbal") / 1200.0).cast("int"), F.lit(9)).alias(
+            "bal_decile"
+        ),
+    )
+    classes = qi.groupBy("c_nationkey", "c_mktsegment", "bal_decile").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    tot = classes.agg(F.sum("k").cast("double").alias("n"))
+    return classes.crossJoin(F.broadcast(tot)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "bal_decile",
+        "k",
+        (F.col("k") >= 5).alias("k_anonymous"),
+        F.round(
+            F.when(F.col("k") < 5, F.col("k") / F.col("n")).otherwise(F.lit(0.0)), 6
+        ).alias("at_risk_share"),
+    )

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -175,9 +176,7 @@ def versioned_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
-            .cast("double")
-            .alias("total_value"),
+            F.sum("cents").alias("total_cents"),
         )
     )
 
@@ -425,3 +424,158 @@ def versioned_compact_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     before = audit("before").localCheckpoint()  # pin pre-compact answer
     compact(spark, root, target_files=3)
     return before.unionByName(audit("after"))
+
+
+# --------------------------------------------------------------------------
+# Branch / three-way merge — git-for-data on top of the commit log
+# --------------------------------------------------------------------------
+
+
+def create_branch(root: str, name: str, at: int | None = None) -> str:
+    """Create a zero-copy branch ref at ``at`` (default: current head).
+
+    A branch is its own commit log rooted under ``branches/<name>`` whose
+    base manifest only RECORDS the fork point — no data files move; branch
+    commits stage new immutable files beside it like any commit."""
+    base_version = current_version(root) if at is None else at
+    broot = os.path.join(root, "branches", name)
+    os.makedirs(_log_dir(broot), exist_ok=True)
+    os.makedirs(_data_dir(broot), exist_ok=True)
+    manifest = {"version": 1, "mode": "branch-base", "files": [], "base_version": base_version}
+    final = os.path.join(_log_dir(broot), "v1.json")
+    fd, tmp = tempfile.mkstemp(dir=_log_dir(broot), suffix=".tmp")
+    with os.fdopen(fd, "w") as fh:
+        json.dump(manifest, fh)
+    if os.path.exists(final):
+        os.unlink(tmp)
+        raise VersionConflict(f"branch {name} already exists")
+    os.rename(tmp, final)
+    return broot
+
+
+def branch_base_version(root: str, name: str) -> int:
+    return _manifest(os.path.join(root, "branches", name), 1)["base_version"]
+
+
+def read_branch(spark: SparkSession, root: str, name: str) -> DataFrame:
+    """Branch head state: the latest branch overwrite commit, else the
+    fork-point snapshot of the main log."""
+    broot = os.path.join(root, "branches", name)
+    head = current_version(broot)
+    if head > 1:
+        return read_version(spark, broot, head)
+    return read_version(spark, root, branch_base_version(root, name))
+
+
+def merge_branch(
+    spark: SparkSession, root: str, name: str, key: str
+) -> tuple[DataFrame, DataFrame]:
+    """Three-way keyed merge of a branch into the CURRENT main head.
+
+    base = fork-point snapshot, ours = main head, theirs = branch head.
+    Row-level diffs vs base classify each side's touched keys (changed,
+    added, deleted — all relational anti-joins on an md5 row fingerprint);
+    merged = ours with theirs' touched keys replaced/deleted/added.
+    Returns (merged_state, conflicts) where conflicts lists keys changed
+    on BOTH sides (resolved branch-wins, but surfaced — the audit half a
+    real lakehouse merge needs)."""
+    base = read_version(spark, root, branch_base_version(root, name))
+    ours = read_version(spark, root)
+    theirs = read_branch(spark, root, name)
+
+    def fp(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(key).alias("k"),
+            F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in sorted(df.columns)])).alias("fp"),
+        )
+
+    base_fp, ours_fp, theirs_fp = fp(base), fp(ours), fp(theirs)
+    # keys whose row content differs from base (changed or added), per side
+    theirs_touched = (
+        theirs_fp.join(base_fp, ["k", "fp"], "left_anti").select("k")
+        .unionByName(base_fp.join(theirs_fp, ["k"], "left_anti").select("k"))
+        .distinct()
+    )
+    ours_touched = (
+        ours_fp.join(base_fp, ["k", "fp"], "left_anti").select("k")
+        .unionByName(base_fp.join(ours_fp, ["k"], "left_anti").select("k"))
+        .distinct()
+    )
+    conflicts = theirs_touched.join(ours_touched, "k").select(F.col("k").alias(key))
+    merged = (
+        ours.join(theirs_touched.withColumnRenamed("k", key), key, "left_anti")
+        .unionByName(theirs.join(theirs_touched.withColumnRenamed("k", key), key, "left_semi"))
+    )
+    return merged, conflicts
+
+
+@register(
+    "versioned_branch_merge",
+    category="cdc",
+    doc="Branch + three-way MERGE on the versioned table (git-for-data): "
+    "main commits pre-1997 orders, a zero-copy branch forks there, main "
+    "then appends 1997 orders while the branch applies a +10% price "
+    "correction to its urgent orders; merge_branch classifies each side's "
+    "touched keys by row-fingerprint diff vs the fork snapshot (relational "
+    "anti-joins) and replays the branch's changes onto the advanced main "
+    "head. Divergent-key conflicts are surfaced (here: zero, since main "
+    "only appended). Emits the merged state aggregated per (status, "
+    "priority, exact integer cents) plus the conflict count on every row; "
+    "DuckDB reproduces "
+    "the merged logical state relationally.",
+    oracle="""
+WITH merged AS (
+  SELECT o_orderstatus, o_orderpriority,
+         CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                   AND o_orderpriority = '1-URGENT'
+              THEN (CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 11 + 5) // 10
+              ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END AS cents
+  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(0 AS BIGINT) AS n_conflicts
+FROM merged GROUP BY 1, 2
+""",
+)
+def versioned_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = tempfile.mkdtemp(prefix="branch_merge_")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    pre97 = orders.where(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    y97 = orders.where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    commit(pre97, root, mode="overwrite")
+    create_branch(root, "price-fix")
+    commit(y97, root, mode="append")  # main advances past the fork point
+    # +10%% price correction in exact integer cents (round-half-up):
+    # (cents*11 + 5) DIV 10 — identical integer math on both engines
+    fixed = read_version(spark, root, 1).withColumn(
+        "cents",
+        F.when(
+            F.col("o_orderpriority") == "1-URGENT",
+            F.expr("CAST((cents * 11 + 5) DIV 10 AS BIGINT)"),
+        ).otherwise(F.col("cents")),
+    )
+    commit(fixed, os.path.join(root, "branches", "price-fix"), mode="overwrite")
+    merged, conflicts = merge_branch(spark, root, "price-fix", "o_orderkey")
+    n_conf = conflicts.count()
+    out = (
+        merged.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .withColumn("n_conflicts", F.lit(n_conf).cast("bigint"))
+        .localCheckpoint()
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
