@@ -544,3 +544,13 @@ def test_inverted_index_lookup_prunes_partitions(spark):
     assert m and "term_pfx" in m.group(1), plan
     # and the scan's data filter carries the exact terms
     assert all(t[0] in m.group(1) for t in INDEX_QUERY_TERMS), m.group(1)
+
+
+def test_bucketed_registry_join_is_exchange_free(spark):
+    """The registered bucketed join must consume the bucket layout: a
+    SortMergeJoin with NO Exchange below it on either side (the final agg
+    may still exchange on the group key)."""
+    plan = plan_of(spark, "bucketed_join_exchange_free")
+    assert "SortMergeJoin" in plan
+    join_part = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in join_part, join_part

@@ -53,6 +53,7 @@ _QUERY_MODULES = [
     "wheels_in_motion_analytics_spark.operators.outer_joins",
     "wheels_in_motion_analytics_spark.operators.timeseries",
     "wheels_in_motion_analytics_spark.operators.spatial",
+    "wheels_in_motion_analytics_spark.sinks",
     "wheels_in_motion_analytics_spark.functions.indexing",
     "wheels_in_motion_analytics_spark.sources.stream_datasource",
     "wheels_in_motion_analytics_spark.functions.udfs",

@@ -65,3 +65,69 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.format("parquet").saveAsTable(name)
+
+
+import os
+
+import pyspark.sql.functions as F
+
+from wheels_in_motion_analytics_spark.compat import dsum, oracle_dsum
+from wheels_in_motion_analytics_spark.registry import register
+from wheels_in_motion_analytics_spark.tables import table
+
+
+@register(
+    "bucketed_join_exchange_free",
+    category="sinks",
+    doc="Bucketed-table join with the shuffle amortized into the write: "
+    "orders and customer are saved as 8-bucket catalog tables bucketed + "
+    "sorted on the customer key (the one-time landing cost), then joined "
+    "with a MERGE hint — the sort-merge join consumes the bucket layout "
+    "directly, no Exchange on either side (pinned in "
+    "tests/test_plan_shapes.py). THE layout play for fact tables joined "
+    "repeatedly at 100 TB. Oracle computes the same join+agg from the raw "
+    "parquet.",
+    oracle=f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       {oracle_dsum('o_totalprice')} AS total_value
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def bucketed_join_exchange_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    sfx = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    t_orders, t_cust = f"orders_bkt_{sfx}", f"customer_bkt_{sfx}"
+    # a FRESH session's catalog doesn't know tables a previous session
+    # wrote, but their warehouse locations persist — drop both halves or
+    # saveAsTable dies with LOCATION_ALREADY_EXISTS
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix("file:")
+    for t in (t_orders, t_cust):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t.lower()), ignore_errors=True)
+    write_bucketed_table(
+        table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        t_orders,
+        ["o_custkey"],
+        num_buckets=8,
+        sort_cols=["o_custkey"],
+    )
+    write_bucketed_table(
+        table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        t_cust,
+        ["c_custkey"],
+        num_buckets=8,
+        sort_cols=["c_custkey"],
+    )
+    return (
+        spark.table(t_orders)
+        .hint("merge")
+        .join(spark.table(t_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_value"),
+        )
+    )
