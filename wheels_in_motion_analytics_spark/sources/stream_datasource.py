@@ -159,3 +159,156 @@ def python_stream_datasource_read(spark, sf_dir: str):
     final = spark.sql(f"SELECT bucket, n_ticks, sum_cents FROM {name}").localCheckpoint()
     shutil.rmtree(ckpt, ignore_errors=True)
     return final
+
+
+# --------------------------------------------------------------------------
+# Custom Python STREAMING sink (DataSourceStreamWriter): exactly-once
+# commit protocol in Python — completes the custom-source matrix
+# (batch read/write: manifest_datasource.py; stream read: above).
+# --------------------------------------------------------------------------
+
+from pyspark.sql.datasource import DataSourceStreamWriter, WriterCommitMessage  # noqa: E402
+
+
+@dataclass
+class _PartFile(WriterCommitMessage):
+    rel_path: str
+    n_rows: int
+
+
+class JsonDirStreamWriter(DataSourceStreamWriter):
+    """Epoch-committed JSON-lines sink: tasks stage part files, commit()
+    atomically publishes the epoch's parts into a ledger — a crashed epoch
+    leaves only invisible staged orphans (abort removes them), so replays
+    are exactly-once at the file level."""
+
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("option 'path' is required")
+
+    def write(self, iterator) -> _PartFile:
+        import json as _json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        staged_dir = os.path.join(self.path, "_staged")
+        os.makedirs(staged_dir, exist_ok=True)
+        rel = f"part-{ctx.partitionId()}-{uuid.uuid4().hex[:8]}.jsonl"
+        n = 0
+        with open(os.path.join(staged_dir, rel), "w") as fh:
+            for row in iterator:
+                fh.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _PartFile(rel_path=rel, n_rows=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json as _json
+        import os
+
+        committed = os.path.join(self.path, "committed")
+        os.makedirs(committed, exist_ok=True)
+        names = []
+        for m in messages:
+            final = f"epoch-{batchId}-{m.rel_path}"
+            os.replace(
+                os.path.join(self.path, "_staged", m.rel_path),
+                os.path.join(committed, final),
+            )
+            names.append({"file": final, "rows": m.n_rows})
+        ledger = os.path.join(self.path, f"_ledger-{batchId}.json")
+        tmp = ledger + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump({"epoch": batchId, "parts": names}, fh)
+        os.replace(tmp, ledger)  # atomic epoch publish
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None:
+                p = os.path.join(self.path, "_staged", m.rel_path)
+                if os.path.exists(p):
+                    os.remove(p)
+
+
+class JsonDirSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsondir_sink"
+
+    def schema(self) -> T.StructType:  # sink: schema comes from the stream
+        return TICKS_SCHEMA
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool) -> JsonDirStreamWriter:
+        return JsonDirStreamWriter(self.options)
+
+
+@register(
+    "python_stream_datasource_write",
+    category="sinks",
+    doc="Custom Python STREAMING sink run for real: the tick feed streams "
+    "availableNow through format('jsondir_sink') — a "
+    "DataSourceStreamWriter whose tasks stage JSON-lines part files and "
+    "whose per-epoch commit() atomically publishes them into a ledger "
+    "(task failures leave only staged orphans; abort() reclaims them — "
+    "the exactly-once file-commit protocol in Python). The committed "
+    "files are read back and aggregated; DuckDB replays the identical "
+    "feed from range(). Completes the custom-source matrix: batch "
+    "read/write (manifest) + stream read (synthetic_ticks) + stream "
+    "write (this).",
+    oracle=f"""
+WITH t AS (
+  SELECT i AS seq,
+         CAST(('0x' || substr(md5('tick:' || CAST(i AS VARCHAR)), 1, 4))::BIGINT
+              % {TICKS_BUCKETS} AS INTEGER) AS bucket,
+         ('0x' || substr(md5('tick:' || CAST(i AS VARCHAR)), 5, 8))::BIGINT
+              % {TICKS_CENTS_MOD} AS cents
+  FROM (SELECT unnest(range({TICKS_TOTAL})) AS i)
+)
+SELECT bucket, COUNT(*) AS n_ticks, MAX(cents) AS max_cents,
+       CAST(MIN(seq) AS BIGINT) AS first_seq
+FROM t GROUP BY bucket
+""",
+)
+def python_stream_datasource_write(spark, sf_dir: str):
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    register_ticks_source(spark)
+    spark.dataSource.register(JsonDirSinkDataSource)
+    out = tempfile.mkdtemp(prefix="ticks_sink_")
+    ckpt = tempfile.mkdtemp(prefix="ticks_sink_ckpt_")
+    q = (
+        spark.readStream.format("synthetic_ticks")
+        .load()
+        .writeStream.format("jsondir_sink")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow tick-sink stream did not finish in 300s")
+    final = (
+        spark.read.schema("seq BIGINT, bucket INT, cents BIGINT")
+        .json(os.path.join(out, "committed"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.max("cents").alias("max_cents"),
+            F.min("seq").alias("first_seq"),
+        )
+        .localCheckpoint()
+    )
+    for d in (out, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    return final
