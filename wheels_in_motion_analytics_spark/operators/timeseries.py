@@ -853,3 +853,48 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("detr").cast("double") - F.col("seasonal"), 4).alias("residual"),
         )
     )
+
+
+@register(
+    "rolling_median_weekly_revenue",
+    category="timeseries",
+    doc="Exact rolling 7-day median of daily revenue: the RANGE frame "
+    "collects ≤7 daily cent values (collect_list over an integer day-number "
+    "frame — bounded by the frame, not the corpus), sorted in-row and "
+    "median-interpolated on exact integers. The robust-trend counterpart "
+    "of seasonal_decompose_daily's moving mean; per-row state is the frame "
+    "width, so the window runs on the daily aggregate at any corpus scale.",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS dn,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+)
+SELECT d AS order_date, cents AS revenue_cents,
+       round(median(cents) OVER (ORDER BY dn RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 1)
+         AS rolling_median_cents
+FROM daily
+""",
+)
+def rolling_median_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents")
+        )
+        .withColumn("dn", F.datediff(F.col("d"), F.lit("1995-01-01").cast("date")))
+    )
+    w = Window.orderBy("dn").rangeBetween(-6, 0)
+    frame = F.array_sort(F.collect_list("cents").over(w))
+    n = F.size(frame)
+    lo = F.element_at(frame, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(frame, (n / 2).cast("int") + 1)
+    return daily.select(
+        F.col("d").alias("order_date"),
+        F.col("cents").alias("revenue_cents"),
+        F.round((lo + hi) / 2.0, 1).alias("rolling_median_cents"),
+    )
