@@ -281,3 +281,140 @@ def collated_group_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFra
             F.lower(F.col("pk").cast("string")).alias("priority"), "n_orders"
         )
     )
+
+
+@register(
+    "generator_funcs_suite",
+    category="scalars",
+    doc="Row-generator functions: stack() (the k-column unpivot generator) "
+    "and posexplode_outer() (position-indexed explode that keeps "
+    "empty-array rows as NULLs) over the urgent-orders slice, tagged and "
+    "unioned into one relation. Generators multiply rows JVM-side inside "
+    "codegen — the 100 TB-safe fan-out (no UDTF, no Python). Oracle builds "
+    "the same rows with UNION ALL + unnest-with-ordinality arithmetic.",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(length(o_orderpriority) AS BIGINT) AS prio_len
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+stacked AS (
+  SELECT o_orderkey, 'stack' AS gen, CAST(NULL AS INTEGER) AS pos, 'total' AS metric, cents AS val FROM o
+  UNION ALL
+  SELECT o_orderkey, 'stack', NULL, 'half', cents // 2 FROM o
+  UNION ALL
+  SELECT o_orderkey, 'stack', NULL, 'prio_len', prio_len FROM o
+),
+pe AS (
+  SELECT o_orderkey, 'posexplode_outer' AS gen,
+         CAST(CASE WHEN cents > 20000000 THEN u.i - 1 END AS INTEGER) AS pos,
+         CAST(NULL AS VARCHAR) AS metric,
+         CASE WHEN cents > 20000000
+              THEN CASE WHEN u.i = 1 THEN cents ELSE cents // 2 END END AS val
+  FROM o LEFT JOIN (SELECT unnest(range(1, 3)) AS i) u
+    ON cents > 20000000 OR u.i = 1
+)
+SELECT * FROM stacked UNION ALL SELECT * FROM pe
+""",
+)
+def generator_funcs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+            F.length("o_orderpriority").cast("bigint").alias("prio_len"),
+        )
+    )
+    stacked = o.selectExpr(
+        "o_orderkey",
+        "'stack' AS gen",
+        "stack(3, 'total', cents, 'half', CAST(cents DIV 2 AS BIGINT), "
+        "'prio_len', prio_len) AS (metric, val)",
+    ).select(
+        "o_orderkey", "gen", F.lit(None).cast("int").alias("pos"), "metric", "val"
+    )
+    # rows above the threshold explode both entries; others have an empty
+    # array and must SURVIVE with NULL pos/val (the _outer contract)
+    big = F.filter(
+        F.array(F.col("cents"), F.expr("CAST(cents DIV 2 AS BIGINT)")),
+        lambda x: F.col("cents") > 20000000,
+    )
+    pe = o.select(
+        "o_orderkey",
+        F.lit("posexplode_outer").alias("gen"),
+        F.posexplode_outer(big),
+    ).select(
+        "o_orderkey",
+        "gen",
+        F.col("pos").cast("int").alias("pos"),
+        F.lit(None).cast("string").alias("metric"),
+        F.col("col").alias("val"),
+    )
+    return stacked.unionByName(pe)
+
+
+@register(
+    "map_hof_suite",
+    category="scalars",
+    doc="Map higher-order functions: map_from_arrays, transform_keys/"
+    "transform_values, map_filter, map_zip_with, map_concat, element_at — "
+    "all Catalyst lambda expressions (no UDF). Maps are emitted as "
+    "key-sorted 'k:v' joined strings (canonical scalar cells). The oracle "
+    "computes the RESULT strings arithmetically from the scalar columns — "
+    "map semantics cross-checked without requiring map HOFs in DuckDB.",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       'd:' || (dc * 2) || ',p:' || (pc * 2) || ',q:' || (qc * 2) AS doubled_vals,
+       'D:' || dc || ',P:' || pc || ',Q:' || qc AS upper_keys,
+       CASE WHEN pc > 100000 THEN 'p:' || pc ELSE '' END AS big_entries,
+       'd:' || (dc + dc) || ',p:' || (pc + pc) || ',q:' || (qc + qc) AS zipped_sum,
+       'd:' || dc || ',p:' || pc || ',q:' || qc || ',t:' || tc AS with_tax,
+       pc AS price_entry
+FROM (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_quantity AS BIGINT) AS qc,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dc,
+         CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tc
+  FROM lineitem
+) t
+""",
+)
+def map_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("qc"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint").alias("pc"),
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint").alias("dc"),
+        F.floor(F.col("l_tax") * 100 + 0.5).cast("bigint").alias("tc"),
+    )
+    m = F.map_from_arrays(
+        F.array(F.lit("q"), F.lit("p"), F.lit("d")),
+        F.array(F.col("qc"), F.col("pc"), F.col("dc")),
+    )
+
+    def render(mcol):
+        entries = F.array_sort(F.map_entries(mcol))
+        return F.array_join(
+            F.transform(entries, lambda e: F.concat_ws(":", e["key"], e["value"])), ","
+        )
+
+    base = li.withColumn("m", m)
+    return base.select(
+        "l_orderkey",
+        "l_linenumber",
+        render(F.transform_values(F.col("m"), lambda k, v: v * 2)).alias("doubled_vals"),
+        render(F.transform_keys(F.col("m"), lambda k, v: F.upper(k))).alias("upper_keys"),
+        render(F.map_filter(F.col("m"), lambda k, v: v > 100000)).alias("big_entries"),
+        render(
+            F.map_zip_with(F.col("m"), F.col("m"), lambda k, v1, v2: v1 + v2)
+        ).alias("zipped_sum"),
+        render(
+            F.map_concat(F.col("m"), F.create_map(F.lit("t"), F.col("tc")))
+        ).alias("with_tax"),
+        F.element_at(F.col("m"), F.lit("p")).alias("price_entry"),
+    )
