@@ -180,7 +180,12 @@ class JsonDirStreamWriter(DataSourceStreamWriter):
     """Epoch-committed JSON-lines sink: tasks stage part files, commit()
     atomically publishes the epoch's parts into a ledger — a crashed epoch
     leaves only invisible staged orphans (abort removes them), so replays
-    are exactly-once at the file level."""
+    are exactly-once at the file level.
+
+    `path` must be storage every task AND the driver can reach (shared FS
+    or object store via a fuse mount) — on local[...] any temp dir works;
+    on a real cluster point it at the lake, same contract as any file sink.
+    """
 
     def __init__(self, options) -> None:
         self.path = options.get("path")
