@@ -729,17 +729,23 @@ def linreg_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
     x1 = F.col("l_quantity").cast("bigint")
     x2 = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")
     y = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    # per-row products fit BIGINT, but their SUMS do not (Σy² ≈ 6e19 at
+    # sf0.1 already — ANSI mode rightly refuses): accumulate every moment
+    # in DECIMAL(38,0), the same power-sum discipline as moment_stats_suite
+    def dmoment(expr):
+        return F.sum(expr.cast("decimal(38,0)")).cast("double")
+
     m = li.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(x1).cast("double").alias("s1"),
-        F.sum(x2).cast("double").alias("s2"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(x1 * x1).cast("double").alias("s11"),
-        F.sum(x1 * x2).cast("double").alias("s12"),
-        F.sum(x2 * x2).cast("double").alias("s22"),
-        F.sum(x1 * y).cast("double").alias("s1y"),
-        F.sum(x2 * y).cast("double").alias("s2y"),
-        F.sum(y * y).cast("double").alias("syy"),
+        dmoment(x1).alias("s1"),
+        dmoment(x2).alias("s2"),
+        dmoment(y).alias("sy"),
+        dmoment(x1 * x1).alias("s11"),
+        dmoment(x1 * x2).alias("s12"),
+        dmoment(x2 * x2).alias("s22"),
+        dmoment(x1 * y).alias("s1y"),
+        dmoment(x2 * y).alias("s2y"),
+        dmoment(y * y).alias("syy"),
     )
     c = F.col
     minor0 = c("s11") * c("s22") - c("s12") * c("s12")
