@@ -379,12 +379,14 @@ FROM (
          CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc,
          CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dc,
          CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tc
-  FROM lineitem
+  FROM lineitem WHERE l_linenumber = 1
 ) t
 """,
 )
 def map_hof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem").select(
+    # one line per order: map HOFs are interpreted (non-codegen) Catalyst
+    # expressions — the suite demonstrates semantics, not scan volume
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_linenumber") == 1).select(
         "l_orderkey",
         "l_linenumber",
         F.col("l_quantity").cast("bigint").alias("qc"),
