@@ -345,3 +345,93 @@ def bfs_cosupply_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_min_hops(edges, int(seed)).select(
         F.col("node").cast("long").alias("node"), "hop"
     )
+
+
+SSSP_ROUNDS = 4
+
+
+@register(
+    "sssp_cheapest_supply_path",
+    category="graph",
+    doc=f"Weighted single-source shortest path (Bellman-Ford, "
+    f"{SSSP_ROUNDS} synchronous relaxation rounds) over the cheapest-"
+    "cosupply graph: per part keep the two cheapest suppliers (exact cent "
+    "prices), edge weight = sum of the pair's cents, seed = minimum node. "
+    "Each round is one edges⋈dist join + min-aggregate — the Pregel "
+    "min-plus message step as relational ops; after k rounds dist(v) is "
+    "EXACTLY the min cost over ≤k-edge paths, so the bounded result is "
+    "well-defined on both engines regardless of convergence. Oracle: "
+    "recursive CTE enumerating ≤4-edge paths from the seed (positive "
+    "weights — revisits only raise cost). The weighted sibling of "
+    "bfs_cosupply_hops.",
+    oracle=f"""
+WITH RECURSIVE mp AS (
+  SELECT l_partkey AS p, l_suppkey AS s,
+         MIN(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+top2 AS (
+  SELECT p, s, c FROM (
+    SELECT p, s, c, row_number() OVER (PARTITION BY p ORDER BY c, s) AS rn FROM mp
+  ) WHERE rn <= 2
+),
+und AS (
+  SELECT a.s AS s1, b.s AS s2, MIN(a.c + b.c) AS w
+  FROM top2 a JOIN top2 b ON a.p = b.p AND a.s < b.s
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT s1 AS src, s2 AS dst, w FROM und
+  UNION ALL
+  SELECT s2, s1, w FROM und
+),
+r(node, cost, depth) AS (
+  SELECT (SELECT MIN(src) FROM sym), CAST(0 AS BIGINT), 0
+  UNION
+  SELECT s.dst, r.cost + s.w, r.depth + 1
+  FROM r JOIN sym s ON s.src = r.node
+  WHERE r.depth < {SSSP_ROUNDS}
+)
+SELECT node, MIN(cost) AS dist_cents FROM r GROUP BY node
+""",
+)
+def sssp_cheapest_supply_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    mp = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .agg(F.min(cents).alias("c"))
+    )
+    w2 = Window.partitionBy("p").orderBy("c", "s")
+    top2 = mp.withColumn("rn", F.row_number().over(w2)).where(F.col("rn") <= 2)
+    a = top2.select("p", F.col("s").alias("s1"), F.col("c").alias("c1"))
+    b = top2.select("p", F.col("s").alias("s2"), F.col("c").alias("c2"))
+    und = (
+        a.join(b, "p")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.min(F.col("c1") + F.col("c2")).alias("w"))
+    )
+    edges = (
+        und.select(F.col("s1").alias("src"), F.col("s2").alias("dst"), "w")
+        .unionByName(und.select(F.col("s2").alias("src"), F.col("s1").alias("dst"), "w"))
+        # every relaxation round joins this; cut lineage once
+        .localCheckpoint()
+    )
+    seed = int(edges.agg(F.min("src").alias("m")).collect()[0].m)
+    dist = spark.createDataFrame([(seed, 0)], "node BIGINT, cost BIGINT")
+    for _ in range(SSSP_ROUNDS):
+        relaxed = edges.join(dist, edges.src == dist.node).select(
+            F.col("dst").alias("node"), (F.col("cost") + F.col("w")).alias("cost")
+        )
+        # no per-round checkpoint: dist is node-cardinality and the
+        # 4-round lineage over checkpointed edges stays shallow (same
+        # lesson as PageRank dropping in-loop checkpoints, ~20% faster)
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+        )
+    return dist.select("node", F.col("cost").alias("dist_cents"))
