@@ -720,3 +720,87 @@ def rlhf_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__n") == 2)
         .drop("__n")
     )
+
+
+TOKEN_BUDGET = 1_000_000  # target pretraining tokens for the mixture plan
+
+
+@register(
+    "curate_token_budget_allocation",
+    category="curation",
+    doc=f"Token-budget allocation plan for a {TOKEN_BUDGET:,}-token "
+    "pretraining run: per-source available whitespace tokens (exact "
+    "integer counts), mixture weight ∝ sqrt(available) quantized to "
+    "per-mille via integer isqrt shares (sub-linear upsampling curve, zero "
+    "float accumulation), desired tokens = budget × weight, then the epoch plan — "
+    "full passes (DIV), remainder tokens (MOD), and the repeat factor "
+    "data loaders need. Pure integer arithmetic end to end, fully "
+    "oracle-checked. The planning half that pairs with "
+    "curate_upsample_epochs/curate_temperature_mixture at 100 TB: the "
+    "plan is computed on the per-source aggregate (|sources| rows), "
+    "never the corpus.",
+    oracle=f"""
+WITH avail AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> ''))) AS BIGINT) AS available_tokens
+  FROM documents GROUP BY source
+),
+wq AS (
+  SELECT source, available_tokens,
+         (CAST(floor(sqrt(CAST(available_tokens AS DOUBLE))) AS BIGINT) * 1000)
+           // SUM(CAST(floor(sqrt(CAST(available_tokens AS DOUBLE))) AS BIGINT)) OVER ()
+           AS weight_permille
+  FROM avail
+),
+plan AS (
+  SELECT source, available_tokens, weight_permille,
+         ({TOKEN_BUDGET} * weight_permille) // 1000 AS desired_tokens
+  FROM wq
+)
+SELECT source, available_tokens, weight_permille, desired_tokens,
+       desired_tokens // available_tokens AS full_epochs,
+       desired_tokens % available_tokens AS remainder_tokens,
+       round(CAST(desired_tokens AS DOUBLE) / available_tokens, 4) AS repeat_factor
+FROM plan
+""",
+)
+def curate_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.functions.text import tokens
+
+    avail = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(F.size(tokens(F.col("text"))).cast("bigint")).alias("available_tokens"))
+    )
+    # integer isqrt weights: sqrt of an exact integer is correctly
+    # rounded IEEE, floor() lands on the same BIGINT everywhere, and the
+    # per-mille share is integer DIV — no float accumulation anywhere
+    wall = Window.partitionBy()
+    isqrt = F.floor(F.sqrt(F.col("available_tokens").cast("double"))).cast("bigint")
+    weight = F.expr(
+        "CAST((isqrt * 1000) DIV sum_isqrt AS BIGINT)"
+    )
+    plan = (
+        avail.withColumn("isqrt", isqrt)
+        .withColumn("sum_isqrt", F.sum("isqrt").over(wall))
+        .select(
+            "source",
+            "available_tokens",
+            weight.alias("weight_permille"),
+        )
+    ).withColumn(
+        "desired_tokens",
+        F.expr(f"CAST(({TOKEN_BUDGET} * weight_permille) DIV 1000 AS BIGINT)"),
+    )
+    return plan.select(
+        "source",
+        "available_tokens",
+        "weight_permille",
+        "desired_tokens",
+        F.expr("CAST(desired_tokens DIV available_tokens AS BIGINT)").alias("full_epochs"),
+        (F.col("desired_tokens") % F.col("available_tokens")).alias("remainder_tokens"),
+        F.round(
+            F.col("desired_tokens").cast("double") / F.col("available_tokens"), 4
+        ).alias("repeat_factor"),
+    )
