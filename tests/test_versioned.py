@@ -145,3 +145,34 @@ def test_branch_merge_surfaces_conflicts_and_branch_wins(spark, tmp_path):
         4: ("d", 400),  # main-only addition kept
         # 2 deleted by the branch
     }
+
+
+def test_deletion_vectors_leave_data_files_immutable(spark, tmp_path):
+    """Two delete commits must add only sidecar key files: the data-file
+    list is identical across the version chain, the MoR read applies the
+    accumulated vectors, and time travel to v1 still sees every row."""
+    import os
+
+    from wheels_in_motion_analytics_spark.sources.versioned import (
+        _manifest,
+        commit,
+        commit_delete,
+        read_version_mor,
+    )
+
+    root = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 11)], "k INT, v INT"
+    )
+    commit(base, root, mode="overwrite")
+    commit_delete(spark.createDataFrame([(2,), (4,)], "k INT"), root, "k")
+    commit_delete(spark.createDataFrame([(9,)], "k INT"), root, "k")
+    assert _manifest(root, 3)["files"] == _manifest(root, 1)["files"]
+    assert sorted(r.k for r in read_version_mor(spark, root).collect()) == [
+        1, 3, 5, 6, 7, 8, 10,
+    ]
+    # time travel: v1 (pre-delete) is intact, v2 sees only the first DV
+    assert len(read_version_mor(spark, root, 1).collect()) == 10
+    assert sorted(r.k for r in read_version_mor(spark, root, 2).collect()) == [
+        1, 3, 5, 6, 7, 8, 9, 10,
+    ]

@@ -581,3 +581,118 @@ def versioned_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# Deletion vectors — merge-on-read deletes (no data-file rewrites)
+# --------------------------------------------------------------------------
+
+
+def commit_delete(df_keys: DataFrame, root: str, key: str) -> int:
+    """Commit a DELETE as a deletion-vector sidecar: the doomed keys are
+    written as a tiny parquet next to the data (never touching the
+    immutable data files), and the manifest carries the DV chain. Readers
+    anti-join the accumulated keys — merge-on-read, the cheap-delete half
+    of the CoW/MoR trade-off (OPTIMIZE/compact() is the rewrite half)."""
+    base = current_version(root)
+    if base == 0:
+        raise ValueError("cannot delete from an empty table")
+    version = base + 1
+    stage = os.path.join(_data_dir(root), f"v{version}-deletes")
+    df_keys.write.mode("errorifexists").parquet(stage)
+    new_dv = sorted(
+        os.path.join(f"v{version}-deletes", f)
+        for f in os.listdir(stage)
+        if f.endswith(".parquet")
+    )
+    prev = _manifest(root, base)
+    manifest = {
+        "version": version,
+        "mode": "delete",
+        "files": prev["files"],  # data files carried forward untouched
+        "deletes": prev.get("deletes", []) + new_dv,
+        "delete_key": key,
+    }
+    final = os.path.join(_log_dir(root), f"v{version}.json")
+    fd, tmp = tempfile.mkstemp(dir=_log_dir(root), suffix=".tmp")
+    with os.fdopen(fd, "w") as fh:
+        json.dump(manifest, fh)
+    if os.path.exists(final):
+        os.unlink(tmp)
+        raise VersionConflict(f"v{version} already committed")
+    os.rename(tmp, final)
+    return version
+
+
+def read_version_mor(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Merge-on-read snapshot: data files minus the accumulated deletion
+    vectors (one anti-join on the delete key)."""
+    v = current_version(root) if version is None else version
+    m = _manifest(root, v)
+    df = spark.read.parquet(*[os.path.join(_data_dir(root), f) for f in m["files"]])
+    dvs = m.get("deletes", [])
+    if not dvs:
+        return df
+    keys = spark.read.parquet(*[os.path.join(_data_dir(root), f) for f in dvs])
+    return df.join(keys, m["delete_key"], "left_anti")
+
+
+@register(
+    "versioned_merge_on_read_deletes",
+    category="cdc",
+    doc="Deletion vectors run end to end: load orders as a versioned "
+    "table, then TWO delete commits (cancelled pre-1996 orders, then all "
+    "low-value orders) that write only tiny key sidecars — the manifest "
+    "proves the data files are byte-identical across the chain (verdict "
+    "column, oracle-asserted TRUE). The merge-on-read snapshot anti-joins "
+    "the accumulated vectors; aggregate per status must equal the "
+    "relational predicate in DuckDB. The CoW/MoR trade-off's cheap half, "
+    "next to versioned_compact_optimize's rewrite half.",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+       TRUE AS data_files_untouched
+FROM orders
+WHERE NOT (o_orderstatus = 'F' AND o_orderdate < TIMESTAMP '1996-01-01')
+  AND NOT (o_totalprice < 1000.0)
+GROUP BY o_orderstatus
+""",
+)
+def versioned_merge_on_read_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = tempfile.mkdtemp(prefix="mor_deletes_")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    commit(orders, root, mode="overwrite")
+    files_v1 = _manifest(root, 1)["files"]
+    commit_delete(
+        orders.where(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        ).select("o_orderkey"),
+        root,
+        "o_orderkey",
+    )
+    commit_delete(
+        orders.where(F.col("o_totalprice") < 1000.0).select("o_orderkey"),
+        root,
+        "o_orderkey",
+    )
+    untouched = _manifest(root, 3)["files"] == files_v1
+    out = (
+        read_version_mor(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .withColumn("data_files_untouched", F.lit(bool(untouched)))
+        .localCheckpoint()
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
