@@ -457,3 +457,67 @@ def schema_evolution_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("o_totalprice")).alias("revenue"),
     )
+
+
+PARQUET_CODECS = ["snappy", "zstd", "gzip"]
+
+
+@register(
+    "parquet_codec_matrix",
+    category="sources",
+    doc=f"Parquet compression-codec matrix ({', '.join(PARQUET_CODECS)}): "
+    "the same orders projection round-trips through each codec (derived "
+    "copies under .derived/, idempotent) and every copy must decode to "
+    "the identical relation — per-codec row count plus an exact "
+    "content fingerprint (SUM of per-row md5-derived values mod 1e9+7, "
+    "order-insensitive) that the oracle computes from the raw table. "
+    "Codec choice is a pure storage trade-off; this pins that decode "
+    "correctness is codec-independent.",
+    oracle=f"""
+WITH fp AS (
+  SELECT COUNT(*) AS n_rows,
+         CAST(SUM(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' ||
+                                      CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)),
+                                  1, 14))::BIGINT % 1000000007) AS BIGINT) AS content_fp
+  FROM orders
+)
+SELECT codec, n_rows, content_fp
+FROM fp CROSS JOIN (SELECT unnest(['{"', '".join(sorted(PARQUET_CODECS))}']) AS codec)
+""",
+)
+def parquet_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import functools
+
+    from wheels_in_motion_analytics_spark.functions.similarity import hash_hex
+
+    outs = []
+    for codec in sorted(PARQUET_CODECS):
+        path = _derived_path(sf_dir, f"orders_parquet_{codec}")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            (
+                table(spark, sf_dir, "orders")
+                .select("o_orderkey", "o_totalprice")
+                .write.mode("overwrite")
+                .option("compression", codec)
+                .parquet(path)
+            )
+        df = spark.read.parquet(path)
+        # per-row fp reduced mod 1e9+7 so the order-insensitive SUM fits
+        # BIGINT at any row count the fixtures reach
+        row_fp = hash_hex(
+            F.concat_ws(
+                ":",
+                F.col("o_orderkey").cast("string"),
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("bigint")
+                .cast("string"),
+            ),
+            14,
+        ) % 1000000007
+        outs.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(row_fp).alias("content_fp"),
+            ).select(F.lit(codec).alias("codec"), "n_rows", "content_fp")
+        )
+    return functools.reduce(lambda x, y: x.unionByName(y), outs)
