@@ -217,3 +217,68 @@ def arrow_python_udf_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "orders").select(
         "o_orderkey", bucket("o_totalprice").alias("bucket")
     )
+
+
+@register(
+    "cogrouped_map_customer_orders",
+    category="udf",
+    doc="COGROUPED pandas map (df1.groupBy(...).cogroup(df2.groupBy(...))"
+    ".applyInPandas): each customer's orders arrive as one pandas frame "
+    "and the customer row as the other, merged per key in Python — the "
+    "two-sided custom-merge tier of the UDF matrix (asof/merge logic that "
+    "doesn't fit a join goes here). Exact integer cents inside the "
+    "kernel; oracle is the equivalent relational join+agg. Shuffle is the "
+    "same one co-partitioning a join on the key would pay.",
+    oracle="""
+SELECT c_custkey,
+       COUNT(o_orderkey) AS n_orders,
+       CAST(COALESCE(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)), 0) AS BIGINT)
+         AS order_cents,
+       CAST(floor(ANY_VALUE(c_acctbal) * 100 + 0.5) AS BIGINT) AS acctbal_cents
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey
+""",
+)
+def cogrouped_map_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.types as T
+
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+
+    def merge(cdf, odf):
+        import pandas as pd
+
+        if not len(cdf):
+            # orders whose customer is absent from the dim — not in the
+            # LEFT-join oracle relation, emit nothing
+            return pd.DataFrame(
+                {"c_custkey": [], "n_orders": [], "order_cents": [], "acctbal_cents": []}
+            )
+        import math
+
+        # floor (not int(): truncation ≠ floor for negative acctbal)
+        cents = (
+            (odf["o_totalprice"] * 100 + 0.5).apply(math.floor) if len(odf) else None
+        )
+        return pd.DataFrame(
+            {
+                "c_custkey": [int(cdf["c_custkey"].iloc[0])],
+                "n_orders": [int(len(odf))],
+                "order_cents": [int(cents.sum()) if len(odf) else 0],
+                "acctbal_cents": [math.floor(cdf["c_acctbal"].iloc[0] * 100 + 0.5)],
+            }
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("n_orders", T.LongType()),
+            T.StructField("order_cents", T.LongType()),
+            T.StructField("acctbal_cents", T.LongType()),
+        ]
+    )
+    return (
+        cust.groupBy("c_custkey")
+        .cogroup(orders.groupBy("o_custkey"))
+        .applyInPandas(merge, schema)
+    )
