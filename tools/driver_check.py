@@ -19,7 +19,70 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import pyarrow as pa
 from pyspark.sql import SparkSession
+
+
+def _arrow_kind(t) -> str:
+    """Canonical type label for a DuckDB-result Arrow type, at the
+    granularity the driver's value-hash actually distinguishes: the Python
+    object class a collect yields (int vs Decimal vs float ...). HUGEINT
+    arrives as decimal128(38,0) — a Decimal, distinct from bigint's int —
+    so SUM(int)->HUGEINT drift can no longer hide behind fetchall()'s
+    Python ints (round-3 verdict). int32 vs int64 is NOT drift (both
+    collect as int; the driver-green psi_price_drift proves it)."""
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_decimal(t):
+        return f"decimal(scale={t.scale})"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bytes"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"  # tz-naive vs instant handled at value level
+    return "complex"
+
+
+_SPARK_KIND = {
+    "tinyint": "int",
+    "smallint": "int",
+    "int": "int",
+    "bigint": "int",
+    "float": "float",
+    "double": "float",
+    "boolean": "bool",
+    "string": "str",
+    "binary": "bytes",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+}
+
+
+def _spark_kind(dtype: str) -> str:
+    d = dtype.strip()
+    if d.startswith("decimal("):
+        scale = d[:-1].split(",")[1]
+        return f"decimal(scale={scale})"
+    return _SPARK_KIND.get(d, "complex")
+
+
+def type_diff(sdf, arrow_schema):
+    """Return list of (col, spark_kind, duck_kind) mismatches."""
+    skinds = {c: _spark_kind(t) for c, t in sdf.dtypes}
+    dkinds = {f.name: _arrow_kind(f.type) for f in arrow_schema}
+    return [
+        (c, skinds[c], dkinds[c])
+        for c in sorted(set(skinds) & set(dkinds))
+        if skinds[c] != dkinds[c]
+    ]
 
 
 def canon(rows, cols):
@@ -78,18 +141,23 @@ def main() -> int:
             if name not in os_sql:
                 print(f"  rows-only {name}: {len(srows)} rows  {time.time()-t0:.1f}s")
                 continue
-            res = con.execute(os_sql[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dtab = con.execute(os_sql[name]).arrow()
+            dcols = dtab.column_names
+            drows = list(zip(*(col.to_pylist() for col in dtab.columns)))
+            if not dtab.columns:
+                drows = []
+            tdiff = type_diff(sdf, dtab.schema)
             ok = (
                 sorted(sdf.columns) == sorted(dcols)
                 and len(srows) == len(drows)
+                and not tdiff
                 and canon(srows, sdf.columns) == canon(drows, dcols)
             )
             status = "OK" if ok else "FAIL"
             if not ok:
                 failures.append(name)
-            print(f"  {status} {name}: {len(srows)} rows  {time.time()-t0:.1f}s")
+            extra = f"  TYPE-DRIFT {tdiff}" if tdiff else ""
+            print(f"  {status} {name}: {len(srows)} rows  {time.time()-t0:.1f}s{extra}")
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"  ERROR {name}: {str(exc)[:160]}")

@@ -154,8 +154,8 @@ run AS (
          SUM(cb) OVER (ORDER BY v) AS rb
   FROM pv
 )
-SELECT tot.n1 AS n1, tot.n2 AS n2,
-       MAX(abs(ra * tot.n2 - rb * tot.n1)) AS d_num,
+SELECT CAST(tot.n1 AS BIGINT) AS n1, CAST(tot.n2 AS BIGINT) AS n2,
+       CAST(MAX(abs(ra * tot.n2 - rb * tot.n1)) AS BIGINT) AS d_num,
        round(CAST(MAX(abs(ra * tot.n2 - rb * tot.n1)) AS DOUBLE)
              / (tot.n1 * tot.n2), 6) AS d_stat
 FROM run CROSS JOIN tot

@@ -119,6 +119,10 @@ def grouped_map_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         table(spark, sf_dir, "events")
         .select("event_id", "user_id", "value")
+        # pin a 32-way hash layout on the grouping key: it satisfies the
+        # grouped-map's ClusteredDistribution (no second exchange) and stops
+        # AQE coalescing the Python stage down to 1-2 tasks on small input
+        .repartition(32, "user_id")
         .groupBy("user_id")
         .applyInPandas(demean, schema)
     )
@@ -223,12 +227,16 @@ def arrow_python_udf_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cogrouped_map_customer_orders",
     category="udf",
     doc="COGROUPED pandas map (df1.groupBy(...).cogroup(df2.groupBy(...))"
-    ".applyInPandas): each customer's orders arrive as one pandas frame "
-    "and the customer row as the other, merged per key in Python — the "
-    "two-sided custom-merge tier of the UDF matrix (asof/merge logic that "
-    "doesn't fit a join goes here). Exact integer cents inside the "
-    "kernel; oracle is the equivalent relational join+agg. Shuffle is the "
-    "same one co-partitioning a join on the key would pay.",
+    ".applyInPandas): the two-sided custom-merge tier of the UDF matrix "
+    "(asof/merge logic that doesn't fit a join goes here). Cogroups on a "
+    "COARSE bucket key (pmod(custkey, 256)) — one Python invocation per "
+    "bucket, with the per-customer merge fully vectorized inside the "
+    "kernel (pandas groupby + merge), NOT one invocation per customer: "
+    "per-key cogroup measured 30-40s at sf0.1 (15k 1-row frames) vs ~1s "
+    "bucketed. Both sides repartition(32, bucket) so the Python exchange "
+    "satisfies the cogroup's ClusteredDistribution with real parallelism "
+    "instead of an AQE-coalesced 2-task stage. Exact integer cents inside "
+    "the kernel; oracle is the equivalent relational join+agg.",
     oracle="""
 SELECT c_custkey,
        COUNT(o_orderkey) AS n_orders,
@@ -242,32 +250,52 @@ GROUP BY c_custkey
 def cogrouped_map_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyspark.sql.types as T
 
-    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    buckets, parts = 256, 32
+    cust = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal")
+        .withColumn("bucket", F.pmod("c_custkey", F.lit(buckets)))
+        .repartition(parts, "bucket")
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("bucket", F.pmod("o_custkey", F.lit(buckets)))
+        .repartition(parts, "bucket")
+    )
 
     def merge(cdf, odf):
+        import numpy as np
         import pandas as pd
 
         if not len(cdf):
-            # orders whose customer is absent from the dim — not in the
-            # LEFT-join oracle relation, emit nothing
+            # orders whose customers are all absent from the dim — not in
+            # the LEFT-join oracle relation, emit nothing
             return pd.DataFrame(
                 {"c_custkey": [], "n_orders": [], "order_cents": [], "acctbal_cents": []}
             )
-        import math
-
-        # floor (not int(): truncation ≠ floor for negative acctbal)
-        cents = (
-            (odf["o_totalprice"] * 100 + 0.5).apply(math.floor) if len(odf) else None
+        if len(odf):
+            # np.floor (not astype(int): truncation ≠ floor for negatives)
+            cents = np.floor(odf["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")
+            per_cust = (
+                pd.DataFrame({"o_custkey": odf["o_custkey"].to_numpy(), "cents": cents})
+                .groupby("o_custkey", sort=False)
+                .agg(n_orders=("cents", "size"), order_cents=("cents", "sum"))
+            )
+        else:
+            per_cust = pd.DataFrame(
+                {"n_orders": [], "order_cents": []},
+                index=pd.Index([], name="o_custkey"),
+            )
+        out = cdf[["c_custkey"]].merge(
+            per_cust, left_on="c_custkey", right_index=True, how="left"
         )
-        return pd.DataFrame(
-            {
-                "c_custkey": [int(cdf["c_custkey"].iloc[0])],
-                "n_orders": [int(len(odf))],
-                "order_cents": [int(cents.sum()) if len(odf) else 0],
-                "acctbal_cents": [math.floor(cdf["c_acctbal"].iloc[0] * 100 + 0.5)],
-            }
-        )
+        out["n_orders"] = out["n_orders"].fillna(0).astype("int64")
+        out["order_cents"] = out["order_cents"].fillna(0).astype("int64")
+        out["acctbal_cents"] = np.floor(
+            cdf["c_acctbal"].to_numpy() * 100 + 0.5
+        ).astype("int64")
+        return out
 
     schema = T.StructType(
         [
@@ -278,7 +306,7 @@ def cogrouped_map_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame
         ]
     )
     return (
-        cust.groupBy("c_custkey")
-        .cogroup(orders.groupBy("o_custkey"))
+        cust.groupBy("bucket")
+        .cogroup(orders.groupBy("bucket"))
         .applyInPandas(merge, schema)
     )
