@@ -543,8 +543,15 @@ def _blocked_pair_scores(vectors: DataFrame, mode: str, topk: int = 3) -> DataFr
     blocks = max(1, -(-n // BF_BLOCK_TARGET))
 
     def side(prefix: str) -> DataFrame:
+        # chunk on a HASH of the id, not pmod(id): block sizes must be
+        # data-independent — a sparse or strided vec_id space would skew
+        # pmod chunks far past BF_BLOCK_TARGET. Block assignment never
+        # reaches the output (exact scores, every pair in exactly one
+        # cell), so engine-local xxhash64 is fine here.
         return (
-            vectors.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(blocks)).cast("int"))
+            vectors.withColumn(
+                "blk", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(blocks)).cast("int")
+            )
             .groupBy("blk")
             .agg(F.collect_list(F.struct("vec_id", "embedding")).alias(f"{prefix}_chunk"))
             .withColumnRenamed("blk", f"{prefix}_blk")

@@ -216,6 +216,14 @@ class JsonDirStreamWriter(DataSourceStreamWriter):
 
         committed = os.path.join(self.path, "committed")
         os.makedirs(committed, exist_ok=True)
+        # Replay idempotence: a re-executed commit for the same epoch (crash
+        # after publishing part files but before the checkpoint advanced)
+        # must not leave the prior attempt's uuid-named parts beside the new
+        # ones — remove anything already published for this batchId first.
+        # The trailing '-' keeps epoch-1- from matching epoch-10-*.
+        for stale in os.listdir(committed):
+            if stale.startswith(f"epoch-{batchId}-"):
+                os.remove(os.path.join(committed, stale))
         names = []
         for m in messages:
             final = f"epoch-{batchId}-{m.rel_path}"
@@ -303,9 +311,20 @@ def python_stream_datasource_write(spark, sf_dir: str):
     if not q.awaitTermination(300):
         q.stop()
         raise TimeoutError("availableNow tick-sink stream did not finish in 300s")
+    # Read back ONLY the files the epoch ledgers name — the ledger is the
+    # commit authority; a glob over committed/ could see parts from a
+    # half-replayed epoch that never reached its ledger.
+    import glob as _glob
+    import json as _json
+
+    ledger_files = []
+    for lp in sorted(_glob.glob(os.path.join(out, "_ledger-*.json"))):
+        with open(lp) as fh:
+            for part in _json.load(fh)["parts"]:
+                ledger_files.append(os.path.join(out, "committed", part["file"]))
     final = (
         spark.read.schema("seq BIGINT, bucket INT, cents BIGINT")
-        .json(os.path.join(out, "committed"))
+        .json(ledger_files)
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_ticks"),

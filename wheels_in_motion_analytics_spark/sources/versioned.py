@@ -119,11 +119,17 @@ def read_version(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
     """Snapshot read of ``version`` (default: latest). File list comes from
-    the manifest, never a directory listing."""
+    the manifest, never a directory listing. A version whose manifest
+    carries deletion vectors (a MoR DELETE commit) delegates to the
+    merge-on-read path — a plain file read of such a version would
+    resurrect deleted rows."""
     v = current_version(root) if version is None else version
     if v == 0:
         raise ValueError(f"versioned table at {root} has no commits")
-    files = [os.path.join(_data_dir(root), f) for f in _manifest(root, v)["files"]]
+    m = _manifest(root, v)
+    if m.get("deletes"):
+        return read_version_mor(spark, root, version=v)
+    files = [os.path.join(_data_dir(root), f) for f in m["files"]]
     return spark.read.parquet(*files)
 
 
