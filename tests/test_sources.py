@@ -68,3 +68,47 @@ def test_registered_query_matches_batch_recompute(spark):
         n, s = exp.get(b, (0, 0))
         exp[b] = (n + 1, s + c)
     assert out == exp
+
+
+def test_stream_sink_commit_replay_is_idempotent(tmp_path):
+    """A re-executed commit() for the same epoch (crash after publish,
+    before the checkpoint advanced) must supersede the prior attempt's
+    part files — the readback ledger must name exactly one attempt's
+    files (round-3 advice)."""
+    import json
+    import os
+
+    from wheels_in_motion_analytics_spark.sources.stream_datasource import (
+        JsonDirStreamWriter,
+        _PartFile,
+    )
+
+    out = str(tmp_path / "sink")
+    w = JsonDirStreamWriter({"path": out})
+    staged = os.path.join(out, "_staged")
+    os.makedirs(staged)
+
+    def stage(rel, lines):
+        with open(os.path.join(staged, rel), "w") as fh:
+            for ln in lines:
+                fh.write(json.dumps(ln) + "\n")
+        return _PartFile(rel_path=rel, n_rows=len(lines))
+
+    # first attempt at epoch 7 publishes, then the epoch replays with a
+    # different uuid part name (same logical data)
+    m1 = stage("part-0-aaaaaaaa.jsonl", [{"seq": 1}, {"seq": 2}])
+    w.commit([m1], 7)
+    m2 = stage("part-0-bbbbbbbb.jsonl", [{"seq": 1}, {"seq": 2}])
+    w.commit([m2], 7)
+    # an adjacent epoch whose prefix shares digits must survive (epoch-7- vs epoch-77-)
+    m3 = stage("part-0-cccccccc.jsonl", [{"seq": 9}])
+    w.commit([m3], 77)
+
+    committed = sorted(os.listdir(os.path.join(out, "committed")))
+    assert committed == [
+        "epoch-7-part-0-bbbbbbbb.jsonl",
+        "epoch-77-part-0-cccccccc.jsonl",
+    ]
+    with open(os.path.join(out, "_ledger-7.json")) as fh:
+        ledger = json.load(fh)
+    assert [p["file"] for p in ledger["parts"]] == ["epoch-7-part-0-bbbbbbbb.jsonl"]
