@@ -25,82 +25,77 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness verifies registry entries in dict order
-# with a bounded budget (rounds 1-2 covered exactly the first 50 each).
+# with a bounded budget (rounds 1-3 covered exactly the first 50 each).
 # Queries whose correctness has NOT yet been driver-verified go first, so
 # each round converts the maximum amount of existing quality into hard
 # signal. Names not listed here follow in registry order; unknown names are
-# ignored. Kept to exactly 50 entries. Round-3 rotation: ALL 50 r2-verified
-# entries moved to _DRIVER_VERIFIED; the head is now the never-verified
-# blocks the round-2 verdict ranked first (ten scalar suites, the deep/wide
-# TPC-H shapes, versioned-table siblings, stats, retrieval, spatial,
-# curation) plus the four sketch/ANN entries upgraded this round from
-# rows-only to audit-checked oracles (percentile_approx_sketch,
-# hll_sketch_rollup, ann_ivf_cells, approx_count_distinct — the last was
-# rows-only green in r1 and now re-verifies with a hash).
+# ignored. Kept to exactly 50 entries. Round-4 rotation: the 49 r3-green
+# entries moved to _R3_VERIFIED; the head leads with the queries whose code
+# changed AFTER their last green row (stale hard signal — round-3 verdict
+# item "re-verification"), then the new §2a scan/sink wrappers, then the
+# never-verified blocks the verdict ranked first (streaming family, graph,
+# versioned branch merge, round-3 additions, timeseries, format
+# round-trips).
 _DRIVER_PRIORITY = [
-    # scalar-function suites (never driver-verified; string2 stays in the
-    # tail — family-covered by string_funcs_suite)
-    "string_funcs_suite",
-    "math_funcs_suite",
-    "json_funcs_suite",
-    "date_scalar_suite",
-    "conditional_funcs_suite",
-    "array_funcs_suite",
-    "map_struct_funcs",
-    "bitwise_funcs_suite",
-    "pattern_match_suite",
-    "try_funcs_suite",
-    # timestamp decomposition + manifest date pruning (SURVEY §2a F1/F2)
-    "datetime_dim_explode",
-    "manifest_prune_latest",
-    # deep/wide TPC-H analytic shapes (plans/analytics_deep.py, _wide.py)
-    "pricing_summary_report",
-    "min_cost_supplier_per_part",
-    "dormant_high_value_customers",
-    "small_qty_revenue_fraction",
-    "large_volume_customers",
-    "order_priority_fulfilment",
-    "local_supplier_volume",
-    "bilateral_trade_volume",
-    "product_profit_by_nation",
-    "part_value_concentration",
-    "customer_order_distribution",
-    "top_revenue_supplier",
-    "supplier_diversity_by_part",
-    "disjunctive_bracket_revenue",
-    "promo_supply_candidates",
-    "sole_failing_supplier",
-    # versioned-table siblings
-    "snapshot_diff_orders",
-    "scd2_customer_status_history",
-    "incremental_agg_maintenance",
-    # stats suite
-    "welch_ttest_segments",
+    # re-verify: fixed oracle (r3 FAIL) + code rewritten since last green row
     "ks_test_two_sample",
-    "psi_price_drift",
-    "global_quartiles_exact",
-    # retrieval + spatial
-    "bm25_topk_search",
-    "tfidf_top_terms",
-    "spatial_radius_join",
-    # curation ops
-    "curate_split_train_val_test",
-    "curate_stratified_sample",
-    "curate_source_quota",
-    "curate_curriculum_order",
-    "rlhf_preference_pairs",
-    # sketch/ANN entries upgraded rows-only → audit-checked oracles (r3)
-    "percentile_approx_sketch",
-    "hll_sketch_rollup",
-    "ann_ivf_cells",
-    "approx_count_distinct",
-    # scaled ANN sibling + real-codec multimodal (upgraded this round from
-    # deterministic fakes to genuine PPM/WAV parsing with byte-exact oracles
-    # — driver rows here retire the round-2 "decode stubs" weak flag;
-    # revenue_ewma_daily / dedup_cluster_representatives rotate next round)
-    "scaled_ann_lsh",
-    "multimodal_features",
-    "multimodal_audio_stats",
+    "cogrouped_map_customer_orders",
+    "grouped_map_demean",
+    "similarity_topk_bruteforce",
+    "embedding_near_dup_pairs",
+    "python_stream_datasource_write",
+    "versioned_merge_on_read_deletes",
+    # new §2a scan/sink/projection/identifier wrappers (S2-S6, S8, K1/K2,
+    # P2/P3, T1 — previously test-only)
+    "glob_csv_scan_years",
+    "json_scan_normalize_payload",
+    "parquet_empty_fallback_union",
+    "binary_glob_file_stats",
+    "parquet_sink_overwrite_append",
+    "conditional_rename_guarded_drop",
+    "backtick_space_identifiers",
+    # streaming family (never driver-verified)
+    "python_stream_datasource_read",
+    "stream_attribution_unmatched",
+    "stream_complete_mode_totals",
+    "stream_dedup_events",
+    "stream_dedup_within_watermark",
+    "stream_hourly_rollup_of_bars",
+    "stream_join_attribution",
+    "stream_ohlc_bars",
+    "stream_sliding_window",
+    "stream_static_enrich",
+    "late_data_bar_restatement",
+    # graph + versioned
+    "bfs_cosupply_hops",
+    "sssp_cheapest_supply_path",
+    "versioned_branch_merge",
+    # round-3 additions
+    "linreg_normal_equations",
+    "column_entropy_mi",
+    "bitmap_distinct_rollup",
+    "seasonal_decompose_daily",
+    "rolling_median_weekly_revenue",
+    "multimodal_resize_digest",
+    "multimodal_frame_digest",
+    "multimodal_bmp_roundtrip",
+    # timeseries / sessionization
+    "ohlc_resample_5min",
+    "sessionize_events",
+    "revenue_ewma_daily",
+    "rolling_features_customer",
+    "merge_overlapping_intervals",
+    "temporal_point_in_time_join",
+    "dedup_events_time_window",
+    # format round-trips (S-family siblings)
+    "csv_roundtrip_agg",
+    "jsonl_roundtrip_agg",
+    "orc_roundtrip_agg",
+    "xml_roundtrip_agg",
+    # storage/integrity tail
+    "cdc_merge_partition_overwrite",
+    "bucketed_join_exchange_free",
+    "fk_integrity_audit",
 ]
 
 
@@ -149,7 +144,29 @@ _R1_VERIFIED = {
     "full_outer_join_key_union", "cross_join_small_dims", "union_all_bag",
 }
 
-_VERIFIED = _R1_VERIFIED | _R2_VERIFIED
+# Round-3 driver-green rows (CORRECTNESS_r03.json; ks_test_two_sample's
+# hash-FAIL row is deliberately absent — it re-verifies this round).
+_R3_VERIFIED = {
+    "ann_ivf_cells", "approx_count_distinct", "array_funcs_suite",
+    "bilateral_trade_volume", "bitwise_funcs_suite", "bm25_topk_search",
+    "conditional_funcs_suite", "curate_curriculum_order", "curate_source_quota",
+    "curate_split_train_val_test", "curate_stratified_sample", "customer_order_distribution",
+    "date_scalar_suite", "datetime_dim_explode", "disjunctive_bracket_revenue",
+    "dormant_high_value_customers", "global_quartiles_exact", "hll_sketch_rollup",
+    "incremental_agg_maintenance", "json_funcs_suite", "large_volume_customers",
+    "local_supplier_volume", "manifest_prune_latest", "map_struct_funcs",
+    "math_funcs_suite", "min_cost_supplier_per_part", "multimodal_audio_stats",
+    "multimodal_features", "order_priority_fulfilment", "part_value_concentration",
+    "pattern_match_suite", "percentile_approx_sketch", "pricing_summary_report",
+    "product_profit_by_nation", "promo_supply_candidates", "psi_price_drift",
+    "rlhf_preference_pairs", "scaled_ann_lsh", "scd2_customer_status_history",
+    "small_qty_revenue_fraction", "snapshot_diff_orders", "sole_failing_supplier",
+    "spatial_radius_join", "string_funcs_suite", "supplier_diversity_by_part",
+    "tfidf_top_terms", "top_revenue_supplier", "try_funcs_suite",
+    "welch_ttest_segments",
+}
+
+_VERIFIED = _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED
 
 
 def _ordered_specs():

@@ -105,16 +105,25 @@ def main() -> None:
     # registry can never push the run past an external timeout and lose
     # the whole benchmark, it just degrades toward min-of-1.
     max_iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "420"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "720"))
     bench_start = time.monotonic()
     timings: dict[str, float] = {}
     passes: dict[str, int] = {}
     budget_cutoff: str | None = None
     for it in range(max_iters):
-        for name in sorted(specs):
-            # pass 1 always completes; re-measure passes stop mid-pass the
-            # moment the budget runs out (those queries keep their pass-1
-            # number — min-of-k degrades gracefully, never truncates output)
+        # pass 1: alphabetical, always completes (every query gets a number).
+        # Re-measure passes run MOST-EXPENSIVE-FIRST by current timing, so
+        # when the budget cuts a pass short (r3: an alphabetical pass 2 died
+        # ~6 queries in, leaving 271 queries min-of-1) the cheap sub-second
+        # tail is what degrades to min-of-1 — every query where JVM noise
+        # actually moves the total has passes >= 2.
+        order = sorted(specs) if it == 0 else sorted(
+            specs, key=lambda n: -timings.get(n, 0.0)
+        )
+        for name in order:
+            # re-measure passes stop mid-pass the moment the budget runs out
+            # (those queries keep their prior min — min-of-k degrades
+            # gracefully, never truncates output)
             if it > 0 and time.monotonic() - bench_start > budget_s:
                 if budget_cutoff is None:
                     budget_cutoff = name

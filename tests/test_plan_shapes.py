@@ -554,3 +554,26 @@ def test_bucketed_registry_join_is_exchange_free(spark):
     assert "SortMergeJoin" in plan
     join_part = plan.split("SortMergeJoin", 1)[1]
     assert "Exchange" not in join_part, join_part
+
+
+@pytest.mark.parametrize("name", ["cogrouped_map_customer_orders", "grouped_map_demean"])
+def test_pandas_tier_python_stage_parallelism(spark, name):
+    """The applyInPandas/cogroup exhibits must run their Python stage on a
+    pinned 32-way hash layout: the r3 driver bench caught the per-customer
+    cogroup running (0+2)/2 tasks because the input-split layout leaked
+    into the Python stage (round-3 verdict item 6). The explicit
+    repartition satisfies the ClusteredDistribution, so exactly one
+    shuffle feeds the kernel and the output has 32 partitions."""
+    df = SPECS[name].fn(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    kernel = "FlatMapCoGroupsInPandas" if name.startswith("cogrouped") else "FlatMapGroupsInPandas"
+    assert kernel in plan
+    assert df.rdd.getNumPartitions() == 32
+
+
+def test_cogrouped_kernel_invocations_are_bucketed(spark):
+    """The cogroup key is the coarse bucket, not the raw customer key —
+    one Python invocation per bucket (<=256), never one per customer
+    (15k 1-row frames measured 30-40s at sf0.1)."""
+    plan = SPECS["cogrouped_map_customer_orders"].fn(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert "pmod" in plan and "bucket" in plan

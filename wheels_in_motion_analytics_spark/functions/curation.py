@@ -748,19 +748,19 @@ WITH avail AS (
 ),
 wq AS (
   SELECT source, available_tokens,
-         (CAST(floor(sqrt(CAST(available_tokens AS DOUBLE))) AS BIGINT) * 1000)
+         CAST((CAST(floor(sqrt(CAST(available_tokens AS DOUBLE))) AS BIGINT) * 1000)
            // SUM(CAST(floor(sqrt(CAST(available_tokens AS DOUBLE))) AS BIGINT)) OVER ()
-           AS weight_permille
+           AS BIGINT) AS weight_permille
   FROM avail
 ),
 plan AS (
   SELECT source, available_tokens, weight_permille,
-         ({TOKEN_BUDGET} * weight_permille) // 1000 AS desired_tokens
+         CAST(({TOKEN_BUDGET} * weight_permille) // 1000 AS BIGINT) AS desired_tokens
   FROM wq
 )
 SELECT source, available_tokens, weight_permille, desired_tokens,
-       desired_tokens // available_tokens AS full_epochs,
-       desired_tokens % available_tokens AS remainder_tokens,
+       CAST(desired_tokens // available_tokens AS BIGINT) AS full_epochs,
+       CAST(desired_tokens % available_tokens AS BIGINT) AS remainder_tokens,
        round(CAST(desired_tokens AS DOUBLE) / available_tokens, 4) AS repeat_factor
 FROM plan
 """,

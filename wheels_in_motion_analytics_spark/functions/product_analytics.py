@@ -287,8 +287,8 @@ daily AS (SELECT d, COUNT(DISTINCT user_id) AS active FROM e GROUP BY d),
 news AS (SELECT fd AS d, COUNT(*) AS new_users FROM firstd GROUP BY fd)
 SELECT daily.d AS day, daily.active,
        COALESCE(news.new_users, 0) AS new_users,
-       SUM(COALESCE(news.new_users, 0)) OVER (ORDER BY daily.d)
-         AS cum_distinct_users
+       CAST(SUM(COALESCE(news.new_users, 0)) OVER (ORDER BY daily.d)
+            AS BIGINT) AS cum_distinct_users
 FROM daily LEFT JOIN news ON news.d = daily.d
 """,
 )

@@ -219,7 +219,7 @@ def null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "count over a manufactured nullable column.",
     oracle="""
 SELECT l_returnflag,
-       count_if(l_quantity > 25) AS n_big,
+       CAST(count_if(l_quantity > 25) AS BIGINT) AS n_big,
        bool_and(l_quantity > 0) AS all_positive,
        bool_or(l_discount > 0.09) AS any_deep_discount,
        CAST(SUM(CAST(CASE WHEN l_quantity > 25 THEN l_extendedprice ELSE 0 END

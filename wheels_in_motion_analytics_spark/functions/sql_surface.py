@@ -294,7 +294,7 @@ def lateral_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderstatus,
        COUNT(*) AS n,
-       SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders
 GROUP BY o_orderstatus
 """,

@@ -215,7 +215,7 @@ dw AS (
 )
 SELECT dw.doc_id,
        COUNT(*) AS n_words,
-       SUM(d.n_sym) AS n_bpe_tokens
+       CAST(SUM(d.n_sym) AS BIGINT) AS n_bpe_tokens
 FROM dw JOIN dict d ON d.w = dw.w
 GROUP BY dw.doc_id
 """,

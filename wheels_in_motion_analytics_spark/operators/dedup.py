@@ -187,8 +187,8 @@ flagged AS (
 )
 SELECT user_id, event_type,
        COUNT(*) AS n_events,
-       SUM(keep) AS n_kept,
-       COUNT(*) - SUM(keep) AS n_debounced
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) - SUM(keep) AS BIGINT) AS n_debounced
 FROM flagged
 GROUP BY user_id, event_type
 """,

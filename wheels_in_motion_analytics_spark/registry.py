@@ -91,6 +91,7 @@ _QUERY_MODULES = [
     "wheels_in_motion_analytics_spark.sources.cdc",
     "wheels_in_motion_analytics_spark.sources.versioned",
     "wheels_in_motion_analytics_spark.sources.formats",
+    "wheels_in_motion_analytics_spark.sources.scan_queries",
 ]
 
 
