@@ -1095,6 +1095,149 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# K-means Lloyd update — the TRAINING half of the IVF quantizer
+# ---------------------------------------------------------------------------
+
+
+def _oracle_kmeans_update() -> str:
+    """DuckDB rendition of one exact Lloyd iteration from the frozen
+    centroids: identical rank-1 assignment (6-dp rounded cosine, cell-id
+    tiebreak), per-dim member sums on the 1e6 integer grid (exact,
+    order-independent), centroid shift via exact integer numerators
+    squared in HUGEINT (BIGINT would overflow at Σ(~4e9)²)."""
+    from wheels_in_motion_analytics_spark.functions.ivf_artifact import (
+        IVF_FROZEN_CENTROIDS,
+    )
+
+    dim = len(IVF_FROZEN_CENTROIDS[0])
+    cent_values = ",\n    ".join(
+        f"({c}, [{', '.join(repr(float(v)) for v in row)}])"
+        for c, row in enumerate(IVF_FROZEN_CENTROIDS)
+    )
+    return f"""
+WITH {_ORACLE_NORM},
+cents (cell, cvec) AS (
+  SELECT * FROM (VALUES
+    {cent_values}
+  ) AS t(cell, cvec)
+),
+sims AS (
+  SELECT vec_id, cell,
+         ROUND(list_dot_product(e, cvec) / nrm, 6) AS sim
+  FROM nn CROSS JOIN cents
+),
+ranked AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rnk
+  FROM sims
+),
+assign AS (SELECT vec_id, cell FROM ranked WHERE rnk = 1),
+member AS (
+  SELECT a.cell,
+         list_transform(nn.e, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS qe
+  FROM assign a JOIN nn USING (vec_id)
+),
+dims AS (
+  SELECT cell, i AS pos, qe[i + 1] AS qv
+  FROM member, unnest(range({dim})) AS t(i)
+),
+per_dim AS (
+  SELECT cell, pos,
+         CAST(SUM(qv) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM dims GROUP BY cell, pos
+),
+oldq AS (
+  SELECT cell, i AS pos,
+         CAST(floor(cvec[i + 1] * 1e6 + 0.5) AS BIGINT) AS old_q
+  FROM cents, unnest(range({dim})) AS t(i)
+)
+SELECT p.cell,
+       CAST(MAX(p.n) AS BIGINT) AS n_members,
+       CAST(SUM(abs(p.s)) AS BIGINT) AS shift_digest,
+       ROUND(sqrt(CAST(SUM(CAST(p.s - o.old_q * p.n AS HUGEINT)
+                           * (p.s - o.old_q * p.n)) AS DOUBLE))
+             / (MAX(p.n) * 1e6), 6) AS movement
+FROM per_dim p JOIN oldq o USING (cell, pos)
+GROUP BY p.cell
+"""
+
+
+@register(
+    "kmeans_lloyd_update",
+    category="similarity",
+    doc="One EXACT Lloyd iteration of the IVF coarse quantizer — the "
+    "training half that ann_ivf_cells' frozen artifact comes from, run as "
+    "a first-class distributed query: rank-1 cosine assignment against "
+    "the frozen centroids (16-row broadcast crossJoin, same 6-dp/cell-id "
+    "tiebreak as ann_ivf_cells), per-dim member sums on the 1e6 integer "
+    "grid via posexplode+groupBy (exact BIGINT accumulation — no float "
+    "summation order anywhere), and the per-cell centroid SHIFT from "
+    "exact integer numerators (Σdiff² in DECIMAL(38,0)/HUGEINT; BIGINT "
+    "would overflow). At 100 TB each iteration is one broadcast-assign + "
+    "one (cell,dim)-grain shuffle of k·d rows — the canonical scalable "
+    "k-means step; iterate by re-freezing centroids between passes "
+    "(tools/gen_ivf_artifact.py). Output: members, L1 sum digest, and "
+    "centroid movement per cell.",
+    oracle=_oracle_kmeans_update(),
+)
+def kmeans_lloyd_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from wheels_in_motion_analytics_spark.functions.ivf_artifact import (
+        IVF_FROZEN_CENTROIDS,
+    )
+
+    vectors = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cdf = spark.createDataFrame(
+        [(c, [float(v) for v in row]) for c, row in enumerate(IVF_FROZEN_CENTROIDS)],
+        "cell INT, cvec ARRAY<DOUBLE>",
+    )
+    normed = _norm_vectors_of(vectors)
+    sims = normed.crossJoin(F.broadcast(cdf)).select(
+        "vec_id",
+        "e",
+        "cell",
+        F.round(dot(F.col("e"), F.col("cvec")) / F.col("nrm"), 6).alias("sim"),
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+    member = (
+        sims.withColumn("rnk", F.row_number().over(wc))
+        .where(F.col("rnk") == 1)
+        .select(
+            "cell",
+            F.transform(
+                F.col("e"), lambda x: F.floor(x * 1e6 + F.lit(0.5)).cast("bigint")
+            ).alias("qe"),
+        )
+    )
+    per_dim = (
+        member.select("cell", F.posexplode("qe").alias("pos", "qv"))
+        .groupBy("cell", "pos")
+        .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    oldq = cdf.select(
+        "cell", F.posexplode("cvec").alias("pos", "ov")
+    ).select(
+        "cell", "pos", F.floor(F.col("ov") * 1e6 + F.lit(0.5)).cast("bigint").alias("old_q")
+    )
+    diff = (F.col("s") - F.col("old_q") * F.col("n")).cast("decimal(38,0)")
+    return (
+        per_dim.join(F.broadcast(oldq), ["cell", "pos"])
+        .groupBy("cell")
+        .agg(
+            F.max("n").alias("n_members"),
+            F.sum(F.abs(F.col("s"))).alias("shift_digest"),
+            F.round(
+                F.sqrt(F.sum(diff * diff).cast("double"))
+                / (F.max("n") * F.lit(1e6)),
+                6,
+            ).alias("movement"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Dedup clusters — connected components over the near-dup graph
 # ---------------------------------------------------------------------------
 
