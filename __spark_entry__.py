@@ -92,10 +92,10 @@ _DRIVER_PRIORITY = [
     "jsonl_roundtrip_agg",
     "orc_roundtrip_agg",
     "xml_roundtrip_agg",
-    # storage/integrity tail
+    # storage/integrity tail + this round's new flagship op
     "cdc_merge_partition_overwrite",
     "bucketed_join_exchange_free",
-    "fk_integrity_audit",
+    "kmeans_lloyd_update",
 ]
 
 

@@ -11,6 +11,7 @@ import math
 import duckdb
 import pytest
 
+from wheels_in_motion_analytics_spark.oracle_types import type_kind_diff
 from wheels_in_motion_analytics_spark.registry import load_all_queries
 from wheels_in_motion_analytics_spark.tables import TABLE_NAMES
 
@@ -60,13 +61,19 @@ def test_query_matches_oracle(name, spark, duck):
         assert len(spark_cols) > 0
         return
 
-    res = duck.execute(spec.oracle)
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    duck_tab = duck.execute(spec.oracle).arrow()
+    duck_cols = duck_tab.column_names
+    duck_rows = list(zip(*(col.to_pylist() for col in duck_tab.columns)))
+    if not duck_tab.columns:
+        duck_rows = []
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
     )
+    # typed-kind check: HUGEINT drift collects as Decimal and hash-fails in
+    # the driver even when fetchall() values compare equal (oracle_types.py)
+    tdiff = type_kind_diff(sdf.dtypes, duck_tab.schema)
+    assert not tdiff, f"{name}: result type drift (spark vs duckdb): {tdiff}"
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
     )

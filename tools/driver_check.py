@@ -19,70 +19,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
-import pyarrow as pa
 from pyspark.sql import SparkSession
 
-
-def _arrow_kind(t) -> str:
-    """Canonical type label for a DuckDB-result Arrow type, at the
-    granularity the driver's value-hash actually distinguishes: the Python
-    object class a collect yields (int vs Decimal vs float ...). HUGEINT
-    arrives as decimal128(38,0) — a Decimal, distinct from bigint's int —
-    so SUM(int)->HUGEINT drift can no longer hide behind fetchall()'s
-    Python ints (round-3 verdict). int32 vs int64 is NOT drift (both
-    collect as int; the driver-green psi_price_drift proves it)."""
-    if pa.types.is_boolean(t):
-        return "bool"
-    if pa.types.is_integer(t):
-        return "int"
-    if pa.types.is_decimal(t):
-        return f"decimal(scale={t.scale})"
-    if pa.types.is_floating(t):
-        return "float"
-    if pa.types.is_string(t) or pa.types.is_large_string(t):
-        return "str"
-    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
-        return "bytes"
-    if pa.types.is_date(t):
-        return "date"
-    if pa.types.is_timestamp(t):
-        return "timestamp"  # tz-naive vs instant handled at value level
-    return "complex"
-
-
-_SPARK_KIND = {
-    "tinyint": "int",
-    "smallint": "int",
-    "int": "int",
-    "bigint": "int",
-    "float": "float",
-    "double": "float",
-    "boolean": "bool",
-    "string": "str",
-    "binary": "bytes",
-    "date": "date",
-    "timestamp": "timestamp",
-    "timestamp_ntz": "timestamp",
-}
-
-
-def _spark_kind(dtype: str) -> str:
-    d = dtype.strip()
-    if d.startswith("decimal("):
-        scale = d[:-1].split(",")[1]
-        return f"decimal(scale={scale})"
-    return _SPARK_KIND.get(d, "complex")
-
-
-def type_diff(sdf, arrow_schema):
-    """Return list of (col, spark_kind, duck_kind) mismatches."""
-    skinds = {c: _spark_kind(t) for c, t in sdf.dtypes}
-    dkinds = {f.name: _arrow_kind(f.type) for f in arrow_schema}
-    return [
-        (c, skinds[c], dkinds[c])
-        for c in sorted(set(skinds) & set(dkinds))
-        if skinds[c] != dkinds[c]
-    ]
+from wheels_in_motion_analytics_spark.oracle_types import type_kind_diff
 
 
 def canon(rows, cols):
@@ -146,7 +85,7 @@ def main() -> int:
             drows = list(zip(*(col.to_pylist() for col in dtab.columns)))
             if not dtab.columns:
                 drows = []
-            tdiff = type_diff(sdf, dtab.schema)
+            tdiff = type_kind_diff(sdf.dtypes, dtab.schema)
             ok = (
                 sorted(sdf.columns) == sorted(dcols)
                 and len(srows) == len(drows)
