@@ -359,3 +359,41 @@ def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return yearly.groupBy("order_year").agg(
         F.sum("c").alias("exact_distinct_customers")
     )
+
+
+@register(
+    "sql_pipe_syntax_report",
+    category="advanced",
+    doc="Spark 4 SQL pipe syntax (FROM ... |> WHERE |> EXTEND |> AGGREGATE "
+    "|> WHERE |> SELECT): the linear query-flow dialect, one operator per "
+    "stage in reading order. Pipe operators are pure parser surface — the "
+    "chain compiles to the same Catalyst plan as the ANSI rendering (scan "
+    "with pushed timestamp filter, partial+final hash agg, post-agg "
+    "filter), so pushdown and whole-stage codegen are unchanged; the oracle "
+    "IS that ANSI rendering. Revenue is integer-cents quantized "
+    "(floor(x*100+0.5)) so the pipe EXTEND column hashes identically across "
+    "engines.",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       CAST(CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                          AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS net_revenue
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+HAVING COUNT(*) > 100
+""",
+)
+def sql_pipe_syntax_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("pipe_lineitem")
+    return spark.sql("""
+FROM pipe_lineitem
+|> WHERE l_shipdate <= TIMESTAMP_NTZ '1998-09-02 00:00:00'
+|> EXTEND CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+     AS net_cents
+|> AGGREGATE COUNT(*) AS n_rows,
+       CAST(SUM(net_cents) AS DOUBLE) / 100.0 AS net_revenue
+     GROUP BY l_returnflag, l_linestatus
+|> WHERE n_rows > 100
+|> SELECT l_returnflag, l_linestatus, n_rows, net_revenue
+""")

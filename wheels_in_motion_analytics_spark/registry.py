@@ -85,6 +85,7 @@ _QUERY_MODULES = [
     "wheels_in_motion_analytics_spark.streaming.joins",
     "wheels_in_motion_analytics_spark.streaming.stateful",
     "wheels_in_motion_analytics_spark.streaming.sinks",
+    "wheels_in_motion_analytics_spark.streaming.state_reader",
     "wheels_in_motion_analytics_spark.multimodal",
     "wheels_in_motion_analytics_spark.sources.manifest",
     "wheels_in_motion_analytics_spark.sources.partitioned",
