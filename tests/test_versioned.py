@@ -191,3 +191,47 @@ def test_plain_read_version_applies_deletion_vectors(spark, tmp_path):
     assert sorted(r.k for r in read_version(spark, root).collect()) == [1, 2, 4, 5]
     # pre-delete version still reads the full file list
     assert len(read_version(spark, root, version=1).collect()) == 5
+
+
+def test_change_feed_reads_only_incremental_files(spark, orders, tmp_path):
+    from wheels_in_motion_analytics_spark.sources.versioned import (
+        change_feed,
+        commit_delete,
+    )
+
+    root = str(tmp_path / "cdf")
+    lo = orders.where(F.col("o_orderkey") <= 1000)
+    hi = orders.where(F.col("o_orderkey") > 1000)
+    commit(lo, root, mode="overwrite")
+    commit(hi, root, mode="append")
+    commit_delete(
+        orders.where(F.col("o_orderkey") % 7 == 0).select("o_orderkey"),
+        root,
+        "o_orderkey",
+    )
+    feed = change_feed(spark, root, 1, 3)
+    by = {
+        (r["commit_version"], r["change_type"]): r["n"]
+        for r in feed.groupBy("commit_version", "change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert by[(1, "insert")] == lo.count()
+    assert by[(2, "insert")] == hi.count()
+    assert by[(3, "delete")] == orders.where(F.col("o_orderkey") % 7 == 0).count()
+    # v2's slice of the feed reads ONLY the appended files — key ranges prove
+    # the initial load never re-enters the feed
+    v2_keys = feed.where(
+        (F.col("commit_version") == 2) & (F.col("change_type") == "insert")
+    )
+    assert v2_keys.agg(F.min("row_key")).collect()[0][0] > 1000
+
+
+def test_change_feed_rejects_mid_chain_overwrite(spark, orders, tmp_path):
+    from wheels_in_motion_analytics_spark.sources.versioned import change_feed
+
+    root = str(tmp_path / "cdf_ow")
+    commit(orders.limit(100), root, mode="overwrite")
+    commit(orders.limit(10), root, mode="overwrite")
+    with pytest.raises(ValueError, match="overwrite"):
+        change_feed(spark, root, 1, 2).collect()
