@@ -74,7 +74,16 @@ def stream_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise TimeoutError("availableNow count stream did not finish in 300s")
 
-    state = spark.read.format("statestore").load(ckpt)
+    # the sibling 'state-metadata' source enumerates the stateful operators
+    # behind a checkpoint — use it to locate the aggregation's operatorId
+    # instead of assuming 0 (the discovery step a real state audit runs first)
+    meta = spark.read.format("state-metadata").load(ckpt)
+    op_id = meta.select("operatorId").head()[0]
+    state = (
+        spark.read.format("statestore")
+        .option("operatorId", int(op_id))
+        .load(ckpt)
+    )
     # key = the grouping columns; value = the aggregation buffer. Resolve the
     # buffer's count field by type, not by its engine-internal name.
     value_fields = state.schema["value"].dataType
