@@ -32,13 +32,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # ignored. Kept to exactly 50 entries. Round-4 rotation: the 49 r3-green
 # entries moved to _R3_VERIFIED; the head leads with the queries whose code
 # changed AFTER their last green row (stale hard signal — round-3 verdict
-# item "re-verification"), then the new §2a scan/sink wrappers, then the
+# item "re-verification": the similarity pair, the UDF-tier rewrites, and
+# approx_count_distinct whose HLL-pairing fix postdates its r3 row), then
+# the new §2a scan/sink wrappers, the round-4 session-2 additions (pipe
+# syntax, Observation metrics, state-store reader, change feed), then the
 # never-verified blocks the verdict ranked first (streaming family, graph,
 # versioned branch merge, round-3 additions, timeseries, format
-# round-trips).
+# round-trips — jsonl/xml round-trips and three family-redundant siblings
+# rotated out to r5 to make room; csv/orc still represent the family).
 _DRIVER_PRIORITY = [
     # re-verify: fixed oracle (r3 FAIL) + code rewritten since last green row
     "ks_test_two_sample",
+    "approx_count_distinct",
     "cogrouped_map_customer_orders",
     "grouped_map_demean",
     "similarity_topk_bruteforce",
@@ -58,7 +63,6 @@ _DRIVER_PRIORITY = [
     "python_stream_datasource_read",
     "stream_attribution_unmatched",
     "stream_complete_mode_totals",
-    "stream_dedup_events",
     "stream_dedup_within_watermark",
     "stream_hourly_rollup_of_bars",
     "stream_join_attribution",
@@ -75,10 +79,8 @@ _DRIVER_PRIORITY = [
     "column_entropy_mi",
     "bitmap_distinct_rollup",
     "seasonal_decompose_daily",
-    "rolling_median_weekly_revenue",
     "multimodal_resize_digest",
     "multimodal_frame_digest",
-    "multimodal_bmp_roundtrip",
     # timeseries / sessionization
     "ohlc_resample_5min",
     "sessionize_events",
@@ -89,9 +91,12 @@ _DRIVER_PRIORITY = [
     "dedup_events_time_window",
     # format round-trips (S-family siblings)
     "csv_roundtrip_agg",
-    "jsonl_roundtrip_agg",
     "orc_roundtrip_agg",
-    "xml_roundtrip_agg",
+    # round-4 session-2 additions (never verified)
+    "sql_pipe_syntax_report",
+    "observe_dq_single_pass",
+    "stream_state_store_read",
+    "versioned_change_feed",
     # storage/integrity tail + this round's new flagship op
     "cdc_merge_partition_overwrite",
     "bucketed_join_exchange_free",
