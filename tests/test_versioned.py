@@ -235,3 +235,53 @@ def test_change_feed_rejects_mid_chain_overwrite(spark, orders, tmp_path):
     commit(orders.limit(10), root, mode="overwrite")
     with pytest.raises(ValueError, match="overwrite"):
         change_feed(spark, root, 1, 2).collect()
+
+
+def test_vacuum_reclaims_only_pre_horizon_files(spark, orders, tmp_path):
+    from wheels_in_motion_analytics_spark.sources.versioned import (
+        _data_dir,
+        _manifest,
+        vacuum,
+    )
+
+    root = str(tmp_path / "vac")
+    commit(orders.where(F.col("o_orderkey") <= 500), root, mode="overwrite")
+    commit(orders.where(F.col("o_orderkey") > 500), root, mode="append")
+    commit(orders, root, mode="overwrite")  # v3 re-snapshots everything
+    v1_files = set(_manifest(root, 1)["files"])
+    v2_files = set(_manifest(root, 2)["files"])
+    v3_files = set(_manifest(root, 3)["files"])
+    audit = vacuum(root, retain_from=3)
+    assert audit["reclaimed"] == len((v1_files | v2_files) - v3_files) > 0
+    for f in v1_files:
+        assert not os.path.exists(os.path.join(_data_dir(root), f))
+    for f in v3_files:
+        assert os.path.exists(os.path.join(_data_dir(root), f))
+    # retained horizon still time-travels; pre-horizon does not
+    assert read_version(spark, root, version=3).count() == orders.count()
+    with pytest.raises(Exception):
+        read_version(spark, root, version=1)
+
+
+def test_vacuum_keeps_dv_sidecars_of_retained_versions(spark, orders, tmp_path):
+    from wheels_in_motion_analytics_spark.sources.versioned import (
+        _data_dir,
+        _manifest,
+        commit_delete,
+        vacuum,
+    )
+
+    root = str(tmp_path / "vac_dv")
+    commit(orders, root, mode="overwrite")
+    commit_delete(
+        orders.where(F.col("o_orderkey") % 5 == 0).select("o_orderkey"),
+        root,
+        "o_orderkey",
+    )
+    expected = read_version(spark, root, version=2).count()
+    vacuum(root, retain_from=2)
+    m2 = _manifest(root, 2)
+    for f in m2.get("deletes", []):
+        assert os.path.exists(os.path.join(_data_dir(root), f))
+    # MoR read of the retained head still applies the vectors
+    assert read_version(spark, root, version=2).count() == expected

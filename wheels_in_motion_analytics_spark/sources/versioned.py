@@ -845,3 +845,116 @@ def versioned_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("row_key").alias("sum_keys"),
         F.sum("price_cents").alias("sum_cents"),
     )
+
+
+def vacuum(root: str, retain_from: int) -> dict:
+    """Reclaim storage: delete data files and DV sidecars referenced ONLY by
+    versions older than ``retain_from``, and drop those versions' manifests.
+
+    The retention horizon is a VERSION (time travel to ``>= retain_from``
+    keeps working; older versions become unreadable by design — the same
+    contract as Delta's VACUUM, expressed in versions instead of hours).
+    Files are immutable and shared across manifests, so liveness is a set
+    union over the retained manifests — an O(log) driver-side computation,
+    never a data scan. Returns an audit dict (files before/after, reclaimed
+    count, dropped versions).
+    """
+    head = current_version(root)
+    if not 1 <= retain_from <= head:
+        raise ValueError(f"retain_from v{retain_from} outside v1..v{head}")
+    all_refs: set[str] = set()
+    live_refs: set[str] = set()
+    for v in range(1, head + 1):
+        m = _manifest(root, v)
+        refs = set(m["files"]) | set(m.get("deletes", []))
+        all_refs |= refs
+        if v >= retain_from:
+            live_refs |= refs
+    doomed = sorted(all_refs - live_refs)
+    for rel in doomed:
+        path = os.path.join(_data_dir(root), rel)
+        if os.path.exists(path):
+            os.unlink(path)
+    dropped = list(range(1, retain_from))
+    for v in dropped:
+        os.unlink(os.path.join(_log_dir(root), f"v{v}.json"))
+    return {
+        "files_before": len(all_refs),
+        "files_after": len(live_refs),
+        "reclaimed": len(doomed),
+        "dropped_versions": len(dropped),
+    }
+
+
+@register(
+    "versioned_vacuum_retention",
+    category="cdc",
+    doc="VACUUM with a version-retention horizon, completing the table "
+    "lifecycle (commit → compact → branch → MoR delete → CDF → vacuum): a "
+    "4-commit chain where v3 overwrites (orphaning v1/v2-only files), then "
+    "vacuum(retain_from=3) deletes exactly the files no retained manifest "
+    "references — liveness is a manifest set-union on the driver, never a "
+    "data scan, so a 100 TB vacuum costs O(versions × files-per-manifest) "
+    "metadata work plus the deletes. Emits the audit plus the surviving "
+    "head aggregate; the oracle recomputes the aggregate relationally and "
+    "asserts the audit verdicts (pre-horizon read now fails, head content "
+    "intact, orphan count as constructed).",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       TRUE AS reclaimed_old_only,
+       TRUE AS old_reads_fail,
+       TRUE AS head_intact
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o_orderstatus
+""",
+)
+def versioned_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = tempfile.mkdtemp(prefix="vacuum_")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    cut = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    commit(orders.where(F.col("o_orderdate") < cut), root, mode="overwrite")
+    commit(orders.limit(0), root, mode="append", expected_version=1)
+    # v3 overwrite: from here on, v1/v2's files are referenced only below
+    # the coming horizon
+    commit(orders.where(F.col("o_orderdate") >= cut), root, mode="overwrite")
+    commit(orders.limit(0), root, mode="append", expected_version=3)
+
+    def _refs(v: int) -> set:
+        m = _manifest(root, v)
+        return set(m["files"]) | set(m.get("deletes", []))
+
+    old_only = (_refs(1) | _refs(2)) - _refs(4)  # v4 append carries v3's refs
+    head_refs = _refs(4)
+    audit = vacuum(root, retain_from=3)
+
+    def _exists(rel: str) -> bool:
+        return os.path.exists(os.path.join(_data_dir(root), rel))
+
+    reclaimed_old_only = (
+        audit["reclaimed"] == len(old_only)
+        and not any(_exists(f) for f in old_only)
+        and all(_exists(f) for f in head_refs)
+    )
+    old_reads_fail = False
+    try:
+        read_version(spark, root, version=1)
+    except Exception:
+        old_reads_fail = True
+    head = read_version(spark, root)  # v4 == v3 content
+    return head.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")).alias(
+            "total_cents"
+        ),
+        F.lit(bool(reclaimed_old_only)).alias("reclaimed_old_only"),
+        F.lit(bool(old_reads_fail)).alias("old_reads_fail"),
+        F.lit(audit["files_after"] > 0 and audit["dropped_versions"] == 2).alias(
+            "head_intact"
+        ),
+    )
