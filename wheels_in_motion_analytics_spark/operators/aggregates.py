@@ -645,3 +645,54 @@ def approx_revenue_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_revenue",
         F.round(F.col("est_revenue") / F.col("true_revenue") - 1, 6).alias("rel_err"),
     )
+
+
+@register(
+    "heavy_hitters_topk",
+    category="sketch",
+    doc="Heavy hitters via approx_top_k (Spark 4.1 frequent-items sketch): "
+    "a deterministic Zipf-ish key (floor(sqrt(o_orderkey mod 10000)) — "
+    "value v covers 2v+1 residues, so frequency grows with v) is sketched "
+    "for its top 10; the sketch result is then AUDITED against the exact "
+    "groupBy: every sketched item must carry its exact count and sit in "
+    "the exact top-10 (items tracked ≥ distinct values ⇒ the sketch's "
+    "counts are exact by construction; the audit would catch a tie-break "
+    "or eviction drift). The mergeable-sketch path is what survives "
+    "100 TB — partials combine associatively like the HLL/CMS siblings.",
+    oracle="""
+WITH keyed AS (
+  SELECT CAST(floor(sqrt(o_orderkey % 10000)) AS INT) AS item FROM orders
+),
+exact AS (
+  SELECT item, COUNT(*) AS exact_cnt,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, item) AS rnk
+  FROM keyed GROUP BY item
+)
+SELECT item, exact_cnt,
+       TRUE AS sketch_count_exact,
+       TRUE AS in_exact_topk
+FROM exact WHERE rnk <= 10
+""",
+)
+def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keyed = table(spark, sf_dir, "orders").select(
+        F.floor(F.sqrt(F.col("o_orderkey") % 10000)).cast("int").alias("item")
+    )
+    sketch = keyed.select(
+        F.explode(F.expr("approx_top_k(item, 10, 10000)")).alias("e")
+    ).select(F.col("e.item").alias("item"), F.col("e.count").alias("sketch_cnt"))
+    exact = keyed.groupBy("item").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    w = Window.orderBy(F.desc("exact_cnt"), F.asc("item"))
+    exact_topk = exact.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= 10
+    )
+    return (
+        sketch.join(exact, "item", "left")
+        .join(exact_topk.select("item", "rnk"), "item", "left")
+        .select(
+            "item",
+            "exact_cnt",
+            (F.col("sketch_cnt") == F.col("exact_cnt")).alias("sketch_count_exact"),
+            F.col("rnk").isNotNull().alias("in_exact_topk"),
+        )
+    )
