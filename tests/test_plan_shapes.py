@@ -577,3 +577,31 @@ def test_cogrouped_kernel_invocations_are_bucketed(spark):
     (15k 1-row frames measured 30-40s at sf0.1)."""
     plan = SPECS["cogrouped_map_customer_orders"].fn(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
     assert "pmod" in plan and "bucket" in plan
+
+
+def test_partition_evolution_prunes_only_evolved_generation(spark):
+    """The evolution-aware union reader: the month window must prune
+    directories on the hive-partitioned generation (only the two in-window
+    month dirs are read) while the flat legacy generation filters rows —
+    and the union's result files come from both generations."""
+    import pyspark.sql.functions as F
+
+    from wheels_in_motion_analytics_spark.sources.partitioned import (
+        EVOLVE_MONTHS,
+        evolved_union_scan,
+    )
+
+    df = evolved_union_scan(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ship_month" in plan
+
+    files = [
+        r.f for r in df.select(F.input_file_name().alias("f")).distinct().collect()
+    ]
+    gen2_files = [f for f in files if "gen2_by_month" in f]
+    gen1_files = [f for f in files if "gen1_flat" in f]
+    assert gen1_files and gen2_files, "union must read both generations"
+    in_window = [m for m in EVOLVE_MONTHS if m >= "1996"]
+    assert all(
+        any(f"ship_month={m}" in f for m in in_window) for f in gen2_files
+    ), "evolved generation read a month directory outside the window"

@@ -156,3 +156,93 @@ def dpp_join_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition-spec EVOLUTION: one logical table across two physical layouts
+# ---------------------------------------------------------------------------
+
+EVOLVE_CUT = "1996-01-01 00:00:00"
+EVOLVE_MONTHS = ["1995-11", "1995-12", "1996-01", "1996-02"]
+_EVOLVE_COLS = ["l_shipdate", "l_quantity", "l_extendedprice", "l_discount"]
+
+
+def evolved_lineitem_paths(sf_dir: str) -> tuple[str, str]:
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(_REPO_ROOT, ".derived", sf_name, "lineitem_evolved")
+    return os.path.join(base, "gen1_flat"), os.path.join(base, "gen2_by_month")
+
+
+def ensure_evolved_lineitem(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build the two-generation lake once per sf: generation 1 landed BEFORE
+    anyone thought of partitioning (flat files, pre-1996 rows); generation 2
+    is the evolved spec (hive-partitioned by ship month, 1996+). Real lakes
+    carry this scar permanently — the old files are never rewritten."""
+    gen1, gen2 = evolved_lineitem_paths(sf_dir)
+    cut = F.lit(EVOLVE_CUT).cast("timestamp")
+    if not os.path.exists(os.path.join(gen1, "_SUCCESS")):
+        (
+            table(spark, sf_dir, "lineitem")
+            .where(F.col("l_shipdate") < cut)
+            .select(_EVOLVE_COLS)
+            .coalesce(4)
+            .write.mode("overwrite")
+            .parquet(gen1)
+        )
+    if not os.path.exists(os.path.join(gen2, "_SUCCESS")):
+        (
+            table(spark, sf_dir, "lineitem")
+            .where(F.col("l_shipdate") >= cut)
+            .select(_EVOLVE_COLS)
+            .withColumn("ship_month", F.date_format("l_shipdate", "yyyy-MM"))
+            .repartition("ship_month")
+            .write.mode("overwrite")
+            .partitionBy("ship_month")
+            .parquet(gen2)
+        )
+    return gen1, gen2
+
+
+def evolved_union_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evolution-aware reader: one logical relation, a month predicate
+    that becomes PartitionFilters on the evolved generation and a plain
+    data filter on the legacy one (pinned in tests/test_plan_shapes.py)."""
+    gen1, gen2 = ensure_evolved_lineitem(spark, sf_dir)
+    legacy = (
+        spark.read.parquet(gen1)
+        .withColumn("ship_month", F.date_format("l_shipdate", "yyyy-MM"))
+        .where(F.col("ship_month").isin(EVOLVE_MONTHS))
+    )
+    modern = spark.read.parquet(gen2).where(F.col("ship_month").isin(EVOLVE_MONTHS))
+    return legacy.unionByName(modern)
+
+
+@register(
+    "partition_evolution_union_scan",
+    category="sources",
+    doc="Partition-spec EVOLUTION: the lake's first generation landed flat "
+    "(pre-1996 files, never rewritten), the second generation is "
+    "hive-partitioned by ship month — the permanent scar every long-lived "
+    "100 TB lake carries. The evolution-aware reader unions the two "
+    "layouts behind one logical relation; a month window spanning the "
+    "boundary prunes directories on the evolved generation "
+    "(PartitionFilters, 2 of ~31 month dirs) while the legacy generation "
+    "filters rows. Oracle runs the same window on the original table.",
+    oracle=f"""
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       COUNT(*) AS n_items,
+       {oracle_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+WHERE strftime(l_shipdate, '%Y-%m') IN ({", ".join(f"'{m}'" for m in EVOLVE_MONTHS)})
+GROUP BY 1
+""",
+)
+def partition_evolution_union_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        evolved_union_scan(spark, sf_dir)
+        .groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
