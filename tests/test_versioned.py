@@ -285,3 +285,50 @@ def test_vacuum_keeps_dv_sidecars_of_retained_versions(spark, orders, tmp_path):
         assert os.path.exists(os.path.join(_data_dir(root), f))
     # MoR read of the retained head still applies the vectors
     assert read_version(spark, root, version=2).count() == expected
+
+
+@pytest.mark.parametrize("chain", [
+    # (kind, predicate_mod) sequences; append slices are disjoint by
+    # orderkey band, deletes hit arbitrary keys — replaying the feed must
+    # reconstruct the MoR snapshot for ANY such chain
+    ["a0", "a1", "d3", "a2", "d5"],
+    ["a0", "d2", "d3", "a1"],
+    ["a0", "a1", "a2"],
+])
+def test_change_feed_replay_reconstructs_mor_snapshot(spark, orders, tmp_path, chain):
+    from wheels_in_motion_analytics_spark.sources.versioned import (
+        change_feed,
+        commit_delete,
+        read_version,
+    )
+
+    root = str(tmp_path / "replay")
+    bands = 3
+    first = True
+    for step in chain:
+        kind, arg = step[0], int(step[1])
+        if kind == "a":
+            band = orders.where(F.col("o_orderkey") % bands == arg % bands)
+            commit(band, root, mode="overwrite" if first else "append")
+            first = False
+        else:
+            commit_delete(
+                orders.where(F.col("o_orderkey") % arg == 0).select("o_orderkey"),
+                root,
+                "o_orderkey",
+            )
+    head = len(chain)
+    feed = change_feed(spark, root, 1, head)
+    inserted = feed.where(F.col("change_type") == "insert").select(
+        F.col("row_key").alias("o_orderkey")
+    )
+    deleted = feed.where(F.col("change_type") == "delete").select(
+        F.col("row_key").alias("o_orderkey")
+    )
+    replayed = sorted(
+        r[0] for r in inserted.join(deleted, "o_orderkey", "left_anti").collect()
+    )
+    snapshot = sorted(
+        r["o_orderkey"] for r in read_version(spark, root, head).collect()
+    )
+    assert replayed == snapshot and len(snapshot) > 0

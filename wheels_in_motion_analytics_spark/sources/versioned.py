@@ -98,12 +98,20 @@ def commit(
         for f in os.listdir(stage)
         if f.endswith(".parquet")
     )
+    manifest = {"version": version, "mode": mode}
     if mode == "append" and base > 0:
-        files = _manifest(root, base)["files"] + new_files
+        prev = _manifest(root, base)
+        manifest["files"] = prev["files"] + new_files
+        # Deletion vectors are GLOBAL key tombstones, not file-scoped: an
+        # append must carry the accumulated DV chain forward or the deleted
+        # rows resurrect in every later snapshot (caught by the change-feed
+        # replay invariant in tests/test_versioned.py). An overwrite
+        # legitimately clears them — it re-baselines row identity.
+        if prev.get("deletes"):
+            manifest["deletes"] = prev["deletes"]
+            manifest["delete_key"] = prev["delete_key"]
     else:
-        files = new_files
-
-    manifest = {"version": version, "mode": mode, "files": files}
+        manifest["files"] = new_files
     final = os.path.join(_log_dir(root), f"v{version}.json")
     fd, tmp = tempfile.mkstemp(dir=_log_dir(root), suffix=".tmp")
     with os.fdopen(fd, "w") as fh:
