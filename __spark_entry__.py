@@ -67,8 +67,6 @@ _DRIVER_PRIORITY = [
     "stream_hourly_rollup_of_bars",
     "stream_join_attribution",
     "stream_ohlc_bars",
-    "stream_sliding_window",
-    "stream_static_enrich",
     "late_data_bar_restatement",
     # graph + versioned
     "bfs_cosupply_hops",
@@ -80,18 +78,29 @@ _DRIVER_PRIORITY = [
     "bitmap_distinct_rollup",
     "seasonal_decompose_daily",
     "multimodal_resize_digest",
-    "multimodal_frame_digest",
     # timeseries / sessionization
     "ohlc_resample_5min",
-    "sessionize_events",
-    "revenue_ewma_daily",
-    "rolling_features_customer",
-    "merge_overlapping_intervals",
     "temporal_point_in_time_join",
-    "dedup_events_time_window",
     # format round-trips (S-family siblings)
     "csv_roundtrip_agg",
-    "orc_roundtrip_agg",
+    # Spark-4 modern SQL surface (this session; never verified).
+    # Swapped in for orc_roundtrip_agg, stream_static_enrich,
+    # stream_sliding_window, rolling_features_customer,
+    # merge_overlapping_intervals — each family keeps another head entry.
+    "variant_extract_event_props",
+    "sql_scalar_udf_net_revenue",
+    "sql_table_udf_price_brackets",
+    "session_variable_dynamic_window",
+    "listagg_nation_supplier_roster",
+    # session-3 additions (never verified). Rotated to r5 to keep the head
+    # at 50: revenue_ewma_daily, dedup_events_time_window, sessionize_events
+    # (timeseries keeps ohlc_resample_5min + temporal_point_in_time_join +
+    # late_data_bar_restatement) and multimodal_frame_digest
+    # (multimodal_resize_digest stays).
+    "sql_sugar_suite",
+    "zone_map_skipping_audit",
+    "hll_intersection_inclusion_exclusion",
+    "parquet_agg_pushdown_stats",
     # round-4 session-2 additions (never verified)
     "sql_pipe_syntax_report",
     "observe_dq_single_pass",

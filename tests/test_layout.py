@@ -93,3 +93,38 @@ def test_zorder_layout_prunes_2d_box(spark, tmp_path):
         & F.col("l_suppkey").between(*box["l_suppkey"])
     ).count()
     assert got == want
+
+
+def test_zone_map_clustered_layout_skips_most_zones(spark):
+    """The audit must show the point of clustering: under the date-sorted
+    layout the quarter predicate opens only the contiguous zones that hold
+    the quarter, while the natural (insert-order) layout opens nearly all
+    zones. Zone counts must agree between layouts (same rows, same size)."""
+    from wheels_in_motion_analytics_spark.functions.layout import (
+        ZONE_HI,
+        ZONE_LO,
+        ZONE_ROWS,
+        zone_map_skipping_audit,
+    )
+    from wheels_in_motion_analytics_spark.tables import table
+
+    rows = {r["layout"]: r for r in zone_map_skipping_audit(spark, SF_SMALL).collect()}
+    nat, clu = rows["natural"], rows["date_clustered"]
+    n_orders = table(spark, SF_SMALL, "orders").count()
+    assert nat["n_zones"] == clu["n_zones"] == -(-n_orders // ZONE_ROWS)
+    matching = (
+        table(spark, SF_SMALL, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit(ZONE_LO).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(ZONE_HI).cast("timestamp"))
+        )
+        .count()
+    )
+    # every matching row lives in an opened zone under BOTH layouts
+    assert clu["rows_scanned"] >= matching and nat["rows_scanned"] >= matching
+    # the clustered layout opens only the quarter's contiguous zone run
+    # (+1 zone of boundary slack); natural order spreads the quarter
+    # across nearly every zone
+    assert clu["zones_opened"] <= matching // ZONE_ROWS + 2
+    assert nat["zones_opened"] >= 3 * clu["zones_opened"]
+    assert clu["rows_scanned"] < nat["rows_scanned"]

@@ -67,6 +67,147 @@ def test_observe_metrics_equal_relational_audit(spark):
     assert row == tuple(expect)
 
 
+def test_sql_scalar_udf_inlines_into_plan(spark):
+    """The SQL UDF body must be inlined by Catalyst: no Python eval node in
+    the physical plan, and results identical to the inline-arithmetic twin."""
+    from wheels_in_motion_analytics_spark.functions.modern_sql import (
+        sql_scalar_udf_net_revenue,
+    )
+
+    df = sql_scalar_udf_net_revenue(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    disc = F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint")
+    twin = (
+        table(spark, SF_SMALL, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(((cents * (100 - disc)) / F.lit(100)).cast("bigint")).alias(
+                "net_cents_total"
+            ),
+        )
+    )
+    got = {tuple(r) for r in df.collect()}
+    want = {tuple(r) for r in twin.collect()}
+    assert got == want
+
+
+def test_variant_extract_equals_from_json(spark):
+    """variant_get typed-path extraction agrees with from_json under a
+    declared schema on the same props column."""
+    from wheels_in_motion_analytics_spark.functions.modern_sql import (
+        variant_extract_event_props,
+    )
+
+    got = {r["event_type"]: r["sum_k"] for r in variant_extract_event_props(spark, SF_SMALL).collect()}
+    ev = table(spark, SF_SMALL, "events")
+    want = {
+        r["event_type"]: r["sum_k"]
+        for r in ev.select(
+            "event_type", F.from_json("props", "k BIGINT").alias("j")
+        )
+        .groupBy("event_type")
+        .agg(F.sum("j.k").alias("sum_k"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_session_variable_filter_pushes_down(spark):
+    """Variables bind as literals, so the window filter must reach the
+    parquet scan as a pushed filter."""
+    from wheels_in_motion_analytics_spark.functions.modern_sql import (
+        session_variable_dynamic_window,
+    )
+
+    df = session_variable_dynamic_window(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+
+
+def test_table_udf_spine_reports_empty_brackets(spark):
+    from wheels_in_motion_analytics_spark.functions.modern_sql import (
+        sql_table_udf_price_brackets,
+    )
+
+    rows = sql_table_udf_price_brackets(spark, SF_SMALL).collect()
+    assert sorted(r["bracket"] for r in rows) == list(range(10))
+    total = sum(r["n_orders"] for r in rows)
+    assert total == table(spark, SF_SMALL, "orders").count()
+
+
+def test_listagg_roster_matches_sorted_collect(spark):
+    from wheels_in_motion_analytics_spark.functions.modern_sql import (
+        listagg_nation_supplier_roster,
+    )
+
+    got = {
+        r["n_name"]: r["roster"]
+        for r in listagg_nation_supplier_roster(spark, SF_SMALL).collect()
+    }
+    twin = (
+        table(spark, SF_SMALL, "supplier")
+        .join(table(spark, SF_SMALL, "nation"), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("roster"))
+    )
+    want = {r["n_name"]: r["roster"] for r in twin.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_sql_sugar_suite_matches_spelled_out_ansi(spark):
+    """GROUP BY ALL / ORDER BY ALL / lateral aliases / IDENTIFIER() are
+    parser surface only: results must equal the fully spelled-out query."""
+    from wheels_in_motion_analytics_spark.functions.modern_sql import sql_sugar_suite
+
+    got = {tuple(r) for r in sql_sugar_suite(spark, SF_SMALL).collect()}
+    want = {
+        tuple(r)
+        for r in spark.sql(
+            """
+SELECT o_orderpriority,
+       CAST(least((CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DIV 100)
+                  DIV 50000, 5) AS BIGINT) AS bracket,
+       COUNT(*) AS n_orders,
+       SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents_total
+FROM modernsql_orders_sugar
+GROUP BY o_orderpriority, bracket
+"""
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_hll_intersection_verdict_and_exacts(spark):
+    from wheels_in_motion_analytics_spark.functions.sql_surface import (
+        hll_intersection_inclusion_exclusion,
+    )
+
+    row = hll_intersection_inclusion_exclusion(spark, SF_SMALL).collect()[0]
+    orders = table(spark, SF_SMALL, "orders")
+    a = {
+        r[0]
+        for r in orders.where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+        .collect()
+    }
+    b = {
+        r[0]
+        for r in orders.where(F.col("o_orderpriority") == "2-HIGH")
+        .select("o_custkey")
+        .distinct()
+        .collect()
+    }
+    assert row["exact_a"] == len(a)
+    assert row["exact_b"] == len(b)
+    assert row["exact_union"] == len(a | b)
+    assert row["exact_intersection"] == len(a & b)
+    assert row["inter_within_band"] is True
+
+
 def test_state_store_read_equals_batch_groupby(spark):
     state_counts = {
         r["user_id"]: r["n_events"]

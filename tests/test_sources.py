@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 
 from tests.conftest import SF_SMALL
@@ -112,3 +114,44 @@ def test_stream_sink_commit_replay_is_idempotent(tmp_path):
     with open(os.path.join(out, "_ledger-7.json")) as fh:
         ledger = json.load(fh)
     assert [p["file"] for p in ledger["parts"]] == ["epoch-7-part-0-bbbbbbbb.jsonl"]
+
+
+def test_parquet_agg_pushdown_plans_footer_stats(spark):
+    """Under the DSv2 parquet scan + aggregatePushdown the MIN/MAX/COUNT
+    probe must plan a non-empty PushedAggregation (answered from footers),
+    the registry query must return those same values, and the callable must
+    leave the session confs as it found them."""
+    import re
+
+    from wheels_in_motion_analytics_spark.sources.scan_queries import (
+        parquet_agg_pushdown_stats,
+    )
+
+    before = (
+        spark.conf.get("spark.sql.parquet.aggregatePushdown", None),
+        spark.conf.get("spark.sql.sources.useV1SourceList", None),
+    )
+    got = parquet_agg_pushdown_stats(spark, SF_SMALL).collect()[0]
+    after = (
+        spark.conf.get("spark.sql.parquet.aggregatePushdown", None),
+        spark.conf.get("spark.sql.sources.useV1SourceList", None),
+    )
+    assert before == after
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set(
+        "spark.sql.sources.useV1SourceList", "avro,csv,json,kafka,orc,text"
+    )
+    try:
+        probe = spark.read.parquet(os.path.join(SF_SMALL, "orders.parquet")).agg(
+            F.min("o_orderkey").alias("key_min"),
+            F.max("o_orderkey").alias("key_max"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PushedAggregation: \[([^\]]*)\]", plan)
+        assert m and m.group(1).strip(), plan[:500]
+        row = probe.collect()[0]
+        assert (got["key_min"], got["key_max"], got["n_rows"]) == tuple(row)
+    finally:
+        spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+        spark.conf.unset("spark.sql.sources.useV1SourceList")

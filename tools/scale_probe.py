@@ -117,6 +117,16 @@ def main() -> None:
             F.sum("l_quantity").over(w).alias("running_qty"),
         ),
     )
+    # large-large join: the 120M-row fact against its own 30M-key rollup —
+    # both sides far beyond broadcast, so this is the shuffled join shape
+    # (SMJ/shuffled-hash under AQE) that dominates 100 TB star-schema work
+    rollup = big.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("lines"))
+    probe(
+        "large_join",
+        big.join(rollup, "l_orderkey").where(F.col("lines") >= 4).select(
+            "l_orderkey", "l_linenumber", "lines"
+        ),
+    )
     shutil.rmtree(out, ignore_errors=True)
 
 

@@ -105,6 +105,85 @@ _ORACLE_SCALE_B = (
 )
 
 
+ZONE_ROWS = 512
+ZONE_LO = "1995-01-01 00:00:00"
+ZONE_HI = "1995-04-01 00:00:00"
+
+
+@register(
+    "zone_map_skipping_audit",
+    category="layout",
+    doc=f"Zone-map (min/max file-statistics) skipping audit: group orders "
+    f"into {ZONE_ROWS}-row zones under two layouts — natural key order "
+    "(o_orderkey, the insert order) vs date-clustered (o_orderdate with a "
+    "unique tiebreak) — record each zone's [min,max] o_orderdate, and count "
+    "how many zones a one-quarter date predicate must open plus the rows "
+    "those zones scan. This is the arithmetic behind parquet footer pruning "
+    "at 100 TB: the clustered layout confines the predicate to contiguous "
+    "zones while the natural layout opens nearly all of them. Both global "
+    "row numbers use the two-phase range-partitioned rank (no single-task "
+    "window); the rest is two tiny zone-level aggs.",
+    oracle=f"""
+WITH natural_rn AS (
+  SELECT o_orderdate,
+         (row_number() OVER (ORDER BY o_orderkey) - 1) // {ZONE_ROWS} AS zone
+  FROM orders
+),
+clustered_rn AS (
+  SELECT o_orderdate,
+         (row_number() OVER (ORDER BY o_orderdate, o_orderkey) - 1) // {ZONE_ROWS} AS zone
+  FROM orders
+),
+zones AS (
+  SELECT 'natural' AS layout, zone, MIN(o_orderdate) AS dmin,
+         MAX(o_orderdate) AS dmax, COUNT(*) AS zone_rows
+  FROM natural_rn GROUP BY zone
+  UNION ALL
+  SELECT 'date_clustered', zone, MIN(o_orderdate), MAX(o_orderdate), COUNT(*)
+  FROM clustered_rn GROUP BY zone
+)
+SELECT layout,
+       COUNT(*) AS n_zones,
+       CAST(SUM(CASE WHEN dmax >= TIMESTAMP '{ZONE_LO}'
+                      AND dmin < TIMESTAMP '{ZONE_HI}' THEN 1 ELSE 0 END)
+            AS BIGINT) AS zones_opened,
+       CAST(SUM(CASE WHEN dmax >= TIMESTAMP '{ZONE_LO}'
+                      AND dmin < TIMESTAMP '{ZONE_HI}' THEN zone_rows ELSE 0 END)
+            AS BIGINT) AS rows_scanned
+FROM zones
+GROUP BY layout
+""",
+)
+def zone_map_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.operators.windows import global_row_number
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lo, hi = F.lit(ZONE_LO).cast("timestamp"), F.lit(ZONE_HI).cast("timestamp")
+
+    def zones(df: DataFrame, order_cols: list, layout: str) -> DataFrame:
+        ranked = global_row_number(df, order_cols, rn_name="__rn")
+        return (
+            ranked.withColumn("zone", ((F.col("__rn") - 1) / ZONE_ROWS).cast("bigint"))
+            .groupBy("zone")
+            .agg(
+                F.min("o_orderdate").alias("dmin"),
+                F.max("o_orderdate").alias("dmax"),
+                F.count(F.lit(1)).alias("zone_rows"),
+            )
+            .withColumn("layout", F.lit(layout))
+        )
+
+    both = zones(orders, [F.asc("o_orderkey")], "natural").unionByName(
+        zones(orders, [F.asc("o_orderdate"), F.asc("o_orderkey")], "date_clustered")
+    )
+    opened = (F.col("dmax") >= lo) & (F.col("dmin") < hi)
+    return both.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_zones"),
+        F.sum(F.when(opened, 1).otherwise(0)).alias("zones_opened"),
+        F.sum(F.when(opened, F.col("zone_rows")).otherwise(0)).alias("rows_scanned"),
+    )
+
+
 @register(
     "zorder_interleave_keys",
     category="layout",

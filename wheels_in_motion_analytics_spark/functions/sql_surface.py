@@ -139,6 +139,85 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hll_intersection_inclusion_exclusion",
+    category="sketch",
+    doc="HLL sketches cannot intersect natively — the standard remedy is "
+    "inclusion-exclusion: |A∩B| ≈ est(A) + est(B) - est(A∪B), with the "
+    "union estimated from hll_union of the two sketches. A = customers "
+    "with URGENT orders, B = customers with HIGH orders; both sketches and "
+    "both exact sides are built in ONE scan each (conditional "
+    "hll_sketch_agg / per-customer flag rollup). AUDITED oracle (the "
+    "hll_sketch_rollup pattern): estimates are engine-specific, so the "
+    "relation emits the exact sizes plus a bounded-error verdict — the "
+    "inclusion-exclusion error compounds three sketches, so the band is "
+    "relative to the UNION size (5% + slack), not the intersection.",
+    oracle="""
+WITH flags AS (
+  SELECT o_custkey,
+         MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS in_b
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  GROUP BY o_custkey
+)
+SELECT CAST(SUM(in_a) AS BIGINT) AS exact_a,
+       CAST(SUM(in_b) AS BIGINT) AS exact_b,
+       COUNT(*) AS exact_union,
+       CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS exact_intersection,
+       TRUE AS inter_within_band
+FROM flags
+""",
+)
+def hll_intersection_inclusion_exclusion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    a_key = F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_custkey"))
+    b_key = F.when(F.col("o_orderpriority") == "2-HIGH", F.col("o_custkey"))
+    sketches = orders.agg(
+        F.hll_sketch_agg(a_key).alias("sk_a"),
+        F.hll_sketch_agg(b_key).alias("sk_b"),
+    ).select(
+        F.hll_sketch_estimate("sk_a").alias("est_a"),
+        F.hll_sketch_estimate("sk_b").alias("est_b"),
+        F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b")).alias("est_u"),
+    )
+    flags = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("o_orderpriority") == "2-HIGH", 1).otherwise(0)
+            ).alias("in_b"),
+        )
+        .agg(
+            F.sum("in_a").alias("exact_a"),
+            F.sum("in_b").alias("exact_b"),
+            F.count(F.lit(1)).alias("exact_union"),
+            F.sum(
+                F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+            ).alias("exact_intersection"),
+        )
+    )
+    est_inter = F.col("est_a") + F.col("est_b") - F.col("est_u")
+    return flags.crossJoin(F.broadcast(sketches)).select(
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "exact_intersection",
+        (
+            F.abs(est_inter - F.col("exact_intersection"))
+            <= F.greatest(F.lit(4), F.col("exact_union") * 0.05)
+        ).alias("inter_within_band"),
+    )
+
+
 # --- Count-Min Sketch frequency estimation ---------------------------------
 
 CMS_DEPTH = 4

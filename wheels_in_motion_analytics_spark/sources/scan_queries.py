@@ -392,3 +392,61 @@ def backtick_space_identifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY `Market Segment`
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Parquet footer-statistics aggregate pushdown (DSv2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "parquet_agg_pushdown_stats",
+    category="scan",
+    doc="Parquet aggregate pushdown: MIN/MAX/COUNT answered from row-group "
+    "footer statistics instead of scanning data pages — the DSv2 scan "
+    "(spark.sql.parquet.aggregatePushdown) plans `PushedAggregation: "
+    "[MIN(..), MAX(..), COUNT(*)]` and reads only metadata. At 100 TB this "
+    "is the difference between a sub-second stats probe and a full-table "
+    "scan for table-profile dashboards. MIN/MAX of stored values are exact "
+    "and order-insensitive, so the doubles hash identically across engines. "
+    "The pushdown conf is set and restored inside the callable "
+    "(vanilla-session safe); the plan shape is pinned in "
+    "tests/test_sources.py.",
+    oracle="""
+SELECT MIN(o_orderkey) AS key_min,
+       MAX(o_orderkey) AS key_max,
+       MIN(o_totalprice) AS price_min,
+       MAX(o_totalprice) AS price_max,
+       COUNT(*) AS n_rows
+FROM orders
+""",
+)
+def parquet_agg_pushdown_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prev_push = spark.conf.get("spark.sql.parquet.aggregatePushdown", None)
+    prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    # aggregate pushdown exists only in the DSv2 parquet scan; timestamps
+    # are excluded from footer-stats pushdown, so the probe sticks to
+    # bigint/double columns
+    spark.conf.set("spark.sql.sources.useV1SourceList", "avro,csv,json,kafka,orc,text")
+    try:
+        df = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).agg(
+            F.min("o_orderkey").alias("key_min"),
+            F.max("o_orderkey").alias("key_max"),
+            F.min("o_totalprice").alias("price_min"),
+            F.max("o_totalprice").alias("price_max"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        # materialize the plan under the pushdown confs: localCheckpoint
+        # executes eagerly, so restoring the confs afterwards cannot
+        # un-push the already-planned scan
+        return df.localCheckpoint(eager=True)
+    finally:
+        for key, prev in (
+            ("spark.sql.parquet.aggregatePushdown", prev_push),
+            ("spark.sql.sources.useV1SourceList", prev_v1),
+        ):
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
