@@ -64,7 +64,9 @@ _DRIVER_PRIORITY = [
     "stream_attribution_unmatched",
     "stream_complete_mode_totals",
     "stream_dedup_within_watermark",
-    "stream_hourly_rollup_of_bars",
+    # (stream_hourly_rollup_of_bars rotated to r5 — streaming keeps 9 head
+    # entries — to admit semdedup_cluster_prune, this session's flagship)
+    "semdedup_cluster_prune",
     "stream_join_attribution",
     "stream_ohlc_bars",
     "late_data_bar_restatement",

@@ -1095,6 +1095,134 @@ def ann_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup via cluster-bounded pairwise cosine
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.4  # within-cell cosine at/above which the later id is pruned
+
+
+def _oracle_semdedup() -> str:
+    """DuckDB rendition of the SemDeDup prune: identical rank-1 centroid
+    assignment as the IVF oracle (6-dp rounded cosine, cell-id tiebreak),
+    within-cell unordered pairs at 4-dp rounding, drop rule and keeper
+    choice replicated exactly."""
+    from wheels_in_motion_analytics_spark.functions.ivf_artifact import (
+        IVF_FROZEN_CENTROIDS,
+    )
+
+    cent_values = ",\n    ".join(
+        f"({c}, [{', '.join(repr(float(v)) for v in row)}])"
+        for c, row in enumerate(IVF_FROZEN_CENTROIDS)
+    )
+    return f"""
+WITH {_ORACLE_NORM},
+cents (cell, cvec) AS (
+  SELECT * FROM (VALUES
+    {cent_values}
+  ) AS t(cell, cvec)
+),
+sims AS (
+  SELECT vec_id, cell,
+         ROUND(list_dot_product(e, cvec) / nrm, 6) AS sim
+  FROM nn CROSS JOIN cents
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rnk
+    FROM sims) WHERE rnk = 1
+),
+dup_edges AS (
+  SELECT a.cell AS cell, a.vec_id AS keeper, b.vec_id AS vec_id,
+         ROUND(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 4) AS cosine
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN nn x ON a.vec_id = x.vec_id
+  JOIN nn y ON b.vec_id = y.vec_id
+  WHERE ROUND(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 4) >= {SEMDEDUP_TAU}
+),
+dropped AS (
+  SELECT cell, vec_id, MIN(keeper) AS kept_by FROM dup_edges
+  GROUP BY cell, vec_id
+)
+SELECT d.cell, d.vec_id, d.kept_by, e.cosine
+FROM dropped d JOIN dup_edges e
+  ON d.vec_id = e.vec_id AND d.kept_by = e.keeper
+"""
+
+
+@register(
+    "semdedup_cluster_prune",
+    category="similarity",
+    doc=f"SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning "
+    "with cluster-bounded pairwise cosine. Vectors are assigned to their "
+    f"nearest frozen IVF centroid (the {IVF_CELLS}-cell quantizer artifact "
+    "shared with ann_ivf_cells), pairwise cosine runs ONLY within a cell "
+    "(a hash self-join on the cell id — never corpus all-pairs; at real "
+    "scale k is sized so cells stay ~sqrt(N)), and any vector with a "
+    f"cosine-≥{SEMDEDUP_TAU} neighbor of smaller id in its cell is pruned, "
+    "recording its keeper (the smallest such neighbor — the deterministic "
+    "one-pass 'keep first' variant of the paper's sequential greedy). "
+    "FULLY oracle-checked: centroids embed as double literals, 6-dp "
+    "assignment and 4-dp pair rounding replicated. The norm and assignment "
+    "relations are localCheckpoint'd (each feeds multiple joins).",
+    oracle=_oracle_semdedup(),
+)
+def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from wheels_in_motion_analytics_spark.functions.ivf_artifact import (
+        IVF_FROZEN_CENTROIDS,
+    )
+
+    vectors = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    nv = _norm_vectors_of(vectors).localCheckpoint()
+    cdf = spark.createDataFrame(
+        [(c, [float(v) for v in row]) for c, row in enumerate(IVF_FROZEN_CENTROIDS)],
+        "cell INT, cvec ARRAY<DOUBLE>",
+    )
+    sims = nv.crossJoin(F.broadcast(cdf)).select(
+        "vec_id",
+        "cell",
+        F.round(dot(F.col("e"), F.col("cvec")) / F.col("nrm"), 6).alias("sim"),
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+    assign = (
+        sims.withColumn("rnk", F.row_number().over(wc))
+        .where(F.col("rnk") == 1)
+        .select("vec_id", "cell")
+        .localCheckpoint()
+    )
+    # within-cell unordered pairs — the ONLY pair generator, bounded by
+    # cell occupancy, then exact cosine via join-back to the norm relation
+    left = assign.select(F.col("vec_id").alias("keeper"), "cell")
+    right = assign.select(F.col("vec_id").alias("cand"), F.col("cell").alias("c2"))
+    pairs = left.join(
+        right, (F.col("cell") == F.col("c2")) & (F.col("keeper") < F.col("cand"))
+    ).select("cell", "keeper", "cand")
+    x = nv.select(F.col("vec_id").alias("keeper"), F.col("e").alias("ex"), F.col("nrm").alias("nx"))
+    y = nv.select(F.col("vec_id").alias("cand"), F.col("e").alias("ey"), F.col("nrm").alias("ny"))
+    dup_edges = (
+        pairs.join(x, "keeper")
+        .join(y, "cand")
+        .select(
+            "cell",
+            "keeper",
+            F.col("cand").alias("vec_id"),
+            F.round(dot(F.col("ex"), F.col("ey")) / (F.col("nx") * F.col("ny")), 4).alias(
+                "cosine"
+            ),
+        )
+        .where(F.col("cosine") >= SEMDEDUP_TAU)
+        .localCheckpoint()
+    )
+    dropped = dup_edges.groupBy("cell", "vec_id").agg(F.min("keeper").alias("kept_by"))
+    return dropped.join(
+        dup_edges.select("vec_id", F.col("keeper").alias("kept_by"), "cosine"),
+        ["vec_id", "kept_by"],
+    ).select("cell", "vec_id", "kept_by", "cosine")
+
+
+# ---------------------------------------------------------------------------
 # K-means Lloyd update — the TRAINING half of the IVF quantizer
 # ---------------------------------------------------------------------------
 
