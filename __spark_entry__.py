@@ -62,14 +62,17 @@ _DRIVER_PRIORITY = [
     # streaming family (never driver-verified)
     "python_stream_datasource_read",
     "stream_attribution_unmatched",
-    "stream_complete_mode_totals",
     "stream_dedup_within_watermark",
     # (stream_hourly_rollup_of_bars rotated to r5 — streaming keeps 9 head
     # entries — to admit semdedup_cluster_prune, this session's flagship)
     "semdedup_cluster_prune",
     "stream_join_attribution",
-    "stream_ohlc_bars",
     "late_data_bar_restatement",
+    # session-4 additions (never verified): Gopher repetition gate +
+    # ties-aware Spearman. stream_complete_mode_totals / stream_ohlc_bars
+    # rotated to r5 — streaming keeps seven head entries.
+    "gopher_repetition_filters",
+    "spearman_rank_correlation",
     # graph + versioned
     "bfs_cosupply_hops",
     "sssp_cheapest_supply_path",

@@ -440,6 +440,7 @@ def test_aqe_splits_skewed_join_partition(spark):
         "curate_curriculum_order",
         "mann_whitney_u_prices",
         "ks_test_two_sample",
+        "spearman_rank_correlation",
     ],
 )
 def test_two_phase_rank_queries_have_no_single_partition_stage(spark, name):

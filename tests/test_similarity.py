@@ -366,3 +366,29 @@ def test_cdc_neardup_recalls_exact_near_duplicates(spark):
     assert recalled / len(gold) >= 0.8
     for r in cdc.values():
         assert 0.0 < r <= 1.0
+
+
+def test_gopher_repetition_verdicts_on_known_docs(spark, tmp_path):
+    """Hand-built docs with known repetition structure must trip exactly
+    the Gopher gates the arithmetic says: an all-same-token doc fails all
+    three, a unique-token doc passes, a sub-2-token doc degenerates to
+    zero counts and passes."""
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["a"] * 10), "en", "src0", 19),
+            (2, "one two three four five six", "en", "src0", 27),
+            (3, "solo", "en", "src0", 4),
+        ],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = {
+        r.doc_id: r
+        for r in SPECS["gopher_repetition_filters"].fn(spark, str(tmp_path)).collect()
+    }
+    r1, r2, r3 = rows[1], rows[2], rows[3]
+    assert (r1.n2, r1.d2, r1.top2) == (9, 1, 9)
+    assert r1.fail_dup2 and r1.fail_dup3 and r1.fail_top2 and not r1.keep
+    assert (r2.n2, r2.d2, r2.top2) == (5, 5, 1)
+    assert r2.keep and not (r2.fail_dup2 or r2.fail_dup3 or r2.fail_top2)
+    assert (r3.n2, r3.n3) == (0, 0) and r3.keep

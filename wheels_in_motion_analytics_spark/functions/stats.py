@@ -855,3 +855,109 @@ def column_entropy_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("h_x") + F.col("h_y") - F.col("h_xy"), 6).alias("mutual_information"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation — ties-aware, exact integer rank arithmetic
+# --------------------------------------------------------------------------
+
+
+@register(
+    "spearman_rank_correlation",
+    category="stats",
+    doc="Spearman rank correlation between line-item quantity and extended "
+    "price (cents), ties handled by average ranks — i.e. Pearson on ranks, "
+    "the textbook ties-aware form. SCALE SHAPE: ranks are never assigned "
+    "by a global per-row window; each variable aggregates to its "
+    "distinct-value relation, average ranks come from the TWO-PHASE exact "
+    "prefix sum (operators/windows.py:global_prefix_sums), doubled to stay "
+    "integer (2*avgrank = 2*prefix + count + 1), and rank pairs re-attach "
+    "to rows via two hash joins. The correlation itself is ONE "
+    "map-side-combinable moment aggregate in DECIMAL(38,0) (BIGINT rank "
+    "power sums overflow past ~sf1 — same power-sum discipline as "
+    "linreg_normal_equations), so the exact integer numerator "
+    "n*Sxy - Sx*Sy is hash-checked verbatim and only the final rho pays "
+    "one sqrt, rounded to 6dp identically on both engines.",
+    oracle="""
+WITH s AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+  FROM lineitem
+),
+xv AS (SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM s GROUP BY x),
+xr AS (
+  SELECT v,
+         2 * CAST(SUM(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - cnt + 1 AS r2
+  FROM xv
+),
+yv AS (SELECT y AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM s GROUP BY y),
+yr AS (
+  SELECT v,
+         2 * CAST(SUM(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - cnt + 1 AS r2
+  FROM yv
+),
+r AS (
+  SELECT xr.r2 AS rx, yr.r2 AS ry
+  FROM s JOIN xr ON s.x = xr.v JOIN yr ON s.y = yr.v
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(rx) AS sx, SUM(ry) AS sy,
+         SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy, SUM(rx * ry) AS sxy
+  FROM r
+)
+SELECT n AS n_rows,
+       CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS num,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho
+FROM m
+""",
+)
+def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.operators.windows import global_prefix_sums
+
+    s = table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("y"),
+    )
+
+    def two_ranks(col: str) -> DataFrame:
+        vals = s.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("cnt"))
+        cum = global_prefix_sums(vals, ["v"], ["cnt"])
+        # cnt_cum is the INCLUSIVE prefix; 2*avgrank = 2*exclusive + cnt + 1
+        return cum.select(
+            F.col("v").alias(col),
+            (2 * F.col("cnt_cum") - F.col("cnt") + 1).alias(f"r{col}"),
+        )
+
+    r = s.join(two_ranks("x"), "x").join(two_ranks("y"), "y")
+
+    def dmoment(expr):
+        return F.sum(expr.cast("decimal(38,0)"))
+
+    m = r.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        dmoment(F.col("rx")).alias("sx"),
+        dmoment(F.col("ry")).alias("sy"),
+        dmoment(F.col("rx") * F.col("rx")).alias("sxx"),
+        dmoment(F.col("ry") * F.col("ry")).alias("syy"),
+        dmoment(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    c = F.col
+    num = c("n") * c("sxy") - c("sx") * c("sy")
+    dxx = c("n") * c("sxx") - c("sx") * c("sx")
+    dyy = c("n") * c("syy") - c("sy") * c("sy")
+    return m.select(
+        c("n").cast("bigint").alias("n_rows"),
+        num.cast("decimal(38,0)").alias("num"),
+        F.round(
+            num.cast("double") / F.sqrt(dxx.cast("double") * dyy.cast("double")), 6
+        ).alias("rho"),
+    )

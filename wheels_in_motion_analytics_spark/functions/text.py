@@ -179,3 +179,126 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "documents").select(
         "doc_id", fingerprint(F.col("text")).alias("fp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filters (Rae et al. 2021 §A1.1, token-fraction
+# adaptation) — the standard pre-training curation gate for repetitive docs
+# ---------------------------------------------------------------------------
+
+
+def _oracle_gopher() -> str:
+    """DuckDB rendition: identical n-gram relations built by unnesting an
+    index range over the token list, identical integer-only verdicts."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_ORACLE_TOKS} AS t FROM documents
+),
+docs AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, t FROM base),
+g2 AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS gram
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        FROM docs WHERE n_tokens >= 2)
+),
+g3 AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS gram
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        FROM docs WHERE n_tokens >= 3)
+),
+s2 AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n2,
+         CAST(COUNT(*) AS BIGINT) AS d2, CAST(MAX(c) AS BIGINT) AS top2
+  FROM (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY doc_id, gram)
+  GROUP BY doc_id
+),
+s3 AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n3,
+         CAST(COUNT(*) AS BIGINT) AS d3, CAST(MAX(c) AS BIGINT) AS top3
+  FROM (SELECT doc_id, gram, COUNT(*) AS c FROM g3 GROUP BY doc_id, gram)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, d.n_tokens,
+       COALESCE(s2.n2, 0) AS n2, COALESCE(s2.d2, 0) AS d2,
+       COALESCE(s2.top2, 0) AS top2,
+       COALESCE(s3.n3, 0) AS n3, COALESCE(s3.d3, 0) AS d3,
+       COALESCE(s3.top3, 0) AS top3,
+       (COALESCE(s2.n2, 0) - COALESCE(s2.d2, 0)) * 5 > COALESCE(s2.n2, 0)
+         AS fail_dup2,
+       (COALESCE(s3.n3, 0) - COALESCE(s3.d3, 0)) * 50 > COALESCE(s3.n3, 0) * 9
+         AS fail_dup3,
+       COALESCE(s2.top2, 0) * 5 > COALESCE(s2.n2, 0) AS fail_top2,
+       NOT ((COALESCE(s2.n2, 0) - COALESCE(s2.d2, 0)) * 5 > COALESCE(s2.n2, 0)
+         OR (COALESCE(s3.n3, 0) - COALESCE(s3.d3, 0)) * 50
+              > COALESCE(s3.n3, 0) * 9
+         OR COALESCE(s2.top2, 0) * 5 > COALESCE(s2.n2, 0)) AS keep
+FROM docs d LEFT JOIN s2 ON d.doc_id = s2.doc_id
+            LEFT JOIN s3 ON d.doc_id = s3.doc_id
+"""
+
+
+@register(
+    "gopher_repetition_filters",
+    category="text",
+    doc="Gopher repetition filters (Rae et al. 2021, Appendix A1.1), "
+    "token-count adaptation: per document, duplicate-2-gram fraction "
+    "(> 0.20 fails), duplicate-3-gram fraction (> 0.18 fails) and "
+    "top-2-gram fraction (> 0.20 fails), plus the combined keep verdict — "
+    "the standard pre-training curation gate against boilerplate and "
+    "degenerate repetition. SCALE SHAPE: n-grams explode to a "
+    "(doc, gram, count) relation and reduce with two partial-aggregable "
+    "groupBys — never a per-doc Python kernel, never a map of the full "
+    "vocabulary; linear in corpus tokens and embarrassingly partitionable "
+    "by doc. All verdicts are exact integer comparisons (fraction > p "
+    "rewritten as count-times-denominator inequalities) so the gate is "
+    "engine- and partitioning-deterministic end to end.",
+    oracle=_oracle_gopher(),
+)
+def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", tokens(F.col("text")).alias("t"))
+        .select("doc_id", F.size("t").cast("bigint").alias("n_tokens"), "t")
+    )
+
+    def gram_stats(n: int, pre: str) -> DataFrame:
+        parts = ", ".join(f"t[i + {k}]" for k in range(n))
+        grams = docs.where(F.col("n_tokens") >= n).select(
+            "doc_id",
+            F.explode(
+                F.expr(f"transform(sequence(0, size(t) - {n}), i -> "
+                       f"concat_ws(' ', {parts}))")
+            ).alias("gram"),
+        )
+        per_gram = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+        return per_gram.groupBy("doc_id").agg(
+            F.sum("c").alias(f"n{pre}"),
+            F.count(F.lit(1)).alias(f"d{pre}"),
+            F.max("c").alias(f"top{pre}"),
+        )
+
+    z = F.lit(0).cast("bigint")
+    out = (
+        docs.select("doc_id", "n_tokens")
+        .join(gram_stats(2, "2"), "doc_id", "left")
+        .join(gram_stats(3, "3"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n2", z).alias("n2"),
+            F.coalesce("d2", z).alias("d2"),
+            F.coalesce("top2", z).alias("top2"),
+            F.coalesce("n3", z).alias("n3"),
+            F.coalesce("d3", z).alias("d3"),
+            F.coalesce("top3", z).alias("top3"),
+        )
+    )
+    fail_dup2 = (F.col("n2") - F.col("d2")) * 5 > F.col("n2")
+    fail_dup3 = (F.col("n3") - F.col("d3")) * 50 > F.col("n3") * 9
+    fail_top2 = F.col("top2") * 5 > F.col("n2")
+    return out.select(
+        "*",
+        fail_dup2.alias("fail_dup2"),
+        fail_dup3.alias("fail_dup3"),
+        fail_top2.alias("fail_top2"),
+        (~(fail_dup2 | fail_dup3 | fail_top2)).alias("keep"),
+    )
