@@ -61,7 +61,9 @@ _DRIVER_PRIORITY = [
     "backtick_space_identifiers",
     # streaming family (never driver-verified)
     "python_stream_datasource_read",
-    "stream_attribution_unmatched",
+    # (stream_attribution_unmatched rotated to r5 — its twin
+    # stream_join_attribution stays — to admit the skyline)
+    "skyline_pareto_parts",
     "stream_dedup_within_watermark",
     # (stream_hourly_rollup_of_bars rotated to r5 — streaming keeps 9 head
     # entries — to admit semdedup_cluster_prune, this session's flagship)

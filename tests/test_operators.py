@@ -457,3 +457,40 @@ def test_global_quartiles_match_spark_percentile(spark):
     )
     for i, k in enumerate((25, 50, 75)):
         assert abs(got[k] - want_row["p"][i]) < 1e-6, (k, got[k], want_row["p"][i])
+
+
+def test_skyline_matches_bruteforce_dominance(spark):
+    """The two-phase skyline must equal the O(n^2) dominance definition:
+    a part survives iff no other part is <= on price AND >= on size with
+    at least one strict inequality."""
+    import pyspark.sql.functions as F
+
+    from wheels_in_motion_analytics_spark.registry import load_all_queries
+    from wheels_in_motion_analytics_spark.tables import table as _table
+
+    from tests.conftest import SF_SMALL
+
+    got = {
+        (r.p_partkey, r.price_cents, r.size)
+        for r in load_all_queries()["skyline_pareto_parts"].fn(spark, SF_SMALL).collect()
+    }
+    pts = [
+        (r.p_partkey, int(r.pc), int(r.sz))
+        for r in _table(spark, SF_SMALL, "part")
+        .select(
+            "p_partkey",
+            F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).alias("pc"),
+            F.col("p_size").alias("sz"),
+        )
+        .collect()
+    ]
+    want = {
+        (k, p, s)
+        for (k, p, s) in pts
+        if not any(
+            p2 <= p and s2 >= s and (p2 < p or s2 > s)
+            for (k2, p2, s2) in pts
+            if k2 != k
+        )
+    }
+    assert got == want and got

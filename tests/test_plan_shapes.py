@@ -441,6 +441,7 @@ def test_aqe_splits_skewed_join_partition(spark):
         "mann_whitney_u_prices",
         "ks_test_two_sample",
         "spearman_rank_correlation",
+        "skyline_pareto_parts",
     ],
 )
 def test_two_phase_rank_queries_have_no_single_partition_stage(spark, name):

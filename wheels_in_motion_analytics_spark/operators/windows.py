@@ -532,3 +532,104 @@ def global_quartiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"p{k * 25}_cents_x4")
         )
     return picked.groupBy("n").agg(*aggs)
+
+
+def global_prefix_max(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_name: str = "prefix_max",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact EXCLUSIVE global running max of an integral ``value_col`` over
+    a total order — the prefix-max sibling of :func:`global_prefix_sums`
+    (range-partition parallel sort → per-partition maxes → local exclusive
+    running max combined with the previous partitions' max). NULL for the
+    globally first row(s), exactly like ``MAX(v) OVER (ORDER BY ... ROWS
+    BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)``. Driver state is one
+    value per partition — bounded by partition count, never by data."""
+    spark = df.sparkSession
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(partitions, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    per = ranged.groupBy("__pid").agg(F.max(value_col).alias("m")).collect()
+    rows, best = [], None
+    for r in sorted(per, key=lambda r: r["__pid"]):
+        rows.append((r["__pid"], best))
+        if r["m"] is not None and (best is None or r["m"] > best):
+            best = r["m"]
+    off = spark.createDataFrame(rows or [], "__pid int, __pmoff long")
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ranged.join(F.broadcast(off), "__pid")
+        # greatest() skips NULLs: NULL only when there is no prior row in
+        # the partition AND no prior partition had any value
+        .withColumn(
+            out_name,
+            F.greatest(F.max(value_col).over(w), F.col("__pmoff")).cast("long"),
+        )
+        .drop("__pid", "__pmoff")
+    )
+
+
+@register(
+    "skyline_pareto_parts",
+    category="windows",
+    doc="Pareto skyline (maximal-vector) query over the part catalog: the "
+    "set of parts not dominated on (retail price DOWN, size UP) — a point "
+    "is dominated if another is no worse on both dimensions and strictly "
+    "better on one. SCALE SHAPE: the classic nested-loop skyline is O(n²); "
+    "here points first collapse to price levels with their max size (one "
+    "partial-aggregable groupBy), the EXCLUSIVE prefix max of size over "
+    "ascending price comes from the TWO-PHASE global prefix max "
+    "(global_prefix_max — range-partitioned parallel sort, no single-task "
+    "window even when price levels are near row-cardinality), and a point "
+    "survives iff it carries its level's max size AND strictly beats every "
+    "cheaper level's best size. One groupBy + one two-phase pass + one "
+    "hash join-back: linear, exact, duplicate-preserving (ties on both "
+    "dimensions are mutually non-dominating and all survive).",
+    oracle="""
+WITH pts AS (
+  SELECT p_partkey,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS size
+  FROM part
+),
+lv AS (SELECT price_cents, MAX(size) AS ms FROM pts GROUP BY price_cents),
+cum AS (
+  SELECT price_cents, ms,
+         MAX(ms) OVER (ORDER BY price_cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM lv
+)
+SELECT p.p_partkey, p.price_cents, p.size
+FROM pts p JOIN cum c ON p.price_cents = c.price_cents
+WHERE p.size = c.ms AND (c.pm IS NULL OR p.size > c.pm)
+""",
+)
+def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    lv = pts.groupBy("price_cents").agg(F.max("size").alias("ms"))
+    cum = global_prefix_max(lv, ["price_cents"], "ms", out_name="pm")
+    return (
+        pts.join(cum, "price_cents")
+        .where(
+            (F.col("size") == F.col("ms"))
+            & (F.col("pm").isNull() | (F.col("size") > F.col("pm")))
+        )
+        .select("p_partkey", "price_cents", "size")
+    )
