@@ -87,9 +87,12 @@ _DRIVER_PRIORITY = [
     "multimodal_resize_digest",
     # timeseries / sessionization
     "ohlc_resample_5min",
-    "temporal_point_in_time_join",
-    # format round-trips (S-family siblings)
-    "csv_roundtrip_agg",
+    # session-4 additions (never verified): similarity-ranked hard
+    # negatives + apriori triples. temporal_point_in_time_join (timeseries
+    # keeps ohlc + late_data_bar_restatement) and csv_roundtrip_agg
+    # (format family rotates to r5 wholesale) moved out.
+    "hard_negative_mining",
+    "basket_triple_apriori",
     # Spark-4 modern SQL surface (this session; never verified).
     # Swapped in for orc_roundtrip_agg, stream_static_enrich,
     # stream_sliding_window, rolling_features_customer,

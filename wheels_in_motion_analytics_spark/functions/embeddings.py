@@ -657,3 +657,90 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         ],
         "n_dims INT, trace_cov DOUBLE, residual_within_tol BOOLEAN, eigenvalue_in_range BOOLEAN",
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining — similarity-RANKED negatives (vs the md5-sampled
+# in-batch negatives of embedding_contrastive_pairs)
+# ---------------------------------------------------------------------------
+
+HARDNEG_ANCHOR_MOD = 37  # anchors = vec_id % 37 == 0 — a bounded ~3% slice
+HARDNEG_TOPK = 3
+
+
+@register(
+    "hard_negative_mining",
+    category="embeddings",
+    doc="Hard-negative mining for contrastive/retrieval training: for each "
+    f"anchor (a deterministic 1/{HARDNEG_ANCHOR_MOD} slice of the corpus) "
+    f"the {HARDNEG_TOPK} HIGHEST-cosine vectors with a DIFFERENT label — "
+    "the semantically-closest wrong answers, which is what makes a "
+    "negative 'hard' (embedding_contrastive_pairs is the md5-sampled "
+    "random-negative sibling). SCALE SHAPE: the anchor batch is bounded "
+    "and broadcast, the corpus streams through ONE linear pass (broadcast "
+    "nested-loop join — no corpus×corpus pair space), and per-anchor "
+    "top-k is a window partitioned by anchor, so parallelism equals the "
+    "anchor count. For unbounded anchor sets, the LSH-bucketed path "
+    "(ann_lsh_bucketed) replaces the scan; this operator is the exact "
+    "per-batch miner used between training epochs. Ordering is on the "
+    "6dp-ROUNDED cosine with vec_id tiebreak — engine-deterministic.",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+nn AS (
+  SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm FROM n
+),
+a AS (SELECT * FROM nn WHERE vec_id % {HARDNEG_ANCHOR_MOD} = 0),
+scored AS (
+  SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+         c.vec_id AS neg_id, c.label AS neg_label,
+         ROUND(list_dot_product(a.e, c.e) / (a.nrm * c.nrm), 6) AS cosine
+  FROM a JOIN nn c ON c.label <> a.label
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+                               ORDER BY cosine DESC, neg_id ASC) AS rn
+  FROM scored
+)
+SELECT anchor_id, anchor_label, neg_id, neg_label, cosine
+FROM ranked WHERE rn <= {HARDNEG_TOPK}
+""",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.functions.similarity import dot
+
+    nn = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    nn = nn.withColumn("nrm", F.sqrt(dot(F.col("e"), F.col("e"))))
+    anchors = nn.where(F.col("vec_id") % HARDNEG_ANCHOR_MOD == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("e").alias("ae"),
+        F.col("nrm").alias("anrm"),
+    )
+    scored = (
+        nn.join(F.broadcast(anchors), F.col("label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.round(
+                dot(F.col("ae"), F.col("e")) / (F.col("anrm") * F.col("nrm")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("neg_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= HARDNEG_TOPK)
+        .drop("rn")
+    )

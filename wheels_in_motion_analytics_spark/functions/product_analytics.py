@@ -469,3 +469,108 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("credit_cents").cast("double") / 100).alias("credited_value"),
         )
     )
+
+
+BASKET_MIN_TRIPLE_SUPPORT = 2
+
+
+@register(
+    "basket_triple_apriori",
+    category="product-analytics",
+    doc="Frequent brand TRIPLES with the Apriori candidate prune: a triple "
+    "is counted only when all three of its sub-pairs are themselves "
+    "frequent (the downward-closure property), so the within-basket 3-way "
+    "self-join explodes only items that already survived the pair gate — "
+    "at scale the prune is what keeps candidate growth polynomial while a "
+    "naive k-way basket explode is combinatorial. Frequent pairs are a "
+    "small relation (bounded by the brand dictionary squared) and "
+    "broadcast onto every prune join; triple counting is one "
+    "partial-aggregable groupBy. Support ratios are exact-count divisions "
+    f"rounded 6dp. Triples with support >= {BASKET_MIN_TRIPLE_SUPPORT}, "
+    f"top {BASKET_TOPK} by count with lexicographic tiebreak. The ORACLE "
+    "counts triples directly WITHOUT the prune: downward closure makes "
+    "the prune result-neutral (support(pair) >= support(triple) >= "
+    f"{BASKET_MIN_TRIPLE_SUPPORT} >= {BASKET_MIN_PAIR_SUPPORT}), and "
+    "spelling the six-way pruned join in SQL sends DuckDB's join "
+    "reordering into a brand×basket blowup (measured: >10 min vs 5s).",
+    oracle=f"""
+WITH b AS (
+  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_baskets FROM b),
+t AS (
+  SELECT a.brand AS brand_a, c.brand AS brand_b, d.brand AS brand_c,
+         CAST(COUNT(*) AS BIGINT) AS triple_n
+  FROM b a
+  JOIN b c ON a.ok = c.ok AND a.brand < c.brand
+  JOIN b d ON a.ok = d.ok AND c.brand < d.brand
+  GROUP BY 1, 2, 3
+  HAVING COUNT(*) >= {BASKET_MIN_TRIPLE_SUPPORT}
+)
+SELECT brand_a, brand_b, brand_c, triple_n,
+       round(CAST(triple_n AS DOUBLE) / n.n_baskets, 6) AS support
+FROM t CROSS JOIN n
+ORDER BY triple_n DESC, brand_a, brand_b, brand_c
+LIMIT {BASKET_TOPK}
+""",
+)
+def basket_triple_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = (
+        table(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .localCheckpoint()  # four joins consume it — cut the shared lineage
+    )
+    n = b.agg(F.countDistinct("ok").cast("bigint").alias("n_baskets"))
+    a = b.select("ok", F.col("brand").alias("brand_a"))
+    c = b.select("ok", F.col("brand").alias("brand_b"))
+    d = b.select("ok", F.col("brand").alias("brand_c"))
+    fp = (
+        a.join(c, "ok")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= BASKET_MIN_PAIR_SUPPORT)
+        .select(F.col("brand_a").alias("x"), F.col("brand_b").alias("y"))
+        .localCheckpoint()
+    )
+
+    def prune(df: DataFrame, left: str, right: str) -> DataFrame:
+        f = fp.select(F.col("x").alias(left), F.col("y").alias(right))
+        return df.join(F.broadcast(f), [left, right])
+
+    t = (
+        prune(a.join(c, "ok").where(F.col("brand_a") < F.col("brand_b")),
+              "brand_a", "brand_b")
+        .join(d, "ok")
+        .where(F.col("brand_b") < F.col("brand_c"))
+    )
+    t = prune(prune(t, "brand_a", "brand_c"), "brand_b", "brand_c")
+    triples = (
+        t.groupBy("brand_a", "brand_b", "brand_c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("triple_n"))
+        .where(F.col("triple_n") >= BASKET_MIN_TRIPLE_SUPPORT)
+    )
+    return (
+        triples.crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "brand_c",
+            "triple_n",
+            F.round(
+                F.col("triple_n").cast("double") / F.col("n_baskets"), 6
+            ).alias("support"),
+        )
+        .orderBy(
+            F.desc("triple_n"), F.asc("brand_a"), F.asc("brand_b"), F.asc("brand_c")
+        )
+        .limit(BASKET_TOPK)
+    )
