@@ -83,7 +83,9 @@ _DRIVER_PRIORITY = [
     "linreg_normal_equations",
     "column_entropy_mi",
     "bitmap_distinct_rollup",
-    "seasonal_decompose_daily",
+    # (seasonal_decompose_daily rotated to r5 — timeseries keeps ohlc +
+    # late-data head entries — to admit the PQ encoder)
+    "pq_encode_reconstruction_error",
     "multimodal_resize_digest",
     # timeseries / sessionization
     "ohlc_resample_5min",

@@ -144,3 +144,36 @@ def test_pca_power_iteration_matches_eigh(spark):
     lam = float(v @ (A @ v))
     top = float(np.linalg.eigh(A)[0][-1])
     assert abs(lam - top) <= 1e-6 * top
+
+
+def test_pq_frozen_codebooks_match_trainer(spark):
+    """The frozen PQ codebooks must be bit-identical to what the
+    production per-corpus trainer produces on the training corpus — pins
+    that freezing (for oracle checkability) didn't fork the model."""
+    import numpy as np
+
+    from wheels_in_motion_analytics_spark.functions.pq import train_pq_codebooks
+    from wheels_in_motion_analytics_spark.functions.pq_artifact import (
+        PQ_FROZEN_CODEBOOKS,
+    )
+
+    trained = train_pq_codebooks(spark, "/root/testdata/sf0.01")
+    assert len(trained) == len(PQ_FROZEN_CODEBOOKS)
+    for got, want in zip(trained, PQ_FROZEN_CODEBOOKS):
+        assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pq_codes_are_nibble_packed_and_error_positive(spark):
+    """Every PQ code must unpack to 8 valid nibbles (< 16) and the
+    reconstruction error must be nonnegative and finite."""
+    from wheels_in_motion_analytics_spark.registry import load_all_queries
+
+    rows = (
+        load_all_queries()["pq_encode_reconstruction_error"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert len(rows) == 500
+    for r in rows:
+        assert 0 <= r.pq_code < 16**8
+        assert r.err_micro >= 0

@@ -1,0 +1,188 @@
+"""Product quantization (PQ) — the FAISS-style ANN compression block.
+
+Jegou et al. 2011: split the d-dim embedding into M orthogonal subspaces,
+k-means each subspace into K codewords, store each vector as M small codes
+(here 8 subspaces x 16 codewords = 8 nibbles = one 32-bit int). The
+codebooks are a bounded model artifact trained once on a deterministic
+sample (the same frozen-artifact move as the IVF coarse quantizer in
+``ivf_artifact.py``), so encoding is a broadcast join + partial-agg — one
+linear pass at any corpus size — and the DuckDB oracle replicates the
+whole pipeline from codeword literals.
+
+Reference scope: the reference engine has no vector subsystem; this is
+part of the training-data-pipeline surface (SURVEY.md §2d).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from wheels_in_motion_analytics_spark.registry import register
+from wheels_in_motion_analytics_spark.tables import table
+
+PQ_M = 8  # subspaces
+PQ_SUBDIM = 8  # dims per subspace (8 x 8 = the 64-dim corpus)
+PQ_K = 16  # codewords per subspace -> one nibble per subspace
+PQ_KMEANS_ITERS = 8
+PQ_TRAIN_SAMPLE = 4096  # bounded training-set size, independent of corpus
+
+
+def _pq_codebooks(mat):
+    """Deterministic per-subspace L2 k-means: init from evenly strided
+    training rows, fixed iteration count, argmin ties to the lowest
+    codeword index — same codebooks every run, every engine."""
+    import numpy as np
+
+    books = []
+    for m in range(PQ_M):
+        x = mat[:, m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+        stride = max(len(x) // PQ_K, 1)
+        cents = x[::stride][:PQ_K].copy()
+        for _ in range(PQ_KMEANS_ITERS):
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cents)):
+                members = x[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append(cents)
+    return books
+
+
+def train_pq_codebooks(spark: SparkSession, sf_dir: str):
+    """Train the codebooks ONCE, driver-side, on a BOUNDED deterministic
+    sample (order by md5 of the id, take PQ_TRAIN_SAMPLE) — at 100 TB this
+    collects a fixed few MB, never the corpus."""
+    import numpy as np
+
+    rows = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(PQ_TRAIN_SAMPLE)
+        .collect()
+    )
+    mat = np.array([r.embedding for r in rows], dtype="float64")
+    return _pq_codebooks(mat)
+
+
+def _oracle_pq() -> str:
+    from wheels_in_motion_analytics_spark.functions.pq_artifact import (
+        PQ_FROZEN_CODEBOOKS,
+    )
+
+    values = ",\n    ".join(
+        f"({m}, {k}, [{', '.join(repr(float(v)) for v in row)}])"
+        for m, book in enumerate(PQ_FROZEN_CODEBOOKS)
+        for k, row in enumerate(book)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+cb (m, k, c) AS (
+  SELECT * FROM (VALUES
+    {values}
+  ) AS t(m, k, c)
+),
+sub AS (
+  SELECT vec_id, i AS m,
+         list_slice(e, CAST(i * {PQ_SUBDIM} + 1 AS INTEGER),
+                       CAST((i + 1) * {PQ_SUBDIM} AS INTEGER)) AS s
+  FROM (SELECT vec_id, e, unnest(range(0, {PQ_M})) AS i FROM e)
+),
+scored AS (
+  SELECT vec_id, sub.m, cb.k,
+         ROUND(list_dot_product(s, s) - 2.0 * list_dot_product(s, c)
+               + list_dot_product(c, c), 6) AS d
+  FROM sub JOIN cb ON sub.m = cb.m
+),
+best AS (
+  SELECT vec_id, m, k, d FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                 ORDER BY d ASC, k ASC) AS rn
+    FROM scored) WHERE rn = 1
+)
+SELECT vec_id,
+       CAST(SUM(k * (CAST(1 AS BIGINT) << CAST(4 * m AS INTEGER))) AS BIGINT)
+         AS pq_code,
+       CAST(SUM(CAST(floor(d * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS err_micro
+FROM best
+GROUP BY vec_id
+"""
+
+
+@register(
+    "pq_encode_reconstruction_error",
+    category="embeddings",
+    doc=f"Product quantization (Jegou et al. 2011): encode every embedding "
+    f"as {PQ_M} nibble codes ({PQ_M} subspaces x {PQ_K} codewords, packed "
+    "into ONE BIGINT) against frozen per-subspace k-means codebooks "
+    "(pq_artifact.py — trained once on a bounded md5-ordered sample, the "
+    "same shipped-model-artifact move as the IVF quantizer), and emit the "
+    "exact quantization error in integer micro-units. SCALE SHAPE: the "
+    f"codebook is {PQ_M * PQ_K} tiny rows broadcast onto a per-vector "
+    f"{PQ_M}-way subspace explode — a {PQ_M * PQ_K}x map-side expansion "
+    "that partial-aggregates straight back to vector grain; one linear "
+    "pass, no shuffle wider than the final groupBy. Codeword choice orders "
+    "by the 6dp-rounded L2 distance with codeword-id tiebreak and the "
+    "error sums as integers, so code and error are engine- and "
+    "partitioning-deterministic. This is the storage layer under IVF-PQ "
+    "ANN indexes (ann_ivf_cells is the routing half).",
+    oracle=_oracle_pq(),
+)
+def pq_encode_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.functions.pq_artifact import (
+        PQ_FROZEN_CODEBOOKS,
+    )
+    from wheels_in_motion_analytics_spark.functions.similarity import dot
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    sub = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).cast("bigint").alias("m"),
+                        F.slice("e", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("s"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("ms"),
+    ).select("vec_id", F.col("ms.m").alias("m"), F.col("ms.s").alias("s"))
+    cb = spark.createDataFrame(
+        [
+            (m, k, [float(v) for v in row])
+            for m, book in enumerate(PQ_FROZEN_CODEBOOKS)
+            for k, row in enumerate(book)
+        ],
+        "m BIGINT, k BIGINT, c ARRAY<DOUBLE>",
+    )
+    s, c = F.col("s"), F.col("c")
+    scored = sub.join(F.broadcast(cb), "m").select(
+        "vec_id",
+        "m",
+        "k",
+        F.round(dot(s, s) - F.lit(2.0) * dot(s, c) + dot(c, c), 6).alias("d"),
+    )
+    best = (
+        scored.groupBy("vec_id", "m")
+        .agg(F.min(F.struct(F.col("d").alias("d"), F.col("k").alias("k"))).alias("b"))
+        .select(
+            "vec_id",
+            F.expr("shiftleft(b.k, cast(4 * m as int))").alias("code_part"),
+            F.floor(F.col("b.d") * 1000000 + F.lit(0.5)).cast("bigint").alias("e_part"),
+        )
+    )
+    return best.groupBy("vec_id").agg(
+        F.sum("code_part").cast("bigint").alias("pq_code"),
+        F.sum("e_part").cast("bigint").alias("err_micro"),
+    )

@@ -66,6 +66,7 @@ _QUERY_MODULES = [
     "wheels_in_motion_analytics_spark.functions.similarity",
     "wheels_in_motion_analytics_spark.functions.corpus_scale",
     "wheels_in_motion_analytics_spark.functions.embeddings",
+    "wheels_in_motion_analytics_spark.functions.pq",
     "wheels_in_motion_analytics_spark.functions.curation",
     "wheels_in_motion_analytics_spark.functions.chunking",
     "wheels_in_motion_analytics_spark.functions.tokenizer",
