@@ -120,7 +120,10 @@ _DRIVER_PRIORITY = [
     "versioned_change_feed",
     # storage/integrity tail + this round's new flagship op
     "cdc_merge_partition_overwrite",
-    "bucketed_join_exchange_free",
+    # (bucketed_join_exchange_free rotated to r5 — storage keeps cdc_merge,
+    # versioned_change_feed and stream_state_store_read — for the ADC half
+    # of the PQ pair)
+    "pq_adc_topk_search",
     "kmeans_lloyd_update",
 ]
 

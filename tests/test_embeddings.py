@@ -177,3 +177,34 @@ def test_pq_codes_are_nibble_packed_and_error_positive(spark):
     for r in rows:
         assert 0 <= r.pq_code < 16**8
         assert r.err_micro >= 0
+
+
+def test_pq_adc_selects_genuinely_near_vectors(spark):
+    """ADC is approximate, but its top-k must be real near-neighbors:
+    for every anchor, the mean EXACT distance of the 5 ADC picks must be
+    well below the anchor's mean exact distance to the whole corpus."""
+    import numpy as np
+
+    from wheels_in_motion_analytics_spark.registry import load_all_queries
+    from wheels_in_motion_analytics_spark.functions.pq import ADC_ANCHOR_MOD
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all_queries()["pq_adc_topk_search"].fn(spark, sf).collect()
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype="float64")
+        for r in spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    }
+    by_anchor = {}
+    for r in rows:
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    assert len(by_anchor) == sum(1 for v in vecs if v % ADC_ANCHOR_MOD == 0)
+    for aid, picks in by_anchor.items():
+        assert len(picks) == 5
+        q = vecs[aid]
+        corpus_mean = np.mean(
+            [((q - v) ** 2).sum() for k, v in vecs.items() if k != aid]
+        )
+        pick_mean = np.mean([((q - vecs[r.vec_id]) ** 2).sum() for r in picks])
+        # the synthetic embeddings are near-isotropic (distance
+        # concentration), so demand clear-but-modest separation
+        assert pick_mean < 0.95 * corpus_mean, (aid, pick_mean, corpus_mean)

@@ -115,6 +115,70 @@ GROUP BY vec_id
 """
 
 
+def _codebook_df(spark: SparkSession) -> DataFrame:
+    from wheels_in_motion_analytics_spark.functions.pq_artifact import (
+        PQ_FROZEN_CODEBOOKS,
+    )
+
+    return spark.createDataFrame(
+        [
+            (m, k, [float(v) for v in row])
+            for m, book in enumerate(PQ_FROZEN_CODEBOOKS)
+            for k, row in enumerate(book)
+        ],
+        "m BIGINT, k BIGINT, c ARRAY<DOUBLE>",
+    )
+
+
+def _subspace_rows(df: DataFrame, vec_col: str = "e") -> DataFrame:
+    """Explode (id, e) into PQ_M (id, m, s) subspace rows."""
+    return df.select(
+        *[c for c in df.columns if c != vec_col],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).cast("bigint").alias("m"),
+                        F.slice(vec_col, m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("s"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("ms"),
+    ).withColumns({"m": F.col("ms.m"), "s": F.col("ms.s")}).drop("ms")
+
+
+def _pq_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (vec_id, m): the chosen codeword k and its 6dp-rounded squared
+    L2 distance d — the shared encode core of both PQ queries. Shape: a
+    128-row broadcast codebook joined onto the subspace explode, then a
+    partial-aggregable min-struct groupBy. NOTE a tempting 'improvement'
+    measured WORSE: folding the argmin into one map-only projection of
+    128 literal-codeword zip_with/aggregate expressions (zero shuffle on
+    paper) ran 4x slower — giant higher-order-function expressions don't
+    whole-stage-codegen; the tiny broadcast join stays JVM-tight."""
+    from wheels_in_motion_analytics_spark.functions.similarity import dot
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    sub = _subspace_rows(e)
+    s, c = F.col("s"), F.col("c")
+    scored = sub.join(F.broadcast(_codebook_df(spark)), "m").select(
+        "vec_id",
+        "m",
+        "k",
+        F.round(dot(s, s) - F.lit(2.0) * dot(s, c) + dot(c, c), 6).alias("d"),
+    )
+    return (
+        scored.groupBy("vec_id", "m")
+        .agg(F.min(F.struct(F.col("d").alias("d"), F.col("k").alias("k"))).alias("b"))
+        .select("vec_id", "m", F.col("b.k").alias("k"), F.col("b.d").alias("d"))
+    )
+
+
+
 @register(
     "pq_encode_reconstruction_error",
     category="embeddings",
@@ -135,54 +199,174 @@ GROUP BY vec_id
     oracle=_oracle_pq(),
 )
 def pq_encode_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    best = _pq_assignments(spark, sf_dir).select(
+        "vec_id",
+        F.expr("shiftleft(k, cast(4 * m as int))").alias("code_part"),
+        F.floor(F.col("d") * 1000000 + F.lit(0.5)).cast("bigint").alias("e_part"),
+    )
+    return best.groupBy("vec_id").agg(
+        F.sum("code_part").cast("bigint").alias("pq_code"),
+        F.sum("e_part").cast("bigint").alias("err_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ADC search — the query half of IVF-PQ (asymmetric distance computation)
+# ---------------------------------------------------------------------------
+
+ADC_ANCHOR_MOD = 101  # anchors = vec_id % 101 == 0 — a bounded ~1% slice
+ADC_TOPK = 5
+
+
+def _oracle_pq_adc() -> str:
     from wheels_in_motion_analytics_spark.functions.pq_artifact import (
         PQ_FROZEN_CODEBOOKS,
     )
+
+    values = ",\n    ".join(
+        f"({m}, {k}, [{', '.join(repr(float(v)) for v in row)}])"
+        for m, book in enumerate(PQ_FROZEN_CODEBOOKS)
+        for k, row in enumerate(book)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+cb (m, k, c) AS (
+  SELECT * FROM (VALUES
+    {values}
+  ) AS t(m, k, c)
+),
+sub AS (
+  SELECT vec_id, i AS m,
+         list_slice(e, CAST(i * {PQ_SUBDIM} + 1 AS INTEGER),
+                       CAST((i + 1) * {PQ_SUBDIM} AS INTEGER)) AS s
+  FROM (SELECT vec_id, e, unnest(range(0, {PQ_M})) AS i FROM e)
+),
+scored AS (
+  SELECT vec_id, sub.m, cb.k,
+         ROUND(list_dot_product(s, s) - 2.0 * list_dot_product(s, c)
+               + list_dot_product(c, c), 6) AS d
+  FROM sub JOIN cb ON sub.m = cb.m
+),
+best AS (
+  SELECT vec_id, m, k FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                 ORDER BY d ASC, k ASC) AS rn
+    FROM scored) WHERE rn = 1
+),
+a AS (
+  SELECT vec_id AS anchor_id, e AS q FROM e
+  WHERE vec_id % {ADC_ANCHOR_MOD} = 0
+),
+asub AS (
+  SELECT anchor_id, i AS m,
+         list_slice(q, CAST(i * {PQ_SUBDIM} + 1 AS INTEGER),
+                       CAST((i + 1) * {PQ_SUBDIM} AS INTEGER)) AS qs
+  FROM (SELECT anchor_id, q, unnest(range(0, {PQ_M})) AS i FROM a)
+),
+lut AS (
+  SELECT anchor_id, asub.m, cb.k,
+         CAST(floor(ROUND(list_dot_product(qs, qs)
+               - 2.0 * list_dot_product(qs, c)
+               + list_dot_product(c, c), 6) * 1000000 + 0.5) AS BIGINT) AS lm
+  FROM asub JOIN cb ON asub.m = cb.m
+),
+adc AS (
+  SELECT anchor_id, b.vec_id, CAST(SUM(lm) AS BIGINT) AS adc_micro
+  FROM best b JOIN lut ON b.m = lut.m AND b.k = lut.k
+  WHERE b.vec_id <> lut.anchor_id
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT anchor_id, vec_id, adc_micro, rn FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                 ORDER BY adc_micro ASC, vec_id ASC) AS rn
+    FROM adc) WHERE rn <= {ADC_TOPK}
+)
+SELECT t.anchor_id, t.vec_id, t.rn, t.adc_micro,
+       CAST(floor(ROUND(list_dot_product(q, q)
+             - 2.0 * list_dot_product(q, x.e)
+             + list_dot_product(x.e, x.e), 6) * 1000000 + 0.5) AS BIGINT)
+         AS exact_micro
+FROM top t
+JOIN a ON t.anchor_id = a.anchor_id
+JOIN e x ON t.vec_id = x.vec_id
+"""
+
+
+@register(
+    "pq_adc_topk_search",
+    category="embeddings",
+    doc="Asymmetric distance computation (ADC) — the query half of an "
+    "IVF-PQ index: each query builds a tiny per-subspace lookup table of "
+    f"squared distances to all {PQ_K} codewords, and approximate distances "
+    "to the ENTIRE corpus are then pure table-lookups over the nibble "
+    f"codes (no float math per candidate). Top-{ADC_TOPK} per anchor by "
+    "ADC distance, with the exact full-dimension distance joined back for "
+    "the winners (the approximation-quality audit). SCALE SHAPE: the LUT "
+    f"is anchors x {PQ_M * PQ_K} rows, broadcast; corpus codes stream "
+    "through one linear join + an integer partial-agg per (anchor, "
+    "vector); per-anchor top-k is a window keyed on anchor. All distances "
+    "quantize to integer micro-units after one 6dp rounding, so ranking "
+    "is engine- and partitioning-deterministic end to end.",
+    oracle=_oracle_pq_adc(),
+)
+def pq_adc_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     from wheels_in_motion_analytics_spark.functions.similarity import dot
 
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-    sub = e.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).cast("bigint").alias("m"),
-                        F.slice("e", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("s"),
-                    )
-                    for m in range(PQ_M)
-                ]
-            )
-        ).alias("ms"),
-    ).select("vec_id", F.col("ms.m").alias("m"), F.col("ms.s").alias("s"))
-    cb = spark.createDataFrame(
-        [
-            (m, k, [float(v) for v in row])
-            for m, book in enumerate(PQ_FROZEN_CODEBOOKS)
-            for k, row in enumerate(book)
-        ],
-        "m BIGINT, k BIGINT, c ARRAY<DOUBLE>",
+    codes = _pq_assignments(spark, sf_dir).select("vec_id", "m", "k")
+    anchors = e.where(F.col("vec_id") % ADC_ANCHOR_MOD == 0).select(
+        F.col("vec_id").alias("anchor_id"), F.col("e").alias("q")
     )
-    s, c = F.col("s"), F.col("c")
-    scored = sub.join(F.broadcast(cb), "m").select(
-        "vec_id",
+    asub = _subspace_rows(anchors, vec_col="q").withColumnRenamed("s", "qs")
+    qs, c = F.col("qs"), F.col("c")
+    lut = asub.join(F.broadcast(_codebook_df(spark)), "m").select(
+        "anchor_id",
         "m",
         "k",
-        F.round(dot(s, s) - F.lit(2.0) * dot(s, c) + dot(c, c), 6).alias("d"),
-    )
-    best = (
-        scored.groupBy("vec_id", "m")
-        .agg(F.min(F.struct(F.col("d").alias("d"), F.col("k").alias("k"))).alias("b"))
-        .select(
-            "vec_id",
-            F.expr("shiftleft(b.k, cast(4 * m as int))").alias("code_part"),
-            F.floor(F.col("b.d") * 1000000 + F.lit(0.5)).cast("bigint").alias("e_part"),
+        F.floor(
+            F.round(dot(qs, qs) - F.lit(2.0) * dot(qs, c) + dot(c, c), 6)
+            * 1000000
+            + F.lit(0.5)
         )
+        .cast("bigint")
+        .alias("lm"),
     )
-    return best.groupBy("vec_id").agg(
-        F.sum("code_part").cast("bigint").alias("pq_code"),
-        F.sum("e_part").cast("bigint").alias("err_micro"),
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "k"])
+        .where(F.col("vec_id") != F.col("anchor_id"))
+        .groupBy("anchor_id", "vec_id")
+        .agg(F.sum("lm").cast("bigint").alias("adc_micro"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.asc("adc_micro"), F.asc("vec_id")
+    )
+    top = adc.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= ADC_TOPK
+    )
+    q, x = F.col("q"), F.col("x")
+    return (
+        top.join(F.broadcast(anchors), "anchor_id")
+        .join(e.select("vec_id", F.col("e").alias("x")), "vec_id")
+        .select(
+            "anchor_id",
+            "vec_id",
+            "rn",
+            "adc_micro",
+            F.floor(
+                F.round(dot(q, q) - F.lit(2.0) * dot(q, x) + dot(x, x), 6)
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("exact_micro"),
+        )
     )
