@@ -64,7 +64,11 @@ _DRIVER_PRIORITY = [
     # (stream_attribution_unmatched rotated to r5 — its twin
     # stream_join_attribution stays — to admit the skyline)
     "skyline_pareto_parts",
-    "stream_dedup_within_watermark",
+    # (stream_dedup_within_watermark rotated to r5 — streaming keeps six
+    # head entries — for the PPS sampler; column_entropy_mi rotated for
+    # the SCD2 as-of lookup, stats keeps ks + spearman)
+    "curate_pps_poisson_sample",
+    "scd2_point_in_time_lookup",
     # (stream_hourly_rollup_of_bars rotated to r5 — streaming keeps 9 head
     # entries — to admit semdedup_cluster_prune, this session's flagship)
     "semdedup_cluster_prune",
@@ -81,7 +85,6 @@ _DRIVER_PRIORITY = [
     "versioned_branch_merge",
     # round-3 additions
     "linreg_normal_equations",
-    "column_entropy_mi",
     "bitmap_distinct_rollup",
     # (seasonal_decompose_daily rotated to r5 — timeseries keeps ohlc +
     # late-data head entries — to admit the PQ encoder)

@@ -804,3 +804,57 @@ def curate_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("desired_tokens").cast("double") / F.col("available_tokens"), 4
         ).alias("repeat_factor"),
     )
+
+
+PPS_EXPECTED_K = 64
+_PPS_SCALE = 1 << 52  # md5 draw domain
+
+
+@register(
+    "curate_pps_poisson_sample",
+    category="curation",
+    doc=f"PPS Poisson sampling (probability-proportional-to-size, the "
+    "survey-sampling / gradient-estimation standard): each document is "
+    f"included independently with probability min(1, k*w/W) for k = "
+    f"{PPS_EXPECTED_K} expected picks, w = its char weight, W = the corpus "
+    "total — so the expected sample size is calibrated corpus-wide, unlike "
+    "the per-doc Bernoulli of curate_importance_sample. FULLY EXACT: the "
+    "md5 draw is a 52-bit integer and the inclusion test cross-multiplies "
+    "to draw*W < k*w*2^52 in DECIMAL(38,0)/HUGEINT — no floats, no libm, "
+    "identical on every engine and partitioning. SCALE SHAPE: one scalar "
+    "total broadcast onto a single filter pass; selection is one linear "
+    "scan.",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         ('0x' || substr(md5('pps:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+           AS draw52
+  FROM documents
+),
+tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS total_w FROM w)
+SELECT doc_id, weight, draw52
+FROM w CROSS JOIN tot
+WHERE CAST(draw52 AS HUGEINT) * total_w
+      < CAST({PPS_EXPECTED_K} AS HUGEINT) * weight * {_PPS_SCALE}
+""",
+)
+def curate_pps_poisson_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        hash_hex(
+            F.concat(F.lit("pps:"), F.col("doc_id").cast("string")), 13
+        ).alias("draw52"),
+    )
+    tot = docs.agg(F.sum("weight").cast("bigint").alias("total_w"))
+    d38 = "decimal(38,0)"
+    return (
+        docs.crossJoin(F.broadcast(tot))
+        .where(
+            F.col("draw52").cast(d38) * F.col("total_w").cast(d38)
+            < F.lit(PPS_EXPECTED_K).cast(d38)
+            * F.col("weight").cast(d38)
+            * F.lit(_PPS_SCALE).cast(d38)
+        )
+        .select("doc_id", "weight", "draw52")
+    )

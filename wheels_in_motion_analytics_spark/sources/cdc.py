@@ -430,3 +430,106 @@ def scd2_customer_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@register(
+    "scd2_point_in_time_lookup",
+    category="cdc",
+    doc="Point-in-time dimension lookup against the SCD2 history (the "
+    "query half of scd2_customer_status_history): every shipped line item "
+    "is attributed to the customer-status version valid AT ITS SHIP DATE "
+    "(valid_from <= ship < valid_to, open-ended current version), with "
+    "shipments predating the first version binned as 'none' — the classic "
+    "warehouse as-of semantics that a plain dim join gets WRONG whenever "
+    "attributes change over time. SCALE SHAPE: the history join is equi "
+    "on custkey with a bounded interval filter (versions per key are "
+    "bounded by status-change count, so the join fan-out is bounded); the "
+    "result folds to one partial-aggregable rollup by looked-up status. "
+    "Revenue sums in exact integer cents.",
+    oracle="""
+WITH ordered AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         lag(o_orderstatus) OVER w AS prev_status
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+changes AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+  FROM ordered
+  WHERE prev_status IS NULL OR o_orderstatus <> prev_status
+),
+hist AS (
+  SELECT o_custkey AS custkey, o_orderstatus AS status,
+         o_orderdate AS valid_from,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS valid_to
+  FROM changes
+),
+fact AS (
+  SELECT o.o_custkey AS custkey, l.l_shipdate AS ship,
+         CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT COALESCE(h.status, 'none') AS status_at_ship,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM fact f
+LEFT JOIN hist h
+  ON f.custkey = h.custkey
+ AND h.valid_from <= f.ship
+ AND (h.valid_to IS NULL OR f.ship < h.valid_to)
+GROUP BY 1
+""",
+)
+def scd2_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = orders.withColumn(
+        "prev_status", F.lag("o_orderstatus").over(w)
+    ).where(
+        F.col("prev_status").isNull()
+        | (F.col("o_orderstatus") != F.col("prev_status"))
+    )
+    nxt = F.lead("o_orderdate").over(w)
+    hist = changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+    )
+    fact = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_shipdate",
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .join(
+            table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_shipdate").alias("ship"),
+            "cents",
+        )
+    )
+    joined = fact.join(
+        hist,
+        (fact["custkey"] == hist["custkey"])
+        & (F.col("valid_from") <= F.col("ship"))
+        & (F.col("valid_to").isNull() | (F.col("ship") < F.col("valid_to"))),
+        "left",
+    )
+    return joined.groupBy(
+        F.coalesce(F.col("status"), F.lit("none")).alias("status_at_ship")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
