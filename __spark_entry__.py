@@ -104,9 +104,12 @@ _DRIVER_PRIORITY = [
     # merge_overlapping_intervals — each family keeps another head entry.
     "variant_extract_event_props",
     "sql_scalar_udf_net_revenue",
-    "sql_table_udf_price_brackets",
     "session_variable_dynamic_window",
-    "listagg_nation_supplier_roster",
+    # (sql_table_udf_price_brackets + listagg_nation_supplier_roster
+    # rotated to r5 — modern SQL keeps five head entries — for the RFM
+    # and Pareto product-analytics pair)
+    "rfm_customer_segmentation",
+    "pareto_revenue_concentration",
     # session-3 additions (never verified). Rotated to r5 to keep the head
     # at 50: revenue_ewma_daily, dedup_events_time_window, sessionize_events
     # (timeseries keeps ohlc_resample_5min + temporal_point_in_time_join +

@@ -574,3 +574,187 @@ def basket_triple_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(BASKET_TOPK)
     )
+
+
+@register(
+    "rfm_customer_segmentation",
+    category="product-analytics",
+    doc="RFM segmentation (recency / frequency / monetary), the classic "
+    "CRM scoring: per customer, days-recency of the last order, order "
+    "count, and lifetime cents; each dimension quintile-scored 1-5 (5 = "
+    "best) and mapped to a named segment (champion / loyal / big_spender "
+    "/ at_risk / hibernating / regular). SCALE SHAPE: the customer grain "
+    "is row-scale at 100 TB, so every quintile comes from the TWO-PHASE "
+    "exact global ntile (operators/windows.py:global_ntile — "
+    "range-partitioned parallel sort + offsets, no single-task window); "
+    "the three score relations hash-join back on custkey. Monetary sums "
+    "in exact integer cents; ties break on custkey everywhere, so scores "
+    "and segments are engine- and partitioning-deterministic.",
+    oracle="""
+WITH base AS (
+  SELECT o_custkey AS custkey,
+         MAX(o_orderdate) AS last_date,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+)
+SELECT custkey, n_orders, cents,
+       CAST(ntile(5) OVER (ORDER BY last_date ASC, custkey ASC) AS INTEGER)
+         AS r_score,
+       CAST(ntile(5) OVER (ORDER BY n_orders ASC, custkey ASC) AS INTEGER)
+         AS f_score,
+       CAST(ntile(5) OVER (ORDER BY cents ASC, custkey ASC) AS INTEGER)
+         AS m_score,
+       CASE
+         WHEN ntile(5) OVER (ORDER BY last_date ASC, custkey ASC) >= 4
+          AND ntile(5) OVER (ORDER BY n_orders ASC, custkey ASC) >= 4
+          AND ntile(5) OVER (ORDER BY cents ASC, custkey ASC) >= 4
+           THEN 'champion'
+         WHEN ntile(5) OVER (ORDER BY n_orders ASC, custkey ASC) >= 4
+           THEN 'loyal'
+         WHEN ntile(5) OVER (ORDER BY cents ASC, custkey ASC) >= 4
+           THEN 'big_spender'
+         WHEN ntile(5) OVER (ORDER BY last_date ASC, custkey ASC) <= 2
+          AND ntile(5) OVER (ORDER BY cents ASC, custkey ASC) >= 3
+           THEN 'at_risk'
+         WHEN ntile(5) OVER (ORDER BY last_date ASC, custkey ASC) <= 2
+           THEN 'hibernating'
+         ELSE 'regular'
+       END AS segment
+FROM base
+""",
+)
+def rfm_customer_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.operators.windows import global_ntile
+
+    base = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_date"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .localCheckpoint()  # three ntile passes consume it
+    )
+
+    def score(col: str, name: str) -> DataFrame:
+        return global_ntile(
+            base.select("custkey", col), 5, [col, "custkey"], tile_name=name
+        ).select("custkey", name)
+
+    out = (
+        base.select("custkey", "n_orders", "cents")
+        .join(score("last_date", "r_score"), "custkey")
+        .join(score("n_orders", "f_score"), "custkey")
+        .join(score("cents", "m_score"), "custkey")
+    )
+    r, f, m = F.col("r_score"), F.col("f_score"), F.col("m_score")
+    segment = (
+        F.when((r >= 4) & (f >= 4) & (m >= 4), "champion")
+        .when(f >= 4, "loyal")
+        .when(m >= 4, "big_spender")
+        .when((r <= 2) & (m >= 3), "at_risk")
+        .when(r <= 2, "hibernating")
+        .otherwise("regular")
+    )
+    return out.select(
+        "custkey", "n_orders", "cents", "r_score", "f_score", "m_score",
+        segment.alias("segment"),
+    )
+
+
+@register(
+    "pareto_revenue_concentration",
+    category="product-analytics",
+    doc="Revenue concentration (the 80/20 audit): customers ranked by "
+    "lifetime revenue DESCENDING, exact running revenue share, and two "
+    "headline stats — how many customers cover 80% of revenue (and the "
+    "share of the base they are), and the revenue share of the top "
+    "decile. SCALE SHAPE: the customer grain is row-scale, so rank AND "
+    "running sum both come from ONE two-phase exact prefix-sum pass "
+    "(global_prefix_sums over (revenue desc, custkey) with a ones column "
+    "as the rank) — no single-task window; the two scalars (N, total) "
+    "broadcast onto a final one-row aggregate. All comparisons are "
+    "integer cross-multiplications; only the two emitted shares round.",
+    oracle="""
+WITH base AS (
+  SELECT o_custkey AS custkey,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT cents,
+         CAST(row_number() OVER (ORDER BY cents DESC, custkey ASC) AS BIGINT)
+           AS rn,
+         CAST(SUM(cents) OVER (ORDER BY cents DESC, custkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM base
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(cents) AS BIGINT) AS total_cents
+  FROM base
+)
+SELECT t.n_customers, t.total_cents,
+       CAST(MIN(CASE WHEN cum * 5 >= total_cents * 4 THEN rn END) AS BIGINT)
+         AS n_to_80pct,
+       round(CAST(MIN(CASE WHEN cum * 5 >= total_cents * 4 THEN rn END)
+             AS DOUBLE) / n_customers, 6) AS pct_customers_to_80,
+       round(CAST(MAX(CASE WHEN rn = (n_customers + 9) // 10 THEN cum END)
+             AS DOUBLE) / total_cents, 6) AS top_decile_share
+FROM ranked CROSS JOIN tot t
+GROUP BY t.n_customers, t.total_cents
+""",
+)
+def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.operators.windows import (
+        global_prefix_sums,
+    )
+
+    base = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .withColumn("neg_cents", -F.col("cents"))
+        .withColumn("one", F.lit(1).cast("bigint"))
+    )
+    ranked = global_prefix_sums(
+        base, ["neg_cents", "custkey"], ["cents", "one"]
+    ).select(
+        "cents", F.col("one_cum").alias("rn"), F.col("cents_cum").alias("cum")
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+    rn, cum = F.col("rn"), F.col("cum")
+    n, total = F.col("n_customers"), F.col("total_cents")
+    n80 = F.min(F.when(cum * 5 >= total * 4, rn)).cast("bigint")
+    decile_cum = F.max(
+        F.when(rn == F.floor((n + 9) / 10).cast("bigint"), cum)
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("n_customers", "total_cents")
+        .agg(
+            n80.alias("n_to_80pct"),
+            F.round(n80.cast("double") / n, 6).alias("pct_customers_to_80"),
+            F.round(decile_cum.cast("double") / total, 6).alias(
+                "top_decile_share"
+            ),
+        )
+    )
