@@ -90,8 +90,9 @@ _DRIVER_PRIORITY = [
     # late-data head entries — to admit the PQ encoder)
     "pq_encode_reconstruction_error",
     "multimodal_resize_digest",
-    # timeseries / sessionization
-    "ohlc_resample_5min",
+    # timeseries / sessionization (ohlc_resample_5min rotated to r5 —
+    # late_data_bar_restatement keeps the family — for the sequence matcher)
+    "session_path_pattern_match",
     # session-4 additions (never verified): similarity-ranked hard
     # negatives + apriori triples. temporal_point_in_time_join (timeseries
     # keeps ohlc + late_data_bar_restatement) and csv_roundtrip_agg

@@ -898,3 +898,107 @@ def rolling_median_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("cents").alias("revenue_cents"),
         F.round((lo + hi) / 2.0, 1).alias("rolling_median_cents"),
     )
+
+
+@register(
+    "session_path_pattern_match",
+    category="timeseries",
+    doc="Sequence-pattern classification over session paths (the batch "
+    "analogue of ClickHouse sequenceMatch / MATCH_RECOGNIZE): events "
+    "sessionize at 30-min gaps (same gaps-and-islands rewrite as "
+    "sessionize_events), each session's ORDERED event-type path encodes "
+    "to a first-letter string (v/c/p/s/e), and paths classify through an "
+    "ordered regex cascade — bounce, converted (view..click..purchase in "
+    "order), engaged, browse_only, other. SCALE SHAPE: one user-keyed "
+    "shuffle serves the windows, the per-session path builds via "
+    "sort_array(collect_list(struct(ts,event_id,letter))) — state bounded "
+    "by session length — and classification is a JVM regex over the "
+    "bounded path string; final rollup is a tiny groupBy. Deterministic: "
+    "the struct sort makes the path order total.",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   <= INTERVAL 30 MINUTE
+              THEN 0 ELSE 1 END AS is_new
+  FROM events
+),
+sess AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM flagged
+),
+paths AS (
+  SELECT user_id, session_seq,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS path,
+         CAST(COUNT(*) AS BIGINT) AS n_ev
+  FROM sess GROUP BY 1, 2
+),
+classed AS (
+  SELECT CASE
+           WHEN length(path) = 1 THEN 'bounce'
+           WHEN regexp_matches(path, 'v.*c.*p') THEN 'converted'
+           WHEN regexp_matches(path, 'c') THEN 'engaged'
+           WHEN regexp_matches(path, 'v') THEN 'browse_only'
+           ELSE 'other'
+         END AS pattern_class,
+         n_ev
+  FROM paths
+)
+SELECT pattern_class,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_ev) AS BIGINT) AS n_events
+FROM classed GROUP BY 1
+""",
+)
+def session_path_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        table(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w_lag = Window.partitionBy("user_id").orderBy(*order)
+    w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    is_new = F.when(
+        F.col("ts") - F.lag("ts").over(w_lag) <= F.expr("INTERVAL 30 MINUTES"),
+        F.lit(0),
+    ).otherwise(F.lit(1))
+    sess = ev.withColumn("is_new", is_new).withColumn(
+        "session_seq", F.sum("is_new").over(w_run)
+    )
+    paths = sess.groupBy("user_id", "session_seq").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("ts"),
+                            F.col("event_id"),
+                            F.substring("event_type", 1, 1).alias("letter"),
+                        )
+                    )
+                ),
+                lambda x: x["letter"],
+            ),
+            "",
+        ).alias("path"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ev"),
+    )
+    p = F.col("path")
+    cls = (
+        F.when(F.length(p) == 1, "bounce")
+        .when(p.rlike("v.*c.*p"), "converted")
+        .when(p.rlike("c"), "engaged")
+        .when(p.rlike("v"), "browse_only")
+        .otherwise("other")
+    )
+    return (
+        paths.select(cls.alias("pattern_class"), "n_ev")
+        .groupBy("pattern_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("n_ev").cast("bigint").alias("n_events"),
+        )
+    )
