@@ -50,6 +50,12 @@ PICKS += [
     ("seasonal_decompose_daily", "daily-grain RANGE window + broadcast seasonal join"),
     ("multimodal_features", "JVM md5 fixture synthesis -> Arrow batch decode in mapInPandas"),
 ]
+# round-4 session-4 headliners
+PICKS += [
+    ("skyline_pareto_parts", "level collapse -> two-phase prefix max (range partition + offsets) -> join-back; no single-task sort"),
+    ("pq_encode_reconstruction_error", "128-row broadcast codebook join -> min-struct partial agg -> nibble-pack projection"),
+    ("semdedup_cluster_prune", "broadcast centroid assign -> within-cell hash self-join -> norm join-back; never corpus all-pairs"),
+]
 # session-6 headliners
 PICKS += [
     ("dpp_join_pruned_revenue", "dynamicpruningexpression in PartitionFilters — runtime dim prunes the fact scan"),
