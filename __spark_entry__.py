@@ -59,63 +59,47 @@ _DRIVER_PRIORITY = [
     "parquet_sink_overwrite_append",
     "conditional_rename_guarded_drop",
     "backtick_space_identifiers",
-    # streaming family (never driver-verified)
+    # streaming family (never driver-verified; the six siblings
+    # stream_attribution_unmatched / stream_dedup_within_watermark /
+    # stream_hourly_rollup_of_bars / stream_complete_mode_totals /
+    # stream_ohlc_bars rotated to r5 to make room for session-4 ops)
     "python_stream_datasource_read",
-    # (stream_attribution_unmatched rotated to r5 — its twin
-    # stream_join_attribution stays — to admit the skyline)
-    "skyline_pareto_parts",
-    # (stream_dedup_within_watermark rotated to r5 — streaming keeps six
-    # head entries — for the PPS sampler; column_entropy_mi rotated for
-    # the SCD2 as-of lookup, stats keeps ks + spearman)
-    "curate_pps_poisson_sample",
-    "scd2_point_in_time_lookup",
-    # (stream_hourly_rollup_of_bars rotated to r5 — streaming keeps 9 head
-    # entries — to admit semdedup_cluster_prune, this session's flagship)
-    "semdedup_cluster_prune",
     "stream_join_attribution",
     "late_data_bar_restatement",
-    # session-4 additions (never verified): Gopher repetition gate +
-    # ties-aware Spearman. stream_complete_mode_totals / stream_ohlc_bars
-    # rotated to r5 — streaming keeps seven head entries.
+    # round-4 session-4 additions (never verified)
+    "skyline_pareto_parts",
+    "curate_pps_poisson_sample",
+    "scd2_point_in_time_lookup",
+    "semdedup_cluster_prune",
     "gopher_repetition_filters",
     "spearman_rank_correlation",
     # graph + versioned
     "bfs_cosupply_hops",
     "sssp_cheapest_supply_path",
     "versioned_branch_merge",
-    # round-3 additions
+    # round-3 additions (seasonal_decompose_daily, column_entropy_mi,
+    # ohlc_resample_5min, temporal_point_in_time_join, csv_roundtrip_agg
+    # rotated to r5; their families keep other head entries)
     "linreg_normal_equations",
     "bitmap_distinct_rollup",
-    # (seasonal_decompose_daily rotated to r5 — timeseries keeps ohlc +
-    # late-data head entries — to admit the PQ encoder)
-    "pq_encode_reconstruction_error",
     "multimodal_resize_digest",
-    # timeseries / sessionization (ohlc_resample_5min rotated to r5 —
-    # late_data_bar_restatement keeps the family — for the sequence matcher)
+    # round-4 session-4 additions (never verified)
+    "pq_encode_reconstruction_error",
     "session_path_pattern_match",
-    # session-4 additions (never verified): similarity-ranked hard
-    # negatives + apriori triples. temporal_point_in_time_join (timeseries
-    # keeps ohlc + late_data_bar_restatement) and csv_roundtrip_agg
-    # (format family rotates to r5 wholesale) moved out.
     "hard_negative_mining",
     "basket_triple_apriori",
-    # Spark-4 modern SQL surface (this session; never verified).
-    # Swapped in for orc_roundtrip_agg, stream_static_enrich,
-    # stream_sliding_window, rolling_features_customer,
-    # merge_overlapping_intervals — each family keeps another head entry.
+    "rfm_customer_segmentation",
+    "pareto_revenue_concentration",
+    # Spark-4 modern SQL surface (sql_table_udf_price_brackets and
+    # listagg_nation_supplier_roster rotated to r5; five siblings below
+    # keep the family represented)
     "variant_extract_event_props",
     "sql_scalar_udf_net_revenue",
     "session_variable_dynamic_window",
-    # (sql_table_udf_price_brackets + listagg_nation_supplier_roster
-    # rotated to r5 — modern SQL keeps five head entries — for the RFM
-    # and Pareto product-analytics pair)
-    "rfm_customer_segmentation",
-    "pareto_revenue_concentration",
-    # session-3 additions (never verified). Rotated to r5 to keep the head
-    # at 50: revenue_ewma_daily, dedup_events_time_window, sessionize_events
-    # (timeseries keeps ohlc_resample_5min + temporal_point_in_time_join +
-    # late_data_bar_restatement) and multimodal_frame_digest
-    # (multimodal_resize_digest stays).
+    # round-4 session-3 additions (never verified). Rotated to r5 to keep
+    # the head at 50: revenue_ewma_daily, dedup_events_time_window,
+    # sessionize_events, multimodal_frame_digest (their families keep
+    # other head entries).
     "sql_sugar_suite",
     "zone_map_skipping_audit",
     "hll_intersection_inclusion_exclusion",
