@@ -55,7 +55,9 @@ _DRIVER_PRIORITY = [
     "glob_csv_scan_years",
     "json_scan_normalize_payload",
     "parquet_empty_fallback_union",
-    "binary_glob_file_stats",
+    # (binary_glob_file_stats rotated to r5 — six §2a wrappers remain —
+    # for the COW-update lifecycle piece)
+    "versioned_update_copy_on_write",
     "parquet_sink_overwrite_append",
     "conditional_rename_guarded_drop",
     "backtick_space_identifiers",

@@ -332,3 +332,67 @@ def test_change_feed_replay_reconstructs_mor_snapshot(spark, orders, tmp_path, c
         r["o_orderkey"] for r in read_version(spark, root, head).collect()
     )
     assert replayed == snapshot and len(snapshot) > 0
+
+
+def test_cow_update_rewrites_only_matching_files(spark, orders, tmp_path):
+    """Copy-on-write UPDATE: (a) files without matches carry into the new
+    manifest under the SAME entry (byte-identical by construction), (b)
+    the new snapshot equals applying the update to the old snapshot, (c)
+    the old version still reads back pre-update (snapshot isolation)."""
+    import hashlib
+
+    from wheels_in_motion_analytics_spark.sources.versioned import (
+        _data_dir,
+        _manifest,
+        update_copy_on_write,
+    )
+
+    root = str(tmp_path / "t")
+    commit(
+        orders.repartition(4, F.pmod(F.col("o_orderkey"), F.lit(4))),
+        root,
+        mode="overwrite",
+    )
+    before = read_version(spark, root, version=1).collect()
+    m1 = _manifest(root, 1)
+    digests = {}
+    for rel in m1["files"]:
+        with open(os.path.join(_data_dir(root), rel), "rb") as fh:
+            digests[rel] = hashlib.md5(fh.read()).hexdigest()
+
+    def pred(df):
+        return F.pmod(df["o_orderkey"], F.lit(4)) == 1
+
+    def bump(df):
+        return df.withColumn(
+            "o_totalprice",
+            F.when(pred(df), df["o_totalprice"] + 1.0).otherwise(
+                df["o_totalprice"]
+            ),
+        )
+
+    audit = update_copy_on_write(spark, root, pred, bump)
+    assert 0 < audit["n_files_rewritten"] < audit["n_files_total"]
+    m2 = _manifest(root, 2)
+    kept = set(m1["files"]) & set(m2["files"])
+    assert kept, "some files must carry forward"
+    for rel in kept:
+        with open(os.path.join(_data_dir(root), rel), "rb") as fh:
+            assert hashlib.md5(fh.read()).hexdigest() == digests[rel]
+    # semantics: new snapshot == update applied to old snapshot
+    want = {
+        (r.o_orderkey, round(r.o_totalprice + 1.0, 2))
+        if r.o_orderkey % 4 == 1
+        else (r.o_orderkey, round(r.o_totalprice, 2))
+        for r in before
+    }
+    got = {
+        (r.o_orderkey, round(r.o_totalprice, 2))
+        for r in read_version(spark, root).collect()
+    }
+    assert got == want
+    # isolation: v1 unchanged
+    assert {
+        (r.o_orderkey, round(r.o_totalprice, 2))
+        for r in read_version(spark, root, version=1).collect()
+    } == {(r.o_orderkey, round(r.o_totalprice, 2)) for r in before}

@@ -966,3 +966,144 @@ def versioned_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "head_intact"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Copy-on-write UPDATE — rewrite only the files containing matches
+# ---------------------------------------------------------------------------
+
+
+def update_copy_on_write(spark: SparkSession, root: str, predicate, apply_update) -> dict:
+    """Row-level UPDATE with file-level copy-on-write (the Delta/Iceberg
+    COW UPDATE mechanism): every data file of the current version is
+    probed for predicate matches; files with NO matches carry forward
+    untouched (byte-identical, same manifest entry), files WITH matches
+    are rewritten with ``apply_update`` applied to every row. The new
+    manifest references kept + rewritten files and publishes through the
+    same CAS atomic rename as ``commit``. At real scale the probe is a
+    min/max-zone-map check, not a scan; semantics are identical.
+
+    ``predicate(df) -> Column`` selects rows to update; ``apply_update(df)
+    -> DataFrame`` must return the full-file frame (same schema), already
+    transformed. Not supported over a deletion-vector chain (MoR deletes
+    re-baseline through an overwrite first).
+    """
+    base = current_version(root)
+    m = _manifest(root, base)
+    if m.get("deletes"):
+        raise ValueError("COW update over a deletion-vector chain: overwrite first")
+    version = base + 1
+    stage = os.path.join(_data_dir(root), f"v{version}")
+    os.makedirs(stage, exist_ok=True)
+    kept, new_entries, n_updated = [], [], 0
+    for i, rel in enumerate(m["files"]):
+        path = os.path.join(_data_dir(root), rel)
+        df = spark.read.parquet(path)
+        n_match = df.where(predicate(df)).count()
+        if n_match == 0:
+            kept.append(rel)
+            continue
+        n_updated += n_match
+        tmp = os.path.join(stage, f"_rw{i}.tmp")
+        # one file in, one file out: the rewrite preserves file granularity
+        apply_update(df).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        final_name = f"rw{i}.parquet"
+        os.replace(os.path.join(tmp, part), os.path.join(stage, final_name))
+        shutil.rmtree(tmp)
+        new_entries.append(os.path.join(f"v{version}", final_name))
+    manifest = {
+        "version": version,
+        "mode": "update",
+        "files": sorted(kept + new_entries),
+    }
+    final = os.path.join(_log_dir(root), f"v{version}.json")
+    fd, tmpf = tempfile.mkstemp(dir=_log_dir(root), suffix=".tmp")
+    with os.fdopen(fd, "w") as fh:
+        json.dump(manifest, fh)
+    if os.path.exists(final):
+        os.unlink(tmpf)
+        raise VersionConflict(f"v{version} already committed")
+    os.rename(tmpf, final)
+    return {
+        "version": version,
+        "n_files_total": len(m["files"]),
+        "n_files_rewritten": len(new_entries),
+        "n_rows_updated": n_updated,
+    }
+
+
+@register(
+    "versioned_update_copy_on_write",
+    category="cdc",
+    doc="Row-level UPDATE on the versioned table via file-level "
+    "copy-on-write: v1 loads orders clustered on pmod(orderkey, 4), then "
+    "an UPDATE (+10% price, money math on integer cents) targeting ONE "
+    "residue class rewrites ONLY the data file(s) containing matches — "
+    "untouched files carry into the new manifest byte-identical (file "
+    "pruning is what makes COW UPDATE tractable at 100 TB: touched-file "
+    "cost, not table cost). Emits the updated snapshot's per-priority "
+    "rollup in exact cents, the updated-row count, and the audited "
+    "verdict cow_pruned (some file was rewritten AND some was not — the "
+    "oracle asserts it TRUE, so a pruning regression hash-fails).",
+    oracle="""
+WITH upd AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderkey % 4 = 2 AND o_orderpriority = '1-URGENT'
+              THEN (CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 11 + 5) // 10
+              ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+         END AS cents,
+         CASE WHEN o_orderkey % 4 = 2 AND o_orderpriority = '1-URGENT'
+              THEN 1 ELSE 0 END AS is_upd
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       (SELECT CAST(SUM(is_upd) AS BIGINT) FROM upd) AS n_rows_updated,
+       TRUE AS cow_pruned
+FROM upd
+GROUP BY 1
+""",
+)
+def versioned_update_copy_on_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="versioned_cow_")
+    # v1 clustered on the residue class, so the update predicate is
+    # containable to a strict subset of the files
+    commit(
+        orders.repartition(4, F.pmod(F.col("o_orderkey"), F.lit(4))),
+        root,
+        mode="overwrite",
+    )
+
+    def pred(df: DataFrame):
+        return (F.pmod(df["o_orderkey"], F.lit(4)) == 2) & (
+            df["o_orderpriority"] == "1-URGENT"
+        )
+
+    def bump(df: DataFrame) -> DataFrame:
+        cents = F.floor(df["o_totalprice"] * 100 + F.lit(0.5)).cast("bigint")
+        new_price = (
+            ((cents * 11 + 5) / 10).cast("bigint").cast("double") / 100.0
+        )
+        return df.withColumn(
+            "o_totalprice",
+            F.when(pred(df), new_price).otherwise(df["o_totalprice"]),
+        )
+
+    audit = update_copy_on_write(spark, root, pred, bump)
+    pruned = bool(
+        0 < audit["n_files_rewritten"] < audit["n_files_total"]
+    )
+    snap = read_version(spark, root)
+    return snap.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents"),
+        F.lit(audit["n_rows_updated"]).cast("bigint").alias("n_rows_updated"),
+        F.lit(pruned).alias("cow_pruned"),
+    )
