@@ -52,7 +52,9 @@ _DRIVER_PRIORITY = [
     "versioned_merge_on_read_deletes",
     # new §2a scan/sink/projection/identifier wrappers (S2-S6, S8, K1/K2,
     # P2/P3, T1 — previously test-only)
-    "glob_csv_scan_years",
+    # (glob_csv_scan_years rotated to r5 — five §2a wrappers remain —
+    # for the k-core graph op)
+    "kcore_decomposition_cosupply",
     "json_scan_normalize_payload",
     "parquet_empty_fallback_union",
     # (binary_glob_file_stats rotated to r5 — six §2a wrappers remain —
