@@ -80,7 +80,9 @@ _DRIVER_PRIORITY = [
     # graph + versioned
     "bfs_cosupply_hops",
     "sssp_cheapest_supply_path",
-    "versioned_branch_merge",
+    # (versioned_branch_merge rotated to r5 — versioned keeps the MoR
+    # re-verify, change feed and COW update — for the rank normalizer)
+    "embedding_rank_normalize",
     # round-3 additions (seasonal_decompose_daily, column_entropy_mi,
     # ohlc_resample_5min, temporal_point_in_time_join, csv_roundtrip_agg
     # rotated to r5; their families keep other head entries)

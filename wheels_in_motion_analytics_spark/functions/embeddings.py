@@ -744,3 +744,88 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= HARDNEG_TOPK)
         .drop("rn")
     )
+
+
+@register(
+    "embedding_rank_normalize",
+    category="embeddings",
+    doc="Feature-wise rank (quantile) normalization — the standard ML "
+    "preprocessing step that maps every dimension to its within-dimension "
+    "quantile, ties to average rank: output q_ppm = (2*avgrank - 1) / "
+    "(2*n) in exact integer parts-per-million. SCALE SHAPE: one "
+    "posexplode to (vec, dim, value) rows, values collapse to the "
+    "per-(dim, value) distinct relation, and ALL 64 dimensions get their "
+    "within-dim ranks from ONE two-phase exact prefix pass ordered by "
+    "(dim, value) — per-dim offsets are a 64-row broadcast (cumulative "
+    "dim totals), so there is no per-dim window and no single-task sort "
+    "even when every dimension is value-unique at corpus scale. One hash "
+    "join-back re-attaches ranks to rows. Everything integer, so the "
+    "normalization is engine- and partitioning-deterministic.",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+rows_ AS (
+  SELECT vec_id, i AS dim, e[CAST(i + 1 AS INTEGER)] AS val
+  FROM (SELECT vec_id, e, unnest(range(0, 64)) AS i FROM e)
+),
+vals AS (
+  SELECT dim, val, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM rows_ GROUP BY 1, 2
+),
+ranked AS (
+  SELECT dim, val, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY dim ORDER BY val
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS prefix
+  FROM vals
+),
+tot AS (SELECT dim, CAST(SUM(cnt) AS BIGINT) AS dim_n FROM vals GROUP BY 1)
+SELECT r.vec_id, r.dim,
+       CAST((2 * k.prefix - k.cnt) * 500000 // t.dim_n AS BIGINT) AS q_ppm
+FROM rows_ r
+JOIN ranked k ON r.dim = k.dim AND r.val = k.val
+JOIN tot t ON r.dim = t.dim
+""",
+)
+def embedding_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.operators.windows import (
+        global_prefix_sums,
+    )
+
+    rows = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("dim", "valf")
+    ).select("vec_id", F.col("dim").cast("bigint").alias("dim"),
+             F.col("valf").cast("double").alias("val"))
+    vals = rows.groupBy("dim", "val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    # ONE global two-phase prefix over (dim, val); per-dim prefixes fall
+    # out by subtracting the 64-row cumulative dim offsets
+    g = global_prefix_sums(vals, ["dim", "val"], ["cnt"])
+    dim_tot = (
+        vals.groupBy("dim").agg(F.sum("cnt").cast("bigint").alias("dim_n"))
+    )
+    per_dim = sorted(dim_tot.collect(), key=lambda r: r["dim"])
+    offs, acc = [], 0
+    for r in per_dim:
+        offs.append((r["dim"], acc, r["dim_n"]))
+        acc += r["dim_n"]
+    off = spark.createDataFrame(offs, "dim BIGINT, dim_off BIGINT, dim_n BIGINT")
+    ranked = g.join(F.broadcast(off), "dim").select(
+        "dim",
+        "val",
+        "cnt",
+        (F.col("cnt_cum") - F.col("dim_off")).alias("prefix"),
+        "dim_n",
+    )
+    return rows.join(ranked, ["dim", "val"]).select(
+        "vec_id",
+        "dim",
+        # DIV, not `/`: float division + truncate can land one off the
+        # exact integer quotient the oracle's // computes
+        F.expr("((2 * prefix - cnt) * 500000) DIV dim_n")
+        .cast("bigint")
+        .alias("q_ppm"),
+    )
