@@ -55,7 +55,9 @@ _DRIVER_PRIORITY = [
     # (glob_csv_scan_years rotated to r5 — five §2a wrappers remain —
     # for the k-core graph op)
     "kcore_decomposition_cosupply",
-    "json_scan_normalize_payload",
+    # (json_scan_normalize_payload rotated to r5 — four §2a wrappers
+    # remain — for the negative-sampling table)
+    "negative_sampling_table",
     "parquet_empty_fallback_union",
     # (binary_glob_file_stats rotated to r5 — six §2a wrappers remain —
     # for the COW-update lifecycle piece)

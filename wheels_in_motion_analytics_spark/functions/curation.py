@@ -858,3 +858,91 @@ def curate_pps_poisson_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "weight", "draw52")
     )
+
+
+NEG_SAMPLES = 64
+
+
+@register(
+    "negative_sampling_table",
+    category="curation",
+    doc=f"word2vec-style negative-sampling draws: vocabulary weights "
+    "proportional to count^0.75 (the Mikolov et al. 2013 smoothing) "
+    "computed FLOAT-FREE as nested integer isqrt — w = isqrt(f * "
+    "isqrt(f)) — cumulative ranges from the two-phase exact prefix sum "
+    f"over the binary-ordered vocabulary, and {NEG_SAMPLES} md5-"
+    "deterministic draws resolved to tokens by range containment "
+    "(cum - w <= draw < cum). SCALE SHAPE: weights and ranges live on "
+    "the VOCABULARY grain (never corpus rows); the bounded draw set "
+    "broadcasts onto one range-containment pass (at dictionary scale the "
+    "lookup becomes a range-partitioned binary search — same relation, "
+    "same semantics). Pure integer arithmetic end to end.",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+vocab AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS f FROM toks GROUP BY token
+),
+w AS (
+  SELECT token, f,
+         CAST(floor(sqrt(f * CAST(floor(sqrt(CAST(f AS DOUBLE))) AS BIGINT)
+                         * 1.0)) AS BIGINT) AS wt
+  FROM vocab
+),
+cum AS (
+  SELECT token, f, wt,
+         CAST(SUM(wt) OVER (ORDER BY token
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS c
+  FROM w
+),
+tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS total_w FROM w),
+draws AS (
+  SELECT i AS k,
+         ('0x' || substr(md5('neg:' || CAST(i AS VARCHAR)), 1, 13))::BIGINT
+           AS h
+  FROM (SELECT unnest(range(0, {NEG_SAMPLES})) AS i)
+)
+SELECT d.k, c.token, c.f, c.wt
+FROM draws d
+CROSS JOIN tot
+JOIN cum c ON c.c - c.wt <= d.h % total_w AND d.h % total_w < c.c
+""",
+)
+def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.functions.text import tokens
+    from wheels_in_motion_analytics_spark.operators.windows import (
+        global_prefix_sums,
+    )
+
+    vocab = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    isqrt_f = F.floor(F.sqrt(F.col("f").cast("double"))).cast("bigint")
+    w = vocab.withColumn(
+        "wt",
+        F.floor(F.sqrt((F.col("f") * isqrt_f).cast("double"))).cast("bigint"),
+    )
+    cum = global_prefix_sums(w, ["token"], ["wt"]).select(
+        "token", "f", "wt", F.col("wt_cum").alias("c")
+    )
+    tot = w.agg(F.sum("wt").cast("bigint").alias("total_w"))
+    draws = spark.range(NEG_SAMPLES).select(
+        F.col("id").alias("k"),
+        hash_hex(F.concat(F.lit("neg:"), F.col("id").cast("string")), 13).alias(
+            "h"
+        ),
+    )
+    d = draws.crossJoin(F.broadcast(tot)).select(
+        "k", (F.col("h") % F.col("total_w")).alias("d")
+    )
+    return cum.join(
+        F.broadcast(d),
+        (F.col("c") - F.col("wt") <= F.col("d")) & (F.col("d") < F.col("c")),
+    ).select("k", "token", "f", "wt")
