@@ -58,7 +58,9 @@ _DRIVER_PRIORITY = [
     # (json_scan_normalize_payload rotated to r5 — four §2a wrappers
     # remain — for the negative-sampling table)
     "negative_sampling_table",
-    "parquet_empty_fallback_union",
+    # (parquet_empty_fallback_union rotated to r5 — three §2a wrappers
+    # remain — for the per-group exact percentiles)
+    "group_exact_percentiles",
     # (binary_glob_file_stats rotated to r5 — six §2a wrappers remain —
     # for the COW-update lifecycle piece)
     "versioned_update_copy_on_write",

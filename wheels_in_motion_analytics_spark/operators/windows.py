@@ -633,3 +633,71 @@ def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "price_cents", "size")
     )
+
+
+@register(
+    "group_exact_percentiles",
+    category="windows",
+    doc="EXACT per-group p25/p50/p75 of order value (integer cents, "
+    "results x4 so quarter-interpolation stays integer — same arithmetic "
+    "as global_quartiles_exact): rank within each priority group via a "
+    "group-partitioned window, straddling ranks read off relationally. "
+    "SCALE SHAPE: the partition key bounds window state (each group "
+    "sorts in parallel); this is the per-GROUP complement of the "
+    "two-phase global quartiles — use THAT when there is no partition "
+    "key, this when there is. No floats anywhere.",
+    oracle="""
+WITH c AS (
+  SELECT o_orderpriority AS grp,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(row_number() OVER (PARTITION BY o_orderpriority
+              ORDER BY floor(o_totalprice * 100 + 0.5), o_orderkey) AS BIGINT)
+           AS rn
+  FROM orders
+),
+t AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY grp),
+j AS (SELECT c.grp, c.cents, c.rn, t.n FROM c JOIN t ON c.grp = t.grp)
+SELECT grp, n,
+       CAST(MAX(CASE WHEN rn = (1 * (n - 1)) // 4 + 1 THEN cents END) * (4 - (1 * (n - 1)) % 4)
+          + MAX(CASE WHEN rn = (1 * (n - 1)) // 4 + 1 + CASE WHEN (1 * (n - 1)) % 4 > 0 THEN 1 ELSE 0 END THEN cents END) * ((1 * (n - 1)) % 4) AS BIGINT) AS p25_cents_x4,
+       CAST(MAX(CASE WHEN rn = (2 * (n - 1)) // 4 + 1 THEN cents END) * (4 - (2 * (n - 1)) % 4)
+          + MAX(CASE WHEN rn = (2 * (n - 1)) // 4 + 1 + CASE WHEN (2 * (n - 1)) % 4 > 0 THEN 1 ELSE 0 END THEN cents END) * ((2 * (n - 1)) % 4) AS BIGINT) AS p50_cents_x4,
+       CAST(MAX(CASE WHEN rn = (3 * (n - 1)) // 4 + 1 THEN cents END) * (4 - (3 * (n - 1)) % 4)
+          + MAX(CASE WHEN rn = (3 * (n - 1)) // 4 + 1 + CASE WHEN (3 * (n - 1)) % 4 > 0 THEN 1 ELSE 0 END THEN cents END) * ((3 * (n - 1)) % 4) AS BIGINT) AS p75_cents_x4
+FROM j
+GROUP BY grp, n
+""",
+)
+def group_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("grp").orderBy("cents", "o_orderkey")
+    wn = Window.partitionBy("grp")
+    c = o.select(
+        "grp",
+        "cents",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+    aggs = []
+    for k in (1, 2, 3):
+        m = F.lit(k) * (F.col("n") - 1)
+        lo = F.floor(m / 4).cast("bigint") + 1
+        r = (m % 4).cast("bigint")
+        hi = lo + F.when(r > 0, 1).otherwise(0)
+        aggs.append(
+            (
+                F.max(F.when(F.col("rn") == lo, F.col("cents")))
+                * (4 - F.max(F.when(F.col("rn") == lo, r)))
+                + F.max(F.when(F.col("rn") == hi, F.col("cents")))
+                * F.max(F.when(F.col("rn") == hi, r))
+            )
+            .cast("bigint")
+            .alias(f"p{k * 25}_cents_x4")
+        )
+    return c.groupBy("grp", "n").agg(*aggs)
