@@ -66,7 +66,9 @@ _DRIVER_PRIORITY = [
     "versioned_update_copy_on_write",
     "parquet_sink_overwrite_append",
     "conditional_rename_guarded_drop",
-    "backtick_space_identifiers",
+    # (backtick_space_identifiers rotated to r5 — T1 is test-pinned in
+    # the reference pipeline — for multi-probe LSH)
+    "ann_multiprobe_lsh",
     # streaming family (never driver-verified; the six siblings
     # stream_attribution_unmatched / stream_dedup_within_watermark /
     # stream_hourly_rollup_of_bars / stream_complete_mode_totals /

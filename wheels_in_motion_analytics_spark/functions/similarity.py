@@ -1915,3 +1915,154 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("e_match", "n_match", F.lit(-1)).alias("match_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe LSH — probe Hamming-1 neighbor buckets instead of adding tables
+# ---------------------------------------------------------------------------
+
+MP_TABLES = 2
+MP_BITS = 10
+MP_TOPK = 3
+MP_QUERY_MOD = 53  # queries = vec_id % 53 == 0 — a bounded ~2% slice
+
+
+def _oracle_multiprobe() -> str:
+    planes = _hyperplanes(MP_TABLES * MP_BITS)
+    per_table = []
+    for t in range(MP_TABLES):
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(e, [{', '.join(repr(v) for v in planes[t * MP_BITS + i])}]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(MP_BITS)
+        )
+        per_table.append(f"SELECT vec_id, {t} AS tbl, ({bits}) AS bucket FROM nn")
+    sig_sql = "\n  UNION ALL ".join(per_table)
+    flips = ", ".join(str(f) for f in [0] + [1 << j for j in range(MP_BITS)])
+    return f"""
+WITH {_ORACLE_NORM},
+sig AS MATERIALIZED (
+  {sig_sql}
+),
+probes AS (
+  SELECT vec_id, tbl, xor(bucket, CAST(f AS BIGINT)) AS bucket
+  FROM sig, (SELECT unnest([{flips}]) AS f)
+  WHERE vec_id % {MP_QUERY_MOD} = 0
+),
+cand AS (
+  SELECT DISTINCT p.vec_id AS query_id, s.vec_id AS neighbor_id
+  FROM probes p JOIN sig s
+    ON p.tbl = s.tbl AND p.bucket = s.bucket AND s.vec_id <> p.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 4) AS cosine
+  FROM cand JOIN nn x ON query_id = x.vec_id JOIN nn y ON neighbor_id = y.vec_id
+)
+SELECT query_id, neighbor_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= {MP_TOPK}
+"""
+
+
+@register(
+    "ann_multiprobe_lsh",
+    category="similarity",
+    doc=f"Multi-probe LSH (Lv et al. 2007): each query probes its exact "
+    f"bucket PLUS all {MP_BITS} Hamming-distance-1 buckets per table — "
+    "recall comparable to many more tables at a fraction of the index "
+    f"size ({MP_TABLES} tables x {MP_BITS} bits here vs ann_lsh_bucketed's "
+    "table-heavy dial; probes trade query fan-out for index memory, THE "
+    "production knob when the signature store dominates cost). SCALE "
+    "SHAPE: corpus signatures come from one Arrow-batched matmul pass, "
+    "the bounded query slice's probe set broadcasts onto a hash join on "
+    "(table, bucket), and the exact-cosine re-rank joins back to the "
+    "norm relation — never corpus all-pairs, no collect. Fully "
+    "oracle-checked: planes as literals, XOR probes, 4dp rounding, id "
+    "tiebreak.",
+    oracle=_oracle_multiprobe(),
+)
+def ann_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.types as T
+    from pyspark.sql import Window
+
+    nv = _norm_vectors(spark, sf_dir).localCheckpoint()
+    planes = _hyperplanes(MP_TABLES * MP_BITS)
+
+    def signatures(batches):
+        import numpy as np
+        import pandas as pd
+
+        pm = np.array(planes, dtype="float64")
+        weights = np.array([1 << i for i in range(MP_BITS)], dtype="int64")
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf["e"].to_numpy()).astype("float64")
+            sgn = (q @ pm.T >= 0).astype("int64").reshape(
+                len(q), MP_TABLES, MP_BITS
+            )
+            buckets = (sgn * weights).sum(axis=2)
+            n = len(q)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), MP_TABLES),
+                    "tbl": np.tile(np.arange(MP_TABLES), n),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    sig_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("tbl", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+        ]
+    )
+    sig = (
+        nv.select("vec_id", "e").mapInPandas(signatures, sig_schema)
+        .localCheckpoint()  # probed AND joined against — one matmul pass
+    )
+    flips = [0] + [1 << j for j in range(MP_BITS)]
+    probes = (
+        sig.where(F.col("vec_id") % MP_QUERY_MOD == 0)
+        .select(
+            "vec_id",
+            "tbl",
+            F.explode(F.array(*[F.expr(f"bucket ^ {f}") for f in flips])).alias(
+                "bucket"
+            ),
+        )
+    )
+    cand = (
+        sig.join(
+            F.broadcast(
+                probes.select(
+                    F.col("vec_id").alias("query_id"), "tbl", "bucket"
+                )
+            ),
+            ["tbl", "bucket"],
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    x = nv.select(F.col("vec_id").alias("query_id"), F.col("e").alias("ex"), F.col("nrm").alias("nx"))
+    y = nv.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ey"), F.col("nrm").alias("ny"))
+    scored = (
+        cand.join(x, "query_id")
+        .join(y, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("ex"), F.col("ey")) / (F.col("nx") * F.col("ny")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= MP_TOPK)
+        .drop("rn")
+    )
