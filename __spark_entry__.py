@@ -64,8 +64,11 @@ _DRIVER_PRIORITY = [
     # (binary_glob_file_stats rotated to r5 — six §2a wrappers remain —
     # for the COW-update lifecycle piece)
     "versioned_update_copy_on_write",
+    # (parquet_sink_overwrite_append + conditional_rename_guarded_drop
+    # rotated to r5 — K1/K2 and P2/P3 are test-pinned — for the
+    # Matryoshka audit; one slot stays with the K/P wrapper family)
     "parquet_sink_overwrite_append",
-    "conditional_rename_guarded_drop",
+    "embedding_matryoshka_audit",
     # (backtick_space_identifiers rotated to r5 — T1 is test-pinned in
     # the reference pipeline — for multi-probe LSH)
     "ann_multiprobe_lsh",

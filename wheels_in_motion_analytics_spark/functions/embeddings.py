@@ -829,3 +829,90 @@ def embedding_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("q_ppm"),
     )
+
+
+MATRYOSHKA_DIMS = (16, 32, 64)
+MATRYOSHKA_PAIR_STEP = 7  # pair (id, id+7) — deterministic, linear, corpus-wide
+
+
+@register(
+    "embedding_matryoshka_audit",
+    category="embeddings",
+    doc="Matryoshka truncation audit (Kusupati et al. 2022): how much "
+    "pairwise-cosine structure survives when embeddings are truncated to "
+    f"their first {MATRYOSHKA_DIMS[0]}/{MATRYOSHKA_DIMS[1]} dimensions — "
+    "the decision input for serving shorter vectors. A deterministic "
+    f"linear pair set (id, id+{MATRYOSHKA_PAIR_STEP}) is scored at each "
+    "prefix length; per-pair cosines quantize to integer micro-units "
+    "(floor(c*1e6+0.5) of the bit-identical sequential dot ratio) so the "
+    "per-dim error sums, maxima and pair counts are EXACT integers. "
+    "SCALE SHAPE: one self-join on a shifted key (linear, no pair "
+    "explosion), slices and dots JVM-side, one partial-aggregable "
+    "rollup per prefix length.",
+    oracle=f"""
+WITH n AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.e AS ea, b.e AS eb
+  FROM n a JOIN n b ON b.vec_id = a.vec_id + {MATRYOSHKA_PAIR_STEP}
+),
+dims AS (SELECT unnest([{', '.join(str(d) for d in MATRYOSHKA_DIMS)}]) AS d),
+scored AS (
+  SELECT d,
+         CAST(floor(list_dot_product(list_slice(ea, 1, CAST(d AS INTEGER)),
+                                     list_slice(eb, 1, CAST(d AS INTEGER)))
+              / (sqrt(list_dot_product(list_slice(ea, 1, CAST(d AS INTEGER)),
+                                       list_slice(ea, 1, CAST(d AS INTEGER))))
+               * sqrt(list_dot_product(list_slice(eb, 1, CAST(d AS INTEGER)),
+                                       list_slice(eb, 1, CAST(d AS INTEGER)))))
+              * 1000000 + 0.5) AS BIGINT) AS c_micro,
+         CAST(floor(list_dot_product(ea, eb)
+              / (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb)))
+              * 1000000 + 0.5) AS BIGINT) AS full_micro
+  FROM pairs CROSS JOIN dims
+)
+SELECT CAST(d AS BIGINT) AS prefix_dim,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(abs(c_micro - full_micro)) AS BIGINT) AS sum_abs_err_micro,
+       CAST(MAX(abs(c_micro - full_micro)) AS BIGINT) AS max_abs_err_micro
+FROM scored GROUP BY 1
+""",
+)
+def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.functions.similarity import dot
+
+    n = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    a = n.select("vec_id", F.col("e").alias("ea"))
+    b = n.select(
+        (F.col("vec_id") - MATRYOSHKA_PAIR_STEP).alias("vec_id"),
+        F.col("e").alias("eb"),
+    )
+    pairs = a.join(b, "vec_id").localCheckpoint()  # 3 prefix scores reuse it
+
+    def micro(ca, cb) -> "F.Column":
+        c = dot(ca, cb) / (F.sqrt(dot(ca, ca)) * F.sqrt(dot(cb, cb)))
+        return F.floor(c * 1000000 + F.lit(0.5)).cast("bigint")
+
+    per_dim = []
+    full = micro(F.col("ea"), F.col("eb"))
+    for d in MATRYOSHKA_DIMS:
+        sa, sb = F.slice("ea", 1, d), F.slice("eb", 1, d)
+        per_dim.append(
+            pairs.select(
+                F.lit(d).cast("bigint").alias("prefix_dim"),
+                (micro(sa, sb) - full).alias("err"),
+            )
+        )
+    scored = per_dim[0]
+    for p in per_dim[1:]:
+        scored = scored.unionAll(p)
+    return scored.groupBy("prefix_dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.abs(F.col("err"))).cast("bigint").alias("sum_abs_err_micro"),
+        F.max(F.abs(F.col("err"))).cast("bigint").alias("max_abs_err_micro"),
+    )
