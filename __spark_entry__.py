@@ -129,8 +129,10 @@ _DRIVER_PRIORITY = [
     # (bucketed_join_exchange_free rotated to r5 — storage keeps cdc_merge,
     # versioned_change_feed and stream_state_store_read — for the ADC half
     # of the PQ pair)
+    # (kmeans_lloyd_update rotated to r5 — the IVF training half keeps
+    # its artifact-parity test — for the composed IVF-PQ index query)
     "pq_adc_topk_search",
-    "kmeans_lloyd_update",
+    "ann_ivf_pq_search",
 ]
 
 

@@ -370,3 +370,191 @@ def pq_adc_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("exact_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ search — the full FAISS-style index: coarse routing + ADC scoring
+# ---------------------------------------------------------------------------
+
+IVFPQ_NPROBE = 2
+IVFPQ_TOPK = 3
+
+
+def _oracle_ivf_pq() -> str:
+    from wheels_in_motion_analytics_spark.functions.ivf_artifact import (
+        IVF_FROZEN_CENTROIDS,
+    )
+    from wheels_in_motion_analytics_spark.functions.pq_artifact import (
+        PQ_FROZEN_CODEBOOKS,
+    )
+
+    cent_values = ",\n    ".join(
+        f"({c}, [{', '.join(repr(float(v)) for v in row)}])"
+        for c, row in enumerate(IVF_FROZEN_CENTROIDS)
+    )
+    cb_values = ",\n    ".join(
+        f"({m}, {k}, [{', '.join(repr(float(v)) for v in row)}])"
+        for m, book in enumerate(PQ_FROZEN_CODEBOOKS)
+        for k, row in enumerate(book)
+    )
+    return f"""
+WITH n AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+nn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM n),
+cents (cell, cvec) AS (
+  SELECT * FROM (VALUES
+    {cent_values}
+  ) AS t(cell, cvec)
+),
+cb (m, k, c) AS (
+  SELECT * FROM (VALUES
+    {cb_values}
+  ) AS t(m, k, c)
+),
+sims AS (
+  SELECT vec_id, cell,
+         ROUND(list_dot_product(e, cvec) / nrm, 6) AS sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY ROUND(list_dot_product(e, cvec) / nrm, 6)
+                                     DESC, cell ASC) AS rnk
+  FROM nn CROSS JOIN cents
+),
+assign AS (SELECT vec_id, cell FROM sims WHERE rnk = 1),
+qprobe AS (
+  SELECT vec_id AS query_id, cell FROM sims
+  WHERE rnk <= {IVFPQ_NPROBE} AND vec_id % {ADC_ANCHOR_MOD} = 0
+),
+sub AS MATERIALIZED (
+  SELECT vec_id, i AS m,
+         list_slice(e, CAST(i * {PQ_SUBDIM} + 1 AS INTEGER),
+                       CAST((i + 1) * {PQ_SUBDIM} AS INTEGER)) AS s
+  FROM (SELECT vec_id, e, unnest(range(0, {PQ_M})) AS i FROM n)
+),
+best AS MATERIALIZED (
+  SELECT vec_id, m, k FROM (
+    SELECT vec_id, sub.m, cb.k,
+           ROUND(list_dot_product(s, s) - 2.0 * list_dot_product(s, c)
+                 + list_dot_product(c, c), 6) AS d,
+           row_number() OVER (PARTITION BY vec_id, sub.m
+                              ORDER BY ROUND(list_dot_product(s, s)
+                                - 2.0 * list_dot_product(s, c)
+                                + list_dot_product(c, c), 6) ASC, cb.k ASC)
+             AS rn
+    FROM sub JOIN cb ON sub.m = cb.m) WHERE rn = 1
+),
+lut AS MATERIALIZED (
+  SELECT q.query_id, sub.m, cb.k,
+         CAST(floor(ROUND(list_dot_product(s, s)
+               - 2.0 * list_dot_product(s, c)
+               + list_dot_product(c, c), 6) * 1000000 + 0.5) AS BIGINT) AS lm
+  FROM (SELECT DISTINCT query_id FROM qprobe) q
+  JOIN sub ON sub.vec_id = q.query_id
+  JOIN cb ON sub.m = cb.m
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM qprobe p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+),
+adc AS (
+  SELECT c.query_id, c.neighbor_id, CAST(SUM(l.lm) AS BIGINT) AS adc_micro
+  FROM cand c
+  JOIN best b ON b.vec_id = c.neighbor_id
+  JOIN lut l ON l.query_id = c.query_id AND l.m = b.m AND l.k = b.k
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_micro FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_micro ASC, neighbor_id ASC) AS rn
+  FROM adc
+) WHERE rn <= {IVFPQ_TOPK}
+"""
+
+
+@register(
+    "ann_ivf_pq_search",
+    category="embeddings",
+    doc=f"The full FAISS-style IVF-PQ index query: coarse ROUTING through "
+    "the frozen 16-cell IVF quantizer "
+    f"(each query probes its nprobe={IVFPQ_NPROBE} nearest cells, so only "
+    "those cells' vectors are candidates — the corpus is never scanned "
+    "per query), then ADC SCORING over the candidates' PQ nibble codes "
+    "via the per-query lookup table (integer-micro sums — no float math "
+    f"per candidate), top-{IVFPQ_TOPK}. Composes the two shipped model "
+    "artifacts (ivf_artifact + pq_artifact); candidate generation and "
+    "scoring are both hash joins, routing state is cells x queries. "
+    "Fully oracle-checked end to end: centroid AND codebook literals, "
+    "rank-1 assignment, XOR-free probe set, integer ADC, id tiebreaks.",
+    oracle=_oracle_ivf_pq(),
+)
+def ann_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from wheels_in_motion_analytics_spark.functions.ivf_artifact import (
+        IVF_FROZEN_CENTROIDS,
+    )
+    from wheels_in_motion_analytics_spark.functions.similarity import dot
+
+    n = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    nn = n.withColumn("nrm", F.sqrt(dot(F.col("e"), F.col("e")))).localCheckpoint()
+    cdf = spark.createDataFrame(
+        [(c, [float(v) for v in row]) for c, row in enumerate(IVF_FROZEN_CENTROIDS)],
+        "cell INT, cvec ARRAY<DOUBLE>",
+    )
+    sims = nn.crossJoin(F.broadcast(cdf)).select(
+        "vec_id",
+        "cell",
+        F.round(dot(F.col("e"), F.col("cvec")) / F.col("nrm"), 6).alias("sim"),
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+    ranked = sims.withColumn("rnk", F.row_number().over(wc)).localCheckpoint()
+    assign = ranked.where(F.col("rnk") == 1).select("vec_id", "cell")
+    qprobe = ranked.where(
+        (F.col("rnk") <= IVFPQ_NPROBE)
+        & (F.col("vec_id") % ADC_ANCHOR_MOD == 0)
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+    codes = _pq_assignments(spark, sf_dir).select("vec_id", "m", "k").localCheckpoint()
+    # per-query LUT: the query's subspace slices against every codeword
+    qsub = _subspace_rows(
+        nn.where(F.col("vec_id") % ADC_ANCHOR_MOD == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("e").alias("q")
+        ),
+        vec_col="q",
+    ).withColumnRenamed("s", "qs")
+    qs, c = F.col("qs"), F.col("c")
+    lut = qsub.join(F.broadcast(_codebook_df(spark)), "m").select(
+        "query_id",
+        "m",
+        "k",
+        F.floor(
+            F.round(dot(qs, qs) - F.lit(2.0) * dot(qs, c) + dot(c, c), 6)
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("lm"),
+    )
+    cand = (
+        qprobe.join(assign, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    adc = (
+        cand.join(codes, F.col("neighbor_id") == codes["vec_id"])
+        .join(F.broadcast(lut), ["query_id", "m", "k"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("lm").cast("bigint").alias("adc_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_micro"), F.asc("neighbor_id")
+    )
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= IVFPQ_TOPK)
+        .drop("rn")
+    )
