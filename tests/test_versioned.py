@@ -396,3 +396,69 @@ def test_cow_update_rewrites_only_matching_files(spark, orders, tmp_path):
         (r.o_orderkey, round(r.o_totalprice, 2))
         for r in read_version(spark, root, version=1).collect()
     } == {(r.o_orderkey, round(r.o_totalprice, 2)) for r in before}
+
+
+def test_change_feed_rejects_update_and_branch_base_commits(spark, orders, tmp_path):
+    """A feed range spanning a COW ``update`` commit (or any mode the feed
+    cannot express) must raise a clear ValueError, not fall into the
+    delete branch and die on a zero-path parquet read (r4 advisor)."""
+    from wheels_in_motion_analytics_spark.sources.versioned import (
+        change_feed,
+        update_copy_on_write,
+    )
+
+    root = str(tmp_path / "cdf_upd")
+    commit(orders.limit(100), root, mode="overwrite")
+    update_copy_on_write(
+        spark,
+        root,
+        lambda df: df["o_orderkey"] % 2 == 0,
+        lambda df: df.withColumn("o_totalprice", df["o_totalprice"] + 1.0),
+    )
+    with pytest.raises(ValueError, match="'update'"):
+        change_feed(spark, root, 1, 2)
+
+    import json as _json
+
+    from wheels_in_motion_analytics_spark.sources.versioned import _log_dir
+
+    root2 = str(tmp_path / "cdf_alien")
+    commit(orders.limit(10), root2, mode="overwrite")
+    # a future commit kind carrying a 'deletes' key must NOT be misread as
+    # a delete commit
+    alien = {"version": 2, "mode": "reorg", "files": [], "deletes": ["x.parquet"]}
+    with open(os.path.join(_log_dir(root2), "v2.json"), "w") as fh:
+        _json.dump(alien, fh)
+    with pytest.raises(ValueError, match="'reorg'"):
+        change_feed(spark, root2, 1, 2)
+
+
+def test_cow_update_reclaims_stage_dir_on_version_conflict(spark, orders, tmp_path):
+    """Losing the CAS race must not orphan staged rewrites in the data dir
+    (vacuum only reclaims manifest-referenced files — r4 advisor)."""
+    import json as _json
+
+    from wheels_in_motion_analytics_spark.sources.versioned import (
+        _data_dir,
+        _log_dir,
+        update_copy_on_write,
+    )
+
+    root = str(tmp_path / "cow_race")
+    commit(orders.limit(200), root, mode="overwrite")
+
+    def racing_update(df):
+        # a concurrent writer publishes v2 between our base read and our
+        # manifest publish — exactly the CAS race the cleanup must survive
+        with open(os.path.join(_log_dir(root), "v2.json"), "w") as fh:
+            _json.dump({"version": 2, "mode": "append", "files": []}, fh)
+        return df
+
+    with pytest.raises(VersionConflict):
+        update_copy_on_write(
+            spark,
+            root,
+            lambda df: df["o_orderkey"] >= 0,
+            racing_update,
+        )
+    assert not os.path.exists(os.path.join(_data_dir(root), "v2"))

@@ -871,13 +871,19 @@ def column_entropy_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "by a global per-row window; each variable aggregates to its "
     "distinct-value relation, average ranks come from the TWO-PHASE exact "
     "prefix sum (operators/windows.py:global_prefix_sums), doubled to stay "
-    "integer (2*avgrank = 2*prefix + count + 1), and rank pairs re-attach "
-    "to rows via two hash joins. The correlation itself is ONE "
-    "map-side-combinable moment aggregate in DECIMAL(38,0) (BIGINT rank "
-    "power sums overflow past ~sf1 — same power-sum discipline as "
-    "linreg_normal_equations), so the exact integer numerator "
-    "n*Sxy - Sx*Sy is hash-checked verbatim and only the final rho pays "
-    "one sqrt, rounded to 6dp identically on both engines.",
+    "integer (2*avgrank = 2*prefix + count + 1). The quantity rank table "
+    "is bounded (~50 distinct values) so it attaches map-side via a "
+    "broadcast join; only the price-rank join shuffles. The correlation "
+    "itself is ONE map-side-combinable moment aggregate in DECIMAL(38,0) "
+    "(BIGINT rank power sums overflow past ~sf1 — same power-sum "
+    "discipline as linreg_normal_equations). HASH-PROOF OUTPUT (r4 "
+    "verdict): no float-of-sqrt quotient is hashed. We emit the exact "
+    "integer moments (num, dxx, dyy) plus rho_ppm — parts-per-million rho "
+    "defined as sign(num)*((2*|num|*1e6 + a*b) DIV (2*a*b)) with a,b the "
+    "exact floor-isqrts of dxx,dyy (double-sqrt candidate corrected by "
+    "+-2 integer comparisons; exact while dxx,dyy < ~1e31, i.e. well past "
+    "sf1). Every emitted value is a deterministic integer function of the "
+    "input — identical on any engine, no last-ulp hazard.",
     oracle="""
 WITH s AS (
   SELECT CAST(l_quantity AS BIGINT) AS x,
@@ -909,13 +915,41 @@ m AS (
          SUM(rx) AS sx, SUM(ry) AS sy,
          SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy, SUM(rx * ry) AS sxy
   FROM r
+),
+d AS (
+  SELECT n, n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS dxx, n * syy - sy * sy AS dyy
+  FROM m
+),
+c AS (
+  SELECT d.*,
+         CAST(floor(sqrt(CAST(dxx AS DOUBLE))) AS HUGEINT) AS ca,
+         CAST(floor(sqrt(CAST(dyy AS DOUBLE))) AS HUGEINT) AS cb
+  FROM d
+),
+i AS (
+  SELECT c.*,
+         CASE WHEN (ca+2)*(ca+2) <= dxx THEN ca+2
+              WHEN (ca+1)*(ca+1) <= dxx THEN ca+1
+              WHEN ca*ca <= dxx THEN ca
+              WHEN (ca-1)*(ca-1) <= dxx THEN ca-1
+              ELSE ca-2 END AS a,
+         CASE WHEN (cb+2)*(cb+2) <= dyy THEN cb+2
+              WHEN (cb+1)*(cb+1) <= dyy THEN cb+1
+              WHEN cb*cb <= dyy THEN cb
+              WHEN (cb-1)*(cb-1) <= dyy THEN cb-1
+              ELSE cb-2 END AS b
+  FROM c
 )
 SELECT n AS n_rows,
-       CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS num,
-       round(CAST(n * sxy - sx * sy AS DOUBLE)
-             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho
-FROM m
+       CAST(num AS DECIMAL(38,0)) AS num,
+       CAST(dxx AS DECIMAL(38,0)) AS dxx,
+       CAST(dyy AS DECIMAL(38,0)) AS dyy,
+       CASE WHEN a = 0 OR b = 0 THEN NULL
+            ELSE CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                 * ((2 * abs(num) * 1000000 + a * b) // (2 * a * b))
+                 AS BIGINT) END AS rho_ppm
+FROM i
 """,
 )
 def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -937,7 +971,9 @@ def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (2 * F.col("cnt_cum") - F.col("cnt") + 1).alias(f"r{col}"),
         )
 
-    r = s.join(two_ranks("x"), "x").join(two_ranks("y"), "y")
+    # quantity has a bounded domain (~50 distinct values) → broadcast;
+    # only the price-rank attach pays a shuffle join (r4 verdict item 6).
+    r = s.join(F.broadcast(two_ranks("x")), "x").join(two_ranks("y"), "y")
 
     def dmoment(expr):
         return F.sum(expr.cast("decimal(38,0)"))
@@ -951,13 +987,45 @@ def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         dmoment(F.col("rx") * F.col("ry")).alias("sxy"),
     )
     c = F.col
-    num = c("n") * c("sxy") - c("sx") * c("sy")
-    dxx = c("n") * c("sxx") - c("sx") * c("sx")
-    dyy = c("n") * c("syy") - c("sy") * c("sy")
-    return m.select(
+    d = m.select(
+        c("n"),
+        (c("n") * c("sxy") - c("sx") * c("sy")).cast("decimal(38,0)").alias("num"),
+        (c("n") * c("sxx") - c("sx") * c("sx")).cast("decimal(38,0)").alias("dxx"),
+        (c("n") * c("syy") - c("sy") * c("sy")).cast("decimal(38,0)").alias("dyy"),
+    )
+
+    # Exact floor-isqrt: double-sqrt candidate, corrected by ±2 integer
+    # comparisons (candidate is within ±1 of truth while the operand is
+    # < ~1e31 — double sqrt abs error < 1 there; our envelope is ~n^4).
+    def corrected(cand, operand):
+        return (
+            F.when((cand + 2) * (cand + 2) <= operand, cand + 2)
+            .when((cand + 1) * (cand + 1) <= operand, cand + 1)
+            .when(cand * cand <= operand, cand)
+            .when((cand - 1) * (cand - 1) <= operand, cand - 1)
+            .otherwise(cand - 2)
+        )
+
+    i = d.select(
+        "*",
+        F.floor(F.sqrt(c("dxx").cast("double"))).cast("decimal(38,0)").alias("ca"),
+        F.floor(F.sqrt(c("dyy").cast("double"))).cast("decimal(38,0)").alias("cb"),
+    ).select(
+        "*",
+        corrected(c("ca"), c("dxx")).alias("a"),
+        corrected(c("cb"), c("dyy")).alias("b"),
+    )
+    sign = F.when(c("num") < 0, F.lit(-1)).otherwise(F.lit(1))
+    ppm = F.expr(
+        "CAST((2 * abs(num) * CAST(1000000 AS DECIMAL(38,0)) + a * b) "
+        "DIV (2 * a * b) AS BIGINT)"
+    )
+    return i.select(
         c("n").cast("bigint").alias("n_rows"),
-        num.cast("decimal(38,0)").alias("num"),
-        F.round(
-            num.cast("double") / F.sqrt(dxx.cast("double") * dyy.cast("double")), 6
-        ).alias("rho"),
+        c("num"),
+        c("dxx"),
+        c("dyy"),
+        F.when((c("a") == 0) | (c("b") == 0), F.lit(None).cast("bigint"))
+        .otherwise((sign * ppm).cast("bigint"))
+        .alias("rho_ppm"),
     )

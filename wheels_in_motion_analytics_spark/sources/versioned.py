@@ -713,7 +713,12 @@ def versioned_merge_on_read_deletes(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 def change_feed(
-    spark: SparkSession, root: str, from_version: int, to_version: int
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int,
+    key_col: str = "o_orderkey",
+    payload_cents_col: str = "o_totalprice",
 ) -> DataFrame:
     """Row-level change feed across a version range, derived from the
     commit log ALONE — the CDF surface of the versioned table.
@@ -723,29 +728,41 @@ def change_feed(
     deletion-vector sidecars (``'delete'``, key column only — DVs never
     carry payloads). No snapshot diffing anywhere, so the cost is
     O(changed data), not O(table): at 100 TB a day's feed reads a day's
-    files. An overwrite commit inside the range raises — an overwrite
-    resets row identity and a file-level feed cannot express it (callers
-    re-baseline from that snapshot instead).
+    files. ``key_col``/``payload_cents_col`` parameterize the emitted row
+    identity and the cents-quantized payload (defaults match the orders
+    exhibits). Commit modes the feed cannot express raise explicitly: an
+    overwrite (or COW ``update``) inside the range resets row identity and
+    a file-level feed cannot express it (callers re-baseline from that
+    snapshot instead); ``branch-base`` refs carry no files of their own.
     """
     if from_version < 1 or to_version < from_version:
         raise ValueError(f"bad change-feed range v{from_version}..v{to_version}")
     pieces: list[DataFrame] = []
     for v in range(from_version, to_version + 1):
         m = _manifest(root, v)
+        mode = m["mode"]
+        if mode not in ("overwrite", "append", "delete"):
+            # 'update' rewrites files in place (row identity resets without
+            # a DV trail); 'branch-base' is a ref, not data; anything else
+            # is a future commit kind this feed has not been taught.
+            raise ValueError(
+                f"change feed cannot express the {mode!r} commit v{v}; "
+                "re-baseline from that snapshot"
+            )
         prev_files: set[str] = set()
         prev_dvs: set[str] = set()
         if v > 1:
             prev = _manifest(root, v - 1)
             prev_files = set(prev["files"])
             prev_dvs = set(prev.get("deletes", []))
-        if m["mode"] == "overwrite":
+        if mode == "overwrite":
             if v != 1:
                 raise ValueError(
                     f"change feed cannot span the overwrite commit v{v}; "
                     "re-baseline from that snapshot"
                 )
             new_files = list(m["files"])
-        elif m["mode"] == "append":
+        elif mode == "append":
             new_files = [f for f in m["files"] if f not in prev_files]
         else:  # delete
             new_dvs = [f for f in m.get("deletes", []) if f not in prev_dvs]
@@ -768,8 +785,8 @@ def change_feed(
             rows.select(
                 F.lit(v).alias("commit_version"),
                 F.lit("insert").alias("change_type"),
-                F.col("o_orderkey").alias("row_key"),
-                F.floor(F.col("o_totalprice") * 100 + 0.5)
+                F.col(key_col).alias("row_key"),
+                F.floor(F.col(payload_cents_col) * 100 + 0.5)
                 .cast("bigint")
                 .alias("price_cents"),
             )
@@ -848,11 +865,17 @@ def versioned_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         expected_version=3,
     )
     feed = change_feed(spark, root, 1, 4)
-    return feed.groupBy("commit_version", "change_type").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum("row_key").alias("sum_keys"),
-        F.sum("price_cents").alias("sum_cents"),
+    out = (
+        feed.groupBy("commit_version", "change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("row_key").alias("sum_keys"),
+            F.sum("price_cents").alias("sum_cents"),
+        )
+        .localCheckpoint()
     )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 def vacuum(root: str, retain_from: int) -> dict:
@@ -955,17 +978,23 @@ def versioned_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         old_reads_fail = True
     head = read_version(spark, root)  # v4 == v3 content
-    return head.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")).alias(
-            "total_cents"
-        ),
-        F.lit(bool(reclaimed_old_only)).alias("reclaimed_old_only"),
-        F.lit(bool(old_reads_fail)).alias("old_reads_fail"),
-        F.lit(audit["files_after"] > 0 and audit["dropped_versions"] == 2).alias(
-            "head_intact"
-        ),
+    out = (
+        head.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")).alias(
+                "total_cents"
+            ),
+            F.lit(bool(reclaimed_old_only)).alias("reclaimed_old_only"),
+            F.lit(bool(old_reads_fail)).alias("old_reads_fail"),
+            F.lit(audit["files_after"] > 0 and audit["dropped_versions"] == 2).alias(
+                "head_intact"
+            ),
+        )
+        .localCheckpoint()
     )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -996,35 +1025,44 @@ def update_copy_on_write(spark: SparkSession, root: str, predicate, apply_update
     stage = os.path.join(_data_dir(root), f"v{version}")
     os.makedirs(stage, exist_ok=True)
     kept, new_entries, n_updated = [], [], 0
-    for i, rel in enumerate(m["files"]):
-        path = os.path.join(_data_dir(root), rel)
-        df = spark.read.parquet(path)
-        n_match = df.where(predicate(df)).count()
-        if n_match == 0:
-            kept.append(rel)
-            continue
-        n_updated += n_match
-        tmp = os.path.join(stage, f"_rw{i}.tmp")
-        # one file in, one file out: the rewrite preserves file granularity
-        apply_update(df).coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        final_name = f"rw{i}.parquet"
-        os.replace(os.path.join(tmp, part), os.path.join(stage, final_name))
-        shutil.rmtree(tmp)
-        new_entries.append(os.path.join(f"v{version}", final_name))
-    manifest = {
-        "version": version,
-        "mode": "update",
-        "files": sorted(kept + new_entries),
-    }
-    final = os.path.join(_log_dir(root), f"v{version}.json")
-    fd, tmpf = tempfile.mkstemp(dir=_log_dir(root), suffix=".tmp")
-    with os.fdopen(fd, "w") as fh:
-        json.dump(manifest, fh)
-    if os.path.exists(final):
-        os.unlink(tmpf)
-        raise VersionConflict(f"v{version} already committed")
-    os.rename(tmpf, final)
+    # Any failure before the manifest publishes (including losing the CAS
+    # race below) must reclaim the staged rewrites — vacuum() only walks
+    # manifest-referenced files, so an orphaned stage dir would otherwise
+    # persist forever.
+    try:
+        for i, rel in enumerate(m["files"]):
+            path = os.path.join(_data_dir(root), rel)
+            df = spark.read.parquet(path)
+            n_match = df.where(predicate(df)).count()
+            if n_match == 0:
+                kept.append(rel)
+                continue
+            n_updated += n_match
+            tmp = os.path.join(stage, f"_rw{i}.tmp")
+            # one file in, one file out: the rewrite preserves file
+            # granularity
+            apply_update(df).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            final_name = f"rw{i}.parquet"
+            os.replace(os.path.join(tmp, part), os.path.join(stage, final_name))
+            shutil.rmtree(tmp)
+            new_entries.append(os.path.join(f"v{version}", final_name))
+        manifest = {
+            "version": version,
+            "mode": "update",
+            "files": sorted(kept + new_entries),
+        }
+        final = os.path.join(_log_dir(root), f"v{version}.json")
+        fd, tmpf = tempfile.mkstemp(dir=_log_dir(root), suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(manifest, fh)
+        if os.path.exists(final):
+            os.unlink(tmpf)
+            raise VersionConflict(f"v{version} already committed")
+        os.rename(tmpf, final)
+    except BaseException:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
     return {
         "version": version,
         "n_files_total": len(m["files"]),
@@ -1099,11 +1137,17 @@ def versioned_update_copy_on_write(spark: SparkSession, sf_dir: str) -> DataFram
         0 < audit["n_files_rewritten"] < audit["n_files_total"]
     )
     snap = read_version(spark, root)
-    return snap.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
-        .cast("bigint")
-        .alias("total_cents"),
-        F.lit(audit["n_rows_updated"]).cast("bigint").alias("n_rows_updated"),
-        F.lit(pruned).alias("cow_pruned"),
+    out = (
+        snap.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("total_cents"),
+            F.lit(audit["n_rows_updated"]).cast("bigint").alias("n_rows_updated"),
+            F.lit(pruned).alias("cow_pruned"),
+        )
+        .localCheckpoint()
     )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
