@@ -24,115 +24,87 @@ def entry(spark: SparkSession) -> DataFrame:
     return specs["flagship_rides_by_dim"].fn(spark, "/root/testdata/sf0.001")
 
 
+
+
 # The driver's correctness harness verifies registry entries in dict order
-# with a bounded budget (rounds 1-3 covered exactly the first 50 each).
+# with a bounded budget (rounds 1-4 covered exactly the first 50 each).
 # Queries whose correctness has NOT yet been driver-verified go first, so
 # each round converts the maximum amount of existing quality into hard
 # signal. Names not listed here follow in registry order; unknown names are
-# ignored. Kept to exactly 50 entries. Round-4 rotation: the 49 r3-green
-# entries moved to _R3_VERIFIED; the head leads with the queries whose code
-# changed AFTER their last green row (stale hard signal — round-3 verdict
-# item "re-verification": the similarity pair, the UDF-tier rewrites, and
-# approx_count_distinct whose HLL-pairing fix postdates its r3 row), then
-# the new §2a scan/sink wrappers, the round-4 session-2 additions (pipe
-# syntax, Observation metrics, state-store reader, change feed), then the
-# never-verified blocks the verdict ranked first (streaming family, graph,
-# versioned branch merge, round-3 additions, timeseries, format
-# round-trips — jsonl/xml round-trips and three family-redundant siblings
-# rotated out to r5 to make room; csv/orc still represent the family).
+# ignored. Kept to exactly 50 entries. Round-5 rotation (r4 verdict item
+# 2): the 49 r4-green entries moved to _R4_VERIFIED; the head leads with
+# the r4 red row (spearman, rewritten hash-proof this round), then the two
+# r4-green versioned queries whose code changed THIS round (advisor
+# hardening — stale hard signal otherwise), then the never-verified blocks
+# the verdict ranked: the scaled dedup flagships, the 9 streaming entries,
+# the six §2a wrappers, the timeseries family, the versioned lifecycle
+# tail, the SQL surface block, stats audits, and family representatives
+# rotated out of earlier heads. ~80 remaining never-verified entries are
+# queued for r6 (full hard-signal coverage lands there at 50/round).
 _DRIVER_PRIORITY = [
-    # re-verify: fixed oracle (r3 FAIL) + code rewritten since last green row
-    "ks_test_two_sample",
-    "approx_count_distinct",
-    "cogrouped_map_customer_orders",
-    "grouped_map_demean",
-    "similarity_topk_bruteforce",
-    "embedding_near_dup_pairs",
-    "python_stream_datasource_write",
-    "versioned_merge_on_read_deletes",
-    # new §2a scan/sink/projection/identifier wrappers (S2-S6, S8, K1/K2,
-    # P2/P3, T1 — previously test-only)
-    # (glob_csv_scan_years rotated to r5 — five §2a wrappers remain —
-    # for the k-core graph op)
-    "kcore_decomposition_cosupply",
-    # (json_scan_normalize_payload rotated to r5 — four §2a wrappers
-    # remain — for the negative-sampling table)
-    "negative_sampling_table",
-    # (parquet_empty_fallback_union rotated to r5 — three §2a wrappers
-    # remain — for the per-group exact percentiles)
-    "group_exact_percentiles",
-    # (binary_glob_file_stats rotated to r5 — six §2a wrappers remain —
-    # for the COW-update lifecycle piece)
-    "versioned_update_copy_on_write",
-    # (parquet_sink_overwrite_append + conditional_rename_guarded_drop
-    # rotated to r5 — K1/K2 and P2/P3 are test-pinned — for the
-    # Matryoshka audit; one slot stays with the K/P wrapper family)
-    "parquet_sink_overwrite_append",
-    "embedding_matryoshka_audit",
-    # (backtick_space_identifiers rotated to r5 — T1 is test-pinned in
-    # the reference pipeline — for multi-probe LSH)
-    "ann_multiprobe_lsh",
-    # streaming family (never driver-verified; the six siblings
-    # stream_attribution_unmatched / stream_dedup_within_watermark /
-    # stream_hourly_rollup_of_bars / stream_complete_mode_totals /
-    # stream_ohlc_bars rotated to r5 to make room for session-4 ops)
-    "python_stream_datasource_read",
-    "stream_join_attribution",
-    "late_data_bar_restatement",
-    # round-4 session-4 additions (never verified)
-    "skyline_pareto_parts",
-    "curate_pps_poisson_sample",
-    "scd2_point_in_time_lookup",
-    "semdedup_cluster_prune",
-    "gopher_repetition_filters",
+    # r4's only red row — rewritten this round (exact-integer rho_ppm)
     "spearman_rank_correlation",
-    # graph + versioned
-    "bfs_cosupply_hops",
-    "sssp_cheapest_supply_path",
-    # (versioned_branch_merge rotated to r5 — versioned keeps the MoR
-    # re-verify, change feed and COW update — for the rank normalizer)
-    "embedding_rank_normalize",
-    # round-3 additions (seasonal_decompose_daily, column_entropy_mi,
-    # ohlc_resample_5min, temporal_point_in_time_join, csv_roundtrip_agg
-    # rotated to r5; their families keep other head entries)
-    "linreg_normal_equations",
-    "bitmap_distinct_rollup",
-    "multimodal_resize_digest",
-    # round-4 session-4 additions (never verified)
-    "pq_encode_reconstruction_error",
-    "session_path_pattern_match",
-    "hard_negative_mining",
-    "basket_triple_apriori",
-    "rfm_customer_segmentation",
-    "pareto_revenue_concentration",
-    # Spark-4 modern SQL surface (sql_table_udf_price_brackets and
-    # listagg_nation_supplier_roster rotated to r5; five siblings below
-    # keep the family represented)
-    "variant_extract_event_props",
-    "sql_scalar_udf_net_revenue",
-    "session_variable_dynamic_window",
-    # round-4 session-3 additions (never verified). Rotated to r5 to keep
-    # the head at 50: revenue_ewma_daily, dedup_events_time_window,
-    # sessionize_events, multimodal_frame_digest (their families keep
-    # other head entries).
-    "sql_sugar_suite",
-    "zone_map_skipping_audit",
-    "hll_intersection_inclusion_exclusion",
-    "parquet_agg_pushdown_stats",
-    # round-4 session-2 additions (never verified)
-    "sql_pipe_syntax_report",
-    "observe_dq_single_pass",
-    "stream_state_store_read",
+    # re-verify: r4-green but code changed this round (advisor hardening
+    # of versioned.py — mode whitelist, stage reclaim, tempdir cleanup)
     "versioned_change_feed",
-    # storage/integrity tail + this round's new flagship op
-    "cdc_merge_partition_overwrite",
-    # (bucketed_join_exchange_free rotated to r5 — storage keeps cdc_merge,
-    # versioned_change_feed and stream_state_store_read — for the ADC half
-    # of the PQ pair)
-    # (kmeans_lloyd_update rotated to r5 — the IVF training half keeps
-    # its artifact-parity test — for the composed IVF-PQ index query)
-    "pq_adc_topk_search",
-    "ann_ivf_pq_search",
+    "versioned_update_copy_on_write",
+    # the 100 TB dedup story's own flagship queries (verdict item 2 lead)
+    "scaled_dedup_exact",
+    "scaled_dedup_minhash_lsh",
+    # streaming family — all 9 never-verified entries
+    "stream_ohlc_bars",
+    "stream_sliding_window",
+    "stream_dedup_events",
+    "stream_dedup_within_watermark",
+    "stream_complete_mode_totals",
+    "stream_hourly_rollup_of_bars",
+    "stream_attribution_unmatched",
+    "stream_static_enrich",
+    "sessionize_events",
+    # the six §2a wrappers — makes the §2a table fully driver-green
+    "glob_csv_scan_years",
+    "json_scan_normalize_payload",
+    "parquet_empty_fallback_union",
+    "binary_glob_file_stats",
+    "conditional_rename_guarded_drop",
+    "backtick_space_identifiers",
+    # timeseries family
+    "ohlc_resample_5min",
+    "revenue_ewma_daily",
+    "rolling_median_weekly_revenue",
+    "seasonal_decompose_daily",
+    "merge_overlapping_intervals",
+    "weighted_median_price",
+    # versioned lifecycle tail
+    "versioned_branch_merge",
+    "versioned_vacuum_retention",
+    # SQL surface block
+    "recursive_month_series_orders",
+    "lateral_topk_per_key",
+    "variant_json_extract",
+    "listagg_nation_supplier_roster",
+    "sql_table_udf_price_brackets",
+    "parameterized_sql_filter",
+    # stats audits
+    "winsorize_prices",
+    "mad_outlier_audit",
+    "moment_stats_suite",
+    "cuped_adjusted_lift",
+    # family representatives rotated out of the r4 head + zero-hard-signal
+    # families (cluster dedup, k-means/IVF training, bucketed storage,
+    # embeddings analytics, formats, sketches, lakehouse layout)
+    "dedup_events_time_window",
+    "dedup_cluster_representatives",
+    "kmeans_lloyd_update",
+    "bucketed_join_exchange_free",
+    "embedding_covariance_matrix",
+    "column_entropy_mi",
+    "temporal_point_in_time_join",
+    "csv_roundtrip_agg",
+    "multimodal_frame_digest",
+    "heavy_hitters_topk",
+    "partition_evolution_union_scan",
+    "lm_bigram_perplexity",
 ]
 
 
@@ -203,7 +175,39 @@ _R3_VERIFIED = {
     "welch_ttest_segments",
 }
 
-_VERIFIED = _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED
+# Round-4 driver-green rows (CORRECTNESS_r04.json; spearman_rank_correlation
+# deliberately absent — its r4 row was a hash-FAIL and it re-verifies this
+# round; versioned_change_feed / versioned_update_copy_on_write are listed
+# but ALSO appear in _DRIVER_PRIORITY because their code changed after the
+# r4 row — the head placement wins the ordering).
+_R4_VERIFIED = {
+    'ann_ivf_pq_search', 'ann_multiprobe_lsh', 'approx_count_distinct',
+    'basket_triple_apriori', 'bfs_cosupply_hops',
+    'bitmap_distinct_rollup', 'cdc_merge_partition_overwrite',
+    'cogrouped_map_customer_orders', 'curate_pps_poisson_sample',
+    'embedding_matryoshka_audit', 'embedding_near_dup_pairs',
+    'embedding_rank_normalize', 'gopher_repetition_filters',
+    'group_exact_percentiles', 'grouped_map_demean',
+    'hard_negative_mining', 'hll_intersection_inclusion_exclusion',
+    'kcore_decomposition_cosupply', 'ks_test_two_sample',
+    'late_data_bar_restatement', 'linreg_normal_equations',
+    'multimodal_resize_digest', 'negative_sampling_table',
+    'observe_dq_single_pass', 'pareto_revenue_concentration',
+    'parquet_agg_pushdown_stats', 'parquet_sink_overwrite_append',
+    'pq_adc_topk_search', 'pq_encode_reconstruction_error',
+    'python_stream_datasource_read', 'python_stream_datasource_write',
+    'rfm_customer_segmentation', 'scd2_point_in_time_lookup',
+    'semdedup_cluster_prune', 'session_path_pattern_match',
+    'session_variable_dynamic_window', 'similarity_topk_bruteforce',
+    'skyline_pareto_parts', 'sql_pipe_syntax_report',
+    'sql_scalar_udf_net_revenue', 'sql_sugar_suite',
+    'sssp_cheapest_supply_path', 'stream_join_attribution',
+    'stream_state_store_read', 'variant_extract_event_props',
+    'versioned_change_feed', 'versioned_merge_on_read_deletes',
+    'versioned_update_copy_on_write', 'zone_map_skipping_audit',
+}
+
+_VERIFIED = _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED | _R4_VERIFIED
 
 
 def _ordered_specs():
