@@ -90,21 +90,24 @@ _DRIVER_PRIORITY = [
     "mad_outlier_audit",
     "moment_stats_suite",
     "cuped_adjusted_lift",
+    # round-5 additions (never verified, added this session)
+    "acf_daily_revenue",
+    "cusum_changepoint_daily",
+    "metadata_file_columns_audit",
+    "versioned_schema_evolution",
+    "join_strategy_hints_suite",
     # family representatives rotated out of the r4 head + zero-hard-signal
     # families (cluster dedup, k-means/IVF training, bucketed storage,
-    # embeddings analytics, formats, sketches, lakehouse layout)
+    # embeddings analytics, sketches, lakehouse layout). column_entropy_mi,
+    # temporal_point_in_time_join, csv_roundtrip_agg,
+    # multimodal_frame_digest, lm_bigram_perplexity queue for r6.
     "dedup_events_time_window",
     "dedup_cluster_representatives",
     "kmeans_lloyd_update",
     "bucketed_join_exchange_free",
     "embedding_covariance_matrix",
-    "column_entropy_mi",
-    "temporal_point_in_time_join",
-    "csv_roundtrip_agg",
-    "multimodal_frame_digest",
     "heavy_hitters_topk",
     "partition_evolution_union_scan",
-    "lm_bigram_perplexity",
 ]
 
 

@@ -607,3 +607,13 @@ def test_partition_evolution_prunes_only_evolved_generation(spark):
     assert all(
         any(f"ship_month={m}" in f for m in in_window) for f in gen2_files
     ), "evolved generation read a month directory outside the window"
+
+
+def test_join_strategy_hints_pin_physical_strategies(spark):
+    """The three hinted copies must actually plan as three DIFFERENT
+    physical joins — a hint silently ignored (e.g. shuffle_hash eaten by
+    the auto-broadcast threshold) would make the suite a lie."""
+    plan = plan_of(spark, "join_strategy_hints_suite")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" in plan
+    assert "ShuffledHashJoin" in plan

@@ -166,3 +166,62 @@ def test_spearman_rho_ppm_exact_integer_derivation(spark):
     true_ppm = Decimal(num) * Decimal(10**6) / (Decimal(dxx) * Decimal(dyy)).sqrt()
     assert int(true_ppm.quantize(Decimal(1))) == row.rho_ppm
     assert -(10**6) <= row.rho_ppm <= 10**6
+
+
+def test_acf_lags_bounded_and_pairs_match_calendar(spark):
+    """|ACF| <= 1 in ppm, and each lag's pair count equals the number of
+    (day, day+k) calendar alignments actually present in the series —
+    recomputed here directly (NOT monotone in k: gap patterns can align
+    better at a larger lag)."""
+    from wheels_in_motion_analytics_spark.tables import table as _table
+
+    rows = {r.lag: r for r in SPECS["acf_daily_revenue"].fn(spark, SF_SMALL).collect()}
+    assert set(rows) == set(range(1, 8))
+    days = {
+        r.day
+        for r in _table(spark, SF_SMALL, "orders")
+        .select(F.col("o_orderdate").cast("date").alias("day"))
+        .distinct()
+        .collect()
+    }
+    import datetime
+
+    for k, r in rows.items():
+        assert abs(r.acf_ppm) <= 10**6
+        expect_pairs = sum(
+            1 for d in days if d + datetime.timedelta(days=k) in days
+        )
+        assert r.n_pairs == expect_pairs
+
+
+def test_cusum_changepoint_maximizes_statistic(spark):
+    """The emitted day must attain the max |n*P_k - k*S| over every prefix
+    (recomputed here directly from the day-grain series)."""
+    from wheels_in_motion_analytics_spark.tables import table as _table
+
+    r = SPECS["cusum_changepoint_daily"].fn(spark, SF_SMALL).collect()[0]
+    days = (
+        _table(spark, SF_SMALL, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents")
+        )
+        .orderBy("day")
+        .collect()
+    )
+    n = len(days)
+    s = sum(d.cents for d in days)
+    assert r.n_days == n and r.total_cents == s
+    best = None
+    pc = 0
+    for k, d in enumerate(days[:-1], start=1):
+        pc += d.cents
+        ck = abs(n * pc - k * s)
+        if best is None or ck > best[0]:
+            best = (ck, d.day, pc, k)
+    assert int(r.max_abs_cusum) == best[0]
+    assert r.change_day == best[1]
+    assert r.mean_before_cents == best[2] // best[3]
+    assert r.mean_after_cents == (s - best[2]) // (n - best[3])

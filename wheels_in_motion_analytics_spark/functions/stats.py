@@ -858,6 +858,75 @@ def column_entropy_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Exact-integer correlation canonicalization (shared by spearman + ACF)
+# --------------------------------------------------------------------------
+
+
+def with_corr_ppm(df: DataFrame, out: str = "rho_ppm") -> DataFrame:
+    """Append ``out`` = parts-per-million correlation derived EXACTLY from
+    integer moment columns ``num``/``dxx``/``dyy`` (DECIMAL(38,0)):
+    sign(num) * ((2*|num|*1e6 + a*b) DIV (2*a*b)) with a,b the floor
+    integer square roots of dxx,dyy. The isqrt comes from a double-sqrt
+    candidate corrected by ±2 integer comparisons — exact while the
+    operand is < ~1e31 (double sqrt abs error < 1 there; moment operands
+    grow ~n^4 so that is far past sf1). No float quotient ever reaches
+    the output: every emitted value is a deterministic integer function
+    of the input, identical on any engine (r4 verdict item 1; the DuckDB
+    mirror of this expression is _CORR_PPM_SQL)."""
+    c = F.col
+
+    def corrected(cand, operand):
+        return (
+            F.when((cand + 2) * (cand + 2) <= operand, cand + 2)
+            .when((cand + 1) * (cand + 1) <= operand, cand + 1)
+            .when(cand * cand <= operand, cand)
+            .when((cand - 1) * (cand - 1) <= operand, cand - 1)
+            .otherwise(cand - 2)
+        )
+
+    i = df.select(
+        "*",
+        F.floor(F.sqrt(c("dxx").cast("double"))).cast("decimal(38,0)").alias("__ca"),
+        F.floor(F.sqrt(c("dyy").cast("double"))).cast("decimal(38,0)").alias("__cb"),
+    ).select(
+        "*",
+        corrected(c("__ca"), c("dxx")).alias("__a"),
+        corrected(c("__cb"), c("dyy")).alias("__b"),
+    )
+    sign = F.when(c("num") < 0, F.lit(-1)).otherwise(F.lit(1))
+    ppm = F.expr(
+        "CAST((2 * abs(num) * CAST(1000000 AS DECIMAL(38,0)) + __a * __b) "
+        "DIV (2 * __a * __b) AS BIGINT)"
+    )
+    return i.withColumn(
+        out,
+        F.when((c("__a") == 0) | (c("__b") == 0), F.lit(None).cast("bigint"))
+        .otherwise((sign * ppm).cast("bigint")),
+    ).drop("__ca", "__cb", "__a", "__b")
+
+
+def corr_ppm_sql(num: str, dxx: str, dyy: str) -> str:
+    """DuckDB expression mirroring :func:`with_corr_ppm` for moment
+    sub-expressions (HUGEINT-compatible column references)."""
+    frag = """
+CASE WHEN __A__ = 0 OR __B__ = 0 THEN NULL
+     ELSE CAST((CASE WHEN {num} < 0 THEN -1 ELSE 1 END)
+          * ((2 * abs({num}) * 1000000 + __A__ * __B__)
+             // (2 * __A__ * __B__)) AS BIGINT) END"""
+    isq = (
+        "(CASE WHEN (__C__+2)*(__C__+2) <= {v} THEN __C__+2 "
+        "WHEN (__C__+1)*(__C__+1) <= {v} THEN __C__+1 "
+        "WHEN __C__*__C__ <= {v} THEN __C__ "
+        "WHEN (__C__-1)*(__C__-1) <= {v} THEN __C__-1 "
+        "ELSE __C__-2 END)"
+    )
+    cand = "CAST(floor(sqrt(CAST({v} AS DOUBLE))) AS HUGEINT)"
+    a = isq.replace("__C__", cand.format(v=dxx)).format(v=dxx)
+    b = isq.replace("__C__", cand.format(v=dyy)).format(v=dyy)
+    return frag.format(num=num).replace("__A__", a).replace("__B__", b)
+
+
+# --------------------------------------------------------------------------
 # Spearman rank correlation — ties-aware, exact integer rank arithmetic
 # --------------------------------------------------------------------------
 
@@ -993,39 +1062,10 @@ def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (c("n") * c("sxx") - c("sx") * c("sx")).cast("decimal(38,0)").alias("dxx"),
         (c("n") * c("syy") - c("sy") * c("sy")).cast("decimal(38,0)").alias("dyy"),
     )
-
-    # Exact floor-isqrt: double-sqrt candidate, corrected by ±2 integer
-    # comparisons (candidate is within ±1 of truth while the operand is
-    # < ~1e31 — double sqrt abs error < 1 there; our envelope is ~n^4).
-    def corrected(cand, operand):
-        return (
-            F.when((cand + 2) * (cand + 2) <= operand, cand + 2)
-            .when((cand + 1) * (cand + 1) <= operand, cand + 1)
-            .when(cand * cand <= operand, cand)
-            .when((cand - 1) * (cand - 1) <= operand, cand - 1)
-            .otherwise(cand - 2)
-        )
-
-    i = d.select(
-        "*",
-        F.floor(F.sqrt(c("dxx").cast("double"))).cast("decimal(38,0)").alias("ca"),
-        F.floor(F.sqrt(c("dyy").cast("double"))).cast("decimal(38,0)").alias("cb"),
-    ).select(
-        "*",
-        corrected(c("ca"), c("dxx")).alias("a"),
-        corrected(c("cb"), c("dyy")).alias("b"),
-    )
-    sign = F.when(c("num") < 0, F.lit(-1)).otherwise(F.lit(1))
-    ppm = F.expr(
-        "CAST((2 * abs(num) * CAST(1000000 AS DECIMAL(38,0)) + a * b) "
-        "DIV (2 * a * b) AS BIGINT)"
-    )
-    return i.select(
+    return with_corr_ppm(d).select(
         c("n").cast("bigint").alias("n_rows"),
-        c("num"),
-        c("dxx"),
-        c("dyy"),
-        F.when((c("a") == 0) | (c("b") == 0), F.lit(None).cast("bigint"))
-        .otherwise((sign * ppm).cast("bigint"))
-        .alias("rho_ppm"),
+        "num",
+        "dxx",
+        "dyy",
+        "rho_ppm",
     )

@@ -345,3 +345,51 @@ def temporal_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="valid_from",
         right_cols=["status_at"],
     ).select("o_orderkey", "o_custkey", "o_orderdate", "status_at")
+
+
+@register(
+    "join_strategy_hints_suite",
+    category="joins",
+    doc="Explicit physical join-strategy control: the SAME customer->nation "
+    "dim join computed under BROADCAST, MERGE and SHUFFLE_HASH hints and "
+    "union-labeled — the knob an operator reaches for when Catalyst's "
+    "size-estimate picks wrong at 100 TB (a dim just over the broadcast "
+    "threshold, or a skew-prone sort-merge better served by shuffle-hash). "
+    "Strategy must never change RESULTS, only the plan — the three labeled "
+    "copies hash-check identical against one relational rollup, and "
+    "tests/test_plan_shapes.py pins that the physical plan really contains "
+    "BroadcastHashJoin, SortMergeJoin and ShuffledHashJoin respectively.",
+    oracle="""
+WITH r AS (
+  SELECT n.n_name AS nation,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS acctbal_cents
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT s.strategy, r.nation, r.n_customers, r.acctbal_cents
+FROM r CROSS JOIN (
+  SELECT * FROM (VALUES ('broadcast'), ('merge'), ('shuffle_hash')) v(strategy)
+) s
+""",
+)
+def join_strategy_hints_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def rollup(strategy: str) -> DataFrame:
+        j = cust.join(
+            nat.hint(strategy), cust["c_nationkey"] == nat["n_nationkey"]
+        )
+        return j.groupBy(F.col("n_name").alias("nation")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum(F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("acctbal_cents"),
+        ).select(F.lit(strategy).alias("strategy"), "*")
+
+    out = rollup("broadcast")
+    for s in ("merge", "shuffle_hash"):
+        out = out.unionByName(rollup(s))
+    return out

@@ -1002,3 +1002,226 @@ def session_path_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_ev").cast("bigint").alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function + CUSUM changepoint — exact-integer series stats
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 7
+
+
+@register(
+    "acf_daily_revenue",
+    category="timeseries",
+    doc="Autocorrelation of total daily revenue at calendar lags 1..7 — "
+    "the ACF a forecasting pipeline reads before choosing seasonal terms. "
+    "Lag pairing is CALENDAR (join on day+k via a 7-row broadcast lag "
+    "relation), not positional, so date gaps drop pairs identically on "
+    "any engine. One day-grain aggregate does the distributed work; the "
+    "paired relation is bounded by day cardinality × 7, and per-lag "
+    "Pearson moments are exact DECIMAL(38,0) power sums (cents grid). "
+    "Hash-proof output: acf_ppm comes from functions/stats.py:"
+    "with_corr_ppm — the corrected-isqrt exact integer canonicalization, "
+    "no float quotient (same discipline as spearman_rank_correlation).",
+    oracle=None,  # filled below (built from corr_ppm_sql)
+)
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.functions.stats import with_corr_ppm
+
+    d = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents")
+        )
+        .localCheckpoint()  # bounded day-grain relation, reused on both join sides
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = d.crossJoin(F.broadcast(lags)).select(
+        "lag",
+        F.date_add(F.col("day"), F.col("lag")).alias("tday"),
+        F.col("cents").alias("xa"),
+    )
+    p = a.join(
+        d.select(F.col("day").alias("tday"), F.col("cents").alias("xb")), "tday"
+    )
+    dm = F.col
+
+    def s38(expr):
+        return F.sum(expr.cast("decimal(38,0)"))
+
+    m = p.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        s38(dm("xa")).alias("sa"),
+        s38(dm("xb")).alias("sb"),
+        s38(dm("xa") * dm("xa")).alias("saa"),
+        s38(dm("xb") * dm("xb")).alias("sbb"),
+        s38(dm("xa") * dm("xb")).alias("sab"),
+    )
+    mm = m.select(
+        dm("lag").cast("bigint").alias("lag"),
+        dm("n").cast("bigint").alias("n_pairs"),
+        (dm("n") * dm("sab") - dm("sa") * dm("sb"))
+        .cast("decimal(38,0)")
+        .alias("num"),
+        (dm("n") * dm("saa") - dm("sa") * dm("sa"))
+        .cast("decimal(38,0)")
+        .alias("dxx"),
+        (dm("n") * dm("sbb") - dm("sb") * dm("sb"))
+        .cast("decimal(38,0)")
+        .alias("dyy"),
+    )
+    return with_corr_ppm(mm, out="acf_ppm").select(
+        "lag", "n_pairs", "num", "acf_ppm"
+    )
+
+
+def _acf_oracle() -> str:
+    from wheels_in_motion_analytics_spark.functions.stats import corr_ppm_sql
+
+    return f"""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+lags AS (SELECT CAST(lag AS INTEGER) AS lag FROM range(1, {ACF_MAX_LAG + 1}) t(lag)),
+p AS (
+  SELECT l.lag, a.cents AS xa, b.cents AS xb
+  FROM d a CROSS JOIN lags l
+  JOIN d b ON b.day = a.day + to_days(l.lag)
+),
+m AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(xa) AS sa, SUM(xb) AS sb,
+         SUM(xa * xa) AS saa, SUM(xb * xb) AS sbb, SUM(xa * xb) AS sab
+  FROM p GROUP BY lag
+),
+mm AS (
+  SELECT lag, n, n * sab - sa * sb AS num,
+         n * saa - sa * sa AS dxx, n * sbb - sb * sb AS dyy
+  FROM m
+)
+SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+       CAST(num AS DECIMAL(38,0)) AS num,
+       {corr_ppm_sql('num', 'dxx', 'dyy')} AS acf_ppm
+FROM mm
+"""
+
+
+@register(
+    "cusum_changepoint_daily",
+    category="timeseries",
+    doc="CUSUM mean-shift changepoint over total daily revenue: the day k "
+    "maximizing |n*P_k - k*S| (the cumulative sum of n-scaled deviations "
+    "from the global mean — every term an exact integer, no mean "
+    "division). Prefix sums come from the TWO-PHASE exact machinery "
+    "(operators/windows.py:global_prefix_sums) so no single-task sort "
+    "even if the series grain were row-scale; the argmax is one "
+    "max(struct) aggregate with an earliest-day tiebreak. Emits the "
+    "changepoint day, the scaled CUSUM statistic, and exact floor mean "
+    "cents before/after the break.",
+    oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+p AS (
+  SELECT day, cents,
+         CAST(SUM(cents) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS pc,
+         CAST(ROW_NUMBER() OVER (ORDER BY day) AS HUGEINT) AS k
+  FROM d
+),
+t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(cents) AS HUGEINT) AS s FROM d),
+c AS (
+  SELECT p.day, t.n, t.s, p.k, p.pc, t.n * p.pc - p.k * t.s AS ck
+  FROM p CROSS JOIN t
+  WHERE p.k < t.n
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(s AS BIGINT) AS total_cents,
+       day AS change_day,
+       CAST(abs(ck) AS DECIMAL(38,0)) AS max_abs_cusum,
+       CAST(pc // k AS BIGINT) AS mean_before_cents,
+       CAST((s - pc) // (n - k) AS BIGINT) AS mean_after_cents
+FROM c
+ORDER BY abs(ck) DESC, day
+LIMIT 1
+""",
+)
+def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.operators.windows import global_prefix_sums
+
+    d = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents")
+        )
+        .withColumn("one", F.lit(1))
+        .localCheckpoint()  # reused by the prefix pass AND the totals agg
+    )
+    pre = global_prefix_sums(d, ["day"], ["cents", "one"])
+    tot = d.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("s"),
+    )
+    c = F.col
+    ck = (
+        pre.crossJoin(F.broadcast(tot))
+        .where(c("one_cum") < c("n"))
+        .select(
+            "day",
+            "n",
+            "s",
+            c("one_cum").cast("decimal(38,0)").alias("k"),
+            c("cents_cum").cast("decimal(38,0)").alias("pc"),
+            (
+                c("n") * c("cents_cum").cast("decimal(38,0)")
+                - c("one_cum").cast("decimal(38,0)") * c("s")
+            )
+            .cast("decimal(38,0)")
+            .alias("ck"),
+        )
+    )
+    best = ck.agg(
+        F.max(
+            F.struct(
+                F.abs(c("ck")).alias("absck"),
+                (-F.datediff(c("day"), F.lit("1970-01-01").cast("date")))
+                .cast("long")
+                .alias("negday"),
+                c("day").alias("day"),
+                c("n").alias("n"),
+                c("s").alias("s"),
+                c("k").alias("k"),
+                c("pc").alias("pc"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        c("b.n").cast("bigint").alias("n_days"),
+        c("b.s").cast("bigint").alias("total_cents"),
+        c("b.day").alias("change_day"),
+        c("b.absck").cast("decimal(38,0)").alias("max_abs_cusum"),
+        F.expr("CAST(b.pc DIV b.k AS BIGINT)").alias("mean_before_cents"),
+        F.expr("CAST((b.s - b.pc) DIV (b.n - b.k) AS BIGINT)").alias(
+            "mean_after_cents"
+        ),
+    )
+
+
+# The ACF oracle embeds the shared corr-ppm SQL fragment; build it once at
+# import time (register() ran with oracle=None above).
+from wheels_in_motion_analytics_spark.registry import REGISTRY as _REGISTRY  # noqa: E402
+
+_REGISTRY["acf_daily_revenue"].oracle = _acf_oracle()

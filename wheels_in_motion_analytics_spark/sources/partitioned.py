@@ -246,3 +246,72 @@ def partition_evolution_union_scan(spark: SparkSession, sf_dir: str) -> DataFram
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         )
     )
+
+
+@register(
+    "metadata_file_columns_audit",
+    category="sources",
+    doc="Hidden _metadata file columns (Spark's per-file provenance "
+    "surface: file_path / file_name / file_size / row_index) over the "
+    "hive-partitioned derived lake — the mechanism lineage auditors and "
+    "incremental loaders use to attribute rows to physical files without "
+    "a separate listing job. Per pruned month: exact row/revenue totals "
+    "(oracle-checked against the logical table) plus audited verdicts "
+    "computed FROM the metadata columns — every row's file_path lives "
+    "under its own ship_month= partition dir, every file_size is "
+    "positive, per-file row_index is a contiguous 0..n-1 range, and the "
+    "file count per month is bounded. The oracle asserts the verdicts "
+    "TRUE, so a wiring regression (wrong partition dir, broken row_index) "
+    "hash-fails even though file names themselves are engine-generated.",
+    oracle=f"""
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       TRUE AS paths_under_own_partition,
+       TRUE AS sizes_positive,
+       TRUE AS row_index_contiguous,
+       TRUE AS n_files_bounded
+FROM lineitem
+WHERE strftime(l_shipdate, '%Y-%m') IN ({", ".join(f"'{m}'" for m in PRUNE_MONTHS)})
+GROUP BY 1
+""",
+)
+def metadata_file_columns_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = ensure_partitioned_lineitem(spark, sf_dir)
+    scan = (
+        spark.read.parquet(path)
+        .where(F.col("ship_month").isin(PRUNE_MONTHS))
+        .select(
+            "ship_month",
+            F.col("l_extendedprice"),
+            F.col("_metadata.file_path").alias("fpath"),
+            F.col("_metadata.file_name").alias("fname"),
+            F.col("_metadata.file_size").alias("fsize"),
+            F.col("_metadata.row_index").alias("ridx"),
+        )
+    )
+    per_file = scan.groupBy("ship_month", "fname").agg(
+        F.count(F.lit(1)).alias("f_rows"),
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("f_cents"),
+        F.min("ridx").alias("ridx_min"),
+        F.max("ridx").alias("ridx_max"),
+        F.min("fsize").alias("fsize_min"),
+        # partition-dir containment checked at row grain, folded per file
+        F.min(
+            F.col("fpath").contains(F.concat(F.lit("ship_month="), F.col("ship_month")))
+        ).alias("in_own_dir"),
+    )
+    return per_file.groupBy("ship_month").agg(
+        F.sum("f_rows").cast("bigint").alias("n_rows"),
+        F.sum("f_cents").cast("bigint").alias("revenue_cents"),
+        F.min("in_own_dir").alias("paths_under_own_partition"),
+        F.min(F.col("fsize_min") > 0).alias("sizes_positive"),
+        F.min(
+            (F.col("ridx_min") == 0)
+            & (F.col("ridx_max") - F.col("ridx_min") + 1 == F.col("f_rows"))
+        ).alias("row_index_contiguous"),
+        F.count(F.lit(1)).between(1, 64).alias("n_files_bounded"),
+    )

@@ -124,13 +124,15 @@ def commit(
 
 
 def read_version(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession, root: str, version: int | None = None, merge_schema: bool = False
 ) -> DataFrame:
     """Snapshot read of ``version`` (default: latest). File list comes from
     the manifest, never a directory listing. A version whose manifest
     carries deletion vectors (a MoR DELETE commit) delegates to the
     merge-on-read path — a plain file read of such a version would
-    resurrect deleted rows."""
+    resurrect deleted rows. ``merge_schema=True`` unions file schemas
+    across generations (schema-evolution reads: pre-evolution files
+    NULL-fill added columns)."""
     v = current_version(root) if version is None else version
     if v == 0:
         raise ValueError(f"versioned table at {root} has no commits")
@@ -138,7 +140,10 @@ def read_version(
     if m.get("deletes"):
         return read_version_mor(spark, root, version=v)
     files = [os.path.join(_data_dir(root), f) for f in m["files"]]
-    return spark.read.parquet(*files)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*files)
 
 
 @register(
@@ -1146,6 +1151,82 @@ def versioned_update_copy_on_write(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("total_cents"),
             F.lit(audit["n_rows_updated"]).cast("bigint").alias("n_rows_updated"),
             F.lit(pruned).alias("cow_pruned"),
+        )
+        .localCheckpoint()
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
+    "versioned_schema_evolution",
+    category="cdc",
+    doc="Schema evolution on the versioned table (the Delta/Iceberg ADD "
+    "COLUMN path): v1 loads orders with the base schema, v2 appends a new "
+    "generation carrying an extra o_channel column. A merge-schema head "
+    "read unions the generations — pre-evolution files NULL-fill the "
+    "added column (surfaced as channel 'legacy'), no rewrite of old data "
+    "ever happens (the evolution is metadata + new files only, which is "
+    "why ADD COLUMN is O(1) at 100 TB). Emits the per-channel rollup "
+    "plus audited verdicts: the v1 time-travel schema does NOT have the "
+    "column, the head schema does, and v1's files carried into v2's "
+    "manifest unchanged. Oracle reproduces the channel derivation "
+    "relationally on orders.",
+    oracle="""
+WITH g AS (
+  SELECT CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+              THEN CASE CAST(o_orderkey % 3 AS INTEGER)
+                   WHEN 0 THEN 'web' WHEN 1 THEN 'store' ELSE 'app' END
+              ELSE 'legacy' END AS channel,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       TRUE AS v1_lacks_channel,
+       TRUE AS head_has_channel,
+       TRUE AS old_files_carried
+FROM g
+GROUP BY channel
+""",
+)
+def versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    cut = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    root = tempfile.mkdtemp(prefix="versioned_evo_")
+    commit(orders.where(F.col("o_orderdate") < cut), root, mode="overwrite")
+    evolved = orders.where(F.col("o_orderdate") >= cut).withColumn(
+        "o_channel",
+        F.element_at(
+            F.array(F.lit("web"), F.lit("store"), F.lit("app")),
+            (F.pmod(F.col("o_orderkey"), F.lit(3)) + 1).cast("int"),
+        ),
+    )
+    commit(evolved, root, mode="append", expected_version=1)
+
+    v1_schema = set(read_version(spark, root, version=1).columns)
+    head = read_version(spark, root, merge_schema=True)
+    head_schema = set(head.columns)
+    m1, m2 = _manifest(root, 1), _manifest(root, 2)
+    carried = set(m1["files"]) <= set(m2["files"])
+
+    out = (
+        head.groupBy(
+            F.coalesce(F.col("o_channel"), F.lit("legacy")).alias("channel")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("total_cents"),
+            F.lit("o_channel" not in v1_schema).alias("v1_lacks_channel"),
+            F.lit("o_channel" in head_schema).alias("head_has_channel"),
+            F.lit(bool(carried)).alias("old_files_carried"),
         )
         .localCheckpoint()
     )
