@@ -96,6 +96,8 @@ _DRIVER_PRIORITY = [
     "metadata_file_columns_audit",
     "versioned_schema_evolution",
     "join_strategy_hints_suite",
+    "corr_matrix_metrics",
+    "wau_sliding_distinct_users",
     # family representatives rotated out of the r4 head + zero-hard-signal
     # families (cluster dedup, k-means/IVF training, bucketed storage,
     # embeddings analytics, sketches, lakehouse layout). column_entropy_mi,
@@ -106,8 +108,6 @@ _DRIVER_PRIORITY = [
     "kmeans_lloyd_update",
     "bucketed_join_exchange_free",
     "embedding_covariance_matrix",
-    "heavy_hitters_topk",
-    "partition_evolution_union_scan",
 ]
 
 

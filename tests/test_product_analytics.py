@@ -125,3 +125,38 @@ def test_multi_touch_credits_conserve_purchase_value(spark):
         .collect()[0][0]
     )
     assert 0 < total_credited <= total_purchases + 1e-9
+
+
+def test_wau_matches_direct_sliding_distinct(spark):
+    """The island/difference-array WAU must equal the definitional
+    per-day COUNT(DISTINCT user active in [d-6, d]) recomputed directly."""
+    import datetime
+
+    from tests.conftest import SF_SMALL
+    from wheels_in_motion_analytics_spark.tables import table as _table
+
+    got = {
+        r.day: r.wau
+        for r in SPECS["wau_sliding_distinct_users"].fn(spark, SF_SMALL).collect()
+    }
+    ud = {
+        (r.user_id, r.day)
+        for r in _table(spark, SF_SMALL, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .collect()
+    }
+    days = sorted({d for _, d in ud})
+    lo, hi = days[0], days[-1]
+    d = lo
+    while d <= hi:
+        active = {
+            u
+            for (u, ad) in ud
+            if d - datetime.timedelta(days=6) <= ad <= d
+        }
+        assert got[d] == len(active), d
+        d += datetime.timedelta(days=1)
+    assert set(got) == {
+        lo + datetime.timedelta(days=i) for i in range((hi - lo).days + 1)
+    }

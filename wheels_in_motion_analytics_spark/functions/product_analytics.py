@@ -758,3 +758,71 @@ def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "wau_sliding_distinct_users",
+    category="product_analytics",
+    doc="7-day sliding-window distinct active users (WAU) for every "
+    "calendar day of the event range — the classic hard sliding-DISTINCT. "
+    "SCALE SHAPE: never the naive 7x explode-per-day recount. Each "
+    "user's active days collapse to merged coverage islands (an active "
+    "day covers [d, d+6]; islands merge while gaps <= 7), every island "
+    "becomes a +1/-1 difference-array pair, and WAU(day) is ONE exact "
+    "prefix sum over the bounded day axis (operators/windows.py:"
+    "global_prefix_sums). Cost is O(distinct user-days), not "
+    "O(days x users); the per-user island window is bounded by the "
+    "calendar span. Oracle recomputes the definition directly with a "
+    "range-join COUNT(DISTINCT).",
+    oracle="""
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM ud),
+cal AS (
+  SELECT CAST(unnest(generate_series(b.mn, b.mx, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM b
+)
+SELECT c.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+FROM cal c LEFT JOIN ud u ON u.day BETWEEN c.day - 6 AND c.day
+GROUP BY c.day
+""",
+)
+def wau_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.operators.windows import global_prefix_sums
+
+    ud = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .localCheckpoint()  # reused: islands + calendar bounds
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = (
+        ud.withColumn("prev", F.lag("day").over(w))
+        .withColumn(
+            "new_isl",
+            (F.col("prev").isNull() | (F.datediff("day", "prev") > 7)).cast("int"),
+        )
+        .withColumn("isl", F.sum("new_isl").over(w))
+    )
+    islands = isl.groupBy("user_id", "isl").agg(
+        F.min("day").alias("start"), F.max("day").alias("last")
+    )
+    deltas = islands.select(
+        F.col("start").alias("day"), F.lit(1).alias("delta")
+    ).unionByName(
+        islands.select(F.date_add("last", 7).alias("day"), F.lit(-1).alias("delta"))
+    )
+    bounds = ud.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    cal = bounds.select(
+        F.explode(F.sequence("mn", "mx")).alias("day")
+    )
+    dd = deltas.groupBy("day").agg(F.sum("delta").alias("delta"))
+    axis = (
+        cal.join(dd, "day", "left")
+        .na.fill({"delta": 0})
+        # deltas beyond the calendar horizon never affect emitted days
+    )
+    pre = global_prefix_sums(axis, ["day"], ["delta"])
+    # islands still open at the horizon close beyond it — their -1 falls off
+    # the axis, which is exactly right for an inclusive prefix
+    return pre.select("day", F.col("delta_cum").cast("bigint").alias("wau"))

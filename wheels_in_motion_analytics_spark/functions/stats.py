@@ -1069,3 +1069,109 @@ def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dyy",
         "rho_ppm",
     )
+
+
+# --------------------------------------------------------------------------
+# Pairwise correlation matrix — all pairs from ONE moment aggregate
+# --------------------------------------------------------------------------
+
+_CORR_COLS = [
+    ("qty", "CAST(l_quantity AS BIGINT)"),
+    ("price", "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"),
+    ("disc", "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"),
+    ("tax", "CAST(floor(l_tax * 100 + 0.5) AS BIGINT)"),
+]
+_CORR_PAIRS = [
+    (a, b)
+    for i, (a, _) in enumerate(_CORR_COLS)
+    for (b, _) in _CORR_COLS[i + 1 :]
+]
+
+
+def _corr_matrix_oracle() -> str:
+    casts = ",\n         ".join(f"{expr} AS {name}" for name, expr in _CORR_COLS)
+    sums = ", ".join(f"SUM({n}) AS s_{n}" for n, _ in _CORR_COLS)
+    sqs = ", ".join(f"SUM({n} * {n}) AS q_{n}_{n}" for n, _ in _CORR_COLS)
+    crosses = ", ".join(f"SUM({a} * {b}) AS q_{a}_{b}" for a, b in _CORR_PAIRS)
+    arms = "\n  UNION ALL\n".join(
+        f"  SELECT '{a}_{b}' AS pair, n * q_{a}_{b} - s_{a} * s_{b} AS num,\n"
+        f"         n * q_{a}_{a} - s_{a} * s_{a} AS dxx,\n"
+        f"         n * q_{b}_{b} - s_{b} * s_{b} AS dyy FROM m"
+        for a, b in _CORR_PAIRS
+    )
+    return f"""
+WITH s AS (
+  SELECT {casts}
+  FROM lineitem
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, {sums}, {sqs}, {crosses}
+  FROM s
+),
+p AS (
+{arms}
+)
+SELECT pair, CAST(num AS DECIMAL(38,0)) AS num,
+       {corr_ppm_sql('num', 'dxx', 'dyy')} AS corr_ppm
+FROM p
+"""
+
+
+@register(
+    "corr_matrix_metrics",
+    category="stats",
+    doc="Full pairwise Pearson correlation matrix over four line-item "
+    "metrics (quantity, price cents, discount pct, tax pct) — the "
+    "feature-correlation pass an ML pipeline runs before training. ONE "
+    "map-side-combinable DECIMAL(38,0) moment aggregate produces every "
+    "sum/square/cross-product in a single scan (no per-pair passes, no "
+    "corr() x 6 rescans); the 6 pair rows unfold from that 1-row relation "
+    "and canonicalize through the exact corrected-isqrt ppm path "
+    "(with_corr_ppm) — no float quotient is hashed.",
+    oracle=None,  # built below from the shared fragments
+)
+def corr_matrix_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("price"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint").alias("disc"),
+        F.floor(F.col("l_tax") * 100 + F.lit(0.5)).cast("bigint").alias("tax"),
+    )
+
+    def d38(expr):
+        return F.sum(expr.cast("decimal(38,0)"))
+
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    for name, _ in _CORR_COLS:
+        aggs.append(d38(F.col(name)).alias(f"s_{name}"))
+        aggs.append(d38(F.col(name) * F.col(name)).alias(f"q_{name}_{name}"))
+    for a, b in _CORR_PAIRS:
+        aggs.append(d38(F.col(a) * F.col(b)).alias(f"q_{a}_{b}"))
+    m = s.agg(*aggs)
+
+    c = F.col
+    structs = [
+        F.struct(
+            F.lit(f"{a}_{b}").alias("pair"),
+            (c("n") * c(f"q_{a}_{b}") - c(f"s_{a}") * c(f"s_{b}"))
+            .cast("decimal(38,0)")
+            .alias("num"),
+            (c("n") * c(f"q_{a}_{a}") - c(f"s_{a}") * c(f"s_{a}"))
+            .cast("decimal(38,0)")
+            .alias("dxx"),
+            (c("n") * c(f"q_{b}_{b}") - c(f"s_{b}") * c(f"s_{b}"))
+            .cast("decimal(38,0)")
+            .alias("dyy"),
+        )
+        for a, b in _CORR_PAIRS
+    ]
+    p = m.select(F.explode(F.array(*structs)).alias("x")).select("x.*")
+    return with_corr_ppm(p, out="corr_ppm").select("pair", "num", "corr_ppm")
+
+
+from wheels_in_motion_analytics_spark.registry import REGISTRY as _REGISTRY  # noqa: E402
+
+_REGISTRY["corr_matrix_metrics"].oracle = _corr_matrix_oracle()
