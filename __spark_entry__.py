@@ -98,6 +98,8 @@ _DRIVER_PRIORITY = [
     "join_strategy_hints_suite",
     "corr_matrix_metrics",
     "wau_sliding_distinct_users",
+    "bootstrap_ci_revenue_poisson",
+    "theil_sen_trend_daily",
     # family representatives rotated out of the r4 head + zero-hard-signal
     # families (cluster dedup, k-means/IVF training, bucketed storage,
     # embeddings analytics, sketches, lakehouse layout). column_entropy_mi,
@@ -106,8 +108,6 @@ _DRIVER_PRIORITY = [
     "dedup_events_time_window",
     "dedup_cluster_representatives",
     "kmeans_lloyd_update",
-    "bucketed_join_exchange_free",
-    "embedding_covariance_matrix",
 ]
 
 

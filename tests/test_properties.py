@@ -143,3 +143,24 @@ def test_two_phase_rank_family_matches_global_window(spark, rows, parts, tiles):
     got_ps = {r["i"]: r["w_cum"] for r in global_prefix_sums(df, order, ["w"], partitions=parts).collect()}
     want_ps = {r["i"]: r["w_cum"] for r in df.withColumn("w_cum", F.sum("w").over(wr)).collect()}
     assert got_ps == want_ps
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(2**52), max_value=2**52), min_size=1, max_size=60
+    ),
+    kfrac=st.integers(min_value=0, max_value=100),
+)
+@settings(**SETTINGS)
+def test_global_kth_smallest_matches_sorted_index(spark, vals, kfrac):
+    """Distributed quickselect == sorted()[k-1] for any integer multiset
+    (negative values, duplicates, full 53-bit range) and any valid rank."""
+    from wheels_in_motion_analytics_spark.operators.windows import (
+        global_kth_smallest,
+    )
+
+    k = 1 + (kfrac * (len(vals) - 1)) // 100
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got, n = global_kth_smallest(df, "x", k)
+    assert n == len(vals)
+    assert got == sorted(vals)[k - 1]

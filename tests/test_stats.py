@@ -256,3 +256,32 @@ def test_corr_matrix_matches_exact_python_recompute(spark):
         )
         assert r.corr_ppm == expect, r.pair
         assert abs(r.corr_ppm) <= 10**6
+
+
+def test_theil_sen_matches_direct_pair_median(spark):
+    """Quickselect median slope == the directly-computed lower median of
+    all pairwise scaled slopes (Python recompute on the day series)."""
+    r = SPECS["theil_sen_trend_daily"].fn(spark, SF_SMALL).collect()[0]
+    days = sorted(
+        (
+            (d.day, d.cents)
+            for d in table(spark, SF_SMALL, "orders")
+            .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+            .agg(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+                ).alias("cents")
+            )
+            .collect()
+        )
+    )
+    slopes = []
+    for i in range(len(days)):
+        for jj in range(i + 1, len(days)):
+            dd = (days[jj][0] - days[i][0]).days
+            num = (days[jj][1] - days[i][1]) * 1048576
+            q = abs(num) // dd
+            slopes.append(q if num >= 0 else -q)  # truncation toward zero
+    slopes.sort()
+    assert r.n_pairs == len(slopes)
+    assert r.median_slope_scaled == slopes[(len(slopes) + 1) // 2 - 1]

@@ -1175,3 +1175,159 @@ def corr_matrix_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 from wheels_in_motion_analytics_spark.registry import REGISTRY as _REGISTRY  # noqa: E402
 
 _REGISTRY["corr_matrix_metrics"].oracle = _corr_matrix_oracle()
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap confidence interval — the distributed bootstrap
+# --------------------------------------------------------------------------
+
+BOOTSTRAP_B = 32
+# floor(P(Poisson(1) <= k) * 2^52) for k = 0..5 — exact integer literals so
+# the replica weights are identical arithmetic on both engines; draws past
+# the last threshold weight 6 (P ~ 6e-5).
+_POIS_CDF_52 = [
+    1656781714176974,
+    3313563428353948,
+    4141954285442435,
+    4418084571138597,
+    4487117142562638,
+    4500923656847446,
+]
+_BS_SCALE = 2**52
+
+
+def _bootstrap_oracle() -> str:
+    w_terms = " + ".join(
+        f"CASE WHEN draw52 >= {t} THEN 1 ELSE 0 END" for t in _POIS_CDF_52
+    )
+    return f"""
+WITH o AS (
+  SELECT o_orderkey AS okey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+j AS (
+  SELECT o.okey, o.cents, b.b,
+         ('0x' || substr(md5('bs:' || CAST(o.okey AS VARCHAR) || ':'
+                              || CAST(b.b AS VARCHAR)), 1, 13))::BIGINT AS draw52
+  FROM o CROSS JOIN (SELECT CAST(b AS BIGINT) AS b FROM range(0, {BOOTSTRAP_B}) t(b)) b
+),
+wj AS (SELECT b, cents, {w_terms} AS w FROM j),
+per AS (
+  SELECT b, CAST(SUM(w) AS BIGINT) AS n_b,
+         CAST(SUM(CAST(w AS BIGINT) * cents) AS BIGINT) AS s_b
+  FROM wj GROUP BY b
+),
+means AS (
+  SELECT b, CAST((CAST(s_b AS HUGEINT) * 10000) // n_b AS BIGINT) AS mean_scaled
+  FROM per
+),
+ranked AS (
+  SELECT mean_scaled,
+         ROW_NUMBER() OVER (ORDER BY mean_scaled, b) AS r
+  FROM means
+),
+ci AS (
+  SELECT MAX(CASE WHEN r = 2 THEN mean_scaled END) AS ci_lo_scaled,
+         MAX(CASE WHEN r = {BOOTSTRAP_B - 1} THEN mean_scaled END) AS ci_hi_scaled
+  FROM ranked
+),
+pt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST((CAST(SUM(cents) AS HUGEINT) * 10000) // COUNT(*) AS BIGINT)
+           AS point_scaled
+  FROM o
+)
+SELECT pt.n_orders, pt.point_scaled, ci.ci_lo_scaled, ci.ci_hi_scaled,
+       CAST({BOOTSTRAP_B} AS BIGINT) AS n_replicas,
+       ci.ci_lo_scaled <= pt.point_scaled
+         AND pt.point_scaled <= ci.ci_hi_scaled AS ci_contains_point
+FROM pt CROSS JOIN ci
+"""
+
+
+@register(
+    "bootstrap_ci_revenue_poisson",
+    category="stats",
+    doc=f"Poisson bootstrap (the distributed bootstrap: every row draws an "
+    f"independent Poisson(1) replication weight per replica — no global "
+    f"resample pass, one linear scan per batch of replicas) over mean "
+    f"order value, B={BOOTSTRAP_B} replicas in ONE map-side-combinable "
+    "aggregate. FULLY EXACT: weights come from 52-bit md5 draws compared "
+    "against frozen integer CDF thresholds, replica means are scaled "
+    "integer floor-divisions, and the CI bounds are order statistics "
+    "(ranks 2 and B-1 ~ a 94% interval) over the B-row mean relation — "
+    "no floats anywhere. SCALE SHAPE: the replica fan-out is a broadcast "
+    "crossJoin of a B-row relation (B*rows partial-agg pairs, map-side "
+    "combined to B groups); the window runs on B rows.",
+    oracle=None,  # built below
+)
+def bootstrap_ci_revenue_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.functions.similarity import hash_hex
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    rep = spark.range(BOOTSTRAP_B).select(F.col("id").alias("b"))
+    # the B-fold fan-out multiplies md5 work; spread the base relation
+    # across the cluster BEFORE the fan-out or a single small input split
+    # serializes B*rows hash computations onto one task
+    fan = o.repartition(spark.sparkContext.defaultParallelism)
+    j = fan.crossJoin(F.broadcast(rep)).withColumn(
+        "draw52",
+        hash_hex(
+            F.concat(
+                F.lit("bs:"),
+                F.col("okey").cast("string"),
+                F.lit(":"),
+                F.col("b").cast("string"),
+            ),
+            13,
+        ),
+    )
+    w = None
+    for t in _POIS_CDF_52:
+        term = (F.col("draw52") >= F.lit(t)).cast("int")
+        w = term if w is None else w + term
+    per = j.withColumn("w", w).groupBy("b").agg(
+        F.sum("w").cast("bigint").alias("n_b"),
+        F.sum(F.col("w").cast("bigint") * F.col("cents")).cast("bigint").alias("s_b"),
+    )
+    means = per.select(
+        "b", F.expr("CAST((s_b * CAST(10000 AS BIGINT)) DIV n_b AS BIGINT)").alias("mean_scaled")
+    )
+    ranked = means.select(
+        "mean_scaled",
+        F.row_number()
+        .over(Window.orderBy("mean_scaled", "b"))
+        .alias("r"),
+    )
+    ci = ranked.agg(
+        F.max(F.when(F.col("r") == 2, F.col("mean_scaled"))).alias("ci_lo_scaled"),
+        F.max(
+            F.when(F.col("r") == BOOTSTRAP_B - 1, F.col("mean_scaled"))
+        ).alias("ci_hi_scaled"),
+    )
+    pt = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.expr(
+            "CAST((CAST(SUM(cents) AS DECIMAL(38,0)) * 10000) DIV COUNT(*) AS BIGINT)"
+        ).alias("point_scaled"),
+    )
+    return pt.crossJoin(ci).select(
+        "n_orders",
+        "point_scaled",
+        "ci_lo_scaled",
+        "ci_hi_scaled",
+        F.lit(BOOTSTRAP_B).cast("bigint").alias("n_replicas"),
+        (
+            (F.col("ci_lo_scaled") <= F.col("point_scaled"))
+            & (F.col("point_scaled") <= F.col("ci_hi_scaled"))
+        ).alias("ci_contains_point"),
+    )
+
+
+_REGISTRY["bootstrap_ci_revenue_poisson"].oracle = _bootstrap_oracle()

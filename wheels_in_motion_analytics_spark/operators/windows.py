@@ -701,3 +701,66 @@ def group_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"p{k * 25}_cents_x4")
         )
     return c.groupBy("grp", "n").agg(*aggs)
+
+
+def global_kth_smallest(df: DataFrame, col: str, rank) -> tuple[int, int]:
+    """EXACT order-statistic selection of an integral column by distributed
+    quickselect — the selection complement of :func:`global_row_number`
+    when only ONE order statistic is needed (a full two-phase rank pays
+    range-sampling + checkpoint + offset machinery for ranks that are
+    thrown away).
+
+    ``rank`` is the 1-based target rank, either an int or a callable
+    ``n -> rank`` resolved against the relation size (so "lower median" =
+    ``lambda n: (n + 1) // 2`` costs no extra counting pass — the size
+    falls out of the first histogram). Returns ``(value, n_rows)``.
+
+    Histogram narrowing: each round splits the live value range into
+    <= 65536 equal integer buckets, one map-side-combinable groupBy
+    counts them (driver collect bounded by 65537 rows), and the search
+    descends into the bucket containing the target rank. The range
+    shrinks by 2^16 per round, so <= 4 rounds resolve any 64-bit range —
+    every pass is a filter + partial-agg over a localCheckpoint'd
+    relation, no sort anywhere, driver state bounded by the bucket
+    count."""
+    src = df.select(F.col(col).alias("v")).localCheckpoint()
+    mm = src.agg(F.min("v").alias("mn"), F.max("v").alias("mx")).collect()[0]
+    lo, hi = mm.mn, mm.mx
+    if lo is None:
+        raise ValueError("k-th smallest of an empty relation")
+    kk = None
+    n_total = None
+    # ONE checkpoint, ONE job per round: the narrowed bounds are known
+    # exactly from the chosen bucket (no re-min/max, no re-checkpoint —
+    # each round is a filtered partial-agg scan of the same checkpoint;
+    # per-job fixed cost dominates small rounds, so fewer jobs wins)
+    for _ in range(6):
+        width = (hi - lo) // 65536 + 1
+        # integer DIV, not float-divide-then-cast (one-off-the-floor hazard
+        # on large magnitudes — NOTES.md round-3)
+        hist = (
+            src.where((F.col("v") >= lo) & (F.col("v") <= hi))
+            .groupBy(F.expr(f"CAST((v - {lo}) DIV {width} AS BIGINT)").alias("b"))
+            .count()
+            .collect()
+        )
+        if n_total is None:
+            n_total = sum(r["count"] for r in hist)
+            kk = rank(n_total) if callable(rank) else rank
+            if not 1 <= kk <= n_total:
+                raise ValueError(f"rank {kk} outside 1..{n_total}")
+        if lo == hi:
+            return lo, n_total
+        acc = 0
+        g = None
+        for row in sorted(hist, key=lambda r: r.b):
+            if acc + row["count"] >= kk:
+                g = row.b
+                kk -= acc
+                break
+            acc += row["count"]
+        assert g is not None
+        if width == 1:
+            return lo + g, n_total
+        lo, hi = lo + g * width, min(hi, lo + g * width + width - 1)
+    raise AssertionError("quickselect failed to converge in 6 rounds")
