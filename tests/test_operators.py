@@ -494,3 +494,35 @@ def test_skyline_matches_bruteforce_dominance(spark):
         )
     }
     assert got == want and got
+
+
+def test_asof_forward_tolerance_semantics(spark):
+    """Every view row: next_purchase_ts is the MIN same-user purchase ts in
+    [ts, ts+2h], or NULL when none exists (direct recompute)."""
+    import datetime
+
+    from tests.conftest import SF_SMALL
+    from wheels_in_motion_analytics_spark.registry import load_all_queries
+    from wheels_in_motion_analytics_spark.tables import table as _table
+
+    rows = (
+        load_all_queries()["asof_join_forward_tolerance"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    )
+    ev = _table(spark, SF_SMALL, "events").select("event_type", "user_id", "ts").collect()
+    purchases: dict[int, list] = {}
+    for e in ev:
+        if e.event_type == "purchase":
+            purchases.setdefault(e.user_id, []).append(e.ts)
+    n_views = sum(1 for e in ev if e.event_type == "view")
+    assert len(rows) == n_views
+    for r in rows[:500]:
+        cands = [
+            t
+            for t in purchases.get(r.user_id, [])
+            if r.ts <= t <= r.ts + datetime.timedelta(hours=2)
+        ]
+        expect = min(cands) if cands else None
+        assert r.next_purchase_ts == expect, (r.event_id, expect)
+        assert r.converted_2h == (expect is not None)

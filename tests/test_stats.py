@@ -285,3 +285,42 @@ def test_theil_sen_matches_direct_pair_median(spark):
     slopes.sort()
     assert r.n_pairs == len(slopes)
     assert r.median_slope_scaled == slopes[(len(slopes) + 1) // 2 - 1]
+
+
+def test_mann_kendall_matches_direct_recompute(spark):
+    """S, ties-corrected 18*Var(S), tau_ppm and the 5% verdict recomputed
+    directly from the day series with Python bignums."""
+    r = SPECS["mann_kendall_trend"].fn(spark, SF_SMALL).collect()[0]
+    cents = [
+        d.cents
+        for d in table(spark, SF_SMALL, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents")
+        )
+        .orderBy("day")
+        .collect()
+    ]
+    n = len(cents)
+    s = sum(
+        (1 if cents[j] > cents[i] else -1 if cents[j] < cents[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    ties = Counter(cents)
+    tie18 = sum(c * (c - 1) * (2 * c + 5) for c in ties.values())
+    var18 = n * (n - 1) * (2 * n + 5) - tie18
+    assert r.n_days == n and r.s_stat == s and r.var18 == var18
+    d_pairs = n * (n - 1) // 2
+    t_pairs = sum(c * (c - 1) for c in ties.values()) // 2
+    a, b = math.isqrt(d_pairs), math.isqrt(d_pairs - t_pairs)
+    expect_tau = (1 if s >= 0 else -1) * (
+        (2 * abs(s) * 10**6 + a * b) // (2 * a * b)
+    )
+    assert r.tau_ppm == expect_tau
+    expect_sig = abs(s) > 1 and (abs(s) - 1) ** 2 * 1800000000 > 384160000 * var18
+    assert r.trend_significant == expect_sig

@@ -393,3 +393,69 @@ def join_strategy_hints_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in ("merge", "shuffle_hash"):
         out = out.unionByName(rollup(s))
     return out
+
+
+@register(
+    "asof_join_forward_tolerance",
+    category="joins",
+    doc="FORWARD as-of join with tolerance: for each view event, the "
+    "earliest same-user purchase at-or-after it, but only within 2 hours "
+    "— the conversion-attribution shape (pandas merge_asof "
+    "direction='forward', tolerance=2h). Same union+single-window "
+    "strategy as the backward asof_join (one shuffle on the key, no "
+    "range explosion): sides ordered so an equal-timestamp purchase "
+    "sorts AFTER the view (>= semantics), first(purchase_ts, "
+    "ignorenulls) over the [current, unbounded following] frame, then "
+    "the tolerance nulls matches beyond the horizon. Oracle states the "
+    "same semantics as a MIN over an inequality join.",
+    oracle="""
+WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT v.event_id, v.user_id, v.ts,
+       MIN(p.ts) AS next_purchase_ts,
+       MIN(p.ts) IS NOT NULL AS converted_2h
+FROM v LEFT JOIN p
+  ON p.user_id = v.user_id
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 2 HOUR
+GROUP BY v.event_id, v.user_id, v.ts
+""",
+)
+def asof_join_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    views = events.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", F.lit(0).alias("__side")
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(1).alias("__side"),
+    )
+    merged = views.unionByName(purchases)
+    # equal timestamps: purchase (side 1) sorts after the view (side 0), so
+    # the [current, following] frame includes it — ">=" semantics
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    nxt = merged.withColumn(
+        "next_any",
+        F.first(
+            F.when(F.col("__side") == 1, F.col("ts")), ignorenulls=True
+        ).over(w),
+    )
+    return (
+        nxt.where(F.col("__side") == 0)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(
+                F.col("next_any") <= F.col("ts") + F.expr("INTERVAL 2 HOURS"),
+                F.col("next_any"),
+            ).alias("next_purchase_ts"),
+        )
+        .withColumn("converted_2h", F.col("next_purchase_ts").isNotNull())
+    )

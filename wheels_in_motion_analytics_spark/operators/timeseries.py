@@ -1301,3 +1301,134 @@ def theil_sen_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n_pairs, median)], "n_pairs bigint, median_slope_scaled bigint"
     )
+
+
+@register(
+    "mann_kendall_trend",
+    category="timeseries",
+    doc="Mann–Kendall trend test over total daily revenue — the "
+    "non-parametric companion to theil_sen_trend_daily, on the same "
+    "calendar-bounded pair relation. S = sum of sign(x_j - x_i) over "
+    "ordered day pairs (exact integer), ties-corrected variance emitted "
+    "as the exact integer 18*Var(S) = n(n-1)(2n+5) - sum t(t-1)(2t+5), "
+    "Kendall's tau_b in ppm through the shared corrected-isqrt path "
+    "(num=S, dxx=D, dyy=D-T with D = n(n-1)/2 pairs and T = tie pairs — "
+    "time has no ties), and the 5%-level verdict by pure integer "
+    "cross-multiplication of the continuity-corrected z: "
+    "(|S|-1)^2 * 18 * 10^8 > 1.96^2*10^8 * var18 — no sqrt, no float, "
+    "identical on any engine.",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+s AS (
+  SELECT CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                       WHEN b.cents < a.cents THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+  FROM d a JOIN d b ON b.day > a.day
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM d),
+t AS (
+  SELECT CAST(COALESCE(SUM(c * (c - 1) * (2 * c + 5)), 0) AS BIGINT) AS tie18,
+         CAST(COALESCE(SUM(c * (c - 1)), 0) AS BIGINT) // 2 AS tie_pairs
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY cents) g
+),
+m AS (
+  SELECT n.n_days, s.s_stat,
+         n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - t.tie18 AS var18,
+         s.s_stat AS num,
+         n.n_days * (n.n_days - 1) // 2 AS dxx,
+         n.n_days * (n.n_days - 1) // 2 - t.tie_pairs AS dyy
+  FROM n CROSS JOIN s CROSS JOIN t
+)
+SELECT n_days, s_stat, CAST(var18 AS BIGINT) AS var18,
+       {{CORR}} AS tau_ppm,
+       CASE WHEN abs(s_stat) <= 1 THEN FALSE
+            ELSE CAST((abs(s_stat) - 1) AS HUGEINT) * (abs(s_stat) - 1) * 1800000000
+                 > CAST(384160000 AS HUGEINT) * var18 END AS trend_significant
+FROM m
+""",
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.functions.stats import with_corr_ppm
+
+    d = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents")
+        )
+        .localCheckpoint()  # reused: pairs, tie groups, day count
+    )
+    a = d.select(F.col("day").alias("da"), F.col("cents").alias("ca"))
+    b = d.select(F.col("day").alias("db"), F.col("cents").alias("cb"))
+    s = (
+        a.crossJoin(b)
+        .where(F.col("db") > F.col("da"))
+        .agg(
+            F.sum(
+                F.when(F.col("cb") > F.col("ca"), 1)
+                .when(F.col("cb") < F.col("ca"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    t = (
+        d.groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("tie18"),
+            F.expr(
+                "CAST(COALESCE(SUM(c * (c - 1)), 0) DIV 2 AS BIGINT)"
+            ).alias("tie_pairs"),
+        )
+    )
+    c = F.col
+    m = (
+        n.crossJoin(s)
+        .crossJoin(t)
+        .select(
+            "n_days",
+            "s_stat",
+            (
+                c("n_days") * (c("n_days") - 1) * (2 * c("n_days") + 5) - c("tie18")
+            )
+            .cast("bigint")
+            .alias("var18"),
+            c("s_stat").cast("decimal(38,0)").alias("num"),
+            F.expr(
+                "CAST((n_days * (n_days - 1)) DIV 2 AS DECIMAL(38,0))"
+            ).alias("dxx"),
+            F.expr(
+                "CAST((n_days * (n_days - 1)) DIV 2 - tie_pairs AS DECIMAL(38,0))"
+            ).alias("dyy"),
+        )
+    )
+    out = with_corr_ppm(m, out="tau_ppm")
+    sig = F.when(F.abs(c("s_stat")) <= 1, F.lit(False)).otherwise(
+        (F.abs(c("s_stat")) - 1).cast("decimal(38,0)")
+        * (F.abs(c("s_stat")) - 1).cast("decimal(38,0)")
+        * F.lit(1800000000).cast("decimal(38,0)")
+        > F.lit(384160000).cast("decimal(38,0)") * c("var18").cast("decimal(38,0)")
+    )
+    return out.select(
+        "n_days", "s_stat", "var18", "tau_ppm", sig.alias("trend_significant")
+    )
+
+
+# the Mann–Kendall oracle's tau column shares the corrected-isqrt fragment
+from wheels_in_motion_analytics_spark.functions.stats import corr_ppm_sql as _corr_sql  # noqa: E402
+
+_REGISTRY["mann_kendall_trend"].oracle = _REGISTRY["mann_kendall_trend"].oracle.replace(
+    "{CORR}", _corr_sql("num", "dxx", "dyy")
+)
