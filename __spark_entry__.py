@@ -102,12 +102,13 @@ _DRIVER_PRIORITY = [
     "theil_sen_trend_daily",
     "mann_kendall_trend",
     "asof_join_forward_tolerance",
+    "inventory_balance_clamped",
     # family representatives rotated out of the r4 head + zero-hard-signal
     # families (cluster dedup, k-means/IVF training, bucketed storage,
     # embeddings analytics, sketches, lakehouse layout). column_entropy_mi,
     # temporal_point_in_time_join, csv_roundtrip_agg,
-    # multimodal_frame_digest, lm_bigram_perplexity queue for r6.
-    "dedup_events_time_window",
+    # multimodal_frame_digest, lm_bigram_perplexity, dedup_events_time_window
+    # queue for r6.
 ]
 
 

@@ -526,3 +526,25 @@ def test_asof_forward_tolerance_semantics(spark):
         expect = min(cands) if cands else None
         assert r.next_purchase_ts == expect, (r.event_id, expect)
         assert r.converted_2h == (expect is not None)
+
+
+def test_clamped_balance_identity_matches_sequential_scan(spark):
+    """The prefix - min(0, running-min) closed form must equal the direct
+    sequential recurrence b_t = max(b_{t-1} + x_t, 0) for every part."""
+    from tests.conftest import SF_SMALL
+    from wheels_in_motion_analytics_spark.registry import load_all_queries
+
+    rows = (
+        load_all_queries()["inventory_balance_clamped"].fn(spark, SF_SMALL).collect()
+    )
+    by_part: dict[int, list] = {}
+    for r in rows:
+        by_part.setdefault(r.part, []).append(r)
+    assert by_part
+    for part, rs in by_part.items():
+        rs.sort(key=lambda r: r.day)
+        b = 0
+        for r in rs:
+            b = max(b + r.net, 0)
+            assert r.balance == b, (part, r.day)
+            assert r.balance >= 0

@@ -764,3 +764,98 @@ def global_kth_smallest(df: DataFrame, col: str, rank) -> tuple[int, int]:
             return lo + g, n_total
         lo, hi = lo + g * width, min(hi, lo + g * width + width - 1)
     raise AssertionError("quickselect failed to converge in 6 rounds")
+
+
+@register(
+    "inventory_balance_clamped",
+    category="windows",
+    doc="Floor-clamped running balance — the classic 'impossible cumsum': "
+    "b_t = max(b_{t-1} + x_t, 0) looks inherently sequential (each step "
+    "depends on the clamped previous), but for a zero floor it has the "
+    "closed form b_t = prefix_t - least(0, min_{s<=t} prefix_s), which is "
+    "TWO ordinary windows over the same key partition (prefix sum + "
+    "running min) — fully parallel across parts, exact integers, no "
+    "recursion/UDF/iteration. Modeled as a per-part backorder ledger: "
+    "demand reserved at order date (-qty), replenished at ship date "
+    "(+qty) — orders precede shipments, so the raw prefix dips negative "
+    "and the clamp engages constantly: the identity is genuinely "
+    "exercised, clamp engagement emitted per day. Output restricted to a 1% part "
+    "sample to bound the relation; the per-part window is bounded by "
+    "line count per part.",
+    oracle="""
+WITH li AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_shipdate, o.o_orderdate
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_partkey % 100 = 7
+),
+f AS (
+  SELECT l_partkey AS part, CAST(o_orderdate AS DATE) AS day,
+         -CAST(l_quantity AS BIGINT) AS flow
+  FROM li
+  UNION ALL
+  SELECT l_partkey, CAST(l_shipdate AS DATE), CAST(l_quantity AS BIGINT)
+  FROM li
+),
+d AS (SELECT part, day, CAST(SUM(flow) AS BIGINT) AS net FROM f GROUP BY 1, 2),
+w1 AS (
+  SELECT part, day, net, CAST(SUM(net) OVER pw AS BIGINT) AS pfx
+  FROM d
+  WINDOW pw AS (PARTITION BY part ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+w AS (
+  SELECT part, day, net, pfx, CAST(MIN(pfx) OVER pw2 AS BIGINT) AS runmin
+  FROM w1
+  WINDOW pw2 AS (PARTITION BY part ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT part, day, net,
+       pfx - least(CAST(0 AS BIGINT), runmin) AS balance,
+       pfx < least(CAST(0 AS BIGINT), runmin) IS FALSE
+         AND pfx <> pfx - least(CAST(0 AS BIGINT), runmin) AS clamped
+FROM w
+""",
+)
+def inventory_balance_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.pmod(F.col("l_partkey"), F.lit(100)) == 7)
+        .join(
+            table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_partkey", "l_quantity", "l_shipdate", "o_orderdate")
+    )
+    ship = li.select(
+        F.col("l_partkey").alias("part"),
+        F.col("o_orderdate").cast("date").alias("day"),
+        (-F.col("l_quantity").cast("bigint")).alias("flow"),
+    )
+    recv = li.select(
+        F.col("l_partkey").alias("part"),
+        F.col("l_shipdate").cast("date").alias("day"),
+        F.col("l_quantity").cast("bigint").alias("flow"),
+    )
+    d = (
+        ship.unionByName(recv)
+        .groupBy("part", "day")
+        .agg(F.sum("flow").cast("bigint").alias("net"))
+    )
+    pw = (
+        Window.partitionBy("part")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w = d.withColumn("pfx", F.sum("net").over(pw).cast("bigint")).withColumn(
+        "runmin", F.min(F.col("pfx")).over(pw).cast("bigint")
+    )
+    floor0 = F.least(F.lit(0).cast("bigint"), F.col("runmin"))
+    return w.select(
+        "part",
+        "day",
+        "net",
+        (F.col("pfx") - floor0).alias("balance"),
+        (
+            ~(F.col("pfx") < floor0) & (F.col("pfx") != F.col("pfx") - floor0)
+        ).alias("clamped"),
+    )
