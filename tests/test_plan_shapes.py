@@ -617,3 +617,32 @@ def test_join_strategy_hints_pin_physical_strategies(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" in plan
     assert "ShuffledHashJoin" in plan
+
+
+def test_acf_lag_relation_broadcasts(spark):
+    """The 7-row lag relation must broadcast (BroadcastNestedLoopJoin for
+    the fan-out crossJoin); the day-grain aggregate must keep partial+final
+    hash aggregation (map-side combine before any exchange)."""
+    plan = plan_of(spark, "acf_daily_revenue")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "partial_" in plan
+
+
+def test_metadata_audit_prunes_partitions(spark):
+    """The _metadata audit must reach the scan with PartitionFilters on
+    ship_month (3 of ~83 dirs), not read-everything-and-filter."""
+    plan = plan_of(spark, "metadata_file_columns_audit")
+    assert "PartitionFilters" in plan.replace("PartitionFilters:", "PartitionFilters")
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "ship_month" in m.group(1), plan[:1500]
+
+
+def test_bootstrap_fanout_repartitions_before_hash_work(spark):
+    """The B-fold replica fan-out must sit above a round-robin exchange of
+    the base relation — a single small input split must not serialize
+    B*rows of md5 work onto one task."""
+    plan = plan_of(spark, "bootstrap_ci_revenue_poisson")
+    assert "Exchange RoundRobinPartitioning" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 32-row replica relation
