@@ -57,6 +57,15 @@ PICKS += [
     ("semdedup_cluster_prune", "broadcast centroid assign -> within-cell hash self-join -> norm join-back; never corpus all-pairs"),
 ]
 # session-6 headliners
+# round-5 headliners
+PICKS += [
+    ("spearman_rank_correlation", "two-phase ranks; quantity ranks broadcast, one price-rank shuffle join; corrected-isqrt rho_ppm in-plan"),
+    ("acf_daily_revenue", "day-grain partial+final agg -> 7-row broadcast lag fan-out -> one bounded join; exact decimal moments"),
+    ("bootstrap_ci_revenue_poisson", "round-robin exchange BEFORE the 32x replica fan-out; B-group partial agg; 32-row window"),
+    ("wau_sliding_distinct_users", "distinct user-days -> per-user island windows -> +-1 deltas -> two-phase prefix sum over the day axis"),
+    ("inventory_balance_clamped", "clamped cumsum closed form: one part Exchange serves prefix-sum AND running-min windows"),
+    ("join_strategy_hints_suite", "same join under BROADCAST / MERGE / SHUFFLE_HASH hints - three physical strategies in one plan"),
+]
 PICKS += [
     ("dpp_join_pruned_revenue", "dynamicpruningexpression in PartitionFilters — runtime dim prunes the fact scan"),
     ("bpe_train_symbol_freqs", "BPE round over the vocab relation: explode pairs -> partial+final agg"),
