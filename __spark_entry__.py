@@ -92,7 +92,8 @@ _DRIVER_PRIORITY = [
     "cuped_adjusted_lift",
     # round-5 additions (never verified, added this session)
     "acf_daily_revenue",
-    "cusum_changepoint_daily",
+    # (cusum_changepoint_daily queues for r6 — three trend/changepoint
+    # siblings in one head is over-representation)
     "metadata_file_columns_audit",
     "versioned_schema_evolution",
     "join_strategy_hints_suite",
@@ -103,6 +104,7 @@ _DRIVER_PRIORITY = [
     "mann_kendall_trend",
     "asof_join_forward_tolerance",
     "inventory_balance_clamped",
+    "versioned_optimize_zorder",
     # family representatives rotated out of the r4 head + zero-hard-signal
     # families (cluster dedup, k-means/IVF training, bucketed storage,
     # embeddings analytics, sketches, lakehouse layout). column_entropy_mi,

@@ -1232,3 +1232,102 @@ def versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+def compact_zorder(
+    spark: SparkSession, root: str, a_col: str, b_col: str, target_files: int = 8
+) -> int:
+    """OPTIMIZE ZORDER BY (a, b) for the versioned table: rewrite the
+    latest version's content clustered along the 2-D Morton curve
+    (functions/layout.py:zorder_layout — min-max scale to 16 bits,
+    range-partition by the interleave, sort within files) and commit as a
+    new overwrite version. Logical content untouched; prior versions stay
+    time-travelable. One stats pass + one shuffle — the same cost shape
+    as Delta's OPTIMIZE ZORDER."""
+    from wheels_in_motion_analytics_spark.functions.layout import zorder_layout
+
+    v = current_version(root)
+    data = read_version(spark, root, v)
+    clustered = zorder_layout(data, a_col, b_col, target_files)
+    return commit(clustered, root, mode="overwrite", expected_version=v)
+
+
+@register(
+    "versioned_optimize_zorder",
+    category="cdc",
+    doc="OPTIMIZE ZORDER over the versioned table: v1 lands orders "
+    "round-robin across 8 files (every file spans the full key range — "
+    "zero skipping), v2 = compact_zorder on (custkey, price cents). The "
+    "audit reads per-file custkey min/max zone maps THROUGH the hidden "
+    "_metadata.file_name column on both versions and counts files a "
+    "25%-of-keyspace custkey range predicate must open: the z-ordered "
+    "layout must open strictly fewer (audited verdict — a clustering "
+    "regression hash-fails). Content preservation is verified by exact "
+    "count/cents/custkey totals v1 vs v2 (verdict), and the emitted "
+    "rollup is the ordinary per-status relation the oracle reproduces.",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       TRUE AS zorder_prunes_better,
+       TRUE AS content_preserved
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def versioned_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    root = tempfile.mkdtemp(prefix="versioned_zorder_")
+    commit(orders.repartition(8), root, mode="overwrite")
+    compact_zorder(spark, root, "o_custkey", "o_totalprice", target_files=8)
+
+    def stats(version: int):
+        df = read_version(spark, root, version)
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents"),
+            F.sum("o_custkey").alias("ck"),
+            F.min("o_custkey").alias("ckmin"),
+            F.max("o_custkey").alias("ckmax"),
+        ).collect()[0]
+
+    s1, s2 = stats(1), stats(2)
+    content_preserved = (s1.n, s1.cents, s1.ck) == (s2.n, s2.cents, s2.ck)
+    lo = s1.ckmin
+    hi = s1.ckmin + (s1.ckmax - s1.ckmin) // 4  # 25% of the keyspace
+
+    def files_opened(version: int) -> int:
+        zone = (
+            read_version(spark, root, version)
+            .select(F.col("_metadata.file_name").alias("f"), "o_custkey")
+            .groupBy("f")
+            .agg(F.min("o_custkey").alias("mn"), F.max("o_custkey").alias("mx"))
+        )
+        return zone.where(~((F.col("mx") < lo) | (F.col("mn") > hi))).count()
+
+    before, after = files_opened(1), files_opened(2)
+    out = (
+        read_version(spark, root, 2)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("total_cents"),
+            F.lit(after < before).alias("zorder_prunes_better"),
+            F.lit(bool(content_preserved)).alias("content_preserved"),
+        )
+        .localCheckpoint()
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
