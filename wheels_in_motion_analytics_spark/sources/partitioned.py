@@ -315,3 +315,90 @@ def metadata_file_columns_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("row_index_contiguous"),
         F.count(F.lit(1)).between(1, 64).alias("n_files_bounded"),
     )
+
+
+@register(
+    "sorted_lake_export_audit",
+    category="sources",
+    doc="Globally-sorted lake export: orders written as 8 range-partitioned "
+    "files sorted within each (repartitionByRange + sortWithinPartitions — "
+    "the explicit form of ORDER-BY-write's RangePartitioning exchange, no "
+    "single-task sort anywhere), the layout downstream consumers binary-"
+    "search / merge-read at 100 TB. The audit reads the files back through "
+    "_metadata.file_name and proves TOTAL ORDER across file boundaries: "
+    "per-file [min,max] of the combined sort key (epoch-day * 2^32 + "
+    "orderkey — unique while orderkey < 2^32, i.e. far past sf1) are "
+    "STRICTLY non-overlapping in file-range order (audited verdict: a "
+    "layout regression hash-fails), plus exact content preservation. The "
+    "oracle reproduces the per-status rollup and asserts the verdicts.",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       TRUE AS files_strictly_ordered,
+       TRUE AS content_preserved
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def sorted_lake_export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    key = (
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        * F.lit(2**32).cast("bigint")
+        + F.col("o_orderkey")
+    ).alias("__k")
+    out_dir = tempfile.mkdtemp(prefix="sorted_export_")
+    (
+        orders.withColumn("__k", key)
+        .repartitionByRange(8, "__k")
+        .sortWithinPartitions("__k")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    back = spark.read.parquet(out_dir)
+    zones = (
+        back.groupBy(F.col("_metadata.file_name").alias("f"))
+        .agg(F.min("__k").alias("mn"), F.max("__k").alias("mx"))
+        .orderBy("mn")
+        .collect()  # bounded: one row per output file
+    )
+    strictly_ordered = all(
+        zones[i].mx < zones[i + 1].mn for i in range(len(zones) - 1)
+    ) and len(zones) > 1
+    src_tot = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")).alias(
+            "cents"
+        ),
+    ).collect()[0]
+    back_tot = back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")).alias(
+            "cents"
+        ),
+    ).collect()[0]
+    preserved = (src_tot.n, src_tot.cents) == (back_tot.n, back_tot.cents)
+    out = (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("total_cents"),
+            F.lit(bool(strictly_ordered)).alias("files_strictly_ordered"),
+            F.lit(bool(preserved)).alias("content_preserved"),
+        )
+        .localCheckpoint()
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out
