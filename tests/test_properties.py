@@ -164,3 +164,36 @@ def test_global_kth_smallest_matches_sorted_index(spark, vals, kfrac):
     got, n = global_kth_smallest(df, "x", k)
     assert n == len(vals)
     assert got == sorted(vals)[k - 1]
+
+
+@given(
+    ppm=st.integers(min_value=-2_000_000, max_value=2_000_000),
+    dxx=st.integers(min_value=1, max_value=10**26),
+    dyy=st.integers(min_value=1, max_value=10**26),
+)
+@settings(**SETTINGS)
+def test_with_corr_ppm_matches_python_isqrt(spark, ppm, dxx, dyy):
+    """The in-plan corrected floor-isqrt ppm must equal math.isqrt-based
+    exact arithmetic for arbitrary moment magnitudes up to ~1e26 (the
+    sf1 envelope). num is drawn within 2x the Cauchy-Schwarz envelope
+    (|num| <= 2*sqrt(dxx*dyy)) — the helper's BIGINT output column only
+    holds in-contract ratios; wildly larger num would overflow int64 by
+    construction (callers always satisfy Cauchy-Schwarz)."""
+    import math
+
+    from wheels_in_motion_analytics_spark.functions.stats import with_corr_ppm
+
+    num = ppm * math.isqrt(dxx * dyy) // 10**6
+    df = spark.createDataFrame(
+        [(str(num), str(dxx), str(dyy))], "num string, dxx string, dyy string"
+    ).select(
+        F.col("num").cast("decimal(38,0)").alias("num"),
+        F.col("dxx").cast("decimal(38,0)").alias("dxx"),
+        F.col("dyy").cast("decimal(38,0)").alias("dyy"),
+    )
+    got = with_corr_ppm(df).collect()[0].rho_ppm
+    a, b = math.isqrt(dxx), math.isqrt(dyy)
+    expect = (1 if num >= 0 else -1) * (
+        (2 * abs(num) * 10**6 + a * b) // (2 * a * b)
+    )
+    assert got == expect
