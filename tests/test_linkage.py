@@ -73,3 +73,80 @@ def test_rrf_rank_lists_are_heap_topk(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # both input lists and the final fusion use heap top-k, never a global sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_line_dedup_untouched_docs_roundtrip_and_removal_consistency(spark):
+    """Reassembly must be lossless where nothing was removed, and the
+    removal accounting must reconcile with the text for every doc:
+    clean word count == (n_segs' kept segments) expanded back to words."""
+    out = SPECS["dedup_lines_crossdoc"].fn(spark, SF_SMALL)
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    joined = out.join(docs, "doc_id").collect()
+    assert joined, "corpus must not be empty"
+    n_removed_total = 0
+    for r in joined:
+        words = r.text.split(" ")
+        n_segs_expect = (len(words) + linkage.SEG_W - 1) // linkage.SEG_W
+        assert r.n_segs == n_segs_expect
+        if r.removed_segs == 0:
+            assert r.clean_text == r.text  # lossless order-preserving rebuild
+        else:
+            # every kept segment must appear in the original, in order
+            assert r.clean_text == "" or all(
+                seg in r.text for seg in _segments(r.clean_text)
+            )
+        n_removed_total += r.removed_segs
+    assert n_removed_total > 0, "threshold should remove real boilerplate"
+
+
+def _segments(clean_text: str) -> list[str]:
+    words = clean_text.split(" ")
+    w = linkage.SEG_W
+    return [" ".join(words[i : i + w]) for i in range(0, len(words), w)]
+
+
+def test_scaled_line_dedup_replica_consistency_and_marker_removal(spark):
+    """Replicas sharing the same (original doc, variant) have identical
+    text, so their rewrites must agree exactly; and the expansion's
+    'variant marker' suffixes are corpus-wide boilerplate that the scaled
+    threshold must strip from at least some docs."""
+    from wheels_in_motion_analytics_spark.functions import corpus_scale
+
+    out = SPECS["scaled_dedup_lines_crossdoc"].fn(spark, SF_SMALL)
+    rows = out.collect()
+    assert len(rows) == 500 * corpus_scale.CORPUS_FACTOR
+    by_group: dict[tuple, set] = {}
+    removed_total = 0
+    for r in rows:
+        orig = r.doc_id // corpus_scale.CORPUS_FACTOR
+        variant = (r.doc_id % corpus_scale.CORPUS_FACTOR) % corpus_scale.VARIANTS
+        by_group.setdefault((orig, variant), set()).add(
+            (r.n_segs, r.removed_segs, r.clean_n_chars, r.clean_fp)
+        )
+        removed_total += r.removed_segs
+    assert all(len(v) == 1 for v in by_group.values())
+    assert removed_total > 0
+
+
+def test_canonicalize_is_fixpoint_and_argmax_support(spark):
+    """Every canonical is itself mapped to itself; cluster_size matches the
+    actual member count; and no member beats its canonical under the
+    (support DESC, name ASC) selection rule."""
+    rows = SPECS["record_linkage_canonicalize"].fn(spark, SF_SMALL).collect()
+    assert rows
+    by_name = {r.name: r for r in rows}
+    assert len(by_name) == len(rows), "one row per dictionary name"
+    clusters: dict[str, list] = {}
+    for r in rows:
+        clusters.setdefault(r.canonical_name, []).append(r)
+    assert any(len(m) > 1 for m in clusters.values()), "chaining must occur"
+    for canon, members in clusters.items():
+        c = by_name[canon]
+        assert c.canonical_name == canon  # fixpoint
+        for m in members:
+            assert m.cluster_size == len(members)
+            assert c.support > m.support or (
+                c.support == m.support and canon <= m.name
+            )

@@ -548,3 +548,45 @@ def test_clamped_balance_identity_matches_sequential_scan(spark):
             b = max(b + r.net, 0)
             assert r.balance == b, (part, r.day)
             assert r.balance >= 0
+
+
+def test_twap_duration_coverage_and_burst_insensitivity(spark):
+    """Per (event_type, day) the hold durations must tile the interval
+    [first event, midnight] exactly — no gaps, no overlap — and the TWAP
+    must lie within the group's [min, max] cents envelope."""
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_SMALL
+    from wheels_in_motion_analytics_spark.registry import load_all_queries
+    from wheels_in_motion_analytics_spark.tables import table
+
+    out = load_all_queries()["twap_daily_by_type"].fn(spark, SF_SMALL)
+    ev = (
+        table(spark, SF_SMALL, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.unix_micros("ts").alias("us"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).alias("cents"),
+        )
+    )
+    spans = ev.groupBy("event_type", "day").agg(
+        F.min("us").alias("first_us"),
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rows = (
+        out.join(spans, ["event_type", "day"])
+        .withColumn(
+            "day_end_us",
+            F.unix_micros(F.date_add(F.col("day"), 1).cast("timestamp")),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r.n_events == r.n
+        assert r.total_dur_us == r.day_end_us - r.first_us
+        assert r.lo * 10**6 <= r.twap_ucents <= r.hi * 10**6

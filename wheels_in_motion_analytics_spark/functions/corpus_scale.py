@@ -37,6 +37,10 @@ from wheels_in_motion_analytics_spark.functions.similarity import (
     oracle_minhash_pairs,
     oracle_shingles,
 )
+from wheels_in_motion_analytics_spark.functions.linkage import (
+    doc_segments,
+    oracle_segments,
+)
 from wheels_in_motion_analytics_spark.registry import register
 from wheels_in_motion_analytics_spark.tables import table
 
@@ -172,4 +176,95 @@ def scaled_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         expanded_embeddings(spark, sf_dir),
         tables=SCALED_ANN_TABLES,
         bits=SCALED_ANN_BITS,
+    )
+
+
+# --------------------------------------------------------------------------
+# Line-level boilerplate removal at 16× corpus (digest-keyed frequency join)
+# --------------------------------------------------------------------------
+
+# The 16× expansion multiplies every segment's raw document frequency by
+# CORPUS_FACTOR (all replicas of a doc share its base segments), so the
+# boilerplate threshold must scale with the duplication factor — the real
+# CCNet subtlety this query demonstrates: line frequencies counted over a
+# corpus with unremoved duplicates are inflated, and the threshold (or a
+# doc-dedup pass first) has to account for it.
+SCALED_SEG_BOILER_DF = 3 * CORPUS_FACTOR
+
+
+@register(
+    "scaled_dedup_lines_crossdoc",
+    category="dedup-llm",
+    doc=f"Line-level boilerplate removal at {CORPUS_FACTOR}× corpus (80k "
+    "docs at sf0.1 bench) — the 100 TB shape of dedup_lines_crossdoc: the "
+    "segment-frequency aggregate and join-back are keyed on md5(segment) "
+    "instead of the raw string, so shuffle rows carry a fixed-width digest "
+    "rather than arbitrary-length text (collision odds ~n²/2^128 — "
+    "irrelevant). Duplication-aware threshold: every replica shares its "
+    f"original's base segments, so boilerplate is df >= "
+    f"{SCALED_SEG_BOILER_DF} (= 3 × the {CORPUS_FACTOR}× duplication "
+    "factor) — counting line frequency over a corpus whose exact dups were "
+    "NOT removed first inflates df uniformly, and the threshold must scale "
+    "with it. The expansion's own ' variant marker N' suffixes behave like "
+    "real-crawl boilerplate (shared across thousands of docs) and get "
+    "stripped. Output stays compact at scale: per-doc stats + md5 of the "
+    "rebuilt text, not the text itself.",
+    oracle=f"""
+WITH {_ORACLE_EXPANDED},
+{oracle_segments("expanded")},
+f AS (
+  SELECT md5(seg) AS d, COUNT(DISTINCT doc_id) AS df
+  FROM seg GROUP BY md5(seg)
+),
+per_doc AS (
+  SELECT s.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_segs,
+         CAST(COUNT(*) FILTER (WHERE f.df >= {SCALED_SEG_BOILER_DF}) AS BIGINT)
+           AS removed_segs,
+         coalesce(string_agg(s.seg, ' ' ORDER BY s.seg_no)
+                    FILTER (WHERE f.df < {SCALED_SEG_BOILER_DF}), '')
+           AS clean_text
+  FROM seg s JOIN f ON md5(s.seg) = f.d
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_segs, removed_segs,
+       CAST(length(clean_text) AS INT) AS clean_n_chars,
+       md5(clean_text) AS clean_fp
+FROM per_doc
+""",
+)
+def scaled_dedup_lines_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The segment relation feeds BOTH the frequency aggregate and the
+    # join-back; without a lineage cut the 16x expansion + segmentation
+    # explode runs twice (AQE exchange reuse is unreliable across the agg
+    # and join subtrees — the scaled_ann_lsh lesson, NOTES round-2).
+    segs = (
+        doc_segments(expanded_documents(spark, sf_dir))
+        .withColumn("d", F.md5("seg"))
+        .localCheckpoint(eager=True)
+    )
+    fdf = segs.groupBy("d").agg(F.countDistinct("doc_id").alias("df"))
+    kept = F.when(
+        F.col("df") < SCALED_SEG_BOILER_DF, F.struct("seg_no", "seg")
+    )
+    clean_text = F.concat_ws(
+        " ", F.transform(F.array_sort(F.collect_list(kept)), lambda x: x.seg)
+    )
+    return (
+        segs.join(fdf, "d")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.count(
+                F.when(F.col("df") >= SCALED_SEG_BOILER_DF, F.lit(1))
+            ).alias("removed_segs"),
+            clean_text.alias("clean_text"),
+        )
+        .select(
+            "doc_id",
+            "n_segs",
+            "removed_segs",
+            F.length("clean_text").alias("clean_n_chars"),
+            F.md5("clean_text").alias("clean_fp"),
+        )
     )

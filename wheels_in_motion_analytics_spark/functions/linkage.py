@@ -334,3 +334,207 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), "id")
         .limit(RRF_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Line-level cross-document dedup (CCNet-style boilerplate REMOVAL)
+# --------------------------------------------------------------------------
+
+SEG_W = 3  # words per pseudo-line segment
+SEG_BOILER_DF = 3  # a segment present in >= this many docs is boilerplate
+
+
+def doc_segments(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, seg_no, seg): the document cut into
+    non-overlapping ``SEG_W``-word segments, order preserved via seg_no.
+    The words array is materialized into a column BEFORE the transform
+    lambda (NOTES decision #5 — inline expressions re-evaluate per
+    element)."""
+    return docs.select("doc_id", F.split("text", " ").alias("words")).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.expr(f"CAST((size(words) + {SEG_W - 1}) DIV {SEG_W} AS INT)")
+                    - 1,
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice("words", i * SEG_W + F.lit(1), F.lit(SEG_W))
+                ),
+            )
+        ).alias("seg_no", "seg"),
+    )
+
+
+def oracle_segments(src: str = "documents") -> str:
+    """DuckDB CTE chain mirroring :func:`doc_segments` over ``src``:
+    exposes seg(doc_id, seg_no, seg)."""
+    return f"""base AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM {src}
+),
+idx AS (
+  SELECT doc_id, words, unnest(generate_series(1, len(words))) AS ord
+  FROM base
+),
+seg AS (
+  SELECT doc_id, (ord - 1) // {SEG_W} AS seg_no,
+         string_agg(words[ord], ' ' ORDER BY ord) AS seg
+  FROM idx GROUP BY doc_id, (ord - 1) // {SEG_W}
+)"""
+
+
+@register(
+    "dedup_lines_crossdoc",
+    category="dedup-llm",
+    doc="Line-level cross-document dedup, the CCNet/Dolma boilerplate-"
+    "removal pass: unlike dedup_crossdoc_spans (which only FLAGS documents) "
+    f"this REWRITES each document — its text is cut into non-overlapping "
+    f"{SEG_W}-word segments (the pseudo-lines of this newline-free corpus), "
+    f"segments appearing in >= {SEG_BOILER_DF} distinct documents "
+    "(navbars / cookie banners / licence blurbs in a real crawl) are "
+    "dropped, and the survivors are reassembled IN ORIGINAL ORDER into "
+    "clean_text. SCALE SHAPE: one segment explode, one map-side-combinable "
+    "document-frequency aggregate, one hash join back, one per-doc "
+    "reassembly groupBy — never all-pairs; the 16x-corpus twin "
+    "(scaled_dedup_lines_crossdoc) keys the frequency join on a digest "
+    "instead of the raw string. Reassembly is order-proof: kept "
+    "(seg_no, seg) structs are array_sort'ed before concat, so the output "
+    "is a deterministic pure function of the corpus under any partitioning. "
+    "Invariant pinned in tests: removed_segs = 0 => clean_text == text.",
+    oracle=f"""
+WITH {oracle_segments()},
+f AS (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM seg GROUP BY seg),
+per_doc AS (
+  SELECT s.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_segs,
+         CAST(COUNT(*) FILTER (WHERE f.df >= {SEG_BOILER_DF}) AS BIGINT)
+           AS removed_segs,
+         coalesce(string_agg(s.seg, ' ' ORDER BY s.seg_no)
+                    FILTER (WHERE f.df < {SEG_BOILER_DF}), '') AS clean_text
+  FROM seg s JOIN f USING (seg)
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_segs, removed_segs, clean_text,
+       CAST(length(clean_text) AS INT) AS clean_n_chars
+FROM per_doc
+""",
+)
+def dedup_lines_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    segs = doc_segments(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    fdf = segs.groupBy("seg").agg(F.countDistinct("doc_id").alias("df"))
+    kept = F.when(
+        F.col("df") < SEG_BOILER_DF, F.struct("seg_no", "seg")
+    )  # collect_list drops the NULLs of removed segments
+    return (
+        segs.join(fdf, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.count(F.when(F.col("df") >= SEG_BOILER_DF, F.lit(1))).alias(
+                "removed_segs"
+            ),
+            F.concat_ws(
+                " ",
+                F.transform(F.array_sort(F.collect_list(kept)), lambda x: x.seg),
+            ).alias("clean_text"),
+        )
+        .withColumn("clean_n_chars", F.length("clean_text"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Entity-resolution completion: near-pair graph -> canonical-name mapping
+# --------------------------------------------------------------------------
+
+
+@register(
+    "record_linkage_canonicalize",
+    category="linkage",
+    doc="The step AFTER record_linkage_part_names: near-pairs are only half "
+    "an entity resolution — variants chain (A~B, B~C with dist(A,C) > "
+    f"{LINK_MAX_DIST}), so clusters come from connected components over "
+    "the pair graph (min-label propagation to fixpoint, the same bounded "
+    "iterative core as dedup_connected_components), and every variant maps "
+    "to ONE canonical form: the cluster member with the highest support, "
+    "ties broken by lexicographically-smallest name — picked with a "
+    "map-side-combinable min(struct(-support, name)) aggregate, no window. "
+    "Node ids for the propagation are md5-derived 60-bit ints (engine-"
+    "portable); the label itself never reaches the output, so the oracle "
+    "propagates min-STRING labels instead and must still land on the "
+    "identical canonical mapping. Runs entirely on the distinct-name "
+    "dictionary — at 100 TB the mapping is then a broadcast join back to "
+    "the fact rows.",
+    oracle=f"""
+WITH RECURSIVE names AS (
+  SELECT p_name AS name, COUNT(*) AS support
+  FROM part GROUP BY p_name
+),
+pairs AS (
+  SELECT a.name AS d1, b.name AS d2
+  FROM names a JOIN names b
+    ON split_part(a.name, ' ', 1) = split_part(b.name, ' ', 1)
+   AND a.name < b.name
+  WHERE levenshtein(a.name, b.name) BETWEEN 1 AND {LINK_MAX_DIST}
+),
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION ALL
+  SELECT d2, d1 FROM pairs
+),
+reach(name, lab) AS (
+  SELECT name, name FROM names
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.name
+),
+lbl AS (SELECT name, MIN(lab) AS lab FROM reach GROUP BY name),
+cl AS (SELECT l.lab, n.name, n.support FROM lbl l JOIN names n USING (name)),
+rep AS (
+  SELECT lab, name AS canonical_name FROM (
+    SELECT lab, name,
+           row_number() OVER (PARTITION BY lab
+                              ORDER BY support DESC, name) AS rn
+    FROM cl) t
+  WHERE rn = 1
+),
+siz AS (SELECT lab, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM cl GROUP BY lab)
+SELECT cl.name, CAST(cl.support AS BIGINT) AS support,
+       rep.canonical_name, siz.cluster_size
+FROM cl JOIN rep USING (lab) JOIN siz USING (lab)
+""",
+)
+def record_linkage_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.functions.similarity import (
+        connected_components,
+        hash_hex,
+    )
+
+    names = (
+        table(spark, sf_dir, "part")
+        .groupBy(F.col("p_name").alias("name"))
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    pairs = record_linkage_part_names(spark, sf_dir).select(
+        hash_hex(F.col("name_a")).alias("src"), hash_hex(F.col("name_b")).alias("dst")
+    )
+    edges = pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = names.select(hash_hex(F.col("name")).alias("id"))
+    labels = connected_components(nodes, edges)
+    cl = names.withColumn("id", hash_hex(F.col("name"))).join(labels, "id")
+    rep = (
+        cl.groupBy("label")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("support")).alias("ns"), F.col("name").alias("n")
+                )
+            ).alias("r"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+        .select("label", F.col("r.n").alias("canonical_name"), "cluster_size")
+    )
+    return cl.join(rep, "label").select(
+        "name", "support", "canonical_name", "cluster_size"
+    )

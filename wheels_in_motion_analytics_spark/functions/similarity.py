@@ -1389,7 +1389,14 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 20)
     # ever DECREASES labels, so sum(label) is strictly monotone until the
     # fixpoint — an unchanged sum proves an unchanged labeling. One cheap
     # 1-row aggregate per iteration instead of a join+filter change scan.
-    prev_sum = labels.agg(F.sum("label").alias("s")).collect()[0].s
+    # DECIMAL(38,0): ids may be 60-bit digests (record_linkage_canonicalize),
+    # whose BIGINT sum overflows under ANSI at a few thousand nodes.
+    def _label_sum(df):
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0].s
+
+    prev_sum = _label_sum(labels)
     changed = 1
     for _ in range(max_iter):
         # smallest label among each node's neighbors (and itself)
@@ -1406,7 +1413,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 20)
             )
             .localCheckpoint()  # cut the growing lineage each round
         )
-        new_sum = labels.agg(F.sum("label").alias("s")).collect()[0].s
+        new_sum = _label_sum(labels)
         changed = int(new_sum != prev_sum)
         prev_sum = new_sum
         if changed == 0:

@@ -1432,3 +1432,95 @@ from wheels_in_motion_analytics_spark.functions.stats import corr_ppm_sql as _co
 _REGISTRY["mann_kendall_trend"].oracle = _REGISTRY["mann_kendall_trend"].oracle.replace(
     "{CORR}", _corr_sql("num", "dxx", "dyy")
 )
+
+
+# --- time-weighted average price (TWAP) over irregular event times ----------
+
+
+@register(
+    "twap_daily_by_type",
+    category="timeseries",
+    doc="TWAP over an IRREGULARLY-sampled series — the quant-desk average "
+    "where each observation is weighted by how long it remained the "
+    "current value, not by its row count (a burst of quotes in one minute "
+    "must not dominate a quiet day). Per (event_type, day): events are "
+    "ordered by (ts, event_id) (total order — engine-independent), each "
+    "value holds from its timestamp until the next event or midnight, and "
+    "TWAP = sum(value*duration)/sum(duration). SCALE SHAPE: the only "
+    "shuffle is the (event_type, day) window partition — group-bounded "
+    "windows, never a global sort; moments accumulate in DECIMAL(38,0) "
+    "(cents x microsecond durations reach ~1e15 per row — BIGINT sums "
+    "would overflow near sf1, the linreg power-sum lesson). HASH-PROOF "
+    "OUTPUT: value quantized to integer cents, durations in integer "
+    "microseconds, TWAP emitted as half-up micro-cents — "
+    "(2*num*1e6 + den) DIV (2*den) — a deterministic integer on any "
+    "engine; no float quotient is hashed (round-5 oracle rule).",
+    oracle="""
+WITH e AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         epoch_us(ts) AS us,
+         lead(epoch_us(ts)) OVER (
+           PARTITION BY event_type, CAST(ts AS DATE)
+           ORDER BY ts, event_id) AS next_us,
+         epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 1 DAY)
+           AS day_end_us
+  FROM events
+),
+d AS (
+  SELECT event_type, day, cents,
+         coalesce(next_us, day_end_us) - us AS dur_us
+  FROM e
+),
+m AS (
+  SELECT event_type, day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
+         SUM(CAST(cents AS HUGEINT) * dur_us) AS num,
+         CAST(SUM(dur_us) AS HUGEINT) AS den
+  FROM d GROUP BY event_type, day
+)
+SELECT event_type, day, n_events, total_dur_us,
+       CAST((2 * num * 1000000 + den) // (2 * den) AS BIGINT) AS twap_ucents
+FROM m
+""",
+)
+def twap_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        table(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).alias("cents"),
+            F.unix_micros("ts").alias("us"),
+            "ts",
+            "event_id",
+        )
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    day_end_us = F.unix_micros(
+        F.date_add(F.col("day"), 1).cast("timestamp")
+    )
+    dur = F.coalesce(F.lead("us").over(w), day_end_us) - F.col("us")
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    m = (
+        ev.withColumn("dur_us", dur)
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("dur_us").alias("total_dur_us"),
+            F.sum(dec(F.col("cents")) * F.col("dur_us")).alias("num"),
+            F.sum(dec(F.col("dur_us"))).alias("den"),
+        )
+    )
+    return m.select(
+        "event_type",
+        "day",
+        "n_events",
+        "total_dur_us",
+        F.expr(
+            "CAST((2 * num * CAST(1000000 AS DECIMAL(38,0)) + den) "
+            "DIV (2 * den) AS BIGINT)"
+        ).alias("twap_ucents"),
+    )
