@@ -319,19 +319,22 @@ def test_change_feed_replay_reconstructs_mor_snapshot(spark, orders, tmp_path, c
             )
     head = len(chain)
     feed = change_feed(spark, root, 1, head)
-    inserted = feed.where(F.col("change_type") == "insert").select(
-        F.col("row_key").alias("o_orderkey")
+    # Replay IN COMMIT ORDER — deletion vectors are sequence-scoped (a
+    # delete only tombstones rows inserted before it), so the consumer
+    # folds events version by version instead of one global anti-join.
+    events = sorted(
+        (r.commit_version, r.change_type, r.row_key) for r in feed.collect()
     )
-    deleted = feed.where(F.col("change_type") == "delete").select(
-        F.col("row_key").alias("o_orderkey")
-    )
-    replayed = sorted(
-        r[0] for r in inserted.join(deleted, "o_orderkey", "left_anti").collect()
-    )
+    state: list[int] = []
+    for _, change_type, key in events:
+        if change_type == "insert":
+            state.append(key)
+        else:
+            state = [k for k in state if k != key]
     snapshot = sorted(
         r["o_orderkey"] for r in read_version(spark, root, head).collect()
     )
-    assert replayed == snapshot and len(snapshot) > 0
+    assert sorted(state) == snapshot and len(snapshot) > 0
 
 
 def test_cow_update_rewrites_only_matching_files(spark, orders, tmp_path):
@@ -462,3 +465,85 @@ def test_cow_update_reclaims_stage_dir_on_version_conflict(spark, orders, tmp_pa
             racing_update,
         )
     assert not os.path.exists(os.path.join(_data_dir(root), "v2"))
+
+
+@pytest.mark.parametrize("chain", [
+    # a<band>=append band, d<mod>=DV-delete keys %mod==0, c=compact
+    # (re-baselines the DV chain), u<mod>=COW-update keys %mod==1.
+    # Grammar constraint honored: 'u' only when no deletion vectors are
+    # live (update_copy_on_write rejects DV chains by contract).
+    ["a0", "u3", "a1", "d5", "c", "u4", "a2", "d3"],
+    ["a0", "a0", "d2", "c", "u2", "d7", "a1", "c", "u5"],
+    ["a1", "c", "c", "u2", "u3", "a2", "d2", "d3", "c", "u7"],
+])
+def test_mixed_chain_matches_sequential_model(spark, orders, tmp_path, chain):
+    """Model-based chain invariant over the FULL lifecycle — append,
+    MoR delete, compact and COW update interleaved: after every step the
+    MoR read of the head must equal a row-multiset model maintained in
+    plain Python, and every historical version must stay time-travelable
+    to its recorded model state (immutability under later commits)."""
+    from wheels_in_motion_analytics_spark.sources.versioned import (
+        commit_delete,
+        compact,
+        read_version,
+        update_copy_on_write,
+    )
+
+    root = str(tmp_path / "mixed")
+    base = {
+        r.o_orderkey: int(r.o_totalprice * 100 + 0.5)
+        for r in orders.collect()
+    }
+    bands = 3
+    model: list[tuple[int, int]] = []
+    history: list[list[tuple[int, int]]] = []
+    first = True
+    for step in chain:
+        kind, arg = step[0], int(step[1]) if len(step) > 1 else 0
+        if kind == "a":
+            band = orders.where(F.col("o_orderkey") % bands == arg % bands)
+            commit(band, root, mode="overwrite" if first else "append")
+            if first:
+                model = []
+            first = False
+            model = model + [
+                (k, c) for k, c in sorted(base.items()) if k % bands == arg % bands
+            ]
+        elif kind == "d":
+            commit_delete(
+                orders.where(F.col("o_orderkey") % arg == 0).select("o_orderkey"),
+                root,
+                "o_orderkey",
+            )
+            model = [(k, c) for k, c in model if k % arg != 0]
+        elif kind == "c":
+            compact(spark, root)
+        else:  # u<mod>: +1 cent to keys % mod == 1 via file-level COW
+            update_copy_on_write(
+                spark,
+                root,
+                lambda df, m=arg: F.col("o_orderkey") % m == 1,
+                lambda df, m=arg: df.withColumn(
+                    "o_totalprice",
+                    F.when(
+                        F.col("o_orderkey") % m == 1,
+                        F.col("o_totalprice") + 0.01,
+                    ).otherwise(F.col("o_totalprice")),
+                ),
+            )
+            model = [
+                (k, c + 1 if k % arg == 1 else c) for k, c in model
+            ]
+        history.append(sorted(model))
+        got = sorted(
+            (r.o_orderkey, int(r.o_totalprice * 100 + 0.5))
+            for r in read_version(spark, root).collect()
+        )
+        assert got == sorted(model), f"head mismatch after {step}"
+    # historical versions must still reconstruct their recorded states
+    for v, snap in enumerate(history, start=1):
+        got = sorted(
+            (r.o_orderkey, int(r.o_totalprice * 100 + 0.5))
+            for r in read_version(spark, root, v).collect()
+        )
+        assert got == snap, f"time travel to v{v} drifted after later commits"

@@ -102,11 +102,13 @@ def commit(
     if mode == "append" and base > 0:
         prev = _manifest(root, base)
         manifest["files"] = prev["files"] + new_files
-        # Deletion vectors are GLOBAL key tombstones, not file-scoped: an
-        # append must carry the accumulated DV chain forward or the deleted
-        # rows resurrect in every later snapshot (caught by the change-feed
-        # replay invariant in tests/test_versioned.py). An overwrite
-        # legitimately clears them — it re-baselines row identity.
+        # An append must carry the accumulated DV chain forward or the
+        # deleted rows resurrect in every later snapshot (caught by the
+        # change-feed replay invariant in tests/test_versioned.py). The
+        # vectors are sequence-scoped at read time (read_version_mor): they
+        # tombstone only files older than themselves, so rows this append
+        # re-inserts stay visible. An overwrite legitimately clears the
+        # chain — it re-baselines row identity.
         if prev.get("deletes"):
             manifest["deletes"] = prev["deletes"]
             manifest["delete_key"] = prev["delete_key"]
@@ -643,19 +645,52 @@ def commit_delete(df_keys: DataFrame, root: str, key: str) -> int:
     return version
 
 
+def _entry_version(rel: str) -> int:
+    """Commit version a manifest entry was created at, parsed from its
+    version-scoped directory name (``v{N}/...`` data files, authored by
+    commit/update_copy_on_write; ``v{N}-deletes/...`` DV sidecars)."""
+    top = rel.split(os.sep, 1)[0]
+    return int(top.removeprefix("v").removesuffix("-deletes"))
+
+
 def read_version_mor(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
-    """Merge-on-read snapshot: data files minus the accumulated deletion
-    vectors (one anti-join on the delete key)."""
+    """Merge-on-read snapshot: data files minus the applicable deletion
+    vectors. DVs are SEQUENCE-SCOPED, Iceberg-style: a DV committed at
+    version K tombstones keys only in data files that already existed at
+    K — a row re-inserted by a LATER append is a new row and must stay
+    visible (pinned by the mixed-chain model test). Files are grouped by
+    their applicable-DV set (at most one group per delete commit), each
+    group anti-joined with the union of its DV keys — the same single-
+    shuffle shape per group as the global form."""
     v = current_version(root) if version is None else version
     m = _manifest(root, v)
-    df = spark.read.parquet(*[os.path.join(_data_dir(root), f) for f in m["files"]])
     dvs = m.get("deletes", [])
     if not dvs:
-        return df
-    keys = spark.read.parquet(*[os.path.join(_data_dir(root), f) for f in dvs])
-    return df.join(keys, m["delete_key"], "left_anti")
+        return spark.read.parquet(
+            *[os.path.join(_data_dir(root), f) for f in m["files"]]
+        )
+    groups: dict[tuple, list] = {}
+    for f in m["files"]:
+        fv = _entry_version(f)
+        covering = tuple(dv for dv in dvs if _entry_version(dv) > fv)
+        groups.setdefault(covering, []).append(f)
+    pieces = []
+    for covering, files in groups.items():
+        part = spark.read.parquet(
+            *[os.path.join(_data_dir(root), f) for f in files]
+        )
+        if covering:
+            keys = spark.read.parquet(
+                *[os.path.join(_data_dir(root), d) for d in covering]
+            )
+            part = part.join(keys, m["delete_key"], "left_anti")
+        pieces.append(part)
+    out = pieces[0]
+    for part in pieces[1:]:
+        out = out.unionByName(part)
+    return out
 
 
 @register(
