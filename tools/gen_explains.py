@@ -77,6 +77,11 @@ PICKS += [
     ("sft_render_conversations", "per-user turn window + JVM-side array render, one key shuffle"),
     ("rlhf_preference_pairs", "two key-partitioned windows (source; source x pair), no global state"),
 ]
+PICKS += [
+    ("dedup_lines_crossdoc", "segment posexplode -> map-side-combinable df agg -> one hash join-back -> order-proof array_sort reassembly"),
+    ("twap_daily_by_type", "group-bounded lead window (event_type x day partitions) -> one DECIMAL(38,0) moment agg; no global sort"),
+    ("record_linkage_canonicalize", "CC fixpoint on the distinct-name dictionary; min(struct(-support,name)) representative, no window"),
+]
 PICKS = [(n, d) for n, d in PICKS if d is not None]
 seen = set()
 PICKS = [x for x in PICKS if not (x[0] in seen or seen.add(x[0]))]
