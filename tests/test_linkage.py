@@ -150,3 +150,51 @@ def test_canonicalize_is_fixpoint_and_argmax_support(spark):
             assert c.support > m.support or (
                 c.support == m.support and canon <= m.name
             )
+
+
+def test_incremental_line_dedup_equals_full_and_skips_are_sound(spark):
+    """The incremental contract, both directions: every emitted rewrite
+    equals the full-corpus recompute for that doc, AND every base doc it
+    SKIPPED genuinely needs no re-emit (its base-only rewrite already
+    equals the full-corpus one)."""
+    full = {
+        r.doc_id: (r.n_segs, r.removed_segs, r.clean_text)
+        for r in SPECS["dedup_lines_crossdoc"].fn(spark, SF_SMALL).collect()
+    }
+    inc = SPECS["dedup_lines_incremental"].fn(spark, SF_SMALL).collect()
+    emitted = set()
+    for r in inc:
+        emitted.add(r.doc_id)
+        assert (r.n_segs, r.removed_segs, r.clean_text) == full[r.doc_id]
+        assert r.is_new == (r.doc_id >= linkage.LINE_INCR_START)
+    assert any(not r.is_new for r in inc), "some base docs must be affected"
+    # skipped base docs: rewrite under the BASE-ONLY index must already
+    # equal the full-corpus rewrite (re-emitting them would be redundant)
+    from wheels_in_motion_analytics_spark.tables import table
+
+    K = linkage.LINE_INCR_START
+    segs = linkage.doc_segments(
+        table(spark, SF_SMALL, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < K)
+    )
+    fdf = segs.groupBy("seg").agg(F.countDistinct("doc_id").alias("df"))
+    kept = F.when(
+        F.col("df") < linkage.SEG_BOILER_DF, F.struct("seg_no", "seg")
+    )
+    base_only = {
+        r.doc_id: r.clean_text
+        for r in segs.join(fdf, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(F.array_sort(F.collect_list(kept)), lambda x: x.seg),
+            ).alias("clean_text")
+        )
+        .collect()
+    }
+    skipped = [d for d in base_only if d not in emitted]
+    assert skipped, "some base docs must be untouched by the batch"
+    for d in skipped:
+        assert base_only[d] == full[d][2], f"doc {d} skipped but changed"

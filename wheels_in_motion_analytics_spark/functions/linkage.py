@@ -538,3 +538,135 @@ def record_linkage_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cl.join(rep, "label").select(
         "name", "support", "canonical_name", "cluster_size"
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental line-level dedup: a new batch arrives, only crossings re-emit
+# --------------------------------------------------------------------------
+
+LINE_INCR_START = 400  # doc_id >= this = the incoming batch (same convention
+# as similarity.INCR_BATCH_START)
+
+
+@register(
+    "dedup_lines_incremental",
+    category="dedup-llm",
+    doc="Incremental maintenance of dedup_lines_crossdoc under append-only "
+    f"ingestion: the corpus is split into a base (doc_id < "
+    f"{LINE_INCR_START}, whose segment-frequency index and rewrites "
+    "already exist) and an incoming batch. Segment df only GROWS under "
+    "appends, so the only base documents whose rewrite can change are "
+    "those containing a CROSSING segment — one whose df passes the "
+    f"boilerplate threshold {SEG_BOILER_DF} because of the batch. The "
+    "incremental shape: batch-only df delta, merged with the stored base "
+    "index by ONE outer join (never a corpus recount), crossing segments "
+    "identified from the merged counts, affected base docs via a semi-join "
+    "on crossing postings — work is O(batch postings + crossing postings "
+    "+ affected-doc segments), never O(corpus). Emits the rewrites that an "
+    "incremental consumer must upsert: every batch doc plus every "
+    "affected base doc, rewritten under the merged frequencies. The "
+    "oracle states the same semantics as a full recompute — incremental "
+    "== full is the contract.",
+    oracle=f"""
+WITH {oracle_segments()},
+fb AS (
+  SELECT seg, COUNT(DISTINCT doc_id) AS dfb
+  FROM seg WHERE doc_id < {LINE_INCR_START} GROUP BY seg
+),
+ff AS (SELECT seg, COUNT(DISTINCT doc_id) AS dff FROM seg GROUP BY seg),
+crossing AS (
+  SELECT ff.seg FROM ff LEFT JOIN fb USING (seg)
+  WHERE coalesce(fb.dfb, 0) < {SEG_BOILER_DF} AND ff.dff >= {SEG_BOILER_DF}
+),
+affected AS (
+  SELECT DISTINCT s.doc_id FROM seg s JOIN crossing c USING (seg)
+  WHERE s.doc_id < {LINE_INCR_START}
+),
+targets AS (
+  SELECT doc_id FROM documents WHERE doc_id >= {LINE_INCR_START}
+  UNION SELECT doc_id FROM affected
+),
+per_doc AS (
+  SELECT s.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_segs,
+         CAST(COUNT(*) FILTER (WHERE ff.dff >= {SEG_BOILER_DF}) AS BIGINT)
+           AS removed_segs,
+         coalesce(string_agg(s.seg, ' ' ORDER BY s.seg_no)
+                    FILTER (WHERE ff.dff < {SEG_BOILER_DF}), '') AS clean_text
+  FROM seg s
+  JOIN targets t ON s.doc_id = t.doc_id
+  JOIN ff USING (seg)
+  GROUP BY s.doc_id
+)
+SELECT doc_id, doc_id >= {LINE_INCR_START} AS is_new,
+       n_segs, removed_segs, clean_text,
+       CAST(length(clean_text) AS INT) AS clean_n_chars
+FROM per_doc
+""",
+)
+def dedup_lines_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K = LINE_INCR_START
+    # feeds the base index, the batch delta, the crossing semi-join AND the
+    # rewrite join — cut the lineage once (the scaled-twin lesson)
+    segs = doc_segments(
+        table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).localCheckpoint(eager=True)
+    df_base = (
+        segs.where(F.col("doc_id") < K)
+        .groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("dfb"))
+    )
+    df_delta = (
+        segs.where(F.col("doc_id") >= K)
+        .groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("dfd"))
+    )
+    # the ONE index-merge join: stored base counts + batch delta
+    df_full = (
+        df_base.join(df_delta, "seg", "full_outer")
+        .select(
+            "seg",
+            F.coalesce("dfb", F.lit(0)).alias("dfb"),
+            (
+                F.coalesce("dfb", F.lit(0)) + F.coalesce("dfd", F.lit(0))
+            ).alias("dff"),
+        )
+    )
+    crossing = df_full.where(
+        (F.col("dfb") < SEG_BOILER_DF) & (F.col("dff") >= SEG_BOILER_DF)
+    ).select("seg")
+    affected = (
+        segs.where(F.col("doc_id") < K)
+        .join(crossing, "seg", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    targets = (
+        segs.where(F.col("doc_id") >= K).select("doc_id").distinct().union(affected)
+    ).distinct()
+    kept = F.when(
+        F.col("dff") < SEG_BOILER_DF, F.struct("seg_no", "seg")
+    )
+    return (
+        segs.join(targets, "doc_id", "left_semi")
+        .join(df_full.select("seg", "dff"), "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.count(
+                F.when(F.col("dff") >= SEG_BOILER_DF, F.lit(1))
+            ).alias("removed_segs"),
+            F.concat_ws(
+                " ",
+                F.transform(F.array_sort(F.collect_list(kept)), lambda x: x.seg),
+            ).alias("clean_text"),
+        )
+        .select(
+            "doc_id",
+            (F.col("doc_id") >= K).alias("is_new"),
+            "n_segs",
+            "removed_segs",
+            "clean_text",
+            F.length("clean_text").alias("clean_n_chars"),
+        )
+    )
