@@ -547,3 +547,38 @@ def test_mixed_chain_matches_sequential_model(spark, orders, tmp_path, chain):
             for r in read_version(spark, root, v).collect()
         )
         assert got == snap, f"time travel to v{v} drifted after later commits"
+
+
+def test_compact_and_mor_preserve_evolved_columns(spark, tmp_path):
+    """Schema evolution survives maintenance: (a) compact() after an
+    evolved append rewrites under the UNION schema (legacy rows
+    NULL-filled, evolved values intact — the plain read silently dropped
+    the column, losing data), (b) a merge-schema read over a
+    deletion-vector chain keeps the evolved column on every group."""
+    from wheels_in_motion_analytics_spark.sources.versioned import (
+        commit_delete,
+        compact,
+    )
+
+    root = str(tmp_path / "evo")
+    v1 = spark.range(5).select(F.col("id").alias("k"), F.lit(10).alias("a"))
+    commit(v1, root, mode="overwrite")
+    v2 = spark.range(5, 8).select(
+        F.col("id").alias("k"), F.lit(20).alias("a"), F.lit(99).alias("extra")
+    )
+    commit(v2, root, mode="append")
+
+    compact(spark, root)
+    post = read_version(spark, root, merge_schema=True)
+    assert "extra" in post.columns
+    vals = {(r.k, r["extra"]) for r in post.collect()}
+    assert vals == {(i, None) for i in range(5)} | {(i, 99) for i in range(5, 8)}
+
+    # DV chain over the evolved table: merge-schema MoR read keeps the column
+    commit_delete(
+        spark.range(1).select(F.col("id").alias("k")), root, "k"
+    )
+    mor = read_version(spark, root, merge_schema=True)
+    assert "extra" in mor.columns
+    got = {(r.k, r["extra"]) for r in mor.collect()}
+    assert got == {(i, None) for i in range(1, 5)} | {(i, 99) for i in range(5, 8)}

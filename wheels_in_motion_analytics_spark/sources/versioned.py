@@ -140,7 +140,7 @@ def read_version(
         raise ValueError(f"versioned table at {root} has no commits")
     m = _manifest(root, v)
     if m.get("deletes"):
-        return read_version_mor(spark, root, version=v)
+        return read_version_mor(spark, root, version=v, merge_schema=merge_schema)
     files = [os.path.join(_data_dir(root), f) for f in m["files"]]
     reader = spark.read
     if merge_schema:
@@ -366,7 +366,11 @@ def compact(
     content is untouched; old versions remain time-travelable because their
     files are immutable and still referenced by their manifests."""
     v = current_version(root)
-    data = read_version(spark, root, v)
+    # merge_schema: a compaction after a schema-evolution append must
+    # rewrite under the UNION schema — the plain read takes one file's
+    # schema and silently DROPS evolved columns (data loss; regression
+    # test pins this).
+    data = read_version(spark, root, v, merge_schema=True)
     return commit(
         data.repartition(target_files), root, mode="overwrite", expected_version=v
     )
@@ -654,7 +658,8 @@ def _entry_version(rel: str) -> int:
 
 
 def read_version_mor(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession, root: str, version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Merge-on-read snapshot: data files minus the applicable deletion
     vectors. DVs are SEQUENCE-SCOPED, Iceberg-style: a DV committed at
@@ -666,9 +671,12 @@ def read_version_mor(
     shuffle shape per group as the global form."""
     v = current_version(root) if version is None else version
     m = _manifest(root, v)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
     dvs = m.get("deletes", [])
     if not dvs:
-        return spark.read.parquet(
+        return reader.parquet(
             *[os.path.join(_data_dir(root), f) for f in m["files"]]
         )
     groups: dict[tuple, list] = {}
@@ -678,7 +686,7 @@ def read_version_mor(
         groups.setdefault(covering, []).append(f)
     pieces = []
     for covering, files in groups.items():
-        part = spark.read.parquet(
+        part = reader.parquet(
             *[os.path.join(_data_dir(root), f) for f in files]
         )
         if covering:
@@ -689,7 +697,8 @@ def read_version_mor(
         pieces.append(part)
     out = pieces[0]
     for part in pieces[1:]:
-        out = out.unionByName(part)
+        # groups may straddle a schema evolution; NULL-fill either side
+        out = out.unionByName(part, allowMissingColumns=merge_schema)
     return out
 
 
@@ -1282,7 +1291,7 @@ def compact_zorder(
     from wheels_in_motion_analytics_spark.functions.layout import zorder_layout
 
     v = current_version(root)
-    data = read_version(spark, root, v)
+    data = read_version(spark, root, v, merge_schema=True)  # see compact()
     clustered = zorder_layout(data, a_col, b_col, target_files)
     return commit(clustered, root, mode="overwrite", expected_version=v)
 
