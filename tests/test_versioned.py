@@ -582,3 +582,78 @@ def test_compact_and_mor_preserve_evolved_columns(spark, tmp_path):
     assert "extra" in mor.columns
     got = {(r.k, r["extra"]) for r in mor.collect()}
     assert got == {(i, None) for i in range(1, 5)} | {(i, 99) for i in range(5, 8)}
+
+
+def test_cow_update_predicate_on_evolved_column(spark, tmp_path):
+    """A COW UPDATE whose predicate references a post-evolution column must
+    treat pre-evolution files under SQL semantics — the column reads as
+    typed NULL, so no match, file carried forward byte-identical — instead
+    of dying with an unresolved-column error; rewritten files upgrade to
+    the union schema."""
+    from wheels_in_motion_analytics_spark.sources.versioned import (
+        _manifest,
+        update_copy_on_write,
+    )
+
+    root = str(tmp_path / "cowevo")
+    commit(
+        spark.range(5).select(F.col("id").alias("k"), F.lit(10).alias("a")),
+        root,
+        mode="overwrite",
+    )
+    commit(
+        spark.range(5, 8).select(
+            F.col("id").alias("k"), F.lit(20).alias("a"), F.lit(99).alias("extra")
+        ),
+        root,
+        mode="append",
+    )
+    v1_files = set(_manifest(root, 1)["files"])
+    res = update_copy_on_write(
+        spark,
+        root,
+        lambda df: F.col("extra") == 99,
+        lambda df: df.withColumn("a", F.col("a") + 1),
+    )
+    assert res["n_rows_updated"] == 3
+    # every v1 (pre-evolution) file carried forward untouched
+    assert v1_files <= set(_manifest(root, res["version"])["files"])
+    got = sorted(
+        (r.k, r.a, r["extra"])
+        for r in read_version(spark, root, merge_schema=True).collect()
+    )
+    assert got == [(i, 10, None) for i in range(5)] + [
+        (i, 21, 99) for i in range(5, 8)
+    ]
+
+
+def test_branch_merge_across_schema_evolution(spark, tmp_path):
+    """Merging a pre-evolution branch into a post-evolution main must keep
+    the evolved column, NULL-fill it on the branch side, and must NOT
+    classify base rows as changed merely because the column appeared."""
+    from wheels_in_motion_analytics_spark.sources.versioned import (
+        create_branch,
+        merge_branch,
+    )
+
+    root = str(tmp_path / "brevo")
+    commit(
+        spark.range(5).select(F.col("id").alias("k"), F.lit(10).alias("a")),
+        root,
+        mode="overwrite",
+    )
+    create_branch(root, "b", at=1)
+    commit(
+        spark.range(5, 8).select(
+            F.col("id").alias("k"), F.lit(20).alias("a"), F.lit(7).alias("extra")
+        ),
+        root,
+        mode="append",
+    )
+    merged, conflicts = merge_branch(spark, root, "b", "k")
+    assert "extra" in merged.columns
+    assert conflicts.count() == 0  # nothing actually changed on either side
+    got = sorted((r.k, r.a, r["extra"]) for r in merged.collect())
+    assert got == [(i, 10, None) for i in range(5)] + [
+        (i, 20, 7) for i in range(5, 8)
+    ]

@@ -484,14 +484,18 @@ def branch_base_version(root: str, name: str) -> int:
     return _manifest(os.path.join(root, "branches", name), 1)["base_version"]
 
 
-def read_branch(spark: SparkSession, root: str, name: str) -> DataFrame:
+def read_branch(
+    spark: SparkSession, root: str, name: str, merge_schema: bool = False
+) -> DataFrame:
     """Branch head state: the latest branch overwrite commit, else the
     fork-point snapshot of the main log."""
     broot = os.path.join(root, "branches", name)
     head = current_version(broot)
     if head > 1:
-        return read_version(spark, broot, head)
-    return read_version(spark, root, branch_base_version(root, name))
+        return read_version(spark, broot, head, merge_schema=merge_schema)
+    return read_version(
+        spark, root, branch_base_version(root, name), merge_schema=merge_schema
+    )
 
 
 def merge_branch(
@@ -506,9 +510,29 @@ def merge_branch(
     Returns (merged_state, conflicts) where conflicts lists keys changed
     on BOTH sides (resolved branch-wins, but surfaced — the audit half a
     real lakehouse merge needs)."""
-    base = read_version(spark, root, branch_base_version(root, name))
-    ours = read_version(spark, root)
-    theirs = read_branch(spark, root, name)
+    from wheels_in_motion_analytics_spark.operators.projection import (
+        conform_schema,
+    )
+
+    base = read_version(
+        spark, root, branch_base_version(root, name), merge_schema=True
+    )
+    ours = read_version(spark, root, merge_schema=True)
+    theirs = read_branch(spark, root, name, merge_schema=True)
+    # Conform every side to the union schema across the three: a schema
+    # evolution on one side must neither drop the evolved column from the
+    # merge result nor make untouched rows look "changed" merely because
+    # the other sides lack the column (they see typed NULLs instead).
+    union = {}
+    for side in (base, ours, theirs):
+        for f in side.schema.fields:
+            union.setdefault(f.name, f)
+    from pyspark.sql.types import StructType
+
+    union_schema = StructType([union[n] for n in union])
+    base = conform_schema(base, union_schema)
+    ours = conform_schema(ours, union_schema)
+    theirs = conform_schema(theirs, union_schema)
 
     def fp(df: DataFrame) -> DataFrame:
         return df.select(
@@ -1066,10 +1090,19 @@ def update_copy_on_write(spark: SparkSession, root: str, predicate, apply_update
     transformed. Not supported over a deletion-vector chain (MoR deletes
     re-baseline through an overwrite first).
     """
+    from wheels_in_motion_analytics_spark.operators.projection import (
+        conform_schema,
+    )
+
     base = current_version(root)
     m = _manifest(root, base)
     if m.get("deletes"):
         raise ValueError("COW update over a deletion-vector chain: overwrite first")
+    # Union schema across generations: predicates on an evolved column must
+    # see typed NULLs in pre-evolution files (SQL semantics: no match, file
+    # carried forward byte-identical) instead of dying with an unresolved-
+    # column error; rewritten files are upgraded to the union schema.
+    union_schema = read_version(spark, root, base, merge_schema=True).schema
     version = base + 1
     stage = os.path.join(_data_dir(root), f"v{version}")
     os.makedirs(stage, exist_ok=True)
@@ -1081,7 +1114,7 @@ def update_copy_on_write(spark: SparkSession, root: str, predicate, apply_update
     try:
         for i, rel in enumerate(m["files"]):
             path = os.path.join(_data_dir(root), rel)
-            df = spark.read.parquet(path)
+            df = conform_schema(spark.read.parquet(path), union_schema)
             n_match = df.where(predicate(df)).count()
             if n_match == 0:
                 kept.append(rel)
