@@ -657,3 +657,26 @@ def test_branch_merge_across_schema_evolution(spark, tmp_path):
     assert got == [(i, 10, None) for i in range(5)] + [
         (i, 20, 7) for i in range(5, 8)
     ]
+
+
+def test_vacuum_pins_branch_fork_points(spark, tmp_path):
+    """A vacuum whose horizon passes a live branch's fork point must keep
+    the fork version's manifest and file refs (the branch stays readable),
+    while still reclaiming versions no branch pins."""
+    from wheels_in_motion_analytics_spark.sources.versioned import (
+        create_branch,
+        read_branch,
+        vacuum,
+    )
+
+    root = str(tmp_path / "vacbr")
+    commit(spark.range(5).select(F.col("id").alias("k")), root, mode="overwrite")
+    create_branch(root, "b", at=1)
+    commit(spark.range(9).select(F.col("id").alias("k")), root, mode="overwrite")
+    commit(spark.range(7).select(F.col("id").alias("k")), root, mode="overwrite")
+    audit = vacuum(root, retain_from=3)
+    # v2 (pinned by nothing) reclaimed; v1 pinned by the branch
+    assert audit["dropped_versions"] == 1
+    assert read_branch(spark, root, "b").count() == 5
+    with pytest.raises(Exception):
+        read_version(spark, root, 2)

@@ -966,20 +966,31 @@ def vacuum(root: str, retain_from: int) -> dict:
     head = current_version(root)
     if not 1 <= retain_from <= head:
         raise ValueError(f"retain_from v{retain_from} outside v1..v{head}")
+    # Live branch refs PIN their fork-point version: its manifest and file
+    # refs must survive a vacuum past the fork, or every branch read (and
+    # any future merge) of that branch dangles (regression-test pinned).
+    pinned: set[int] = set()
+    bdir = os.path.join(root, "branches")
+    if os.path.isdir(bdir):
+        for name in sorted(os.listdir(bdir)):
+            try:
+                pinned.add(branch_base_version(root, name))
+            except (FileNotFoundError, KeyError):
+                continue
     all_refs: set[str] = set()
     live_refs: set[str] = set()
     for v in range(1, head + 1):
         m = _manifest(root, v)
         refs = set(m["files"]) | set(m.get("deletes", []))
         all_refs |= refs
-        if v >= retain_from:
+        if v >= retain_from or v in pinned:
             live_refs |= refs
     doomed = sorted(all_refs - live_refs)
     for rel in doomed:
         path = os.path.join(_data_dir(root), rel)
         if os.path.exists(path):
             os.unlink(path)
-    dropped = list(range(1, retain_from))
+    dropped = [v for v in range(1, retain_from) if v not in pinned]
     for v in dropped:
         os.unlink(os.path.join(_log_dir(root), f"v{v}.json"))
     return {
