@@ -680,3 +680,81 @@ def test_vacuum_pins_branch_fork_points(spark, tmp_path):
     assert read_branch(spark, root, "b").count() == 5
     with pytest.raises(Exception):
         read_version(spark, root, 2)
+
+
+@pytest.mark.parametrize("chain", [
+    # e<band> = append band WITH a new o_flag column (schema evolution)
+    ["a0", "e1", "c", "u3", "d5", "a2"],
+    ["a0", "d2", "c", "e1", "u2", "c", "d3", "e2"],
+])
+def test_mixed_chain_with_schema_evolution(spark, orders, tmp_path, chain):
+    """The lifecycle model test with SCHEMA EVOLUTION interleaved: evolved
+    appends add o_flag; every later maintenance op (compact, COW update,
+    MoR delete) must preserve the evolved column and NULL-fill legacy
+    rows — the session's probes showed compact/COW/merge previously lost
+    or crashed on exactly these interleavings."""
+    from wheels_in_motion_analytics_spark.sources.versioned import (
+        commit_delete,
+        compact,
+        read_version,
+        update_copy_on_write,
+    )
+
+    root = str(tmp_path / "evochain")
+    base = {
+        r.o_orderkey: int(r.o_totalprice * 100 + 0.5) for r in orders.collect()
+    }
+    bands = 3
+    model: list[tuple[int, int, object]] = []  # (key, cents, flag)
+    first = True
+    for step in chain:
+        kind, arg = step[0], int(step[1]) if len(step) > 1 else 0
+        if kind in ("a", "e"):
+            band = orders.where(F.col("o_orderkey") % bands == arg % bands)
+            if kind == "e":
+                band = band.withColumn("o_flag", F.lit(arg))
+            commit(band, root, mode="overwrite" if first else "append")
+            if first:
+                model = []
+            first = False
+            model = model + [
+                (k, c, arg if kind == "e" else None)
+                for k, c in sorted(base.items())
+                if k % bands == arg % bands
+            ]
+        elif kind == "d":
+            commit_delete(
+                orders.where(F.col("o_orderkey") % arg == 0).select("o_orderkey"),
+                root,
+                "o_orderkey",
+            )
+            model = [(k, c, f) for k, c, f in model if k % arg != 0]
+        elif kind == "c":
+            compact(spark, root)
+        else:  # u<mod>
+            update_copy_on_write(
+                spark,
+                root,
+                lambda df, m=arg: F.col("o_orderkey") % m == 1,
+                lambda df, m=arg: df.withColumn(
+                    "o_totalprice",
+                    F.when(
+                        F.col("o_orderkey") % m == 1,
+                        F.col("o_totalprice") + 0.01,
+                    ).otherwise(F.col("o_totalprice")),
+                ),
+            )
+            model = [
+                (k, c + 1 if k % arg == 1 else c, f) for k, c, f in model
+            ]
+        head = read_version(spark, root, merge_schema=True)
+        has_flag = "o_flag" in head.columns
+        got = sorted(
+            (
+                r.o_orderkey,
+                int(r.o_totalprice * 100 + 0.5),
+                r["o_flag"] if has_flag else None,
+            )
+            for r in head.collect()
+        )
+        assert got == sorted(model), f"head mismatch after {step}"
