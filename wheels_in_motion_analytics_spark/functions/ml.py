@@ -1,0 +1,281 @@
+"""Distributed ML-training primitives: histogram-based decision-stump
+split finding, the feature-hashing trick, and smoothed target encoding —
+the feature-engineering / tree-boosting inner loops a training-data
+pipeline runs at corpus scale (the reference stops at BI aggregates,
+README.md serving layer; these extend the same star schema toward model
+training).
+
+Scale shapes:
+
+* Decision stump = the LightGBM/XGBoost *histogram* algorithm: one
+  map-side-combinable 256-bin aggregate over the fact scan, then the
+  split argmax unfolds from the tiny bin relation — the exact pattern a
+  1000-executor GBDT trainer uses (never a sort, never per-candidate
+  rescans).
+* Feature hashing: stateless md5 bucketing (explode → groupBy), the
+  standard trick for unbounded vocabularies — no vocabulary build, no
+  dictionary broadcast, collisions bounded by design.
+* Target encoding: per-category aggregate + one 1-row global relation
+  broadcast back — two map-side-combinable aggs, no fact-side window.
+
+Float discipline: NOTHING float is hashed. Gini gains and encodings are
+emitted as exact scaled integers (micro/ppm) via half-up integer division
+in DECIMAL(38,0)/HUGEINT (NOTES.md round-5 rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+
+from wheels_in_motion_analytics_spark.functions.similarity import hash_hex
+from wheels_in_motion_analytics_spark.functions.text import tokens
+from wheels_in_motion_analytics_spark.registry import register
+from wheels_in_motion_analytics_spark.tables import table
+
+# ---------------------------------------------------------------------------
+# Decision stump: best binary split by weighted Gini over histogram bins
+# ---------------------------------------------------------------------------
+
+STUMP_BINS = 256
+
+
+@register(
+    "decision_stump_best_split",
+    category="ml",
+    doc="Histogram-based decision-stump training (the GBDT split-finding "
+    f"inner loop): label = order status 'F', feature = total price cents "
+    f"binned into {STUMP_BINS} equal-width integer bins. ONE map-side-"
+    "combinable histogram aggregate over the fact scan; the best split "
+    "then unfolds from the ≤256-row bin relation via exact-integer "
+    "weighted-Gini scores (score_micro = 1e6-scaled purity, half-up "
+    "integer division in DECIMAL(38,0) — no float is hashed, ties break "
+    "on the lower bin). This is the plan shape a distributed tree "
+    "trainer ships: histogram partials merge associatively, split "
+    "selection is O(bins), and the fact table is scanned exactly once.",
+    oracle=f"""
+WITH src AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+  FROM orders
+),
+mm AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM src),
+hist AS (
+  SELECT CAST(((cents - lo) * {STUMP_BINS}) // (hi - lo + 1) AS BIGINT) AS bin,
+         COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS p
+  FROM src CROSS JOIN mm
+  GROUP BY 1
+),
+cum AS (
+  SELECT bin,
+         CAST(SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS nl,
+         CAST(SUM(p) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS pl,
+         CAST(SUM(n) OVER () AS HUGEINT) AS nt,
+         CAST(SUM(p) OVER () AS HUGEINT) AS pt
+  FROM hist
+),
+scored AS (
+  SELECT bin, nl, pl, nt - nl AS nr, pt - pl AS pr,
+         ((pl*pl + (nl-pl)*(nl-pl)) * (nt-nl)
+          + ((pt-pl)*(pt-pl) + ((nt-nl)-(pt-pl))*((nt-nl)-(pt-pl))) * nl)
+           * 1000000 // (nl * (nt - nl)) AS score
+  FROM cum WHERE nl > 0 AND nt - nl > 0
+),
+best AS (
+  SELECT * FROM scored ORDER BY score DESC, bin ASC LIMIT 1
+)
+SELECT CAST(bin AS BIGINT) AS split_bin,
+       CAST(lo + ((bin + 1) * (hi - lo + 1)) // {STUMP_BINS} AS BIGINT)
+         AS threshold_cents,
+       CAST(nl AS BIGINT) AS n_left, CAST(pl AS BIGINT) AS pos_left,
+       CAST(nr AS BIGINT) AS n_right, CAST(pr AS BIGINT) AS pos_right,
+       CAST(score AS BIGINT) AS score_micro
+FROM best CROSS JOIN mm
+""",
+)
+def decision_stump_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("pos"),
+    )
+    mm = src.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    # 1-row relation broadcast onto the scan: bin id is pure arithmetic.
+    hist = (
+        src.crossJoin(F.broadcast(mm))
+        .groupBy(
+            F.expr(f"(cents - lo) * {STUMP_BINS} DIV (hi - lo + 1)").alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("pos").alias("p"))
+    )
+    # ≤256 rows from here on — the unpartitioned windows are bounded by the
+    # bin count, never by data size (the same exemption the calendar-grain
+    # timeseries ops document).
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "bin",
+        F.sum("n").over(w).cast("decimal(38,0)").alias("nl"),
+        F.sum("p").over(w).cast("decimal(38,0)").alias("pl"),
+        F.sum("n").over(wall).cast("decimal(38,0)").alias("nt"),
+        F.sum("p").over(wall).cast("decimal(38,0)").alias("pt"),
+    )
+    scored = cum.where((F.col("nl") > 0) & (F.col("nt") - F.col("nl") > 0)).select(
+        "bin",
+        "nl",
+        "pl",
+        (F.col("nt") - F.col("nl")).alias("nr"),
+        (F.col("pt") - F.col("pl")).alias("pr"),
+        F.expr(
+            "((pl*pl + (nl-pl)*(nl-pl)) * (nt-nl)"
+            " + ((pt-pl)*(pt-pl) + ((nt-nl)-(pt-pl))*((nt-nl)-(pt-pl))) * nl)"
+            " * 1000000 DIV (nl * (nt - nl))"
+        ).alias("score"),
+    )
+    best = scored.withColumn(
+        "__rn",
+        F.row_number().over(Window.orderBy(F.desc("score"), F.asc("bin"))),
+    ).where(F.col("__rn") == 1)
+    return best.crossJoin(F.broadcast(mm)).select(
+        F.col("bin").cast("bigint").alias("split_bin"),
+        F.expr(f"lo + ((bin + 1) * (hi - lo + 1)) DIV {STUMP_BINS}")
+        .cast("bigint")
+        .alias("threshold_cents"),
+        F.col("nl").cast("bigint").alias("n_left"),
+        F.col("pl").cast("bigint").alias("pos_left"),
+        F.col("nr").cast("bigint").alias("n_right"),
+        F.col("pr").cast("bigint").alias("pos_right"),
+        F.col("score").cast("bigint").alias("score_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the hashing trick)
+# ---------------------------------------------------------------------------
+
+HASH_DIM = 64
+
+
+@register(
+    "feature_hashing_trick",
+    category="ml",
+    doc=f"Feature hashing: document tokens hashed into {HASH_DIM} signed "
+    "buckets (md5-derived bucket + sign bit — Weinberger et al.'s hashing "
+    "trick), aggregated per language. No vocabulary build, no dictionary "
+    "broadcast — the featurizer is stateless, so it parallelizes over any "
+    "corpus size with one explode + one map-side-combinable groupBy. "
+    "md5 keeps the bucketing engine-portable (NOTES.md hash rule).",
+    oracle=f"""
+WITH tok AS (
+  SELECT lang,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS t
+  FROM documents
+),
+h AS (
+  SELECT lang,
+         ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv
+  FROM tok
+)
+SELECT lang,
+       CAST(hv % {HASH_DIM} AS BIGINT) AS bucket,
+       CAST(SUM(CASE WHEN (hv // {HASH_DIM}) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT)
+         AS feat_val,
+       COUNT(*) AS n_tokens
+FROM h
+GROUP BY 1, 2
+""",
+)
+def feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "lang", tokens(F.col("text")).alias("ws")
+    )
+    tok = docs.select("lang", F.explode("ws").alias("t"))
+    h = tok.select("lang", hash_hex(F.col("t"), 15).alias("hv"))
+    return h.groupBy(
+        "lang", (F.col("hv") % HASH_DIM).cast("bigint").alias("bucket")
+    ).agg(
+        # sign bit via integer DIV — float division loses exactness past
+        # 2^53 and hv is a 60-bit integer
+        F.sum(
+            F.when(F.expr(f"(hv DIV {HASH_DIM}) % 2") == 0, 1).otherwise(-1)
+        )
+        .cast("bigint")
+        .alias("feat_val"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Smoothed target encoding
+# ---------------------------------------------------------------------------
+
+TE_SMOOTHING_M = 20
+
+
+@register(
+    "target_encoding_smoothed",
+    category="ml",
+    doc="Smoothed target encoding of part brand against the return-flag "
+    f"target: enc = (s + m·G)/(n + m) with m={TE_SMOOTHING_M} and G the "
+    "global positive rate — the standard leakage-damped categorical "
+    "encoder. Per-brand counts come from one broadcast-dim join + one "
+    "map-side-combinable agg; the global rate is a 1-row broadcast. The "
+    "encoding is emitted as exact ppm via half-up DECIMAL(38,0) integer "
+    "division (enc·1e6 = (2e6·(s·Gn + m·Gs) + Gn·(n+m)) DIV (2·Gn·(n+m))) "
+    "— no float quotient is hashed.",
+    oracle=f"""
+WITH lab AS (
+  SELECT p.p_brand AS brand,
+         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+per AS (
+  SELECT brand, CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(pos) AS HUGEINT) AS s
+  FROM lab GROUP BY brand
+),
+g AS (SELECT CAST(SUM(n) AS HUGEINT) AS gn, CAST(SUM(s) AS HUGEINT) AS gs FROM per)
+SELECT brand,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(s AS BIGINT) AS n_pos,
+       CAST((2000000 * (s * gn + {TE_SMOOTHING_M} * gs) + gn * (n + {TE_SMOOTHING_M}))
+            // (2 * gn * (n + {TE_SMOOTHING_M})) AS BIGINT) AS enc_ppm
+FROM per CROSS JOIN g
+""",
+)
+def target_encoding_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lab = (
+        table(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            F.col("p_brand").alias("brand"),
+            (F.col("l_returnflag") == "R").cast("int").alias("pos"),
+        )
+    )
+    per = lab.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("pos").cast("decimal(38,0)").alias("s"),
+    )
+    g = per.agg(
+        F.sum("n").cast("decimal(38,0)").alias("gn"),
+        F.sum("s").cast("decimal(38,0)").alias("gs"),
+    )
+    m = TE_SMOOTHING_M
+    return per.crossJoin(F.broadcast(g)).select(
+        "brand",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("s").cast("bigint").alias("n_pos"),
+        F.expr(
+            f"(2000000 * (s * gn + {m} * gs) + gn * (n + {m}))"
+            f" DIV (2 * gn * (n + {m}))"
+        )
+        .cast("bigint")
+        .alias("enc_ppm"),
+    )

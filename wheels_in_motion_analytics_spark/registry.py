@@ -79,6 +79,7 @@ _QUERY_MODULES = [
     "wheels_in_motion_analytics_spark.functions.product_analytics",
     "wheels_in_motion_analytics_spark.functions.sql_surface",
     "wheels_in_motion_analytics_spark.functions.modern_sql",
+    "wheels_in_motion_analytics_spark.functions.ml",
     "wheels_in_motion_analytics_spark.plans.enriched",
     "wheels_in_motion_analytics_spark.plans.analytics",
     "wheels_in_motion_analytics_spark.plans.analytics_deep",
