@@ -555,3 +555,90 @@ def observe_dq_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows BIGINT, null_prices BIGINT, min_key BIGINT, max_key BIGINT, "
         "total_cents BIGINT",
     )
+
+
+# --------------------------------------------------------------------------
+# Key-skew profile (shuffle-planning diagnostics)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "key_skew_profile",
+    category="integrity",
+    doc="Join/shuffle skew diagnostics over the lineitem supplier key: key "
+    "cardinality, hottest key (argmax with min-key tiebreak), hot-key "
+    "multiple of the mean (ppm), and the exact Gini coefficient of the "
+    "per-key row distribution — the numbers that decide salting / AQE "
+    "skew-join thresholds before a big join ships. One map-side-combinable "
+    "count per key; the Gini rank runs over the (much smaller) key-count "
+    "relation with the two-phase exact global rank, so even a "
+    "billion-key profile never funnels through one task. All ratios are "
+    "half-up scaled-integer ppm in DECIMAL(38,0) — nothing float is "
+    "hashed.",
+    oracle="""
+WITH counts AS (
+  SELECT l_suppkey AS k, CAST(COUNT(*) AS HUGEINT) AS c
+  FROM lineitem GROUP BY l_suppkey
+),
+ranked AS (
+  SELECT c, CAST(row_number() OVER (ORDER BY c, k) AS HUGEINT) AS r
+  FROM counts
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS kk, CAST(SUM(c) AS HUGEINT) AS t,
+         CAST(MAX(c) AS HUGEINT) AS mx,
+         CAST(SUM(r * c) AS HUGEINT) AS s
+  FROM ranked
+),
+top AS (
+  SELECT MIN(k) AS top_key FROM counts WHERE c = (SELECT mx FROM tot)
+)
+SELECT CAST(kk AS BIGINT) AS n_keys,
+       CAST(t AS BIGINT) AS total_rows,
+       CAST(mx AS BIGINT) AS max_key_rows,
+       top_key,
+       CAST((2000000 * mx * kk + t) // (2 * t) AS BIGINT) AS skew_ratio_ppm,
+       CAST((2000000 * (2 * s - (kk + 1) * t) + kk * t)
+            // (2 * kk * t) AS BIGINT) AS gini_ppm
+FROM tot CROSS JOIN top
+""",
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.operators.windows import global_row_number
+
+    counts = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_suppkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c"))
+    )
+    ranked = global_row_number(counts, [F.asc("c"), F.asc("k")], rn_name="r")
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("kk"),
+        F.sum("c").cast("decimal(38,0)").alias("t"),
+        F.max("c").cast("decimal(38,0)").alias("mx"),
+        F.sum(F.col("r").cast("decimal(38,0)") * F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("s"),
+    )
+    top = (
+        counts.join(F.broadcast(tot.select("mx")), F.col("c") == F.col("mx"))
+        .agg(F.min("k").alias("top_key"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(top))
+        .select(
+            F.col("kk").cast("bigint").alias("n_keys"),
+            F.col("t").cast("bigint").alias("total_rows"),
+            F.col("mx").cast("bigint").alias("max_key_rows"),
+            "top_key",
+            F.expr("(2000000 * mx * kk + t) DIV (2 * t)")
+            .cast("bigint")
+            .alias("skew_ratio_ppm"),
+            F.expr(
+                "(2000000 * (2 * s - (kk + 1) * t) + kk * t)"
+                " DIV (2 * kk * t)"
+            )
+            .cast("bigint")
+            .alias("gini_ppm"),
+        )
+    )

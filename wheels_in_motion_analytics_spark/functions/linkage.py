@@ -670,3 +670,81 @@ def dedup_lines_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("clean_text").alias("clean_n_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy best-match lookup (dirty-FK repair)
+# --------------------------------------------------------------------------
+
+FUZZY_PROBE_MOD = 3  # deterministic ~1/3 sample of the name dictionary
+FUZZY_MAX_DIST = 2
+
+
+@register(
+    "fuzzy_lookup_best_match",
+    category="linkage",
+    doc="Fuzzy best-match lookup: a probe list of corrupted part names "
+    "(5th character deleted — the dirty-FK / address-matching shape) "
+    "resolved against the clean name dictionary. Blocking on the 4-char "
+    "prefix (preserved by the corruption) turns the comparison into an "
+    "equi-join; JVM levenshtein runs only inside blocks, and the best "
+    f"match per probe is the (distance, name) minimum at distance ≤ "
+    f"{FUZZY_MAX_DIST} — top-1 resolution, not pair enumeration "
+    "(record_linkage_part_names covers that). Runs on the value "
+    "dictionary; the probe side broadcasts.",
+    oracle=f"""
+WITH names AS (SELECT DISTINCT p_name AS name FROM part WHERE length(p_name) >= 6),
+probes AS (
+  SELECT substr(name, 1, 4) || substr(name, 6) AS probe
+  FROM names
+  WHERE ('0x' || substr(md5(name), 1, 15))::BIGINT % {FUZZY_PROBE_MOD} = 0
+),
+cand AS (
+  SELECT p.probe, n.name, levenshtein(p.probe, n.name) AS dist
+  FROM probes p JOIN names n ON substr(p.probe, 1, 4) = substr(n.name, 1, 4)
+  WHERE abs(length(p.probe) - length(n.name)) <= {FUZZY_MAX_DIST}
+    AND levenshtein(p.probe, n.name) <= {FUZZY_MAX_DIST}
+)
+SELECT probe, name AS matched_name, CAST(dist AS INTEGER) AS dist
+FROM (
+  SELECT probe, name, dist,
+         row_number() OVER (PARTITION BY probe ORDER BY dist, name) AS rn
+  FROM cand
+) WHERE rn = 1
+""",
+)
+def fuzzy_lookup_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.functions.similarity import hash_hex
+
+    names = (
+        table(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .where(F.length("name") >= 6)
+        .distinct()
+    )
+    probes = names.where(
+        hash_hex(F.col("name"), 15) % FUZZY_PROBE_MOD == 0
+    ).select(
+        F.concat(
+            F.substring("name", 1, 4), F.expr("substr(name, 6)")
+        ).alias("probe")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(names, F.substring("probe", 1, 4) == F.substring("name", 1, 4))
+        .withColumn("dist", F.levenshtein("probe", "name"))
+        .where(
+            (F.abs(F.length("probe") - F.length("name")) <= FUZZY_MAX_DIST)
+            & (F.col("dist") <= FUZZY_MAX_DIST)
+        )
+    )
+    w = Window.partitionBy("probe").orderBy("dist", "name")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "probe",
+            F.col("name").alias("matched_name"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )
