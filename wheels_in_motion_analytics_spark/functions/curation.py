@@ -946,3 +946,69 @@ def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(d),
         (F.col("c") - F.col("wt") <= F.col("d")) & (F.col("d") < F.col("c")),
     ).select("k", "token", "f", "wt")
+
+
+# --------------------------------------------------------------------------
+# Output sharding by token budget
+# --------------------------------------------------------------------------
+
+SHARD_TOKEN_BUDGET = 1024
+
+
+@register(
+    "shard_assignment_by_budget",
+    category="curation",
+    doc="Deterministic output sharding: documents ordered by an md5 shuffle "
+    "key, assigned to shards by inclusive token prefix-sum DIV budget "
+    f"({SHARD_TOKEN_BUDGET} tokens) — the writer layout step that turns a "
+    "curated corpus into near-equal training shards without a bin-packing "
+    "solver. The prefix sum is the two-phase exact global running sum "
+    "(range-partitioned parallel sort, LONG partition offsets), so shard "
+    "assignment never funnels through one task; the audit emits per-shard "
+    "doc/token totals.",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+              AS BIGINT) AS tok_n,
+         md5('shard:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, tok_n,
+         CAST(SUM(tok_n) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS c
+  FROM t
+)
+SELECT CAST(greatest(c, 1) - 1 AS BIGINT) // {SHARD_TOKEN_BUDGET} AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(tok_n) AS BIGINT) AS shard_tokens
+FROM cum
+GROUP BY 1
+""",
+)
+def shard_assignment_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.functions.text import tokens
+    from wheels_in_motion_analytics_spark.operators.windows import (
+        global_prefix_sums,
+    )
+
+    t = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("tok_n"),
+        F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))).alias(
+            "h"
+        ),
+    )
+    cum = global_prefix_sums(t, ["h", "doc_id"], ["tok_n"], suffix="_c")
+    return (
+        cum.groupBy(
+            F.expr(
+                f"(greatest(tok_n_c, 1) - 1) DIV {SHARD_TOKEN_BUDGET}"
+            ).alias("shard")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok_n").cast("bigint").alias("shard_tokens"),
+        )
+    )

@@ -1524,3 +1524,103 @@ def twap_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "DIV (2 * den) AS BIGINT)"
         ).alias("twap_ucents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Calendar densification + linear interpolation
+# --------------------------------------------------------------------------
+
+
+@register(
+    "gap_fill_linear_interpolate",
+    category="timeseries",
+    doc="Calendar densification + LINEAR interpolation: daily urgent-"
+    "finished revenue (cents) over the full order date span, missing days "
+    "filled by exact integer linear interpolation between the bracketing "
+    "observed days — the numeric sibling of gap_fill_locf_daily. "
+    "Interpolated cents = half-up((prev·(next_d−d) + next·(d−prev_d)) / "
+    "gap), computed entirely in integers so both engines emit identical "
+    "values. The spine is the generated calendar (bounded by the date "
+    "span, never by fact rows); the windows run at calendar grain.",
+    oracle="""
+WITH obs AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+  GROUP BY 1
+),
+mm AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM obs),
+cal AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM mm
+),
+j AS (SELECT cal.day, obs.cents FROM cal LEFT JOIN obs ON cal.day = obs.day),
+br AS (
+  SELECT day, cents,
+         last_value(cents IGNORE NULLS)
+           OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS pc,
+         last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+           OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS pd,
+         first_value(cents IGNORE NULLS)
+           OVER (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc,
+         first_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+           OVER (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM j
+)
+SELECT day,
+       CASE WHEN cents IS NOT NULL THEN cents
+            ELSE CAST((2 * (pc * datediff('day', day, nd) + nc * datediff('day', pd, day))
+                       + datediff('day', pd, nd))
+                      // (2 * datediff('day', pd, nd)) AS BIGINT) END AS cents,
+       cents IS NULL AS interpolated
+FROM br
+""",
+)
+def gap_fill_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    obs = (
+        table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderstatus") == "F")
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    mm = obs.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    cal = mm.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    j = cal.join(obs, "day", "left")
+    # calendar-grain windows: bounded by the date span (a few thousand
+    # rows), the same exemption the other daily-grain ops document
+    wp = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    known_day = F.when(F.col("cents").isNotNull(), F.col("day"))
+    br = j.select(
+        "day",
+        "cents",
+        F.last("cents", ignorenulls=True).over(wp).alias("pc"),
+        F.last(known_day, ignorenulls=True).over(wp).alias("pd"),
+        F.first("cents", ignorenulls=True).over(wn).alias("nc"),
+        F.first(known_day, ignorenulls=True).over(wn).alias("nd"),
+    )
+    interp = F.expr(
+        "CAST((2 * (pc * datediff(nd, day) + nc * datediff(day, pd))"
+        " + datediff(nd, pd)) DIV (2 * datediff(nd, pd)) AS BIGINT)"
+    )
+    return br.select(
+        "day",
+        F.when(F.col("cents").isNotNull(), F.col("cents"))
+        .otherwise(interp)
+        .alias("cents"),
+        F.col("cents").isNull().alias("interpolated"),
+    )
