@@ -403,6 +403,84 @@ def jsonl_corrupt_records_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CSV quarantine: PERMISSIVE corrupt-record audit (typed-parse failures)
+# ---------------------------------------------------------------------------
+
+CSV_CORRUPT_EVERY = 89  # orderkey % CSV_CORRUPT_EVERY == 0 rows are poisoned
+
+
+def corrupt_csv_path(sf_dir: str) -> str:
+    return _derived_path(sf_dir, "orders_corrupt_csv")
+
+
+def ensure_corrupt_csv(spark: SparkSession, sf_dir: str) -> str:
+    """Write orders as headerless CSV where every ``o_orderkey % 89 == 0``
+    row carries an unparseable total (type poison, not a token-count
+    mismatch — Spark's CSV reader pads/truncates token-count drift without
+    flagging it; only typed-parse failures reach the corrupt column).
+    Content-deterministic, _SUCCESS-guarded."""
+    path = corrupt_csv_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        total = F.when(
+            F.col("o_orderkey") % CSV_CORRUPT_EVERY == 0, F.lit("##poison##")
+        ).otherwise(F.col("o_totalprice").cast("string"))
+        line = F.concat_ws(
+            ",",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+            total,
+        )
+        (
+            table(spark, sf_dir, "orders")
+            .select(line.alias("value"))
+            .write.mode("overwrite")
+            .text(path)
+        )
+    return path
+
+
+@register(
+    "csv_corrupt_records_audit",
+    category="sources",
+    doc="Malformed-CSV ingestion: a headerless CSV feed where every 89th "
+    "order carries a type-poisoned price field, read in PERMISSIVE mode "
+    "with columnNameOfCorruptRecord — the CSV twin of "
+    "jsonl_corrupt_records_audit (CSV needs a TYPED parse failure to "
+    "quarantine: Spark pads/truncates token-count drift silently). Audit: "
+    "good/corrupt counts + decimal-exact revenue over parsed rows; the "
+    "oracle re-derives all three from the original table and the writer's "
+    "poison rule.",
+    oracle=f"""
+SELECT COUNT(*) AS n_total,
+       COUNT(*) FILTER (WHERE o_orderkey % {CSV_CORRUPT_EVERY} <> 0) AS n_good,
+       COUNT(*) FILTER (WHERE o_orderkey % {CSV_CORRUPT_EVERY} = 0) AS n_corrupt,
+       {oracle_dsum(f'CASE WHEN o_orderkey % {CSV_CORRUPT_EVERY} <> 0 THEN o_totalprice END')}
+         AS good_revenue
+FROM orders
+""",
+)
+def csv_corrupt_records_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = ensure_corrupt_csv(spark, sf_dir)
+    parsed = (
+        spark.read.schema(
+            "order_id bigint, status string, total double, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+        # corrupt-column-only queries on a raw scan are disallowed (Spark
+        # requires a materialized parse first; same rule as the JSONL twin)
+        .localCheckpoint()
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.col("total")).alias("n_good"),
+        F.count(F.col("_corrupt")).alias("n_corrupt"),
+        dsum(F.col("total")).alias("good_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Schema evolution on read: mergeSchema across parquet generations
 # ---------------------------------------------------------------------------
 
