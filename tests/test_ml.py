@@ -1,0 +1,311 @@
+"""ML-primitive operators (functions/ml.py) plus the session's sibling
+additions: Python-exact parity checks (independent of the DuckDB oracle)
+and plan-shape pins for the scale-critical properties."""
+
+from __future__ import annotations
+
+import hashlib
+from fractions import Fraction
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_SMALL
+from wheels_in_motion_analytics_spark.registry import load_all_queries
+from wheels_in_motion_analytics_spark.tables import table
+
+SPECS = load_all_queries()
+
+
+def _run(spark, name):
+    return SPECS[name].fn(spark, SF_SMALL)
+
+
+# ---------------------------------------------------------------------------
+# decision_stump_best_split: exhaustive Python re-derivation
+# ---------------------------------------------------------------------------
+
+
+def test_stump_matches_exhaustive_python(spark):
+    rows = (
+        table(spark, SF_SMALL, "orders")
+        .select(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+            (F.col("o_orderstatus") == "F").cast("int").alias("pos"),
+        )
+        .collect()
+    )
+    lo = min(r.cents for r in rows)
+    hi = max(r.cents for r in rows)
+    hist: dict[int, list[int]] = {}
+    for r in rows:
+        b = (r.cents - lo) * 256 // (hi - lo + 1)
+        n, p = hist.get(b, (0, 0))
+        hist[b] = (n + 1, p + r.pos)
+    nt = sum(n for n, _ in hist.values())
+    pt = sum(p for _, p in hist.values())
+    best = None
+    nl = pl = 0
+    for b in sorted(hist):
+        n, p = hist[b]
+        nl, pl = nl + n, pl + p
+        if nl == 0 or nt - nl == 0:
+            continue
+        nr, pr = nt - nl, pt - pl
+        a = (pl * pl + (nl - pl) * (nl - pl)) * nr + (
+            pr * pr + (nr - pr) * (nr - pr)
+        ) * nl
+        score = a * 1_000_000 // (nl * nr)
+        key = (-score, b)
+        if best is None or key < best[0]:
+            best = (key, b, nl, pl, nr, pr, score)
+    got = _run(spark, "decision_stump_best_split").collect()[0]
+    _, b, nl, pl, nr, pr, score = best
+    assert got.split_bin == b
+    assert got.threshold_cents == lo + (b + 1) * (hi - lo + 1) // 256
+    assert (got.n_left, got.pos_left, got.n_right, got.pos_right) == (nl, pl, nr, pr)
+    assert got.score_micro == score
+
+
+# ---------------------------------------------------------------------------
+# feature_hashing_trick: md5 parity with hashlib + conservation
+# ---------------------------------------------------------------------------
+
+
+def test_feature_hashing_conserves_tokens_and_matches_hashlib(spark):
+    out = _run(spark, "feature_hashing_trick").collect()
+    docs = (
+        table(spark, SF_SMALL, "documents")
+        .select("lang", F.lower("text").alias("t"))
+        .collect()
+    )
+    expect: dict[tuple[str, int], list[int]] = {}
+    for r in docs:
+        for tok in r.t.split():
+            hv = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            k = (r.lang, hv % 64)
+            sgn = 1 if (hv // 64) % 2 == 0 else -1
+            f0, n0 = expect.get(k, (0, 0))
+            expect[k] = (f0 + sgn, n0 + 1)
+    got = {(r.lang, r.bucket): (r.feat_val, r.n_tokens) for r in out}
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# target_encoding_smoothed: Fraction re-derivation
+# ---------------------------------------------------------------------------
+
+
+def test_target_encoding_ppm_exact(spark):
+    out = _run(spark, "target_encoding_smoothed").collect()
+    gn = sum(r.n_rows for r in out)
+    gs = sum(r.n_pos for r in out)
+    for r in out:
+        enc = Fraction(r.n_pos + Fraction(20 * gs, gn), r.n_rows + 20)
+        # half-up ppm
+        want = (2 * 1_000_000 * enc.numerator + enc.denominator) // (
+            2 * enc.denominator
+        )
+        assert r.enc_ppm == want, r.brand
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_lookup_best_match: brute-force over the (small) name dictionary
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_lookup_matches_bruteforce(spark):
+    names = sorted(
+        r.name
+        for r in table(spark, SF_SMALL, "part")
+        .select(F.col("p_name").alias("name"))
+        .where(F.length("name") >= 6)
+        .distinct()
+        .collect()
+    )
+    probes = [
+        n[:4] + n[5:]
+        for n in names
+        if int(hashlib.md5(n.encode()).hexdigest()[:15], 16) % 3 == 0
+    ]
+    expect = {}
+    for p in probes:
+        cands = [
+            (_lev(p, n), n)
+            for n in names
+            if n[:4] == p[:4] and abs(len(n) - len(p)) <= 2
+        ]
+        cands = [(d, n) for d, n in cands if d <= 2]
+        if cands:
+            expect[p] = min(cands)
+    got = {r.probe: (r.dist, r.matched_name) for r in
+           _run(spark, "fuzzy_lookup_best_match").collect()}
+    assert got == expect
+    assert expect, "probe derivation selected no names"
+
+
+# ---------------------------------------------------------------------------
+# key_skew_profile: Fraction Gini re-derivation
+# ---------------------------------------------------------------------------
+
+
+def test_key_skew_gini_exact(spark):
+    counts = sorted(
+        ((r.c, r.k) for r in
+         table(spark, SF_SMALL, "lineitem")
+         .groupBy(F.col("l_suppkey").alias("k"))
+         .agg(F.count(F.lit(1)).alias("c"))
+         .collect())
+    )
+    kk = len(counts)
+    t = sum(c for c, _ in counts)
+    mx = max(c for c, _ in counts)
+    s = sum(i * c for i, (c, _) in enumerate(counts, 1))
+    gini = Fraction(2 * s - (kk + 1) * t, kk * t)
+    want_gini = (2 * 1_000_000 * gini.numerator + gini.denominator) // (
+        2 * gini.denominator
+    )
+    skew = Fraction(mx * kk, t)
+    want_skew = (2 * 1_000_000 * skew.numerator + skew.denominator) // (
+        2 * skew.denominator
+    )
+    got = _run(spark, "key_skew_profile").collect()[0]
+    assert (got.n_keys, got.total_rows, got.max_key_rows) == (kk, t, mx)
+    assert got.top_key == min(k for c, k in counts if c == mx)
+    assert got.gini_ppm == want_gini
+    assert got.skew_ratio_ppm == want_skew
+    assert 0 <= got.gini_ppm <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# shard_assignment_by_budget: Python recompute + budget property
+# ---------------------------------------------------------------------------
+
+
+def test_shard_assignment_recompute(spark):
+    docs = (
+        table(spark, SF_SMALL, "documents")
+        .select("doc_id", F.lower("text").alias("t"))
+        .collect()
+    )
+    order = sorted(
+        (hashlib.md5(f"shard:{r.doc_id}".encode()).hexdigest(), r.doc_id,
+         len(r.t.split()))
+        for r in docs
+    )
+    expect: dict[int, list[int]] = {}
+    cum = 0
+    for _, _, tn in order:
+        cum += tn
+        sh = (max(cum, 1) - 1) // 1024
+        n0, t0 = expect.get(sh, (0, 0))
+        expect[sh] = (n0 + 1, t0 + tn)
+    got = {r.shard: (r.n_docs, r.shard_tokens)
+           for r in _run(spark, "shard_assignment_by_budget").collect()}
+    assert got == expect
+    # shards are contiguous from 0 and (except the last) carry >0 docs
+    assert sorted(got) == list(range(len(got)))
+
+
+# ---------------------------------------------------------------------------
+# gap_fill_linear_interpolate: endpoints exact, interiors bracketed
+# ---------------------------------------------------------------------------
+
+
+def test_linear_interpolation_recompute(spark):
+    out = {r.day: (r.cents, r.interpolated)
+           for r in _run(spark, "gap_fill_linear_interpolate").collect()}
+    obs = {
+        r.day: r.cents
+        for r in table(spark, SF_SMALL, "orders")
+        .where((F.col("o_orderpriority") == "1-URGENT")
+               & (F.col("o_orderstatus") == "F"))
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                   .cast("bigint")).alias("cents"))
+        .collect()
+    }
+    days = sorted(out)
+    known = sorted(obs)
+    assert days[0] == known[0] and days[-1] == known[-1]
+    assert (days[-1] - days[0]).days + 1 == len(days)
+    import bisect
+
+    interpolated_seen = 0
+    for d in days:
+        cents, interp = out[d]
+        if d in obs:
+            assert not interp and cents == obs[d]
+            continue
+        interpolated_seen += 1
+        i = bisect.bisect_left(known, d)
+        pd_, nd_ = known[i - 1], known[i]
+        gap = (nd_ - pd_).days
+        off = (d - pd_).days
+        num = obs[pd_] * (gap - off) + obs[nd_] * off
+        assert cents == (2 * num + gap) // (2 * gap)
+    assert interpolated_seen > 0, "fixture has no gaps to interpolate"
+
+
+# ---------------------------------------------------------------------------
+# plan-shape pins
+# ---------------------------------------------------------------------------
+
+
+def _plan(spark, name: str) -> str:
+    return (
+        SPECS[name]
+        .fn(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_stump_histogram_is_partial_final_no_sort(spark):
+    """The histogram fold must partial-aggregate map-side and nothing may
+    sort the fact scan — the defining properties of the GBDT histogram
+    algorithm at scale."""
+    plan = _plan(spark, "decision_stump_best_split")
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_target_encoding_broadcasts_dim(spark):
+    plan = _plan(spark, "target_encoding_smoothed")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_fuzzy_lookup_no_cartesian(spark):
+    """Blocking must surface as an equi-join — never a cartesian/BNLJ over
+    the dictionary."""
+    plan = _plan(spark, "fuzzy_lookup_best_match")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_key_skew_profile_no_single_partition_sort(spark):
+    """The Gini rank must ride the two-phase range rank — a SinglePartition
+    exchange is allowed only as a scalar partial-agg merge (same rule as
+    test_two_phase_rank_queries_have_no_single_partition_stage)."""
+    plan = _plan(spark, "key_skew_profile")
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        below = "\n".join(lines[i + 1 : i + 3])
+        assert "partial_" in below, plan[:2000]
