@@ -18,7 +18,7 @@ unroll.)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
 from wheels_in_motion_analytics_spark.registry import register
@@ -565,4 +565,94 @@ def kcore_decomposition_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d").alias("core_degree"),
             "converged",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities (synchronous, deterministic tiebreak)
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 4
+
+_LPA_ROUND_ORACLE = """
+{name} AS MATERIALIZED (
+  SELECT node, lbl FROM (
+    SELECT s.dst AS node, l.lbl, COUNT(*) AS c,
+           row_number() OVER (PARTITION BY s.dst ORDER BY COUNT(*) DESC, l.lbl ASC) AS rn
+    FROM sym s JOIN {prev} l ON l.node = s.src
+    GROUP BY s.dst, l.lbl
+  ) WHERE rn = 1
+)"""
+
+
+@register(
+    "label_propagation_communities",
+    category="graph",
+    doc=f"Community detection by synchronous label propagation "
+    f"({LPA_ROUNDS} fixed rounds) over the symmetric co-supply graph: "
+    "every node adopts its neighbors' majority label with the "
+    "deterministic (count DESC, label ASC) tiebreak, labels seeded with "
+    "node ids. Each round is one edges⋈labels join + a (node, label) "
+    "count + a per-node argmax — the Pregel message/compute step as two "
+    "map-side-combinable shuffles; fixed synchronous rounds keep the "
+    "result engine- and partitioning-independent (no convergence race). "
+    "Oracle: unrolled MATERIALIZED CTE rounds (the kcore exponential-"
+    "inlining lesson, NOTES.md r4).",
+    oracle=f"""
+WITH {_TRI_EDGES_ORACLE.lstrip()},
+sym AS MATERIALIZED (
+  SELECT s1 AS src, s2 AS dst FROM edges
+  UNION ALL
+  SELECT s2, s1 FROM edges
+),
+l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),
+{_LPA_ROUND_ORACLE.format(name='l1', prev='l0')},
+{_LPA_ROUND_ORACLE.format(name='l2', prev='l1')},
+{_LPA_ROUND_ORACLE.format(name='l3', prev='l2')},
+{_LPA_ROUND_ORACLE.format(name='l4', prev='l3')}
+SELECT node, lbl AS community,
+       CAST(COUNT(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size
+FROM l4
+""",
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    links = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= TRI_MIN_QTY)
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    und = (
+        links.select("p", F.col("s").alias("s1"))
+        .join(links.select("p", F.col("s").alias("s2")), "p")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= TRI_MIN_SHARED)
+        .select("s1", "s2")
+    )
+    sym = (
+        und.select(F.col("s1").alias("src"), F.col("s2").alias("dst"))
+        .unionByName(und.select(F.col("s2").alias("src"), F.col("s1").alias("dst")))
+        .localCheckpoint()  # every round joins this
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(LPA_ROUNDS):
+        labels = (
+            sym.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint()  # cut the per-round lineage growth
+        )
+    wsz = Window.partitionBy("lbl")
+    return labels.select(
+        "node",
+        F.col("lbl").alias("community"),
+        F.count(F.lit(1)).over(wsz).cast("bigint").alias("community_size"),
     )

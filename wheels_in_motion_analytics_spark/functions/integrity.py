@@ -642,3 +642,127 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("gini_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# l-diversity audit (sensitive-attribute diversity inside QI classes)
+# --------------------------------------------------------------------------
+
+L_DIVERSITY_MIN = 3
+
+
+@register(
+    "l_diversity_audit",
+    category="integrity",
+    doc="l-diversity audit: within each quasi-identifier class (nation, "
+    "market segment) the sensitive attribute (account-balance decile) "
+    f"must take ≥ {L_DIVERSITY_MIN} distinct values — the follow-up check "
+    "k-anonymity alone misses (a class of 50 rows that all share one "
+    "sensitive value is still fully disclosive). One groupBy on the QI "
+    "tuple with an exact distinct count; distinct-l and class size land "
+    "in the same map-side-combinable pass.",
+    oracle=f"""
+SELECT c_nationkey, c_mktsegment,
+       COUNT(*) AS k,
+       CAST(COUNT(DISTINCT least(CAST(floor(c_acctbal / 1200.0) AS INTEGER), 9))
+            AS BIGINT) AS l_distinct,
+       COUNT(DISTINCT least(CAST(floor(c_acctbal / 1200.0) AS INTEGER), 9))
+         >= {L_DIVERSITY_MIN} AS l_diverse
+FROM customer
+GROUP BY 1, 2
+""",
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sens = F.least(F.floor(F.col("c_acctbal") / 1200.0).cast("int"), F.lit(9))
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.countDistinct(sens).alias("l_distinct"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "k",
+            "l_distinct",
+            (F.col("l_distinct") >= L_DIVERSITY_MIN).alias("l_diverse"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Differentially-private counts via the geometric mechanism
+# --------------------------------------------------------------------------
+
+# Frozen 52-bit CDF thresholds for Geometric(1 - e^-0.5): T_g =
+# floor(2^52 * (1 - alpha^(g+1))), alpha = e^-0.5 — the two-sided
+# geometric (discrete Laplace) mechanism at eps=0.5 for a count query of
+# sensitivity 1. Frozen literals keep both engines on the identical draw
+# (the bootstrap_ci_revenue_poisson recipe); the tail is truncated at
+# g=20 (P ~ 2.8e-5), identically on both sides.
+_GEO_CDF_52 = [
+    1772028374299899, 2846817913193522, 3498710721270908, 3894103696216006,
+    4133921658155197, 4279378604821114, 4367602702642178, 4421113322896140,
+    4453569154700408, 4473254611776172, 4485194445043081, 4492436319991317,
+    4496828739181228, 4499492876090219, 4501108756807194, 4502088838004477,
+    4502683287299638, 4503043839022797, 4503262524697306, 4503395164263735,
+    4503475614227465,
+]
+
+
+def _geo_draw_spark(u: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {u} >= {t} THEN 1 ELSE 0 END)" for t in _GEO_CDF_52
+    )
+
+
+@register(
+    "dp_geometric_noisy_counts",
+    category="integrity",
+    doc="Differentially-private release of per-segment customer counts via "
+    "the geometric mechanism (discrete Laplace, eps=0.5): noise = G1 - G2 "
+    "with G ~ Geometric drawn by comparing a 52-bit md5 uniform against "
+    "frozen integer CDF thresholds — float-free, engine-portable, "
+    "deterministic given the release key. The true count rides along as "
+    "the audit column (this is the calibration op, not the release "
+    "surface). One map-side-combinable groupBy; noise is O(segments) "
+    "post-agg arithmetic.",
+    oracle=f"""
+WITH seg AS (
+  SELECT c_mktsegment AS segment, COUNT(*) AS true_n FROM customer GROUP BY 1
+),
+u AS (
+  SELECT segment, true_n,
+         ('0x' || substr(md5('dp1:' || segment), 1, 13))::BIGINT AS u1,
+         ('0x' || substr(md5('dp2:' || segment), 1, 13))::BIGINT AS u2
+  FROM seg
+)
+SELECT segment, true_n,
+       CAST(({_geo_draw_spark('u1')}) - ({_geo_draw_spark('u2')}) AS BIGINT)
+         AS noise,
+       CAST(true_n + ({_geo_draw_spark('u1')}) - ({_geo_draw_spark('u2')})
+            AS BIGINT) AS noisy_n
+FROM u
+""",
+)
+def dp_geometric_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seg = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    u = seg.select(
+        "segment",
+        "true_n",
+        hash_hex(F.concat(F.lit("dp1:"), F.col("segment")), 13).alias("u1"),
+        hash_hex(F.concat(F.lit("dp2:"), F.col("segment")), 13).alias("u2"),
+    )
+    g1 = F.expr(_geo_draw_spark("u1"))
+    g2 = F.expr(_geo_draw_spark("u2"))
+    return u.select(
+        "segment",
+        "true_n",
+        (g1 - g2).cast("bigint").alias("noise"),
+        (F.col("true_n") + g1 - g2).cast("bigint").alias("noisy_n"),
+    )
