@@ -105,3 +105,53 @@ def test_bfs_hop_bound_truncates(spark):
     )
     got = {r.node: r.hop for r in bfs_min_hops(edges, seed=1, max_hops=2).collect()}
     assert got == {1: 0, 2: 1, 3: 2}
+
+
+# ---------------------------------------------------------------------------
+# l-diversity / DP geometric counts / label propagation (round-5 session-3)
+# ---------------------------------------------------------------------------
+
+
+def test_l_diversity_bounds_and_consistency(spark):
+    rows = SPECS["l_diversity_audit"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        # distinct sensitive values can't exceed class size or decile count
+        assert 1 <= r.l_distinct <= min(r.k, 10)
+        assert r.l_diverse == (r.l_distinct >= 3)
+
+
+def test_dp_noise_matches_python_cdf_walk(spark):
+    import hashlib
+
+    from wheels_in_motion_analytics_spark.functions.integrity import _GEO_CDF_52
+
+    rows = SPECS["dp_geometric_noisy_counts"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        def geo(prefix: str) -> int:
+            u = int(
+                hashlib.md5(f"{prefix}:{r.segment}".encode()).hexdigest()[:13], 16
+            )
+            return sum(1 for t in _GEO_CDF_52 if u >= t)
+
+        want = geo("dp1") - geo("dp2")
+        assert r.noise == want
+        assert r.noisy_n == r.true_n + want
+        # truncated support bound
+        assert abs(r.noise) <= len(_GEO_CDF_52)
+
+
+def test_label_propagation_partitions_nodes(spark):
+    rows = SPECS["label_propagation_communities"].fn(spark, SF_SMALL).collect()
+    assert rows
+    nodes = [r.node for r in rows]
+    assert len(nodes) == len(set(nodes))  # one label per node
+    # every community label is a node id of the graph and sizes agree
+    sizes = {}
+    for r in rows:
+        sizes[r.community] = sizes.get(r.community, 0) + 1
+    node_set = set(nodes)
+    for r in rows:
+        assert r.community in node_set
+        assert r.community_size == sizes[r.community]
