@@ -309,3 +309,84 @@ def test_key_skew_profile_no_single_partition_sort(spark):
             continue
         below = "\n".join(lines[i + 1 : i + 3])
         assert "partial_" in below, plan[:2000]
+
+
+# ---------------------------------------------------------------------------
+# ML evaluation suite: Python re-derivations
+# ---------------------------------------------------------------------------
+
+
+def _orders_scored(spark):
+    return [
+        (r.cents, r.pos)
+        for r in table(spark, SF_SMALL, "orders")
+        .select(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+            (F.col("o_orderstatus") == "F").cast("int").alias("pos"),
+        )
+        .collect()
+    ]
+
+
+def test_auc_matches_pairwise_definition(spark):
+    """AUC == P(score_pos > score_neg) + 0.5·P(tie), computed directly from
+    the pairwise definition via per-value counts."""
+    rows = _orders_scored(spark)
+    from collections import Counter
+
+    pos = Counter(c for c, p in rows if p == 1)
+    neg = Counter(c for c, p in rows if p == 0)
+    n1 = sum(pos.values())
+    n0 = sum(neg.values())
+    wins_x2 = 0
+    neg_sorted = sorted(neg.items())
+    import bisect
+
+    keys = [k for k, _ in neg_sorted]
+    cums = []
+    acc = 0
+    for _, c in neg_sorted:
+        acc += c
+        cums.append(acc)
+    for v, cp in pos.items():
+        i = bisect.bisect_left(keys, v)
+        below = cums[i - 1] if i > 0 else 0
+        tie = neg[v] if v in neg else 0
+        wins_x2 += cp * (2 * below + tie)
+    want_ppm = (2 * 1_000_000 * wins_x2 + 2 * n1 * n0) // (4 * n1 * n0)
+    got = SPECS["auc_rank_ppm"].fn(spark, SF_SMALL).collect()[0]
+    assert (got.n_pos, got.n_neg) == (n1, n0)
+    assert got.u_x2 == wins_x2  # doubled rank-U equals doubled pairwise wins
+    assert got.auc_ppm == want_ppm
+
+
+def test_threshold_metrics_fraction_exact(spark):
+    rows = _orders_scored(spark)
+    s = sum(c for c, _ in rows)
+    n = len(rows)
+    tp = sum(1 for c, p in rows if c * n > s and p == 1)
+    fp = sum(1 for c, p in rows if c * n > s and p == 0)
+    fn = sum(1 for c, p in rows if c * n <= s and p == 1)
+    tn = sum(1 for c, p in rows if c * n <= s and p == 0)
+
+    def ppm(num, den):
+        return (2 * 1_000_000 * num + den) // (2 * den)
+
+    got = SPECS["classification_threshold_metrics"].fn(spark, SF_SMALL).collect()[0]
+    assert (got.tp, got.fp, got.fn, got.tn) == (tp, fp, fn, tn)
+    assert got.precision_ppm == ppm(tp, tp + fp)
+    assert got.recall_ppm == ppm(tp, tp + fn)
+    assert got.f1_ppm == ppm(2 * tp, 2 * tp + fp + fn)
+
+
+def test_calibration_bins_partition_rows(spark):
+    rows = SPECS["calibration_reliability_bins"].fn(spark, SF_SMALL).collect()
+    total = sum(r.n for r in rows)
+    assert total == len(_orders_scored(spark))
+    for r in rows:
+        assert 0 <= r.bin < 10
+        assert 0 <= r.n_pos <= r.n
+        want = (2 * 1_000_000 * r.n_pos + r.n) // (2 * r.n)
+        assert r.pos_rate_ppm == want

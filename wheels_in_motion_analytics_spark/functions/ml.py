@@ -279,3 +279,231 @@ def target_encoding_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("enc_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-evaluation suite: AUC, calibration bins, threshold confusion metrics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "auc_rank_ppm",
+    category="ml",
+    doc="Exact ROC AUC of the 'price predicts finished status' scorer via "
+    "the rank statistic (AUC = (R1 - n1(n1+1)/2) / (n1·n0), tie-corrected "
+    "average ranks): scores aggregate to a distinct-value relation and "
+    "cumulative counts come from the two-phase exact prefix sum — the "
+    "Mann-Whitney machinery pointed at model evaluation, no per-row rank "
+    "assignment, no single-task sort. Doubled ranks keep everything "
+    "integer; auc_ppm is half-up DECIMAL(38,0) division. At 100 TB the "
+    "distinct-score relation is the only shuffled data.",
+    oracle="""
+WITH s AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS g
+  FROM orders
+),
+vals AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS n_tot, CAST(SUM(g) AS BIGINT) AS n1v
+  FROM s GROUP BY v
+),
+cum AS (
+  SELECT n_tot, n1v,
+         CAST(COALESCE(SUM(n_tot) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM vals
+),
+agg AS (
+  SELECT CAST(SUM(n1v) AS HUGEINT) AS n1,
+         CAST(SUM(n_tot) AS HUGEINT) AS n,
+         CAST(SUM(n1v * (2 * cum_before + n_tot + 1)) AS HUGEINT) AS r1_x2
+  FROM cum
+)
+SELECT CAST(n1 AS BIGINT) AS n_pos,
+       CAST(n - n1 AS BIGINT) AS n_neg,
+       CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u_x2,
+       CAST((2000000 * (r1_x2 - n1 * (n1 + 1)) + 2 * n1 * (n - n1))
+            // (4 * n1 * (n - n1)) AS BIGINT) AS auc_ppm
+FROM agg
+""",
+)
+def auc_rank_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.operators.windows import (
+        global_prefix_sums,
+    )
+
+    s = table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("v"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("g"),
+    )
+    vals = s.groupBy("v").agg(
+        F.count(F.lit(1)).alias("n_tot"), F.sum("g").alias("n1v")
+    )
+    cum = global_prefix_sums(vals, ["v"], ["n_tot"]).select(
+        "n_tot",
+        "n1v",
+        (F.col("n_tot_cum") - F.col("n_tot")).alias("cum_before"),
+    )
+    agg = cum.agg(
+        F.sum("n1v").cast("decimal(38,0)").alias("n1"),
+        F.sum("n_tot").cast("decimal(38,0)").alias("n"),
+        F.sum(
+            F.col("n1v") * (2 * F.col("cum_before") + F.col("n_tot") + 1)
+        )
+        .cast("decimal(38,0)")
+        .alias("r1_x2"),
+    )
+    return agg.select(
+        F.col("n1").cast("bigint").alias("n_pos"),
+        (F.col("n") - F.col("n1")).cast("bigint").alias("n_neg"),
+        F.expr("r1_x2 - n1 * (n1 + 1)").cast("bigint").alias("u_x2"),
+        F.expr(
+            "(2000000 * (r1_x2 - n1 * (n1 + 1)) + 2 * n1 * (n - n1))"
+            " DIV (4 * n1 * (n - n1))"
+        )
+        .cast("bigint")
+        .alias("auc_ppm"),
+    )
+
+
+CALIB_BINS = 10
+
+
+@register(
+    "calibration_reliability_bins",
+    category="ml",
+    doc=f"Calibration / reliability diagram: scores ({CALIB_BINS} "
+    "equal-width integer bins over price cents) vs the observed positive "
+    "rate per bin — the diagnostic behind Platt scaling / isotonic "
+    "recalibration. One 1-row min-max broadcast + one map-side-combinable "
+    "groupBy; rates are exact half-up ppm integers.",
+    oracle=f"""
+WITH src AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+  FROM orders
+),
+mm AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM src)
+SELECT CAST((cents - lo) * {CALIB_BINS} // (hi - lo + 1) AS BIGINT) AS bin,
+       COUNT(*) AS n,
+       CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST((CAST(2000000 AS HUGEINT) * SUM(pos) + COUNT(*))
+            // (2 * COUNT(*)) AS BIGINT) AS pos_rate_ppm
+FROM src CROSS JOIN mm
+GROUP BY 1
+""",
+)
+def calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("pos"),
+    )
+    mm = src.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    return (
+        src.crossJoin(F.broadcast(mm))
+        .groupBy(
+            F.expr(f"(cents - lo) * {CALIB_BINS} DIV (hi - lo + 1)").alias(
+                "bin"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+            F.expr(
+                "(CAST(2000000 AS DECIMAL(38,0)) * sum(pos) + count(*))"
+                " DIV (2 * count(*))"
+            )
+            .cast("bigint")
+            .alias("pos_rate_ppm"),
+        )
+    )
+
+
+@register(
+    "classification_threshold_metrics",
+    category="ml",
+    doc="Confusion matrix + precision/recall/F1 at the decision threshold "
+    "'price above the global mean': the threshold comparison is the "
+    "exact cross-multiplication cents·n > Σcents (no division, no float "
+    "mean), the four cells land in ONE map-side-combinable aggregate "
+    "after a 1-row broadcast, and the metrics are half-up ppm integers "
+    "(F1 = 2tp/(2tp+fp+fn) directly from counts).",
+    oracle="""
+WITH src AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+  FROM orders
+),
+g AS (SELECT CAST(SUM(cents) AS HUGEINT) AS s, CAST(COUNT(*) AS HUGEINT) AS n FROM src),
+cells AS (
+  SELECT CAST(COUNT(*) FILTER (WHERE cents * n > s AND pos = 1) AS HUGEINT) AS tp,
+         CAST(COUNT(*) FILTER (WHERE cents * n > s AND pos = 0) AS HUGEINT) AS fp,
+         CAST(COUNT(*) FILTER (WHERE cents * n <= s AND pos = 1) AS HUGEINT) AS fn,
+         CAST(COUNT(*) FILTER (WHERE cents * n <= s AND pos = 0) AS HUGEINT) AS tn
+  FROM src CROSS JOIN g
+)
+SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       CAST((2000000 * tp + (tp + fp)) // (2 * (tp + fp)) AS BIGINT)
+         AS precision_ppm,
+       CAST((2000000 * tp + (tp + fn)) // (2 * (tp + fn)) AS BIGINT)
+         AS recall_ppm,
+       CAST((2000000 * 2 * tp + (2 * tp + fp + fn)) // (2 * (2 * tp + fp + fn))
+            AS BIGINT) AS f1_ppm
+FROM cells
+""",
+)
+def classification_threshold_metrics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    src = table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("pos"),
+    )
+    g = src.agg(
+        F.sum("cents").cast("decimal(38,0)").alias("s"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+    )
+    pred = F.col("cents").cast("decimal(38,0)") * F.col("n") > F.col("s")
+    cells = (
+        src.crossJoin(F.broadcast(g))
+        .agg(
+            F.count(F.when(pred & (F.col("pos") == 1), 1))
+            .cast("decimal(38,0)")
+            .alias("tp"),
+            F.count(F.when(pred & (F.col("pos") == 0), 1))
+            .cast("decimal(38,0)")
+            .alias("fp"),
+            F.count(F.when(~pred & (F.col("pos") == 1), 1))
+            .cast("decimal(38,0)")
+            .alias("fn"),
+            F.count(F.when(~pred & (F.col("pos") == 0), 1))
+            .cast("decimal(38,0)")
+            .alias("tn"),
+        )
+    )
+    return cells.select(
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        F.col("tn").cast("bigint").alias("tn"),
+        F.expr("(2000000 * tp + (tp + fp)) DIV (2 * (tp + fp))")
+        .cast("bigint")
+        .alias("precision_ppm"),
+        F.expr("(2000000 * tp + (tp + fn)) DIV (2 * (tp + fn))")
+        .cast("bigint")
+        .alias("recall_ppm"),
+        F.expr(
+            "(2000000 * 2 * tp + (2 * tp + fp + fn))"
+            " DIV (2 * (2 * tp + fp + fn))"
+        )
+        .cast("bigint")
+        .alias("f1_ppm"),
+    )
