@@ -46,3 +46,42 @@ def test_intradoc_repetition_is_shuffle_free(spark):
     assert all(r.n_distinct <= r.n_grams for r in rows)
     # synthetic 31-word vocab + ~100-token docs ⇒ some repeated 3-grams exist
     assert any(r.n_distinct < r.n_grams for r in rows)
+
+
+def test_ndcg_bounds_and_python_recompute(spark):
+    """NDCG in [0, 1e6]; exact recompute from a Python re-ranking."""
+    import math
+
+    from tests.conftest import SF_SMALL
+    from wheels_in_motion_analytics_spark.functions.retrieval import (
+        _NDCG_W,
+        NDCG_K,
+        QUERY_TERMS,
+    )
+    from wheels_in_motion_analytics_spark.registry import load_all_queries
+    from wheels_in_motion_analytics_spark.tables import table
+    import pyspark.sql.functions as F
+
+    specs = load_all_queries()
+    got = specs["ndcg_at_k_retrieval"].fn(spark, SF_SMALL).collect()[0]
+    docs = (
+        table(spark, SF_SMALL, "documents")
+        .select("doc_id", F.lower("text").alias("t"))
+        .collect()
+    )
+    qs = set(QUERY_TERMS)
+    m = []
+    for r in docs:
+        toks = [t for t in r.t.split() if t in qs]
+        if toks:
+            m.append((r.doc_id, len(toks), len(set(toks))))
+    sys10 = sorted(m, key=lambda x: (-x[1], x[0]))[:NDCG_K]
+    ideal10 = sorted(m, key=lambda x: (-x[2], x[0]))[:NDCG_K]
+    dcg = sum(rel * w for (_, _, rel), w in zip(sys10, _NDCG_W))
+    idcg = sum(rel * w for (_, _, rel), w in zip(ideal10, _NDCG_W))
+    assert got.dcg_micro == dcg
+    assert got.idcg_micro == idcg
+    assert got.ndcg_ppm == (2 * 1_000_000 * dcg + idcg) // (2 * idcg)
+    assert 0 < got.ndcg_ppm <= 1_000_000
+    # frozen weights really are round(1e6/log2(pos+1))
+    assert _NDCG_W == [round(1e6 / math.log2(i + 1)) for i in range(1, 11)]

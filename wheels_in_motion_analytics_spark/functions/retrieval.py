@@ -202,3 +202,108 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= TFIDF_TOP_TERMS)
         .select("doc_id", "tok", "tfidf")
     )
+
+
+# --------------------------------------------------------------------------
+# NDCG@10 ranking evaluation (frozen integer position weights)
+# --------------------------------------------------------------------------
+
+NDCG_K = 10
+# w_i = round(1e6 / log2(i+1)) for positions 1..10 — frozen micro-unit
+# discount weights so DCG stays exact-integer on both engines.
+_NDCG_W = [
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+]
+_NDCG_W_SQL = "CASE pos " + " ".join(
+    f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_NDCG_W)
+) + " END"
+
+
+@register(
+    "ndcg_at_k_retrieval",
+    category="retrieval",
+    doc=f"NDCG@{NDCG_K} of the occurrence-count ranking against "
+    "distinct-query-term graded relevance: the ranking-quality metric a "
+    "retrieval pipeline reports next to recall. Both the system top-10 "
+    "(occurrences DESC, doc_id) and the ideal top-10 (grade DESC, doc_id) "
+    "come from ORDER BY+LIMIT heaps (TakeOrderedAndProject — never a "
+    "global sort over the candidate postings); DCG uses frozen integer "
+    "micro-weights round(1e6/log2(pos+1)) so dcg/idcg/ndcg_ppm are all "
+    "exact integers.",
+    oracle=f"""
+WITH d AS (SELECT doc_id, {_ORACLE_TOKS} AS ws FROM documents),
+m AS (
+  SELECT doc_id, COUNT(*) AS occ, COUNT(DISTINCT tok) AS rel
+  FROM (SELECT doc_id, unnest(ws) AS tok FROM d)
+  WHERE tok IN ({_QUERY_IN})
+  GROUP BY doc_id
+),
+sys AS (
+  SELECT rel, row_number() OVER (ORDER BY occ DESC, doc_id) AS pos
+  FROM m ORDER BY occ DESC, doc_id LIMIT {NDCG_K}
+),
+ideal AS (
+  SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS pos
+  FROM m ORDER BY rel DESC, doc_id LIMIT {NDCG_K}
+),
+dcg AS (SELECT CAST(SUM(rel * ({_NDCG_W_SQL})) AS HUGEINT) AS v FROM sys),
+idcg AS (SELECT CAST(SUM(rel * ({_NDCG_W_SQL})) AS HUGEINT) AS v FROM ideal)
+SELECT CAST(dcg.v AS BIGINT) AS dcg_micro,
+       CAST(idcg.v AS BIGINT) AS idcg_micro,
+       CAST((2000000 * dcg.v + idcg.v) // (2 * idcg.v) AS BIGINT) AS ndcg_ppm
+FROM dcg CROSS JOIN idcg
+""",
+)
+def ndcg_at_k_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    term_arr = F.array(*[F.lit(t) for t in QUERY_TERMS])
+    ws = tokens(F.col("text"))
+    m = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode_outer(
+                F.filter(ws, lambda t: F.array_contains(term_arr, t))
+            ).alias("tok"),
+        )
+        .where(F.col("tok").isNotNull())
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("occ"),
+            F.countDistinct("tok").alias("rel"),
+        )
+        .localCheckpoint()  # two heaps consume the candidate relation
+    )
+    w_arr = F.array(*[F.lit(w) for w in _NDCG_W])
+
+    def _dcg(ranked: DataFrame, alias: str) -> DataFrame:
+        # LIMIT k first (heap), then position the 10 surviving rows
+        pos_w = Window.orderBy("__ord")
+        return (
+            ranked.limit(NDCG_K)
+            .withColumn("pos", F.row_number().over(pos_w))
+            .agg(
+                F.sum(
+                    F.col("rel").cast("decimal(38,0)")
+                    * F.element_at(w_arr, F.col("pos")).cast("decimal(38,0)")
+                )
+                .cast("decimal(38,0)")
+                .alias(alias)
+            )
+        )
+
+    sys_ranked = m.orderBy(F.desc("occ"), F.asc("doc_id")).withColumn(
+        "__ord", F.struct(-F.col("occ"), F.col("doc_id"))
+    )
+    ideal_ranked = m.orderBy(F.desc("rel"), F.asc("doc_id")).withColumn(
+        "__ord", F.struct(-F.col("rel"), F.col("doc_id"))
+    )
+    dcg = _dcg(sys_ranked, "dcg")
+    idcg = _dcg(ideal_ranked, "idcg")
+    return dcg.crossJoin(idcg).select(
+        F.col("dcg").cast("bigint").alias("dcg_micro"),
+        F.col("idcg").cast("bigint").alias("idcg_micro"),
+        F.expr("(2000000 * dcg + idcg) DIV (2 * idcg)")
+        .cast("bigint")
+        .alias("ndcg_ppm"),
+    )
