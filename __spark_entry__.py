@@ -110,7 +110,16 @@ _DRIVER_PRIORITY = [
     # embeddings analytics, sketches, lakehouse layout). column_entropy_mi,
     # temporal_point_in_time_join, csv_roundtrip_agg,
     # multimodal_frame_digest, lm_bigram_perplexity, dedup_events_time_window
-    # queue for r6.
+    # queue for r6, as do the round-5 session-3 additions (ML family:
+    # decision_stump_best_split, feature_hashing_trick,
+    # target_encoding_smoothed, auc_rank_ppm, calibration_reliability_bins,
+    # classification_threshold_metrics; plus fuzzy_lookup_best_match,
+    # key_skew_profile, shard_assignment_by_budget,
+    # gap_fill_linear_interpolate, csv_corrupt_records_audit,
+    # l_diversity_audit, dp_geometric_noisy_counts,
+    # label_propagation_communities, ndcg_at_k_retrieval) and the session-2
+    # additions (dedup_lines_crossdoc family, twap_daily_by_type,
+    # record_linkage_canonicalize, sorted_lake_export_audit).
 ]
 
 
