@@ -324,3 +324,41 @@ def test_mann_kendall_matches_direct_recompute(spark):
     assert r.tau_ppm == expect_tau
     expect_sig = abs(s) > 1 and (abs(s) - 1) ** 2 * 1800000000 > 384160000 * var18
     assert r.trend_significant == expect_sig
+
+
+def test_kaplan_meier_invariants(spark):
+    """KM structural invariants: risk sets strictly decrease, log-survival
+    is non-increasing, NULL only at/after a full-death time, and the
+    first-row survival matches the closed form."""
+    import math
+
+    from tests.conftest import SF_SMALL
+    from wheels_in_motion_analytics_spark.registry import load_all_queries
+
+    rows = sorted(
+        load_all_queries()["kaplan_meier_ship_latency"]
+        .fn(spark, SF_SMALL)
+        .collect(),
+        key=lambda r: r.dur_days,
+    )
+    assert rows
+    total = rows[0].n_risk
+    seen = 0
+    prev_ls = 0.0
+    dead = False
+    for r in rows:
+        assert r.n_risk == total - seen
+        seen += r.d_events + r.c_censored
+        assert r.d_events + r.c_censored >= 1
+        if dead or r.d_events >= r.n_risk:
+            dead = True
+            assert r.log_survival is None
+            continue
+        assert r.log_survival <= prev_ls + 1e-9
+        prev_ls = r.log_survival
+    first = rows[0]
+    if first.d_events and first.d_events < first.n_risk:
+        want = round(
+            round(math.log(1 - first.d_events / first.n_risk), 9), 6
+        )
+        assert abs(first.log_survival - want) < 1e-9

@@ -82,6 +82,14 @@ PICKS += [
     ("twap_daily_by_type", "group-bounded lead window (event_type x day partitions) -> one DECIMAL(38,0) moment agg; no global sort"),
     ("record_linkage_canonicalize", "CC fixpoint on the distinct-name dictionary; min(struct(-support,name)) representative, no window"),
 ]
+# round-5 session-3 headliners
+PICKS += [
+    ("decision_stump_best_split", "GBDT histogram algorithm: ONE 256-bin partial+final agg over the fact scan; split argmax on the bin relation"),
+    ("auc_rank_ppm", "AUC via two-phase exact prefix sums over the distinct-score relation; integer doubled ranks, no per-row rank"),
+    ("key_skew_profile", "per-key partial+final count -> two-phase Gini rank -> 1-row broadcast argmax join-back"),
+    ("label_propagation_communities", "4 synchronous Pregel rounds: edges join + (node,label) partial agg + per-node argmax window"),
+    ("ndcg_at_k_retrieval", "two TakeOrderedAndProject heaps (system/ideal top-10) over one checkpointed candidate relation"),
+]
 PICKS = [(n, d) for n, d in PICKS if d is not None]
 seen = set()
 PICKS = [x for x in PICKS if not (x[0] in seen or seen.add(x[0]))]

@@ -1331,3 +1331,124 @@ def bootstrap_ci_revenue_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REGISTRY["bootstrap_ci_revenue_poisson"].oracle = _bootstrap_oracle()
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival estimator (product-limit, log-space exact)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "kaplan_meier_ship_latency",
+    category="stats",
+    doc="Kaplan-Meier product-limit estimator of order time-to-first-ship: "
+    "subjects = orders (duration = days to first lineitem ship), events = "
+    "non-open orders, open orders are right-censored at their duration. "
+    "Risk sets and event counts come from ONE duration-grain aggregate "
+    "(the duration axis is calendar-bounded — tiny at any corpus size); "
+    "the survival curve is emitted as log_survival = Σ round(ln(1 - "
+    "d/n), 9) accumulated in DECIMAL(18,9) — the isolated-ln discipline "
+    "(column_entropy_mi / psi_price_drift), so the hashed values are "
+    "cross-engine exact; rows at/after a full-death time carry NULL "
+    "(S = 0 exactly).",
+    oracle="""
+WITH per AS (
+  SELECT o.o_orderkey,
+         datediff('day', o.o_orderdate, MIN(l.l_shipdate)) AS dur,
+         CASE WHEN o.o_orderstatus <> 'O' THEN 1 ELSE 0 END AS ev
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderstatus
+),
+grain AS (
+  SELECT dur, CAST(SUM(ev) AS BIGINT) AS d,
+         CAST(COUNT(*) - SUM(ev) AS BIGINT) AS c,
+         COUNT(*) AS m
+  FROM per GROUP BY dur
+),
+risk AS (
+  SELECT dur, d, c,
+         CAST((SELECT COUNT(*) FROM per)
+              - COALESCE(SUM(m) OVER (ORDER BY dur
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_risk
+  FROM grain
+),
+terms AS (
+  SELECT dur, d, c, n_risk,
+         CASE WHEN d = 0 THEN CAST(0 AS DECIMAL(18,9))
+              WHEN d < n_risk THEN CAST(round(ln(1 - CAST(d AS DOUBLE) / n_risk), 9) AS DECIMAL(18,9))
+              ELSE NULL END AS t,
+         CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS dead
+  FROM risk
+)
+SELECT dur AS dur_days, n_risk, d AS d_events, c AS c_censored,
+       CASE WHEN MAX(dead) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) = 1
+            THEN NULL
+            ELSE round(CAST(SUM(t) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)
+                            AS DOUBLE), 6) END AS log_survival
+FROM terms
+""",
+)
+def kaplan_meier_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+    first_ship = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.min("l_shipdate").alias("ship"))
+    )
+    per = (
+        o.join(first_ship, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.datediff(F.col("ship"), F.col("o_orderdate")).alias("dur"),
+            (F.col("o_orderstatus") != "O").cast("int").alias("ev"),
+        )
+    )
+    grain = per.groupBy("dur").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        (F.count(F.lit(1)) - F.sum("ev")).cast("bigint").alias("c"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    tot = per.agg(F.count(F.lit(1)).alias("n_total"))
+    # duration-grain windows: the axis is bounded by the latency calendar
+    # (~hundreds of distinct day values), never by row count
+    wp = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    wi = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    risk = grain.crossJoin(F.broadcast(tot)).select(
+        "dur",
+        "d",
+        "c",
+        (
+            F.col("n_total") - F.coalesce(F.sum("m").over(wp), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_risk"),
+    )
+    term = (
+        F.when(F.col("d") == 0, F.lit(0).cast("decimal(18,9)"))
+        .when(
+            F.col("d") < F.col("n_risk"),
+            F.round(
+                F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")), 9
+            ).cast("decimal(18,9)"),
+        )
+        .otherwise(F.lit(None).cast("decimal(18,9)"))
+    )
+    terms = risk.select(
+        "dur",
+        "d",
+        "c",
+        "n_risk",
+        term.alias("t"),
+        (F.col("d") >= F.col("n_risk")).cast("int").alias("dead"),
+    )
+    return terms.select(
+        F.col("dur").alias("dur_days"),
+        "n_risk",
+        F.col("d").alias("d_events"),
+        F.col("c").alias("c_censored"),
+        F.when(F.max("dead").over(wi) == 1, F.lit(None).cast("double"))
+        .otherwise(F.round(F.sum("t").over(wi).cast("double"), 6))
+        .alias("log_survival"),
+    )
