@@ -390,3 +390,136 @@ def test_calibration_bins_partition_rows(spark):
         assert 0 <= r.n_pos <= r.n
         want = (2 * 1_000_000 * r.n_pos + r.n) // (2 * r.n)
         assert r.pos_rate_ppm == want
+
+
+# ---------------------------------------------------------------------------
+# logreg Newton step / skipgram / Naive Bayes parity
+# ---------------------------------------------------------------------------
+
+
+def test_logreg_newton_step_fraction_exact(spark):
+    """Re-derive the Newton step with Python exact integers and compare the
+    ppm-canonicalized coefficients."""
+    li = (
+        table(spark, SF_SMALL, "lineitem")
+        .select(
+            F.col("l_quantity").cast("bigint").alias("x1"),
+            F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("x2"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(-1).alias("z"),
+        )
+        .collect()
+    )
+    n = len(li)
+    s1 = sum(r.x1 for r in li)
+    s2 = sum(r.x2 for r in li)
+    s11 = sum(r.x1 * r.x1 for r in li)
+    s12 = sum(r.x1 * r.x2 for r in li)
+    s22 = sum(r.x2 * r.x2 for r in li)
+    t0 = sum(r.z for r in li)
+    t1 = sum(r.x1 * r.z for r in li)
+    t2 = sum(r.x2 * r.z for r in li)
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    d0 = (
+        t0 * (s11 * s22 - s12 * s12)
+        - s1 * (t1 * s22 - s12 * t2)
+        + s2 * (t1 * s12 - s11 * t2)
+    )
+    d1 = (
+        n * (t1 * s22 - s12 * t2)
+        - t0 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * t2 - t1 * s2)
+    )
+    d2 = (
+        n * (s11 * t2 - t1 * s12)
+        - s1 * (s1 * t2 - t1 * s2)
+        + t0 * (s1 * s12 - s11 * s2)
+    )
+    assert det > 0  # X'X positive definite
+
+    def ppm(d):
+        s = -1 if d < 0 else 1
+        return s * ((2_000_000 * 2 * abs(d) + det) // (2 * det))
+
+    got = _run(spark, "logreg_newton_step").collect()[0]
+    assert got.n_rows == n
+    assert (got.beta0_ppm, got.beta1_ppm, got.beta2_ppm) == (
+        ppm(d0), ppm(d1), ppm(d2),
+    )
+    # sanity: beta = 2*(X'X)^-1 X'z reproduced by numpy within float noise
+    import numpy as np
+
+    xtx = np.array([[n, s1, s2], [s1, s11, s12], [s2, s12, s22]], dtype=float)
+    xtz = np.array([t0, t1, t2], dtype=float)
+    beta = 2 * np.linalg.solve(xtx, xtz)
+    for got_ppm, b in zip(
+        (got.beta0_ppm, got.beta1_ppm, got.beta2_ppm), beta
+    ):
+        assert abs(got_ppm / 1e6 - b) < 1e-5
+
+
+def test_skipgram_pairs_recompute(spark):
+    from collections import Counter
+
+    docs = (
+        table(spark, SF_SMALL, "documents")
+        .select(F.lower("text").alias("t"))
+        .collect()
+    )
+    c = Counter()
+    for r in docs:
+        ws = r.t.split()
+        for i, w in enumerate(ws):
+            for k in (1, 2):
+                if i + k < len(ws):
+                    c[(w, ws[i + k])] += 1
+    want = sorted(
+        ((-n, a, b) for (a, b), n in c.items())
+    )[:50]
+    got = sorted(
+        (-r.n_pairs, r.center, r.context)
+        for r in _run(spark, "skipgram_training_pairs").collect()
+    )
+    assert got == want
+
+
+def test_naive_bayes_model_recompute(spark):
+    import math
+    from collections import Counter
+
+    docs = (
+        table(spark, SF_SMALL, "documents")
+        .select("lang", F.lower("text").alias("t"))
+        .collect()
+    )
+    vocab = set()
+    cls_tokens = Counter()
+    cnt = Counter()
+    n_docs = Counter()
+    for r in docs:
+        n_docs[r.lang] += 1
+        ws = r.t.split()
+        cls_tokens[r.lang] += len(ws)
+        for w in ws:
+            vocab.add(w)
+            if w in ("hash", "join", "vector", "stream"):
+                cnt[(r.lang, w)] += 1
+    v = len(vocab)
+    total_docs = sum(n_docs.values())
+    rows = _run(spark, "naive_bayes_token_model").collect()
+    assert len(rows) == 4 * len(n_docs)
+    for r in rows:
+        c = cnt.get((r.lang, r.token), 0)
+        assert r.cnt == c
+        assert r.class_tokens == cls_tokens[r.lang]
+        assert r.token_ll == round(
+            math.log((c + 1) / (cls_tokens[r.lang] + v)), 9
+        )
+        assert r.prior_ll == round(
+            math.log(n_docs[r.lang] / total_docs), 9
+        )

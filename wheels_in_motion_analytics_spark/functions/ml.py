@@ -507,3 +507,228 @@ def classification_threshold_metrics(
         .cast("bigint")
         .alias("f1_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Logistic regression: one exact Newton step from the zero initializer
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "logreg_newton_step",
+    category="ml",
+    doc="Distributed GLM training as ONE aggregate: the first Newton/IRLS "
+    "step of logistic regression from the zero initializer has the closed "
+    "form beta = 2*(X'X)^-1 * X'z with z = 2y-1 (at beta=0 every p_i = "
+    "1/2, so the Hessian is X'X/4 and the gradient is X'(y-1/2)) — every "
+    "moment is an exact DECIMAL(38,0) integer from one map-side-"
+    "combinable pass over the fact scan, the 3x3 Cramer solve happens on "
+    "the 1-row moment relation, and the coefficients are emitted as exact "
+    "sign-corrected half-up ppm (X'X is positive-definite, so det > 0). "
+    "Feature scale keeps det*1e6 inside DECIMAL(38,0) to ~1e13 rows. "
+    "Target: lineitem return flag on (quantity, discount pct).",
+    oracle="""
+WITH m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS s1,
+         CAST(SUM(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS HUGEINT) AS s2,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS HUGEINT) AS s11,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS HUGEINT) AS s12,
+         CAST(SUM(CAST(floor(l_discount * 100 + 0.5) AS BIGINT) * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS HUGEINT) AS s22,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END) AS HUGEINT) AS t0,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * (CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END)) AS HUGEINT) AS t1,
+         CAST(SUM(CAST(floor(l_discount * 100 + 0.5) AS BIGINT) * (CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END)) AS HUGEINT) AS t2
+  FROM lineitem
+),
+solved AS (
+  SELECT n,
+         (n * (s11 * s22 - s12 * s12)
+          - s1 * (s1 * s22 - s12 * s2)
+          + s2 * (s1 * s12 - s11 * s2)) AS det,
+         (t0 * (s11 * s22 - s12 * s12)
+          - s1 * (t1 * s22 - s12 * t2)
+          + s2 * (t1 * s12 - s11 * t2)) AS d0,
+         (n * (t1 * s22 - s12 * t2)
+          - t0 * (s1 * s22 - s12 * s2)
+          + s2 * (s1 * t2 - t1 * s2)) AS d1,
+         (n * (s11 * t2 - t1 * s12)
+          - s1 * (s1 * t2 - t1 * s2)
+          + t0 * (s1 * s12 - s11 * s2)) AS d2
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CAST((CASE WHEN d0 < 0 THEN -1 ELSE 1 END)
+            * ((2000000 * 2 * abs(d0) + det) // (2 * det)) AS BIGINT) AS beta0_ppm,
+       CAST((CASE WHEN d1 < 0 THEN -1 ELSE 1 END)
+            * ((2000000 * 2 * abs(d1) + det) // (2 * det)) AS BIGINT) AS beta1_ppm,
+       CAST((CASE WHEN d2 < 0 THEN -1 ELSE 1 END)
+            * ((2000000 * 2 * abs(d2) + det) // (2 * det)) AS BIGINT) AS beta2_ppm
+FROM solved
+""",
+)
+def logreg_newton_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    x1 = F.col("l_quantity").cast("bigint")
+    x2 = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")
+    z = F.when(F.col("l_returnflag") == "R", 1).otherwise(-1)
+
+    def dmoment(expr):
+        return F.sum(expr.cast("decimal(38,0)")).cast("decimal(38,0)")
+
+    m = li.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        dmoment(x1).alias("s1"),
+        dmoment(x2).alias("s2"),
+        dmoment(x1 * x1).alias("s11"),
+        dmoment(x1 * x2).alias("s12"),
+        dmoment(x2 * x2).alias("s22"),
+        dmoment(z).alias("t0"),
+        dmoment(x1 * z).alias("t1"),
+        dmoment(x2 * z).alias("t2"),
+    )
+    solved = m.select(
+        "n",
+        F.expr(
+            "n * (s11 * s22 - s12 * s12)"
+            " - s1 * (s1 * s22 - s12 * s2)"
+            " + s2 * (s1 * s12 - s11 * s2)"
+        ).alias("det"),
+        F.expr(
+            "t0 * (s11 * s22 - s12 * s12)"
+            " - s1 * (t1 * s22 - s12 * t2)"
+            " + s2 * (t1 * s12 - s11 * t2)"
+        ).alias("d0"),
+        F.expr(
+            "n * (t1 * s22 - s12 * t2)"
+            " - t0 * (s1 * s22 - s12 * s2)"
+            " + s2 * (s1 * t2 - t1 * s2)"
+        ).alias("d1"),
+        F.expr(
+            "n * (s11 * t2 - t1 * s12)"
+            " - s1 * (s1 * t2 - t1 * s2)"
+            " + t0 * (s1 * s12 - s11 * s2)"
+        ).alias("d2"),
+    )
+
+    def ppm(d: str) -> F.Column:
+        return (
+            F.expr(
+                f"(CASE WHEN {d} < 0 THEN -1 ELSE 1 END)"
+                f" * ((2000000 * 2 * abs({d}) + det) DIV (2 * det))"
+            )
+            .cast("bigint")
+        )
+
+    return solved.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        ppm("d0").alias("beta0_ppm"),
+        ppm("d1").alias("beta1_ppm"),
+        ppm("d2").alias("beta2_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes token model (Laplace-smoothed multinomial trainer)
+# ---------------------------------------------------------------------------
+
+NB_PROBE_TOKENS = ("hash", "join", "vector", "stream")
+
+
+@register(
+    "naive_bayes_token_model",
+    category="ml",
+    doc="Multinomial Naive Bayes trainer over (language -> token) with "
+    "Laplace smoothing: class priors and per-token log-likelihoods "
+    "ln((count+1)/(class_tokens+V)) for a fixed probe vocabulary, V = the "
+    "exact global distinct-token count. All counts come from two "
+    "map-side-combinable aggregates; each ln is rounded in isolation "
+    "(9dp — the psi/entropy discipline) so hashed values are cross-"
+    "engine exact. The training pass of the classic text classifier, "
+    "shaped to scale: no per-document state, no vocabulary broadcast.",
+    oracle=f"""
+WITH toks AS (
+  SELECT lang,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS t
+  FROM documents
+),
+v AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS vocab FROM toks),
+cls AS (
+  SELECT lang, COUNT(*) AS class_tokens FROM toks GROUP BY lang
+),
+docs AS (
+  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+),
+dt AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM docs),
+cnt AS (
+  SELECT lang, t AS token, COUNT(*) AS cnt
+  FROM toks WHERE t IN ({", ".join(repr(t) for t in NB_PROBE_TOKENS)})
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT c.lang, p.token, COALESCE(cnt.cnt, 0) AS cnt, c.class_tokens
+  FROM cls c
+  CROSS JOIN (SELECT unnest(ARRAY[{", ".join(repr(t) for t in NB_PROBE_TOKENS)}]) AS token) p
+  LEFT JOIN cnt ON cnt.lang = c.lang AND cnt.token = p.token
+)
+SELECT g.lang, g.token,
+       CAST(g.cnt AS BIGINT) AS cnt,
+       CAST(g.class_tokens AS BIGINT) AS class_tokens,
+       round(ln(CAST(g.cnt + 1 AS DOUBLE) / (g.class_tokens + v.vocab)), 9)
+         AS token_ll,
+       round(ln(CAST(d.n_docs AS DOUBLE) / dt.n_total), 9) AS prior_ll
+FROM grid g
+JOIN docs d ON d.lang = g.lang
+CROSS JOIN v CROSS JOIN dt
+""",
+)
+def naive_bayes_token_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = table(spark, sf_dir, "documents").select(
+        "lang", F.explode(tokens(F.col("text"))).alias("t")
+    )
+    v = toks.agg(F.countDistinct("t").cast("bigint").alias("vocab"))
+    cls = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("class_tokens"))
+    docs = (
+        table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    dt = docs.agg(F.sum("n_docs").cast("bigint").alias("n_total"))
+    cnt = (
+        toks.where(F.col("t").isin(*NB_PROBE_TOKENS))
+        .groupBy("lang", F.col("t").alias("token"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probe = toks.sparkSession.createDataFrame(
+        [(t,) for t in NB_PROBE_TOKENS], "token string"
+    )
+    grid = (
+        cls.crossJoin(F.broadcast(probe))
+        .join(cnt, ["lang", "token"], "left")
+        .select(
+            "lang",
+            "token",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("cnt"),
+            "class_tokens",
+        )
+    )
+    return (
+        grid.join(F.broadcast(docs), "lang")
+        .crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(dt))
+        .select(
+            "lang",
+            "token",
+            "cnt",
+            F.col("class_tokens").cast("bigint").alias("class_tokens"),
+            F.round(
+                F.log(
+                    (F.col("cnt") + 1).cast("double")
+                    / (F.col("class_tokens") + F.col("vocab"))
+                ),
+                9,
+            ).alias("token_ll"),
+            F.round(
+                F.log(F.col("n_docs").cast("double") / F.col("n_total")), 9
+            ).alias("prior_ll"),
+        )
+    )

@@ -456,3 +456,67 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_token_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Skip-gram training-pair assembly (embedding-training dataset step)
+# --------------------------------------------------------------------------
+
+SKIPGRAM_WINDOW = 2
+SKIPGRAM_TOPK = 50
+
+
+@register(
+    "skipgram_training_pairs",
+    category="text",
+    doc=f"Skip-gram (center, context) training-pair assembly with window "
+    f"±{SKIPGRAM_WINDOW} — the dataset step of word2vec-style embedding "
+    "training (pairs feed the negative_sampling_table downstream). "
+    "Forward offsets only (each unordered co-occurrence counted once per "
+    "direction convention); pair counts from one explode + one "
+    f"map-side-combinable groupBy, top {SKIPGRAM_TOPK} by (count DESC, "
+    "center, context) via a TakeOrderedAndProject heap.",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM toks
+),
+pairs AS (
+  SELECT ws[i] AS center, ws[i + k] AS context
+  FROM idx CROSS JOIN (SELECT unnest(range(1, {SKIPGRAM_WINDOW} + 1)) AS k)
+  WHERE i + k <= len(ws)
+)
+SELECT center, context, COUNT(*) AS n_pairs
+FROM pairs
+GROUP BY 1, 2
+ORDER BY n_pairs DESC, center, context
+LIMIT {SKIPGRAM_TOPK}
+""",
+)
+def skipgram_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        tokens(F.col("text")).alias("ws")
+    )
+    # materialize the token array BEFORE the position explode (the
+    # expression-in-lambda trap, NOTES.md decision #5)
+    pos = docs.select(F.posexplode("ws").alias("i", "center"), "ws")
+    pairs = pos.select(
+        "center",
+        F.explode(
+            F.slice(
+                F.col("ws"),
+                F.col("i") + 2,  # posexplode is 0-based; slice is 1-based
+                SKIPGRAM_WINDOW,
+            )
+        ).alias("context"),
+    )
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "center", "context")
+        .limit(SKIPGRAM_TOPK)
+    )
