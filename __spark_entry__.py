@@ -117,7 +117,9 @@ _DRIVER_PRIORITY = [
     # key_skew_profile, shard_assignment_by_budget,
     # gap_fill_linear_interpolate, csv_corrupt_records_audit,
     # l_diversity_audit, dp_geometric_noisy_counts,
-    # label_propagation_communities, ndcg_at_k_retrieval) and the session-2
+    # label_propagation_communities, ndcg_at_k_retrieval,
+    # kaplan_meier_ship_latency, logreg_newton_step,
+    # skipgram_training_pairs, naive_bayes_token_model) and the session-2
     # additions (dedup_lines_crossdoc family, twap_daily_by_type,
     # record_linkage_canonicalize, sorted_lake_export_audit).
 ]

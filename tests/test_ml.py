@@ -523,3 +523,88 @@ def test_naive_bayes_model_recompute(spark):
         assert r.prior_ll == round(
             math.log(n_docs[r.lang] / total_docs), 9
         )
+
+
+# ---------------------------------------------------------------------------
+# PR curve / chi2 selection / group k-fold parity
+# ---------------------------------------------------------------------------
+
+
+def test_pr_curve_recompute(spark):
+    rows = _orders_scored(spark)
+    lo = min(c for c, _ in rows)
+    hi = max(c for c, _ in rows)
+    hist = {}
+    for c, p in rows:
+        b = (c - lo) * 10 // (hi - lo + 1)
+        n0, p0 = hist.get(b, (0, 0))
+        hist[b] = (n0 + 1, p0 + p)
+    pt = sum(p for _, p in hist.values())
+
+    def ppm(num, den):
+        return (2 * 1_000_000 * num + den) // (2 * den)
+
+    got = {r.threshold_bin: r
+           for r in _run(spark, "pr_curve_points").collect()}
+    for t in range(1, 10):
+        tp = sum(p for b, (_, p) in hist.items() if b >= t)
+        fp = sum(n - p for b, (n, p) in hist.items() if b >= t)
+        if tp + fp == 0:
+            assert t not in got
+            continue
+        r = got[t]
+        assert (r.tp, r.fp) == (tp, fp)
+        assert r.precision_ppm == ppm(tp, tp + fp)
+        assert r.recall_ppm == ppm(tp, pt)
+    # recall is monotone non-increasing in the threshold
+    ts = sorted(got)
+    recalls = [got[t].recall_ppm for t in ts]
+    assert recalls == sorted(recalls, reverse=True)
+
+
+def test_chi2_selection_recompute(spark):
+    docs = (
+        table(spark, SF_SMALL, "documents")
+        .select("doc_id", (F.col("lang") == "en").cast("int").alias("y"),
+                F.lower("text").alias("t"))
+        .collect()
+    )
+    n = len(docs)
+    npos = sum(r.y for r in docs)
+    from collections import Counter
+
+    df = Counter()
+    a = Counter()
+    for r in docs:
+        for tok in set(r.t.split()):
+            df[tok] += 1
+            if r.y:
+                a[tok] += 1
+    scored = []
+    for tok, dfc in df.items():
+        if dfc < 20:
+            continue
+        aa = a.get(tok, 0)
+        b = dfc - aa
+        c = npos - aa
+        dd = n - npos - b
+        den = (aa + b) * (c + dd) * (aa + c) * (b + dd)
+        if den <= 0:
+            continue
+        num = n * (aa * dd - b * c) ** 2
+        chi2 = (2 * num * 1_000_000 + den) // (2 * den)
+        scored.append((-chi2, tok, dfc))
+    want = sorted(scored)[:25]
+    got = [(-r.chi2_micro, r.token, r.df)
+           for r in _run(spark, "chi2_feature_selection").collect()]
+    assert sorted(got) == want
+
+
+def test_group_kfold_no_leakage(spark):
+    rows = _run(spark, "group_kfold_assignment").collect()
+    assert sorted(r.fold for r in rows) == list(range(5))
+    orders = table(spark, SF_SMALL, "orders").select("o_custkey").collect()
+    custs = {r.o_custkey for r in orders}
+    # every customer maps to exactly one fold by construction; totals agree
+    assert sum(r.n_orders for r in rows) == len(orders)
+    assert sum(r.n_customers for r in rows) == len(custs)

@@ -732,3 +732,245 @@ def naive_bayes_token_model(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("prior_ll"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Precision/recall curve from one histogram pass
+# ---------------------------------------------------------------------------
+
+PR_BINS = 10
+
+
+@register(
+    "pr_curve_points",
+    category="ml",
+    doc=f"Precision/recall curve at the {PR_BINS - 1} interior histogram-"
+    "bin thresholds ('predict positive when the score bin ≥ t'): ONE "
+    f"{PR_BINS}-bin map-side-combinable aggregate over the fact scan, "
+    "then every curve point unfolds from suffix sums of the tiny bin "
+    "relation — the whole PR sweep costs exactly one pass regardless of "
+    "corpus size (the same histogram trick as the decision stump). "
+    "Precision/recall are exact half-up ppm.",
+    oracle=f"""
+WITH src AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+  FROM orders
+),
+mm AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM src),
+hist AS (
+  SELECT CAST((cents - lo) * {PR_BINS} // (hi - lo + 1) AS BIGINT) AS bin,
+         CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(pos) AS HUGEINT) AS p
+  FROM src CROSS JOIN mm GROUP BY 1
+),
+tot AS (SELECT SUM(n) AS nt, SUM(p) AS pt FROM hist),
+pts AS (
+  SELECT t.t AS threshold_bin,
+         CAST(SUM(h.p) AS HUGEINT) AS tp,
+         CAST(SUM(h.n - h.p) AS HUGEINT) AS fp
+  FROM (SELECT unnest(range(1, {PR_BINS})) AS t) t
+  JOIN hist h ON h.bin >= t.t
+  GROUP BY t.t
+)
+SELECT CAST(threshold_bin AS BIGINT) AS threshold_bin,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST((2000000 * tp + (tp + fp)) // (2 * (tp + fp)) AS BIGINT)
+         AS precision_ppm,
+       CAST((2000000 * tp + pt) // (2 * pt) AS BIGINT) AS recall_ppm
+FROM pts CROSS JOIN tot
+WHERE tp + fp > 0
+""",
+)
+def pr_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("pos"),
+    )
+    mm = src.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    hist = (
+        src.crossJoin(F.broadcast(mm))
+        .groupBy(
+            F.expr(f"(cents - lo) * {PR_BINS} DIV (hi - lo + 1)").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum("pos").cast("decimal(38,0)").alias("p"),
+        )
+    )
+    tot = hist.agg(
+        F.sum("n").cast("decimal(38,0)").alias("nt"),
+        F.sum("p").cast("decimal(38,0)").alias("pt"),
+    )
+    thresholds = spark.range(1, PR_BINS).select(
+        F.col("id").alias("threshold_bin")
+    )
+    pts = (
+        F.broadcast(thresholds)
+        .join(hist, F.col("bin") >= F.col("threshold_bin"))
+        .groupBy("threshold_bin")
+        .agg(
+            F.sum("p").cast("decimal(38,0)").alias("tp"),
+            F.sum(F.col("n") - F.col("p")).cast("decimal(38,0)").alias("fp"),
+        )
+        .where(F.expr("tp + fp > 0"))
+    )
+    return pts.crossJoin(F.broadcast(tot)).select(
+        F.col("threshold_bin").cast("bigint").alias("threshold_bin"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.expr("(2000000 * tp + (tp + fp)) DIV (2 * (tp + fp))")
+        .cast("bigint")
+        .alias("precision_ppm"),
+        F.expr("(2000000 * tp + pt) DIV (2 * pt)")
+        .cast("bigint")
+        .alias("recall_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square feature selection
+# ---------------------------------------------------------------------------
+
+CHI2_MIN_DF = 20
+CHI2_TOPK = 25
+
+
+@register(
+    "chi2_feature_selection",
+    category="ml",
+    doc="Chi-square feature selection of document tokens against the "
+    "binary class 'lang = en' (document-level presence contingency "
+    "tables): chi2 = N·(ad-bc)²/((a+b)(c+d)(a+c)(b+d)) from exact "
+    f"integer counts, emitted as half-up micro units; tokens at df ≥ "
+    f"{CHI2_MIN_DF}, top {CHI2_TOPK} by (chi2 DESC, token). One distinct "
+    "explode + one groupBy builds every table; the ranking heap runs on "
+    "the (bounded) qualifying-vocab relation. The feature-selection pass "
+    "in front of the Naive Bayes trainer. DECIMAL(38,0) holds the "
+    "worst-case N^5 micro numerator to ~3e6 docs; past that, rescale "
+    "counts to a per-mille grid before scoring.",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(y) AS HUGEINT) AS npos FROM d),
+pres AS (
+  SELECT t AS token, CAST(COUNT(*) AS HUGEINT) AS df, CAST(SUM(y) AS HUGEINT) AS a
+  FROM (SELECT DISTINCT doc_id, y, unnest(ws) AS t FROM d)
+  GROUP BY t HAVING COUNT(*) >= {CHI2_MIN_DF}
+),
+cells AS (
+  SELECT token, df, a,
+         df - a AS b, npos - a AS c, n - npos - (df - a) AS dd, n
+  FROM pres CROSS JOIN tot
+),
+scored AS (
+  SELECT token, CAST(df AS BIGINT) AS df,
+         CAST((2 * n * (a * dd - b * c) * (a * dd - b * c) * 1000000
+               + ((a + b) * (c + dd) * (a + c) * (b + dd)))
+              // (2 * ((a + b) * (c + dd) * (a + c) * (b + dd))) AS BIGINT)
+           AS chi2_micro
+  FROM cells
+  WHERE (a + b) * (c + dd) * (a + c) * (b + dd) > 0
+)
+SELECT token, df, chi2_micro
+FROM scored
+ORDER BY chi2_micro DESC, token
+LIMIT {CHI2_TOPK}
+""",
+)
+def chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("y"),
+        tokens(F.col("text")).alias("ws"),
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("y").cast("decimal(38,0)").alias("npos"),
+    )
+    pres = (
+        d.select("doc_id", "y", F.explode("ws").alias("token"))
+        .distinct()
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("df"),
+            F.sum("y").cast("decimal(38,0)").alias("a"),
+        )
+        .where(F.col("df") >= CHI2_MIN_DF)
+    )
+    cells = pres.crossJoin(F.broadcast(tot)).select(
+        "token",
+        "df",
+        "a",
+        (F.col("df") - F.col("a")).alias("b"),
+        (F.col("npos") - F.col("a")).alias("c"),
+        (F.col("n") - F.col("npos") - (F.col("df") - F.col("a"))).alias("dd"),
+        "n",
+    )
+    scored = cells.where(
+        F.expr("(a + b) * (c + dd) * (a + c) * (b + dd) > 0")
+    ).select(
+        "token",
+        F.col("df").cast("bigint").alias("df"),
+        F.expr(
+            "(2 * n * (a * dd - b * c) * (a * dd - b * c) * 1000000"
+            " + ((a + b) * (c + dd) * (a + c) * (b + dd)))"
+            " DIV (2 * ((a + b) * (c + dd) * (a + c) * (b + dd)))"
+        )
+        .cast("bigint")
+        .alias("chi2_micro"),
+    )
+    return scored.orderBy(F.desc("chi2_micro"), "token").limit(CHI2_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Group-aware k-fold assignment
+# ---------------------------------------------------------------------------
+
+KFOLD_K = 5
+
+
+@register(
+    "group_kfold_assignment",
+    category="ml",
+    doc=f"Group-aware {KFOLD_K}-fold cross-validation assignment: every "
+    "order lands in the fold of its CUSTOMER (md5(custkey) % k), so no "
+    "customer's rows ever straddle a train/validation boundary — the "
+    "leakage rule GroupKFold enforces. Pure map-side arithmetic (no "
+    "shuffle for the assignment itself); the audit aggregates fold "
+    "sizes, distinct customers and revenue per fold.",
+    oracle=f"""
+SELECT CAST(('0x' || substr(md5('fold:' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+            % {KFOLD_K} AS BIGINT) AS fold,
+       COUNT(*) AS n_orders,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+GROUP BY 1
+""",
+)
+def group_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fold = (
+        hash_hex(
+            F.concat(F.lit("fold:"), F.col("o_custkey").cast("string")), 15
+        )
+        % KFOLD_K
+    ).cast("bigint")
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(fold.alias("fold"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )

@@ -520,3 +520,99 @@ def skipgram_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_pairs"), "center", "context")
         .limit(SKIPGRAM_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# PMI co-occurrence mining
+# --------------------------------------------------------------------------
+
+PMI_MIN_PAIRS = 5
+PMI_TOPK = 25
+
+
+@register(
+    "pmi_cooccurrence_topk",
+    category="text",
+    doc=f"Pointwise mutual information over adjacent-token bigrams: "
+    f"PMI(a,b) = ln(c_ab·T_tok / (c_a·c_b)) with T_tok the unigram total "
+    f"and bigram support ≥ {PMI_MIN_PAIRS} — collocation mining for "
+    "phrase detection (word2phrase). Unigram and bigram counts come from "
+    "two map-side-combinable aggregates; each PMI pays ONE isolated ln "
+    "rounded to 9dp (the entropy/psi discipline) over an exact integer "
+    f"ratio, top {PMI_TOPK} by (pmi DESC, pair) with exact tiebreaks.",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+uni AS (
+  SELECT t, COUNT(*) AS c
+  FROM (SELECT unnest(ws) AS t FROM toks) GROUP BY t
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t_tok FROM uni),
+big AS (
+  SELECT a, b, COUNT(*) AS c_ab
+  FROM (
+    SELECT ws[i] AS a, ws[i + 1] AS b
+    FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM toks)
+    WHERE i + 1 <= len(ws)
+  )
+  GROUP BY a, b HAVING COUNT(*) >= {PMI_MIN_PAIRS}
+)
+SELECT big.a, big.b, CAST(big.c_ab AS BIGINT) AS c_ab,
+       round(ln(CAST(big.c_ab AS DOUBLE) * tot.t_tok / (ua.c * ub.c)), 9)
+         AS pmi
+FROM big
+JOIN uni ua ON ua.t = big.a
+JOIN uni ub ON ub.t = big.b
+CROSS JOIN tot
+ORDER BY pmi DESC, big.a, big.b
+LIMIT {PMI_TOPK}
+""",
+)
+def pmi_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = table(spark, sf_dir, "documents").select(
+        tokens(F.col("text")).alias("ws")
+    )
+    uni = (
+        toks.select(F.explode("ws").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("bigint").alias("t_tok"))
+    pos = toks.select(F.posexplode("ws").alias("i", "a"), "ws")
+    big = (
+        pos.select(
+            "a",
+            # try_element_at: the last token has no successor and ANSI
+            # element_at THROWS past the array end (the try_funcs lesson)
+            F.try_element_at(F.col("ws"), F.col("i") + 2).alias("b"),
+        )
+        .where(F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= PMI_MIN_PAIRS)
+    )
+    ua = uni.select(F.col("t").alias("a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("t").alias("b"), F.col("c").alias("cb"))
+    return (
+        big.join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            F.col("c_ab").cast("bigint").alias("c_ab"),
+            F.round(
+                F.log(
+                    F.col("c_ab").cast("double")
+                    * F.col("t_tok")
+                    / (F.col("ca") * F.col("cb"))
+                ),
+                9,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "a", "b")
+        .limit(PMI_TOPK)
+    )
