@@ -1624,3 +1624,99 @@ def gap_fill_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
         F.col("cents").isNull().alias("interpolated"),
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonal-baseline anomaly days (day-of-week median + MAD threshold)
+# --------------------------------------------------------------------------
+
+MAD_SIGMA_X10000 = 44478  # 3 * 1.4826 (normal-consistency factor), x1e4
+
+
+@register(
+    "anomaly_days_seasonal_mad",
+    category="timeseries",
+    doc="Time-series anomaly detection with a seasonal baseline: daily "
+    "revenue vs the DAY-OF-WEEK lower median (seasonality removed), "
+    "flagged where |residual| exceeds 3·1.4826·MAD — the robust z-score "
+    "rule, entirely in exact integers (the threshold comparison is the "
+    "cross-multiplication |resid|·1e4 > 44478·MAD, no float). Medians "
+    "are rank-selected per dow partition and the MAD globally — every "
+    "window runs at calendar grain (≤ a few thousand rows regardless of "
+    "corpus size; the daily aggregate is the only fact-scale pass).",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+dowd AS (SELECT day, cents, dayofweek(day) + 1 AS dow FROM daily),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY dow ORDER BY cents, day) AS rn,
+         COUNT(*) OVER (PARTITION BY dow) AS cnt
+  FROM dowd
+),
+med AS (SELECT dow, cents AS dow_median FROM ranked WHERE rn = (cnt + 1) // 2),
+resid AS (
+  SELECT d.day, d.cents, d.dow, m.dow_median,
+         d.cents - m.dow_median AS resid
+  FROM dowd d JOIN med m ON d.dow = m.dow
+),
+rranked AS (
+  SELECT abs(resid) AS aresid,
+         row_number() OVER (ORDER BY abs(resid), day) AS rn,
+         COUNT(*) OVER () AS cnt
+  FROM resid
+),
+mad AS (SELECT aresid AS mad FROM rranked WHERE rn = (cnt + 1) // 2)
+SELECT day, cents, CAST(dow AS BIGINT) AS dow,
+       dow_median, resid, mad
+FROM resid CROSS JOIN mad
+WHERE abs(resid) * 10000 > {MAD_SIGMA_X10000} * mad
+""",
+)
+def anomaly_days_seasonal_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    dowd = daily.select(
+        "day", "cents", F.dayofweek("day").cast("bigint").alias("dow")
+    ).localCheckpoint()  # feeds the median rank AND the residual join
+    wd = Window.partitionBy("dow").orderBy("cents", "day")
+    wc = Window.partitionBy("dow")
+    med = (
+        dowd.withColumn("rn", F.row_number().over(wd))
+        .withColumn("cnt", F.count(F.lit(1)).over(wc))
+        .where(F.col("rn") == F.expr("(cnt + 1) DIV 2"))
+        .select("dow", F.col("cents").alias("dow_median"))
+    )
+    resid = dowd.join(F.broadcast(med), "dow").select(
+        "day",
+        "cents",
+        "dow",
+        "dow_median",
+        (F.col("cents") - F.col("dow_median")).alias("resid"),
+    ).localCheckpoint()  # feeds the MAD rank AND the final filter
+    wr = Window.orderBy(F.abs("resid"), "day")
+    wcnt = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    mad = (
+        resid.withColumn("rn", F.row_number().over(wr))
+        .withColumn("cnt", F.count(F.lit(1)).over(wcnt))
+        .where(F.col("rn") == F.expr("(cnt + 1) DIV 2"))
+        .select(F.abs("resid").alias("mad"))
+    )
+    return (
+        resid.crossJoin(F.broadcast(mad))
+        .where(F.abs("resid") * 10000 > MAD_SIGMA_X10000 * F.col("mad"))
+        .select("day", "cents", "dow", "dow_median", "resid", "mad")
+    )
