@@ -590,3 +590,44 @@ def test_twap_duration_coverage_and_burst_insensitivity(spark):
         assert r.n_events == r.n
         assert r.total_dur_us == r.day_end_us - r.first_us
         assert r.lo * 10**6 <= r.twap_ucents <= r.hi * 10**6
+
+
+def test_anomaly_days_seasonal_mad_recompute(spark):
+    """Python re-derivation of the dow-median/MAD rule at sf0.001."""
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_SMALL
+    from wheels_in_motion_analytics_spark.registry import load_all_queries
+    from wheels_in_motion_analytics_spark.tables import table
+
+    daily = {
+        r.day: r.cents
+        for r in table(spark, SF_SMALL, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                   .cast("bigint")).alias("cents"))
+        .collect()
+    }
+    by_dow = {}
+    for d, c in daily.items():
+        by_dow.setdefault(d.isoweekday() % 7 + 1, []).append((c, d))
+    med = {}
+    for dow, vals in by_dow.items():
+        vals.sort()
+        med[dow] = vals[(len(vals) + 1) // 2 - 1][0]
+    resid = {
+        d: c - med[d.isoweekday() % 7 + 1] for d, c in daily.items()
+    }
+    ar = sorted((abs(v), d) for d, v in resid.items())
+    mad = ar[(len(ar) + 1) // 2 - 1][0]
+    want = {
+        d: v for d, v in resid.items() if abs(v) * 10000 > 44478 * mad
+    }
+    got = {
+        r.day: r.resid
+        for r in load_all_queries()["anomaly_days_seasonal_mad"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert got == want
+    assert all(r for r in got)  # nonempty at this fixture
