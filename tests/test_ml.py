@@ -608,3 +608,13 @@ def test_group_kfold_no_leakage(spark):
     # every customer maps to exactly one fold by construction; totals agree
     assert sum(r.n_orders for r in rows) == len(orders)
     assert sum(r.n_customers for r in rows) == len(custs)
+
+
+def test_logreg_single_aggregate_scan(spark):
+    """The Newton step must be ONE partial+final moment aggregate over the
+    scan (same contract as test_linreg_single_aggregate_scan) — the 3x3
+    Cramer solve lives on the 1-row relation."""
+    plan = _plan(spark, "logreg_newton_step")
+    assert plan.count("HashAggregate") >= 2
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "Sort "):
+        assert op not in plan, f"unexpected {op} in logreg plan"
