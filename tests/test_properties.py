@@ -197,3 +197,113 @@ def test_with_corr_ppm_matches_python_isqrt(spark, ppm, dxx, dyy):
         (2 * abs(num) * 10**6 + a * b) // (2 * a * b)
     )
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Round-5 session-3 cores: histogram stump and Kaplan-Meier
+# ---------------------------------------------------------------------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-1000, max_value=1000),  # cents
+            st.integers(min_value=0, max_value=1),  # pos
+        ),
+        min_size=2,
+        max_size=40,
+    ),
+    bins=st.sampled_from([2, 4, 16]),
+)
+@settings(**SETTINGS)
+def test_stump_best_split_matches_exhaustive(spark, rows, bins):
+    """The histogram stump equals the exhaustive integer-Gini argmax for
+    ANY (value, label) data and any bin count — including all-one-class,
+    duplicate values, and negative values."""
+    from wheels_in_motion_analytics_spark.functions.ml import stump_best_split
+
+    df = spark.createDataFrame(rows, "cents long, pos int")
+    got = stump_best_split(df, bins=bins).collect()
+    lo = min(c for c, _ in rows)
+    hi = max(c for c, _ in rows)
+    hist = {}
+    for c, p in rows:
+        b = (c - lo) * bins // (hi - lo + 1)
+        n0, p0 = hist.get(b, (0, 0))
+        hist[b] = (n0 + 1, p0 + p)
+    nt = len(rows)
+    pt = sum(p for _, p in rows)
+    best = None
+    nl = pl = 0
+    for b in sorted(hist):
+        n, p = hist[b]
+        nl, pl = nl + n, pl + p
+        if nl == 0 or nt == nl:
+            continue
+        nr, pr = nt - nl, pt - pl
+        a = (pl * pl + (nl - pl) ** 2) * nr + (pr * pr + (nr - pr) ** 2) * nl
+        score = a * 1_000_000 // (nl * nr)
+        key = (-score, b)
+        if best is None or key < best[0]:
+            best = (key, b, nl, pl, nr, pr, score)
+    if best is None:
+        # single occupied bin: no valid split — the operator returns no row
+        assert got == []
+        return
+    _, b, nl, pl, nr, pr, score = best
+    r = got[0]
+    assert (r.split_bin, r.n_left, r.pos_left, r.n_right, r.pos_right,
+            r.score_micro) == (b, nl, pl, nr, pr, score)
+
+
+@given(
+    subjects=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),  # duration
+            st.integers(min_value=0, max_value=1),  # event flag
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_kaplan_meier_matches_python_product_limit(spark, subjects):
+    """KM core vs a direct Python product-limit walk: risk sets, event
+    counts, and the 9dp log-survival agree for ANY censored sample; rows
+    at/after a full-death time are NULL."""
+    import math
+    from decimal import Decimal
+
+    from wheels_in_motion_analytics_spark.functions.stats import (
+        kaplan_meier_curve,
+    )
+
+    df = spark.createDataFrame(subjects, "dur int, ev int")
+    got = {r.dur_days: r for r in kaplan_meier_curve(df).collect()}
+    from collections import Counter
+
+    d = Counter()
+    m = Counter()
+    for dur, ev in subjects:
+        m[dur] += 1
+        d[dur] += ev
+    n_total = len(subjects)
+    seen = 0
+    acc = Decimal(0)
+    dead = False
+    for dur in sorted(m):
+        n_risk = n_total - seen
+        seen += m[dur]
+        r = got[dur]
+        assert (r.n_risk, r.d_events, r.c_censored) == (
+            n_risk, d[dur], m[dur] - d[dur],
+        )
+        if not dead and d[dur] > 0 and d[dur] < n_risk:
+            acc += Decimal(str(round(math.log(1 - d[dur] / n_risk), 9)))
+        if d[dur] >= n_risk:
+            dead = True
+        if dead:
+            assert r.log_survival is None
+        else:
+            assert r.log_survival == round(float(acc), 6)
+    assert set(got) == set(m)

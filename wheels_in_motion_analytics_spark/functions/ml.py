@@ -100,12 +100,19 @@ def decision_stump_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
         (F.col("o_orderstatus") == "F").cast("int").alias("pos"),
     )
+    return stump_best_split(src)
+
+
+def stump_best_split(src: DataFrame, bins: int = STUMP_BINS) -> DataFrame:
+    """Reusable histogram-stump core over a (cents, pos) relation — the
+    registry query applies it to orders; property tests drive it with
+    arbitrary integer data."""
     mm = src.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
     # 1-row relation broadcast onto the scan: bin id is pure arithmetic.
     hist = (
         src.crossJoin(F.broadcast(mm))
         .groupBy(
-            F.expr(f"(cents - lo) * {STUMP_BINS} DIV (hi - lo + 1)").alias("bin")
+            F.expr(f"(cents - lo) * {bins} DIV (hi - lo + 1)").alias("bin")
         )
         .agg(F.count(F.lit(1)).alias("n"), F.sum("pos").alias("p"))
     )
@@ -141,7 +148,7 @@ def decision_stump_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("__rn") == 1)
     return best.crossJoin(F.broadcast(mm)).select(
         F.col("bin").cast("bigint").alias("split_bin"),
-        F.expr(f"lo + ((bin + 1) * (hi - lo + 1)) DIV {STUMP_BINS}")
+        F.expr(f"lo + ((bin + 1) * (hi - lo + 1)) DIV {bins}")
         .cast("bigint")
         .alias("threshold_cents"),
         F.col("nl").cast("bigint").alias("n_left"),

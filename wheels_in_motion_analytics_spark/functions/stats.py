@@ -1405,6 +1405,13 @@ def kaplan_meier_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderstatus") != "O").cast("int").alias("ev"),
         )
     )
+    return kaplan_meier_curve(per)
+
+
+def kaplan_meier_curve(per: DataFrame) -> DataFrame:
+    """Reusable KM core over a (dur, ev) subject relation — the registry
+    query applies it to order ship latency; property tests drive it with
+    arbitrary censored samples."""
     grain = per.groupBy("dur").agg(
         F.sum("ev").cast("bigint").alias("d"),
         (F.count(F.lit(1)) - F.sum("ev")).cast("bigint").alias("c"),
