@@ -618,3 +618,47 @@ def test_logreg_single_aggregate_scan(spark):
     assert plan.count("HashAggregate") >= 2
     for op in ("SortMergeJoin", "BroadcastHashJoin", "Sort "):
         assert op not in plan, f"unexpected {op} in logreg plan"
+
+
+# ---------------------------------------------------------------------------
+# kappa / learning curve / rendezvous invariants
+# ---------------------------------------------------------------------------
+
+
+def test_cohens_kappa_bounds_and_recompute(spark):
+    from fractions import Fraction as Fr
+
+    r = _run(spark, "cohens_kappa_langid").collect()[0]
+    assert 0 < r.n_agree <= r.n_docs
+    assert -1_000_000 <= r.kappa_ppm <= 1_000_000
+    # accuracy from counts
+    acc = Fr(r.n_agree, r.n_docs)
+    assert r.accuracy_ppm == (2 * 10**6 * acc.numerator + acc.denominator) // (
+        2 * acc.denominator
+    )
+    # kappa <= accuracy scaled (chance >= 0 implies kappa <= po)
+    assert r.kappa_ppm <= r.accuracy_ppm
+
+
+def test_learning_curve_tiers_nested_monotone(spark):
+    rows = {r.tier_pct: r for r in
+            _run(spark, "learning_curve_nested_samples").collect()}
+    assert sorted(rows) == [12, 25, 50, 100]
+    ns = [rows[p].n_rows for p in (12, 25, 50, 100)]
+    revs = [rows[p].revenue_cents for p in (12, 25, 50, 100)]
+    assert ns == sorted(ns) and revs == sorted(revs)  # nested => monotone
+    total = table(spark, SF_SMALL, "orders").count()
+    assert rows[100].n_rows == total  # 100% tier is the full corpus
+    # tier sizes are near their nominal fractions (md5 uniformity)
+    for p in (12, 25, 50):
+        frac = rows[p].n_rows / total
+        assert abs(frac - p / 100) < 0.08
+
+
+def test_rendezvous_rebalance_invariant(spark):
+    r = _run(spark, "rendezvous_shard_rebalance").collect()[0]
+    # THE consistent-hashing guarantee: moved keys move ONLY to the new shard
+    assert r.n_moved_elsewhere == 0
+    # and the moved fraction is ~1/8 (exact expectation under uniformity)
+    assert abs(r.moved_ppm / 1e6 - 1 / 8) < 0.05
+    assert r.n_keys == table(spark, SF_SMALL, "orders").count()

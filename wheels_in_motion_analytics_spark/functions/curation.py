@@ -1012,3 +1012,60 @@ def shard_assignment_by_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tok_n").cast("bigint").alias("shard_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Learning-curve nested sample schedule
+# --------------------------------------------------------------------------
+
+LC_TIERS_PCT = (12, 25, 50, 100)  # percent of the corpus per tier
+
+
+@register(
+    "learning_curve_nested_samples",
+    category="curation",
+    doc=f"Learning-curve sample schedule at {LC_TIERS_PCT}% of the corpus: "
+    "each tier is drawn by thresholding ONE md5 uniform per order, so the "
+    "tiers are NESTED BY CONSTRUCTION (every smaller sample is a subset "
+    "of every larger — the property scaling-law runs require, and the "
+    "audit proves: per-tier counts and revenue are monotone). One "
+    "broadcast tier relation fans each row into its qualifying tiers; "
+    "everything else is a map-side-combinable agg.",
+    oracle=f"""
+WITH u AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         ('0x' || substr(md5('lc:' || CAST(o_orderkey AS VARCHAR)), 1, 13))::BIGINT AS draw
+  FROM orders
+),
+tiers AS (SELECT unnest(ARRAY[{", ".join(str(p) for p in LC_TIERS_PCT)}]) AS pct)
+SELECT CAST(pct AS BIGINT) AS tier_pct,
+       COUNT(*) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM u JOIN tiers ON draw * 100 < pct * 4503599627370496
+GROUP BY pct
+""",
+)
+def learning_curve_nested_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        hash_hex(
+            F.concat(F.lit("lc:"), F.col("o_orderkey").cast("string")), 13
+        ).alias("draw"),
+    )
+    tiers = spark.createDataFrame(
+        [(p,) for p in LC_TIERS_PCT], "pct long"
+    )
+    # draw/2^52 < pct/100 as exact cross-multiplication (52-bit uniform)
+    return (
+        u.join(
+            F.broadcast(tiers),
+            F.col("draw") * 100 < F.col("pct") * F.lit(2**52),
+        )
+        .groupBy(F.col("pct").cast("bigint").alias("tier_pct"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )

@@ -766,3 +766,88 @@ def dp_geometric_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (g1 - g2).cast("bigint").alias("noise"),
         (F.col("true_n") + g1 - g2).cast("bigint").alias("noisy_n"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rendezvous (HRW) consistent-hashing rebalance audit
+# --------------------------------------------------------------------------
+
+HRW_SHARDS_BEFORE = 7
+
+
+@register(
+    "rendezvous_shard_rebalance",
+    category="integrity",
+    doc=f"Consistent-hashing rebalance audit via rendezvous (HRW) hashing: "
+    f"orders assigned to argmax_s md5(key, s) over {HRW_SHARDS_BEFORE} "
+    f"shards, then re-assigned over {HRW_SHARDS_BEFORE + 1}. The defining "
+    "HRW guarantee is exact and oracle-checked: every moved key moves TO "
+    "the new shard (old assignments are disturbed only by the newcomer "
+    "winning), and the moved fraction is ~1/(N+1). Per-key work is N+1 "
+    "md5 evaluations map-side; the audit is one aggregate.",
+    oracle=f"""
+WITH k AS (SELECT o_orderkey AS key FROM orders),
+scores AS (
+  SELECT key, s,
+         ('0x' || substr(md5('hrw:' || CAST(key AS VARCHAR) || ':' || CAST(s AS VARCHAR)), 1, 13))::BIGINT AS sc
+  FROM k CROSS JOIN (SELECT unnest(range({HRW_SHARDS_BEFORE + 1})) AS s)
+),
+a AS (
+  SELECT key,
+         arg_max(s, sc) FILTER (WHERE s < {HRW_SHARDS_BEFORE}) AS shard_before,
+         arg_max(s, sc) AS shard_after
+  FROM scores GROUP BY key
+)
+SELECT COUNT(*) AS n_keys,
+       COUNT(*) FILTER (WHERE shard_before <> shard_after) AS n_moved,
+       COUNT(*) FILTER (WHERE shard_before <> shard_after
+                          AND shard_after <> {HRW_SHARDS_BEFORE}) AS n_moved_elsewhere,
+       CAST((2000000 * COUNT(*) FILTER (WHERE shard_before <> shard_after)
+             + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS moved_ppm
+FROM a
+""",
+)
+def rendezvous_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = HRW_SHARDS_BEFORE
+    k = table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("key"))
+    shards = F.array(*[F.lit(s) for s in range(n + 1)])
+    scores = k.select(
+        "key",
+        F.explode(shards).alias("s"),
+    ).select(
+        "key",
+        "s",
+        hash_hex(
+            F.concat(
+                F.lit("hrw:"),
+                F.col("key").cast("string"),
+                F.lit(":"),
+                F.col("s").cast("string"),
+            ),
+            13,
+        ).alias("sc"),
+    )
+    a = scores.groupBy("key").agg(
+        F.max_by("s", F.when(F.col("s") < n, F.col("sc"))).alias(
+            "shard_before"
+        ),
+        F.max_by("s", "sc").alias("shard_after"),
+    )
+    moved = F.when(F.col("shard_before") != F.col("shard_after"), 1).otherwise(0)
+    return a.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(moved).cast("bigint").alias("n_moved"),
+        F.sum(
+            F.when(
+                (F.col("shard_before") != F.col("shard_after"))
+                & (F.col("shard_after") != n),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_moved_elsewhere"),
+        F.expr(
+            "CAST((2000000 * sum(CASE WHEN shard_before <> shard_after THEN 1 ELSE 0 END)"
+            " + count(*)) DIV (2 * count(*)) AS BIGINT)"
+        ).alias("moved_ppm"),
+    )

@@ -981,3 +981,125 @@ def group_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa: heuristic classifier vs gold labels
+# ---------------------------------------------------------------------------
+
+
+def _cin(lang: str) -> str:
+    from wheels_in_motion_analytics_spark.functions.text import LANG_MARKERS
+
+    inlist = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return f"len(list_filter(toks, t -> t IN ({inlist})))"
+
+
+@register(
+    "cohens_kappa_langid",
+    category="ml",
+    doc="Inter-rater agreement between the marker-voting language-ID "
+    "heuristic (lang_id_heuristic's exact predictor) and the gold lang "
+    "column — Cohen's kappa corrects raw accuracy for chance agreement: "
+    "kappa = (N·Σdiag − Σ row_i·col_i) / (N² − Σ row_i·col_i), computed "
+    "entirely from the k² confusion cells of ONE groupBy and emitted as "
+    "sign-corrected half-up ppm. The label-quality audit an annotation "
+    "pipeline runs before trusting a weak labeler.",
+    oracle=f"""
+WITH t AS (
+  SELECT lang AS gold,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+p AS (
+  SELECT gold,
+         CASE WHEN {_cin("en")} = 0 AND {_cin("es")} = 0 AND {_cin("fr")} = 0 THEN 'und'
+              WHEN {_cin("en")} >= {_cin("es")} AND {_cin("en")} >= {_cin("fr")} THEN 'en'
+              WHEN {_cin("es")} >= {_cin("fr")} THEN 'es'
+              ELSE 'fr' END AS pred
+  FROM t
+),
+cells AS (SELECT pred, gold, CAST(COUNT(*) AS HUGEINT) AS c FROM p GROUP BY 1, 2),
+tot AS (
+  SELECT CAST(SUM(c) AS HUGEINT) AS n,
+         CAST(SUM(CASE WHEN pred = gold THEN c ELSE 0 END) AS HUGEINT) AS diag
+  FROM cells
+),
+marg AS (
+  SELECT CAST(SUM(pr.rc * gc.cc) AS HUGEINT) AS chance
+  FROM (SELECT pred AS lbl, SUM(c) AS rc FROM cells GROUP BY pred) pr
+  JOIN (SELECT gold AS lbl, SUM(c) AS cc FROM cells GROUP BY gold) gc
+    ON pr.lbl = gc.lbl
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(diag AS BIGINT) AS n_agree,
+       CAST((2000000 * diag + n) // (2 * n) AS BIGINT) AS accuracy_ppm,
+       CAST((CASE WHEN n * diag - chance < 0 THEN -1 ELSE 1 END)
+            * ((2000000 * abs(n * diag - chance) + (n * n - chance))
+               // (2 * (n * n - chance))) AS BIGINT) AS kappa_ppm
+FROM tot CROSS JOIN marg
+""",
+)
+def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.functions.text import (
+        LANG_MARKERS,
+        count_in_set,
+    )
+
+    # materialize the token array AND the three marker counts as columns
+    # before the argmax expression — inline token arrays in filter lambdas
+    # re-evaluate per element (NOTES decision #5), and the when-chain
+    # references each count several times
+    staged = (
+        table(spark, sf_dir, "documents")
+        .select(F.col("lang").alias("gold"), tokens(F.col("text")).alias("toks"))
+        .select(
+            "gold",
+            count_in_set(F.col("toks"), LANG_MARKERS["en"]).alias("c_en"),
+            count_in_set(F.col("toks"), LANG_MARKERS["es"]).alias("c_es"),
+            count_in_set(F.col("toks"), LANG_MARKERS["fr"]).alias("c_fr"),
+        )
+    )
+    c_en, c_es, c_fr = F.col("c_en"), F.col("c_es"), F.col("c_fr")
+    pred = (
+        F.when((c_en == 0) & (c_es == 0) & (c_fr == 0), "und")
+        .when((c_en >= c_es) & (c_en >= c_fr), "en")
+        .when(c_es >= c_fr, "es")
+        .otherwise("fr")
+    )
+    cells = (
+        staged.select(pred.alias("pred"), "gold")
+        .groupBy("pred", "gold")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("c"))
+        .localCheckpoint()  # k² cells feed totals AND both marginals
+    )
+    tot = cells.agg(
+        F.sum("c").cast("decimal(38,0)").alias("n"),
+        F.sum(F.when(F.col("pred") == F.col("gold"), F.col("c")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("diag"),
+    )
+    pr = cells.groupBy(F.col("pred").alias("lbl")).agg(F.sum("c").alias("rc"))
+    gc = cells.groupBy(F.col("gold").alias("lbl")).agg(F.sum("c").alias("cc"))
+    marg = (
+        pr.join(gc, "lbl")
+        .agg(
+            F.sum(F.col("rc") * F.col("cc"))
+            .cast("decimal(38,0)")
+            .alias("chance")
+        )
+    )
+    return tot.crossJoin(F.broadcast(marg)).select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("diag").cast("bigint").alias("n_agree"),
+        F.expr("(2000000 * diag + n) DIV (2 * n)")
+        .cast("bigint")
+        .alias("accuracy_ppm"),
+        F.expr(
+            "(CASE WHEN n * diag - chance < 0 THEN -1 ELSE 1 END)"
+            " * ((2000000 * abs(n * diag - chance) + (n * n - chance))"
+            " DIV (2 * (n * n - chance)))"
+        )
+        .cast("bigint")
+        .alias("kappa_ppm"),
+    )
