@@ -141,3 +141,53 @@ def test_temperature_mixture_flattens_language_skew(spark):
     rates = {r.lang: r.keep_rate for r in kept.select("lang", "keep_rate").distinct().collect()}
     rare = min(before, key=before.get)
     assert rates[rare] == 1.0
+
+
+def test_prefix_locality_reorder_improves_and_recomputes(spark):
+    """Sorting by prefix key must not reduce total adjacent shared-prefix
+    mass, and both orderings match a direct Python recompute."""
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_SMALL
+    from wheels_in_motion_analytics_spark.registry import load_all_queries
+    from wheels_in_motion_analytics_spark.tables import table
+
+    rows = {
+        r.ordering: r
+        for r in load_all_queries()["prefix_locality_reorder_audit"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert set(rows) == {"natural", "prefix_sorted"}
+    assert (
+        rows["prefix_sorted"].shared_prefix_sum
+        >= rows["natural"].shared_prefix_sum
+    )
+    docs = (
+        table(spark, SF_SMALL, "documents")
+        .select("doc_id", F.lower("text").alias("t"))
+        .collect()
+    )
+    toks = {r.doc_id: r.t.split()[:8] for r in docs}
+
+    def shared(a, b):
+        n = 0
+        for x, y in zip(a[:8], b[:8]):
+            if x != y:
+                break
+            n += 1
+        else:
+            return min(len(a), len(b), 8)
+        return n
+
+    def total(order):
+        return sum(
+            shared(toks[order[i]], toks[order[i + 1]])
+            for i in range(len(order) - 1)
+        )
+
+    nat = sorted(toks)
+    opt = sorted(toks, key=lambda d: (" ".join(toks[d][:3]), d))
+    assert rows["natural"].shared_prefix_sum == total(nat)
+    assert rows["prefix_sorted"].shared_prefix_sum == total(opt)
+    assert rows["natural"].n_pairs == len(nat) - 1
