@@ -27,101 +27,94 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness verifies registry entries in dict order
-# with a bounded budget (rounds 1-4 covered exactly the first 50 each).
+# with a bounded budget (rounds 1-5 covered exactly the first 50 each).
 # Queries whose correctness has NOT yet been driver-verified go first, so
 # each round converts the maximum amount of existing quality into hard
 # signal. Names not listed here follow in registry order; unknown names are
-# ignored. Kept to exactly 50 entries. Round-5 rotation (r4 verdict item
-# 2): the 49 r4-green entries moved to _R4_VERIFIED; the head leads with
-# the r4 red row (spearman, rewritten hash-proof this round), then the two
-# r4-green versioned queries whose code changed THIS round (advisor
-# hardening — stale hard signal otherwise), then the never-verified blocks
-# the verdict ranked: the scaled dedup flagships, the 9 streaming entries,
-# the six §2a wrappers, the timeseries family, the versioned lifecycle
-# tail, the SQL surface block, stats audits, and family representatives
-# rotated out of earlier heads. ~80 remaining never-verified entries are
-# queued for r6 (full hard-signal coverage lands there at 50/round).
+# ignored. Kept to exactly 50 entries. Round-6 rotation (r5 verdict items
+# 1-2): the 47 r5-green entries moved to _R5_VERIFIED; the head leads with
+# the four DECIMAL-output queries (the r5 red rows + the one untested
+# sibling, all de-decimalized this round — moments now emit as digit
+# strings), then the never-verified blocks the r5 verdict ranked: the §2a
+# straggler, the line-dedup family (the 100 TB dedup story's unverified
+# half), the 4 multimodal codec queries, the round-5 ML/eval block, and
+# the NOTES queue representatives. ~83 remaining never-verified entries
+# are queued for r7 (full hard-signal coverage lands there at 50/round).
 _DRIVER_PRIORITY = [
-    # r4's only red row — rewritten this round (exact-integer rho_ppm)
+    # r5's red rows + sibling — DecimalType outputs eliminated this round
     "spearman_rank_correlation",
-    # re-verify: r4-green but code changed this round (advisor hardening
-    # of versioned.py — mode whitelist, stage reclaim, tempdir cleanup)
-    "versioned_change_feed",
-    "versioned_update_copy_on_write",
-    # the 100 TB dedup story's own flagship queries (verdict item 2 lead)
-    "scaled_dedup_exact",
-    "scaled_dedup_minhash_lsh",
-    # streaming family — all 9 never-verified entries
-    "stream_ohlc_bars",
-    "stream_sliding_window",
-    "stream_dedup_events",
-    "stream_dedup_within_watermark",
-    "stream_complete_mode_totals",
-    "stream_hourly_rollup_of_bars",
-    "stream_attribution_unmatched",
-    "stream_static_enrich",
-    "sessionize_events",
-    # the six §2a wrappers — makes the §2a table fully driver-green
-    "glob_csv_scan_years",
-    "json_scan_normalize_payload",
-    "parquet_empty_fallback_union",
-    "binary_glob_file_stats",
-    "conditional_rename_guarded_drop",
-    "backtick_space_identifiers",
-    # timeseries family
-    "ohlc_resample_5min",
-    "revenue_ewma_daily",
-    "rolling_median_weekly_revenue",
-    "seasonal_decompose_daily",
-    "merge_overlapping_intervals",
-    "weighted_median_price",
-    # versioned lifecycle tail
-    "versioned_branch_merge",
-    "versioned_vacuum_retention",
-    # SQL surface block
-    "recursive_month_series_orders",
-    "lateral_topk_per_key",
-    "variant_json_extract",
-    "listagg_nation_supplier_roster",
-    "sql_table_udf_price_brackets",
-    "parameterized_sql_filter",
-    # stats audits
-    "winsorize_prices",
-    "mad_outlier_audit",
-    "moment_stats_suite",
-    "cuped_adjusted_lift",
-    # round-5 additions (never verified, added this session)
     "acf_daily_revenue",
-    # (cusum_changepoint_daily queues for r6 — three trend/changepoint
-    # siblings in one head is over-representation)
-    "metadata_file_columns_audit",
-    "versioned_schema_evolution",
-    "join_strategy_hints_suite",
     "corr_matrix_metrics",
-    "wau_sliding_distinct_users",
-    "bootstrap_ci_revenue_poisson",
-    "theil_sen_trend_daily",
-    "mann_kendall_trend",
-    "asof_join_forward_tolerance",
-    "inventory_balance_clamped",
-    "versioned_optimize_zorder",
-    # family representatives rotated out of the r4 head + zero-hard-signal
-    # families (cluster dedup, k-means/IVF training, bucketed storage,
-    # embeddings analytics, sketches, lakehouse layout). column_entropy_mi,
-    # temporal_point_in_time_join, csv_roundtrip_agg,
-    # multimodal_frame_digest, lm_bigram_perplexity, dedup_events_time_window
-    # queue for r6, as do the round-5 session-3 additions (ML family:
-    # decision_stump_best_split, feature_hashing_trick,
-    # target_encoding_smoothed, auc_rank_ppm, calibration_reliability_bins,
-    # classification_threshold_metrics; plus fuzzy_lookup_best_match,
-    # key_skew_profile, shard_assignment_by_budget,
-    # gap_fill_linear_interpolate, csv_corrupt_records_audit,
-    # l_diversity_audit, dp_geometric_noisy_counts,
-    # label_propagation_communities, ndcg_at_k_retrieval,
-    # kaplan_meier_ship_latency, logreg_newton_step,
-    # skipgram_training_pairs, naive_bayes_token_model) and the session-2
-    # additions (dedup_lines_crossdoc family, twap_daily_by_type,
-    # record_linkage_canonicalize, sorted_lake_export_audit).
+    "cusum_changepoint_daily",
+    # the last §2a op without a driver row
+    "date_format_partition_keys",
+    # line-dedup family — the unverified half of the dedup story
+    "dedup_lines_crossdoc",
+    "scaled_dedup_lines_crossdoc",
+    "dedup_lines_incremental",
+    "dedup_prefix_filter_jaccard",
+    "dedup_incremental_batch",
+    "dedup_cluster_representatives",
+    "dedup_simhash_pairs",
+    "dedup_crossdoc_spans",
+    "dedup_events_time_window",
+    # multimodal codec queries
+    "multimodal_dedup_payload",
+    "multimodal_frame_digest",
+    "multimodal_bmp_roundtrip",
+    "multimodal_cdc_neardup",
+    # round-5 ML/eval block
+    "auc_rank_ppm",
+    "pr_curve_points",
+    "calibration_reliability_bins",
+    "classification_threshold_metrics",
+    "decision_stump_best_split",
+    "logreg_newton_step",
+    "naive_bayes_token_model",
+    "feature_hashing_trick",
+    "target_encoding_smoothed",
+    "chi2_feature_selection",
+    "group_kfold_assignment",
+    "ndcg_at_k_retrieval",
+    "label_propagation_communities",
+    "kaplan_meier_ship_latency",
+    "cohens_kappa_langid",
+    "learning_curve_nested_samples",
+    # NOTES r6 queue — families with zero hard signal
+    "lm_bigram_perplexity",
+    "kmeans_lloyd_update",
+    "bucketed_join_exchange_free",
+    "embedding_covariance_matrix",
+    "column_entropy_mi",
+    "temporal_point_in_time_join",
+    "csv_roundtrip_agg",
+    "heavy_hitters_topk",
+    "partition_evolution_union_scan",
+    "sorted_lake_export_audit",
+    "twap_daily_by_type",
+    "record_linkage_canonicalize",
+    "fuzzy_lookup_best_match",
+    "key_skew_profile",
+    "dp_geometric_noisy_counts",
+    "anomaly_days_seasonal_mad",
+    # r7 queue (~83 never-verified): formats (orc/xml/jsonl roundtrips,
+    # parquet_codec_matrix, federated_multiformat_join, corrupt-records
+    # audits), UDF tiers (pandas_udf_scalar_normalize,
+    # python_udf_row_at_a_time, arrow_python_udf_bucket,
+    # apply_in_arrow_group_stats, pandas_api_groupby_agg), suites2
+    # (string_funcs_suite2, higher_order/map_hof/generator/null_semantics/
+    # conditional_agg/mode_argminmax), embeddings siblings (pca, random
+    # projection, norms, centroids, quantize, percentiles, contrastive),
+    # curation misc, product analytics (cohort/funnel/attribution/
+    # transition/MoM/streaks/paths), spatial_nearest_supplier, privacy
+    # block (k_anonymity/l_diversity/gdpr/masked view), sketches
+    # (countmin, minhash estimate), profiling (table_fingerprints,
+    # profile_orders_columns, benford, fk audit, dq_violating_rows),
+    # layout (zorder_interleave_keys, inverted_index_lookup), text misc
+    # (ngram/token histogram/skipgram/pmi/vocab_oov/bpe pair), graph/
+    # forecast leftovers, shard_assignment_by_budget,
+    # gap_fill_linear_interpolate, rendezvous/prefix-locality/learning-
+    # curve siblings not already in this head.
 ]
 
 
@@ -224,7 +217,37 @@ _R4_VERIFIED = {
     'versioned_update_copy_on_write', 'zone_map_skipping_audit',
 }
 
-_VERIFIED = _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED | _R4_VERIFIED
+# Round-5 driver-green rows (CORRECTNESS_r05.json; the three hash-FAIL
+# rows — spearman_rank_correlation, acf_daily_revenue, corr_matrix_metrics
+# — are deliberately absent: their DECIMAL outputs were eliminated this
+# round and they re-verify at the head).
+_R5_VERIFIED = {
+    'asof_join_forward_tolerance', 'backtick_space_identifiers',
+    'binary_glob_file_stats', 'bootstrap_ci_revenue_poisson',
+    'conditional_rename_guarded_drop', 'cuped_adjusted_lift',
+    'glob_csv_scan_years', 'inventory_balance_clamped',
+    'join_strategy_hints_suite', 'json_scan_normalize_payload',
+    'lateral_topk_per_key', 'listagg_nation_supplier_roster',
+    'mad_outlier_audit', 'mann_kendall_trend', 'merge_overlapping_intervals',
+    'metadata_file_columns_audit', 'moment_stats_suite', 'ohlc_resample_5min',
+    'parameterized_sql_filter', 'parquet_empty_fallback_union',
+    'recursive_month_series_orders', 'revenue_ewma_daily',
+    'rolling_median_weekly_revenue', 'scaled_dedup_exact',
+    'scaled_dedup_minhash_lsh', 'seasonal_decompose_daily', 'sessionize_events',
+    'sql_table_udf_price_brackets', 'stream_attribution_unmatched',
+    'stream_complete_mode_totals', 'stream_dedup_events',
+    'stream_dedup_within_watermark', 'stream_hourly_rollup_of_bars',
+    'stream_ohlc_bars', 'stream_sliding_window', 'stream_static_enrich',
+    'theil_sen_trend_daily', 'variant_json_extract', 'versioned_branch_merge',
+    'versioned_change_feed', 'versioned_optimize_zorder',
+    'versioned_schema_evolution', 'versioned_update_copy_on_write',
+    'versioned_vacuum_retention', 'wau_sliding_distinct_users',
+    'weighted_median_price', 'winsorize_prices',
+}
+
+_VERIFIED = (
+    _R1_VERIFIED | _R2_VERIFIED | _R3_VERIFIED | _R4_VERIFIED | _R5_VERIFIED
+)
 
 
 def _ordered_specs():

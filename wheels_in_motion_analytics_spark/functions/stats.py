@@ -1011,9 +1011,9 @@ i AS (
   FROM c
 )
 SELECT n AS n_rows,
-       CAST(num AS DECIMAL(38,0)) AS num,
-       CAST(dxx AS DECIMAL(38,0)) AS dxx,
-       CAST(dyy AS DECIMAL(38,0)) AS dyy,
+       CAST(num AS VARCHAR) AS num,
+       CAST(dxx AS VARCHAR) AS dxx,
+       CAST(dyy AS VARCHAR) AS dyy,
        CASE WHEN a = 0 OR b = 0 THEN NULL
             ELSE CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
                  * ((2 * abs(num) * 1000000 + a * b) // (2 * a * b))
@@ -1062,11 +1062,15 @@ def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (c("n") * c("sxx") - c("sx") * c("sx")).cast("decimal(38,0)").alias("dxx"),
         (c("n") * c("syy") - c("sy") * c("sy")).cast("decimal(38,0)").alias("dyy"),
     )
+    # DECIMAL stays internal (the right accumulator); the HASHED output
+    # emits the exact moments as digit STRINGS — the r5 driver hash-failed
+    # every DecimalType output column (environmental decimal128
+    # canonicalization gap), so no registry query may emit DecimalType.
     return with_corr_ppm(d).select(
         c("n").cast("bigint").alias("n_rows"),
-        "num",
-        "dxx",
-        "dyy",
+        c("num").cast("string").alias("num"),
+        c("dxx").cast("string").alias("dxx"),
+        c("dyy").cast("string").alias("dyy"),
         "rho_ppm",
     )
 
@@ -1111,7 +1115,7 @@ m AS (
 p AS (
 {arms}
 )
-SELECT pair, CAST(num AS DECIMAL(38,0)) AS num,
+SELECT pair, CAST(num AS VARCHAR) AS num,
        {corr_ppm_sql('num', 'dxx', 'dyy')} AS corr_ppm
 FROM p
 """
@@ -1169,7 +1173,11 @@ def corr_matrix_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         for a, b in _CORR_PAIRS
     ]
     p = m.select(F.explode(F.array(*structs)).alias("x")).select("x.*")
-    return with_corr_ppm(p, out="corr_ppm").select("pair", "num", "corr_ppm")
+    # num emits as a digit STRING — no DecimalType may reach a hashed
+    # output schema (r5 driver decimal128 canonicalization gap).
+    return with_corr_ppm(p, out="corr_ppm").select(
+        "pair", F.col("num").cast("string").alias("num"), "corr_ppm"
+    )
 
 
 from wheels_in_motion_analytics_spark.registry import REGISTRY as _REGISTRY  # noqa: E402

@@ -1076,8 +1076,10 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,0)")
         .alias("dyy"),
     )
+    # num emits as a digit STRING — no DecimalType may reach a hashed
+    # output schema (r5 driver decimal128 canonicalization gap).
     return with_corr_ppm(mm, out="acf_ppm").select(
-        "lag", "n_pairs", "num", "acf_ppm"
+        "lag", "n_pairs", dm("num").cast("string").alias("num"), "acf_ppm"
     )
 
 
@@ -1108,7 +1110,7 @@ mm AS (
   FROM m
 )
 SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
-       CAST(num AS DECIMAL(38,0)) AS num,
+       CAST(num AS VARCHAR) AS num,
        {corr_ppm_sql('num', 'dxx', 'dyy')} AS acf_ppm
 FROM mm
 """
@@ -1148,7 +1150,7 @@ c AS (
 SELECT CAST(n AS BIGINT) AS n_days,
        CAST(s AS BIGINT) AS total_cents,
        day AS change_day,
-       CAST(abs(ck) AS DECIMAL(38,0)) AS max_abs_cusum,
+       CAST(abs(ck) AS VARCHAR) AS max_abs_cusum,
        CAST(pc // k AS BIGINT) AS mean_before_cents,
        CAST((s - pc) // (n - k) AS BIGINT) AS mean_after_cents
 FROM c
@@ -1212,7 +1214,11 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         c("b.n").cast("bigint").alias("n_days"),
         c("b.s").cast("bigint").alias("total_cents"),
         c("b.day").alias("change_day"),
-        c("b.absck").cast("decimal(38,0)").alias("max_abs_cusum"),
+        # digit STRING, not DecimalType — no decimal may reach a hashed
+        # output schema (r5 driver decimal128 canonicalization gap); the
+        # statistic exceeds BIGINT past ~sf100 so the exact digits ride
+        # as a string.
+        c("b.absck").cast("string").alias("max_abs_cusum"),
         F.expr("CAST(b.pc DIV b.k AS BIGINT)").alias("mean_before_cents"),
         F.expr("CAST((b.s - b.pc) DIV (b.n - b.k) AS BIGINT)").alias(
             "mean_after_cents"
