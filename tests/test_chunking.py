@@ -130,3 +130,46 @@ def test_random_projection_preserves_distance_ordering(spark):
     mean_ratio = sum(ratios) / len(ratios)
     assert 0.5 < mean_ratio < 2.0, mean_ratio
     assert all(float(np.linalg.norm(v)) > 0 for v in pvecs.values())
+
+
+def test_zipf_slope_python_parity(spark):
+    """Fraction-exact Python re-derivation of the micro-ln OLS: same
+    half-up-rounded ln grid, same integer moment closed forms."""
+    from decimal import ROUND_HALF_UP, Decimal
+    import math
+
+    from wheels_in_motion_analytics_spark.functions import text_pipeline as tp
+    from wheels_in_motion_analytics_spark.functions.text import tokens as tok_expr
+    from wheels_in_motion_analytics_spark.tables import table as tbl
+
+    specs = load_all_queries()
+    row = specs["zipf_token_rank_slope"].fn(spark, SF_SMALL).collect()[0]
+
+    counts = (
+        tbl(spark, SF_SMALL, "documents")
+        .select(F.explode(tok_expr(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    ranked = sorted(counts, key=lambda r: (-r["n"], r["t"]))[: tp.ZIPF_TOP_RANKS]
+
+    def micro_ln(v: int) -> int:
+        d = Decimal(repr(math.log(v))).quantize(Decimal("1e-6"), ROUND_HALF_UP)
+        return int(d * 1_000_000)
+
+    xs = [micro_ln(i + 1) for i in range(len(ranked))]
+    ys = [micro_ln(r["n"]) for r in ranked]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    num = n * sxy - sx * sy
+    dxx = n * sxx - sx * sx
+    assert row["n_points"] == n
+    sign = -1 if num < 0 else 1
+    assert row["slope_ppm"] == sign * ((2 * abs(num) * 1_000_000 + dxx) // (2 * dxx))
+    ia = sy * dxx - num * sx
+    ib = n * dxx
+    isign = -1 if ia < 0 else 1
+    assert row["intercept_micro"] == isign * ((2 * abs(ia) + ib) // (2 * ib))

@@ -191,3 +191,37 @@ def test_prefix_locality_reorder_improves_and_recomputes(spark):
     assert rows["natural"].shared_prefix_sum == total(nat)
     assert rows["prefix_sorted"].shared_prefix_sum == total(opt)
     assert rows["natural"].n_pairs == len(nat) - 1
+
+
+def test_length_bucket_padding_python_recompute(spark):
+    """Exact Python re-derivation of the bucket/padding arithmetic from the
+    raw token counts (half-up ppm, cap+truncate semantics)."""
+    specs = load_all_queries()
+    out = {
+        r["bucket"]: r
+        for r in specs["curate_length_bucket_padding"].fn(spark, SF_SMALL).collect()
+    }
+    from wheels_in_motion_analytics_spark.functions.text import tokens
+
+    tcs = [
+        r["tc"]
+        for r in table(spark, SF_SMALL, "documents")
+        .select(F.size(tokens(F.col("text"))).alias("tc"))
+        .collect()
+        if r["tc"] > 0
+    ]
+    agg: dict[int, list[int]] = {}
+    for tc in tcs:
+        bucket = min(((tc + curation.BUCKET_STEP - 1) // curation.BUCKET_STEP)
+                     * curation.BUCKET_STEP, curation.BUCKET_CAP)
+        kept = min(tc, curation.BUCKET_CAP)
+        n, s = agg.get(bucket, [0, 0])
+        agg[bucket] = [n + 1, s + kept]
+    assert set(agg) == set(out)
+    for bucket, (n, s) in agg.items():
+        row = out[bucket]
+        padded = bucket * n
+        assert row["n_docs"] == n
+        assert row["real_tokens"] == s
+        assert row["padded_tokens"] == padded
+        assert row["waste_ppm"] == (2 * (padded - s) * 1_000_000 + padded) // (2 * padded)

@@ -85,3 +85,31 @@ def test_ndcg_bounds_and_python_recompute(spark):
     assert 0 < got.ndcg_ppm <= 1_000_000
     # frozen weights really are round(1e6/log2(pos+1))
     assert _NDCG_W == [round(1e6 / math.log2(i + 1)) for i in range(1, 11)]
+
+
+def test_mmr_first_pick_is_max_relevance_and_all_distinct(spark):
+    out = SPECS["mmr_diversified_topk"].fn(spark, SF_SMALL).collect()
+    assert len(out) == retrieval.MMR_K
+    assert len({r["vec_id"] for r in out}) == retrieval.MMR_K
+    ranks = sorted(r["sel_rank"] for r in out)
+    assert ranks == list(range(1, retrieval.MMR_K + 1))
+    first = next(r for r in out if r["sel_rank"] == 1)
+    # rank 1 has no selected set yet: max relevance, zero redundancy term
+    assert first["max_sim_micro"] == 0
+    assert first["rel_micro"] == max(r["rel_micro"] for r in out)
+    # every row's score is consistent with the integer MMR formula
+    for r in out:
+        assert (
+            r["mmr_score"]
+            == retrieval.MMR_REL_W * r["rel_micro"]
+            - retrieval.MMR_DIV_W * r["max_sim_micro"]
+        )
+
+
+def test_mmr_diversifies_vs_pure_relevance(spark):
+    """The MMR set must not simply be the top-k by relevance ordering:
+    later picks trade relevance for diversity whenever a redundant
+    candidate leads, so max_sim_micro is recorded (non-zero for at least
+    one pick on real embeddings)."""
+    out = SPECS["mmr_diversified_topk"].fn(spark, SF_SMALL).collect()
+    assert any(r["max_sim_micro"] != 0 for r in out if r["sel_rank"] > 1)

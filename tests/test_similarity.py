@@ -392,3 +392,14 @@ def test_gopher_repetition_verdicts_on_known_docs(spark, tmp_path):
     assert (r2.n2, r2.d2, r2.top2) == (5, 5, 1)
     assert r2.keep and not (r2.fail_dup2 or r2.fail_dup3 or r2.fail_top2)
     assert (r3.n2, r3.n3) == (0, 0) and r3.keep
+
+
+def test_ann_recall_eval_bounds_and_consistency(spark):
+    specs = load_all_queries()
+    row = specs["ann_recall_at_k_eval"].fn(spark, SF_SMALL).collect()[0]
+    assert 0 < row["n_queries"]
+    assert 0 <= row["n_matched"] <= row["n_queries"]
+    assert 0 <= row["recall_ppm"] <= 1_000_000
+    # half-up integer division re-derivation
+    n, m = row["n_queries"], row["n_matched"]
+    assert row["recall_ppm"] == (2 * m * 1_000_000 + n) // (2 * n)

@@ -507,3 +507,38 @@ def test_dedup_within_watermark_drops_cross_batch_duplicates(spark):
     }
     assert len(emitted) == len(set(emitted)), "duplicate rows emitted"
     assert set(emitted) == expected
+
+
+def test_stream_ingest_versioned_commits_match_batch_aggregate(spark):
+    """Streaming lakehouse ingest parity: the per-micro-batch versioned
+    appends must reconstruct exactly the batch aggregate over the same
+    slice, and the commit log must show one version per micro-batch."""
+    from wheels_in_motion_analytics_spark.streaming.sinks import (
+        _SI_KEY_MOD,
+        stream_ingest_versioned_table,
+    )
+    from wheels_in_motion_analytics_spark.tables import table as tbl
+
+    out = {
+        r["event_type"]: r
+        for r in stream_ingest_versioned_table(spark, SF_SMALL).collect()
+    }
+    batch = {
+        r["event_type"]: r
+        for r in (
+            tbl(spark, SF_SMALL, "events")
+            .where(F.col("event_id") % _SI_KEY_MOD == 0)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+                ).alias("total_cents"),
+            )
+        ).collect()
+    }
+    assert set(out) == set(batch)
+    for et, row in out.items():
+        assert row["n_events"] == batch[et]["n_events"]
+        assert row["total_cents"] == batch[et]["total_cents"]
+        assert row["n_versions"] == 3  # one atomic append per micro-batch

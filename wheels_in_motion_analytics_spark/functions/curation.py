@@ -1179,3 +1179,81 @@ def prefix_locality_reorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     return pair_sum([F.asc("doc_id")], "natural").unionByName(
         pair_sum([F.asc("pkey"), F.asc("doc_id")], "prefix_sorted")
     )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching — padding-waste audit
+# ---------------------------------------------------------------------------
+
+BUCKET_STEP = 64
+BUCKET_CAP = 1024
+
+
+@register(
+    "curate_length_bucket_padding",
+    category="curation",
+    doc=f"Length-bucketed batching audit: documents are assigned to padded-"
+    f"length buckets (token count rounded up to the next {BUCKET_STEP}, "
+    f"capped at {BUCKET_CAP} with truncation), and each bucket reports its "
+    "doc count, real token mass, padded token mass and padding waste — the "
+    "numbers a training-loader reads to choose bucket boundaries. ONE "
+    "map-side-combinable groupBy over a projection (zero joins, zero "
+    "windows — scales as a single scan). All arithmetic is exact integers; "
+    "waste_ppm is a half-up integer division with DECIMAL(38,0) internal "
+    "products (padded mass × 2e6 exceeds BIGINT at the 100 TB corpus).",
+    oracle=f"""
+WITH t AS (
+  SELECT len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tc
+  FROM documents
+),
+b AS (
+  SELECT LEAST(((tc + {BUCKET_STEP - 1}) // {BUCKET_STEP}) * {BUCKET_STEP}, {BUCKET_CAP}) AS bucket,
+         LEAST(tc, {BUCKET_CAP}) AS kept
+  FROM t WHERE tc > 0
+),
+g AS (
+  SELECT bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(kept) AS BIGINT) AS real_tokens,
+         CAST(bucket * COUNT(*) AS BIGINT) AS padded_tokens
+  FROM b GROUP BY bucket
+)
+SELECT bucket, n_docs, real_tokens, padded_tokens,
+       CAST((2 * (CAST(padded_tokens AS HUGEINT) - real_tokens) * 1000000
+             + padded_tokens) // (2 * CAST(padded_tokens AS HUGEINT)) AS BIGINT)
+         AS waste_ppm
+FROM g
+""",
+)
+def curate_length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.functions.text import tokens
+
+    t = table(spark, sf_dir, "documents").select(
+        F.size(tokens(F.col("text"))).alias("tc")
+    )
+    c = F.col
+    b = t.where(c("tc") > 0).select(
+        F.least(
+            F.expr(
+                f"CAST(((tc + {BUCKET_STEP - 1}) DIV {BUCKET_STEP})"
+                f" * {BUCKET_STEP} AS BIGINT)"
+            ),
+            F.lit(BUCKET_CAP).cast("bigint"),
+        ).alias("bucket"),
+        F.least(c("tc").cast("bigint"), F.lit(BUCKET_CAP).cast("bigint")).alias("kept"),
+    )
+    g = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("kept").cast("bigint").alias("real_tokens"),
+    )
+    return g.select(
+        "bucket",
+        "n_docs",
+        "real_tokens",
+        (c("bucket") * c("n_docs")).cast("bigint").alias("padded_tokens"),
+        F.expr(
+            "CAST((2 * (CAST(bucket AS DECIMAL(38,0)) * n_docs - real_tokens)"
+            " * 1000000 + bucket * n_docs)"
+            " DIV (2 * CAST(bucket AS DECIMAL(38,0)) * n_docs) AS BIGINT)"
+        ).alias("waste_ppm"),
+    )

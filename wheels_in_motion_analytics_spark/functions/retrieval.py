@@ -307,3 +307,182 @@ def ndcg_at_k_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ndcg_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR — maximal marginal relevance diversified top-k
+# ---------------------------------------------------------------------------
+
+MMR_CANDIDATES = 24
+MMR_K = 8
+# lambda = 0.7 as exact integer weights: score = 7*rel - 3*max_sim (x10)
+MMR_REL_W = 7
+MMR_DIV_W = 3
+
+_COS_MICRO_SQL = (
+    "CAST(round(round(list_dot_product({a}, {b}) / ({na} * {nb}), 6)"
+    " * 1000000, 0) AS BIGINT)"
+)
+
+
+def _mmr_oracle() -> str:
+    rounds = []
+    for r in range(2, MMR_K + 1):
+        rounds.append(
+            f"""s{r} AS MATERIALIZED (
+  SELECT c.vec_id, c.rel_micro, m.max_sim,
+         {MMR_REL_W} * c.rel_micro - {MMR_DIV_W} * m.max_sim AS score,
+         CAST({r} AS BIGINT) AS sel_rank
+  FROM cand c
+  JOIN (SELECT i AS vec_id, MAX(sim) AS max_sim FROM pair
+        WHERE j IN (SELECT vec_id FROM sel{r - 1}) GROUP BY i) m USING (vec_id)
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})
+  ORDER BY score DESC, c.vec_id ASC LIMIT 1
+),
+sel{r} AS MATERIALIZED (SELECT vec_id FROM sel{r - 1} UNION ALL SELECT vec_id FROM s{r})"""
+        )
+    arms = "\nUNION ALL\n".join(
+        f"SELECT sel_rank, vec_id, rel_micro, max_sim AS max_sim_micro, score AS mmr_score FROM s{r}"
+        for r in range(1, MMR_K + 1)
+    )
+    cos_rel = _COS_MICRO_SQL.format(a="q.e", b="c.e", na="q.nrm", nb="c.nrm")
+    cos_pair = _COS_MICRO_SQL.format(a="na.e", b="nb.e", na="na.nrm", nb="nb.nrm")
+    return f"""
+WITH n AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+nn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM n),
+q AS (SELECT * FROM nn ORDER BY vec_id ASC LIMIT 1),
+cand AS MATERIALIZED (
+  SELECT c.vec_id, {cos_rel} AS rel_micro
+  FROM nn c CROSS JOIN q WHERE c.vec_id <> q.vec_id
+  ORDER BY rel_micro DESC, c.vec_id ASC LIMIT {MMR_CANDIDATES}
+),
+pair AS MATERIALIZED (
+  SELECT a.vec_id AS i, b.vec_id AS j, {cos_pair} AS sim
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+  JOIN nn na ON na.vec_id = a.vec_id
+  JOIN nn nb ON nb.vec_id = b.vec_id
+),
+s1 AS MATERIALIZED (
+  SELECT vec_id, rel_micro, CAST(0 AS BIGINT) AS max_sim,
+         {MMR_REL_W} * rel_micro AS score, CAST(1 AS BIGINT) AS sel_rank
+  FROM cand ORDER BY {MMR_REL_W} * rel_micro DESC, vec_id ASC LIMIT 1
+),
+sel1 AS MATERIALIZED (SELECT vec_id FROM s1),
+{",".join(rounds)}
+SELECT * FROM ({arms}) ORDER BY sel_rank
+"""
+
+
+@register(
+    "mmr_diversified_topk",
+    category="retrieval",
+    doc=f"Maximal-marginal-relevance re-ranking: from the top-"
+    f"{MMR_CANDIDATES} cosine candidates for a fixed query vector (the "
+    f"min-vec_id embedding), greedily select {MMR_K} results maximizing "
+    f"lambda*relevance - (1-lambda)*max-similarity-to-selected "
+    f"(lambda=0.7 as exact integer weights {MMR_REL_W}/{MMR_DIV_W}) — the "
+    "standard diversified-retrieval pass a RAG pipeline runs between ANN "
+    "recall and context assembly. SCALE SHAPE: relevance scoring is one "
+    "linear broadcast pass over the corpus ending in TakeOrderedAndProject "
+    f"(heap top-{MMR_CANDIDATES}, no global sort); the pairwise relation "
+    f"and the greedy loop touch only the {MMR_CANDIDATES}-candidate set — "
+    "bounded BY CONSTRUCTION (LIMIT), so the driver-side selection is "
+    "O(k*N_cand) on ~bytes of data regardless of corpus size. Scores are "
+    "6dp-rounded cosines on the integer micro grid (green-precedent "
+    "recipe: hard_negative_mining r4), so the greedy argmax + vec_id "
+    "tiebreak is engine-exact; the DuckDB oracle replays the selection as "
+    f"{MMR_K} unrolled MATERIALIZED argmax rounds.",
+    oracle=None,  # assembled below (unrolled greedy rounds)
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.functions.similarity import dot
+
+    nn = (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
+        .withColumn("nrm", F.sqrt(dot(F.col("e"), F.col("e"))))
+    )
+    q = nn.orderBy(F.asc("vec_id")).limit(1).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("nrm").alias("qnrm")
+    )
+
+    def cos_micro(a, b, na, nb):
+        return F.round(F.round(dot(a, b) / (na * nb), 6) * 1000000, 0).cast("bigint")
+
+    cand = (
+        nn.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "vec_id",
+            cos_micro(F.col("qe"), F.col("e"), F.col("qnrm"), F.col("nrm")).alias(
+                "rel_micro"
+            ),
+        )
+        .orderBy(F.desc("rel_micro"), F.asc("vec_id"))
+        .limit(MMR_CANDIDATES)
+    )
+    cand_vec = cand.join(nn, "vec_id").select("vec_id", "rel_micro", "e", "nrm")
+    a = cand_vec.select(
+        F.col("vec_id").alias("i"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = cand_vec.select(
+        F.col("vec_id").alias("j"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("i") != F.col("j"))
+        .select(
+            "i",
+            "j",
+            cos_micro(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")).alias("sim"),
+        )
+    )
+    # bounded BY CONSTRUCTION: LIMIT caps cand at MMR_CANDIDATES rows and
+    # pairs at MMR_CANDIDATES^2 — the greedy selection is driver-side over
+    # ~bytes, the same bounded-collect class as the CC/kcore convergence
+    # scalars. All arithmetic below is exact integers.
+    cand_rows = {r["vec_id"]: r["rel_micro"] for r in cand.collect()}
+    sim = {(r["i"], r["j"]): r["sim"] for r in pairs.collect()}
+    selected: list[tuple[int, int, int, int, int]] = []
+    chosen: set[int] = set()
+    for rank in range(1, MMR_K + 1):
+        best = None
+        for vid in sorted(cand_rows):
+            if vid in chosen:
+                continue
+            max_sim = max((sim[(vid, s)] for s in chosen), default=0)
+            score = MMR_REL_W * cand_rows[vid] - MMR_DIV_W * max_sim
+            # argmax with vec_id ASC tiebreak (sorted() iteration handles it)
+            if best is None or score > best[4]:
+                best = (rank, vid, cand_rows[vid], max_sim, score)
+        assert best is not None
+        selected.append(best)
+        chosen.add(best[1])
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("sel_rank", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("rel_micro", T.LongType()),
+            T.StructField("max_sim_micro", T.LongType()),
+            T.StructField("mmr_score", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [tuple(int(x) for x in row) for row in selected], schema
+    )
+
+
+from wheels_in_motion_analytics_spark.registry import REGISTRY as _REG_MMR  # noqa: E402
+
+_REG_MMR["mmr_diversified_topk"].oracle = _mmr_oracle()

@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
 from wheels_in_motion_analytics_spark.functions.text import fingerprint, tokens
-from wheels_in_motion_analytics_spark.registry import register
+from wheels_in_motion_analytics_spark.registry import REGISTRY, register
 from wheels_in_motion_analytics_spark.tables import table
 
 # ---------------------------------------------------------------------------
@@ -2073,3 +2073,97 @@ def ann_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= MP_TOPK)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation — the eval harness that prices the recall/cost dial
+# ---------------------------------------------------------------------------
+
+
+def _recall_eval_oracle() -> str:
+    exact_top1 = f"""
+SELECT query_id, neighbor_id FROM (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY ROUND(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) DESC,
+                    b.vec_id ASC
+         ) AS rnk
+  FROM nn a JOIN nn b ON a.vec_id <> b.vec_id
+) WHERE rnk = 1"""
+    return f"""
+WITH {_ORACLE_NORM},
+exact AS MATERIALIZED ({exact_top1}),
+lsh AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM ({_oracle_lsh_topk()}) l
+),
+m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n_queries,
+         CAST(COUNT(l.neighbor_id) AS HUGEINT) AS n_matched
+  FROM exact e LEFT JOIN lsh l
+    ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+)
+SELECT CAST(n_queries AS BIGINT) AS n_queries,
+       CAST(n_matched AS BIGINT) AS n_matched,
+       CAST((2 * n_matched * 1000000 + n_queries) // (2 * n_queries) AS BIGINT)
+         AS recall_ppm
+FROM m
+"""
+
+
+@register(
+    "ann_recall_at_k_eval",
+    category="similarity",
+    doc="ANN recall@1 evaluation: the LSH index (ann_lsh_bucketed's exact "
+    "pipeline) graded against the brute-force nearest neighbor "
+    "(similarity_topk_bruteforce's blocked exact scorer) — the recall "
+    "measurement that prices the (tables x bits) dial before deploying an "
+    "index. SCALE SHAPE: ground truth comes from the collect-free blocked "
+    "matmul (quadratic by DEFINITION — at 100 TB the eval runs on a "
+    "bounded probe sample, which is what this relation is at any SF); the "
+    "index side is the bucketed LSH path; the comparison is one join on "
+    "(query, neighbor) + a single aggregate. recall_ppm is an exact "
+    "half-up integer division — no float quotient is hashed.",
+    oracle=None,  # assembled below (plane literals)
+)
+def ann_recall_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    vectors = (
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding").localCheckpoint()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        _blocked_pair_scores(vectors, mode="topk", topk=1)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("query_id", "neighbor_id")
+    )
+    lsh = lsh_topk(vectors).select(
+        F.col("query_id").alias("l_query"), F.col("neighbor_id").alias("l_neighbor")
+    )
+    m = (
+        exact.join(
+            lsh,
+            (F.col("query_id") == F.col("l_query"))
+            & (F.col("neighbor_id") == F.col("l_neighbor")),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("nq"),
+            F.count("l_neighbor").cast("decimal(38,0)").alias("nm"),
+        )
+    )
+    return m.select(
+        F.col("nq").cast("bigint").alias("n_queries"),
+        F.col("nm").cast("bigint").alias("n_matched"),
+        F.expr(
+            "CAST((2 * nm * CAST(1000000 AS DECIMAL(38,0)) + nq)"
+            " DIV (2 * nq) AS BIGINT)"
+        ).alias("recall_ppm"),
+    )
+
+
+REGISTRY["ann_recall_at_k_eval"].oracle = _recall_eval_oracle()

@@ -616,3 +616,161 @@ def pmi_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "a", "b")
         .limit(PMI_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit — corpus health diagnostic
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP_RANKS = 1000
+
+# micro-ln grid: round(ln(x), 6) * 1e6 as BIGINT — one isolated libm call
+# per value (ln is IEEE-identical across engines; the 6dp rounding is the
+# same green-precedent discipline as psi_price_drift / bm25 idf), after
+# which EVERY downstream number is exact integer arithmetic.
+_MICRO_LN = "CAST(round(round(ln(CAST({v} AS DOUBLE)), 6) * 1000000, 0) AS BIGINT)"
+
+
+@register(
+    "zipf_token_rank_slope",
+    category="text",
+    doc=f"Zipf rank-frequency fit over the corpus vocabulary: OLS of "
+    f"ln(freq) on ln(rank) for the top {ZIPF_TOP_RANKS} ranks — the "
+    "power-law slope (~-1 for natural language) a corpus-health audit "
+    "reads before training. SCALE SHAPE: token counts are one explode + "
+    "groupBy; ranks come from the TWO-PHASE exact rank "
+    "(operators/windows.py:global_row_number — vocab relations are "
+    "millions of rows at web scale, never a single-task window); the "
+    "regression is ONE map-side-combinable moment aggregate over the "
+    f"bounded top-{ZIPF_TOP_RANKS} relation. HASH-PROOF OUTPUT: ln values "
+    "are quantized to the micro-ln integer grid in isolation, moments "
+    "accumulate in DECIMAL(38,0), and slope/intercept/rho emit as exact "
+    "half-up integer divisions (slope_ppm = num DIV dxx half-up; rho via "
+    "functions/stats.py:with_corr_ppm) — no float quotient, no decimal "
+    "output column (NOTES.md round-6 checklist).",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS t
+  FROM documents
+),
+counts AS (SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY t),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, token ASC) AS rnk
+  FROM counts
+),
+grid AS (
+  SELECT {_MICRO_LN.format(v='rnk')} AS x, {_MICRO_LN.format(v='n')} AS y
+  FROM ranked WHERE rnk <= {ZIPF_TOP_RANKS}
+),
+m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM grid
+),
+d AS (
+  SELECT n, sx, sy,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS dxx,
+         n * syy - sy * sy AS dyy
+  FROM m
+),
+ic AS (
+  SELECT d.*,
+         sy * dxx - num * sx AS ia,
+         n * dxx AS ib
+  FROM d
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+       CASE WHEN dxx = 0 THEN NULL
+            ELSE CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                 * ((2 * abs(num) * 1000000 + dxx) // (2 * dxx)) AS BIGINT)
+       END AS slope_ppm,
+       CASE WHEN ib = 0 THEN NULL
+            ELSE CAST((CASE WHEN ia < 0 THEN -1 ELSE 1 END)
+                 * ((2 * abs(ia) + ib) // (2 * ib)) AS BIGINT)
+       END AS intercept_micro,
+       {{RHO}} AS rho_ppm
+FROM ic
+""".replace(
+        "{RHO}", "__RHO__"
+    ),
+)
+def zipf_token_rank_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.functions.stats import with_corr_ppm
+    from wheels_in_motion_analytics_spark.operators.windows import global_row_number
+
+    par = spark.sparkContext.defaultParallelism
+    counts = (
+        table(spark, sf_dir, "documents")
+        .repartition(par)
+        .select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = global_row_number(counts, [F.desc("n"), F.asc("token")], rn_name="rnk")
+
+    def micro_ln(col: str) -> F.Column:
+        return (
+            F.round(F.round(F.log(F.col(col).cast("double")), 6) * 1000000, 0)
+        ).cast("bigint")
+
+    grid = ranked.where(F.col("rnk") <= ZIPF_TOP_RANKS).select(
+        micro_ln("rnk").alias("x"), micro_ln("n").alias("y")
+    )
+
+    def d38(expr):
+        return F.sum(expr.cast("decimal(38,0)"))
+
+    c = F.col
+    m = grid.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        d38(c("x")).alias("sx"),
+        d38(c("y")).alias("sy"),
+        d38(c("x") * c("x")).alias("sxx"),
+        d38(c("x") * c("y")).alias("sxy"),
+        d38(c("y") * c("y")).alias("syy"),
+    )
+    d = m.select(
+        "n",
+        "sx",
+        "sy",
+        (c("n") * c("sxy") - c("sx") * c("sy")).cast("decimal(38,0)").alias("num"),
+        (c("n") * c("sxx") - c("sx") * c("sx")).cast("decimal(38,0)").alias("dxx"),
+        (c("n") * c("syy") - c("sy") * c("sy")).cast("decimal(38,0)").alias("dyy"),
+    ).select(
+        "*",
+        (c("sy") * c("dxx") - c("num") * c("sx")).cast("decimal(38,0)").alias("ia"),
+        (c("n") * c("dxx")).cast("decimal(38,0)").alias("ib"),
+    )
+    slope = F.when(c("dxx") == 0, F.lit(None).cast("bigint")).otherwise(
+        (
+            F.when(c("num") < 0, F.lit(-1)).otherwise(F.lit(1))
+            * F.expr(
+                "CAST((2 * abs(num) * CAST(1000000 AS DECIMAL(38,0)) + dxx)"
+                " DIV (2 * dxx) AS BIGINT)"
+            )
+        ).cast("bigint")
+    )
+    intercept = F.when(c("ib") == 0, F.lit(None).cast("bigint")).otherwise(
+        (
+            F.when(c("ia") < 0, F.lit(-1)).otherwise(F.lit(1))
+            * F.expr("CAST((2 * abs(ia) + ib) DIV (2 * ib) AS BIGINT)")
+        ).cast("bigint")
+    )
+    return with_corr_ppm(d, out="rho_ppm").select(
+        c("n").cast("bigint").alias("n_points"),
+        slope.alias("slope_ppm"),
+        intercept.alias("intercept_micro"),
+        "rho_ppm",
+    )
+
+
+from wheels_in_motion_analytics_spark.registry import REGISTRY as _REG_ZIPF  # noqa: E402
+from wheels_in_motion_analytics_spark.functions.stats import corr_ppm_sql as _corr_ppm_sql  # noqa: E402
+
+_REG_ZIPF["zipf_token_rank_slope"].oracle = _REG_ZIPF[
+    "zipf_token_rank_slope"
+].oracle.replace("__RHO__", _corr_ppm_sql("num", "dxx", "dyy"))

@@ -50,6 +50,10 @@ def foreach_batch_parquet_sink(
 # Streaming CDC: foreachBatch + keyed MERGE (exactly-once upsert sink)
 # ---------------------------------------------------------------------------
 
+import os  # noqa: E402
+
+import pyspark.sql.functions as F  # noqa: E402
+
 from wheels_in_motion_analytics_spark.registry import register  # noqa: E402
 
 _SU_KEY_MOD = 23  # keep ~1/23 of orders as CDC keys
@@ -166,5 +170,102 @@ def run_stream_upsert(
 
     final = spark.read.parquet(os.path.join(target, "data")).localCheckpoint()
     for d in (stage, target, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    return final
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingestion into the versioned (commit-log) table — the
+# lakehouse ingest shape: every micro-batch is an atomic ACID append
+# ---------------------------------------------------------------------------
+
+_SI_KEY_MOD = 11  # bounded deterministic slice of events
+
+
+@register(
+    "stream_ingest_versioned_table",
+    category="streaming",
+    doc="Streaming ingestion into the versioned commit-log table "
+    "(sources/versioned.py): an availableNow file stream over three "
+    "staged event slices, foreachBatch committing each micro-batch as an "
+    "ATOMIC append (data files written before the manifest rename — a "
+    "crash mid-batch leaves only invisible orphans, the exactly-once "
+    "lakehouse ingest contract). The result reads the FINAL snapshot "
+    "through the commit log and aggregates per event type, plus the "
+    "commit-count audit (3 micro-batches -> 3 versions with "
+    "maxFilesPerTrigger=1). Value cents on the exact integer grid. "
+    "Oracle = batch aggregate over the same slice (stream/batch parity) "
+    "with the replayed version count.",
+    oracle=f"""
+WITH s AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         event_id
+  FROM events WHERE event_id % {_SI_KEY_MOD} = 0
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(3 AS BIGINT) AS n_versions
+FROM s GROUP BY event_type
+""",
+)
+def stream_ingest_versioned_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from wheels_in_motion_analytics_spark.sources.versioned import (
+        commit,
+        current_version,
+        read_version,
+    )
+    from wheels_in_motion_analytics_spark.tables import table
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_id") % _SI_KEY_MOD == 0)
+        .select(
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        )
+    )
+    stage = tempfile.mkdtemp(prefix="stream_ingest_src_")
+    root = tempfile.mkdtemp(prefix="stream_ingest_tbl_")
+    ckpt = tempfile.mkdtemp(prefix="stream_ingest_ckpt_")
+    # three arrival files split on a residue of the id — with
+    # maxFilesPerTrigger=1 each becomes its own micro-batch/commit
+    for part in range(3):
+        ev.where(F.col("event_id") % 3 == part).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(stage, f"f{part}"))
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        commit(batch_df, root, mode="append")
+
+    q = (
+        spark.readStream.schema("event_id BIGINT, event_type STRING, cents BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(stage, "*"))
+        .writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow ingest stream did not finish in 300s")
+    n_versions = current_version(root)
+    final = (
+        read_version(spark, root)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+        .withColumn("n_versions", F.lit(n_versions).cast("bigint"))
+        .localCheckpoint()
+    )
+    for d in (stage, root, ckpt):
         shutil.rmtree(d, ignore_errors=True)
     return final
