@@ -287,3 +287,66 @@ FROM modernsql_supplier JOIN modernsql_nation ON s_nationkey = n_nationkey
 GROUP BY n_name
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL scripting (Spark 4) — procedural BEGIN/DECLARE/WHILE control flow
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_scripting_procedural_loop",
+    category="modern_sql",
+    doc="Spark 4 SQL SCRIPTING surface (BEGIN ... END with DECLARE / "
+    "data-dependent SET var = (subquery) / WHILE loops): a procedural "
+    "break-even search — the smallest number of calendar QUARTERS from "
+    "1995-01 whose cumulative revenue reaches half the all-time total "
+    "(quarter grain keeps the loop ~14 driver-cheap iterations). "
+    "Each loop iteration is one Catalyst-compiled aggregate (the scripting "
+    "layer is control flow ONLY — the data path stays declarative and "
+    "distributed; driver state is three scalars). Exact integer cents "
+    "grid. The oracle states the same semantics relationally (monthly "
+    "cumulative sums + first-crossing pick) — procedural and declarative "
+    "must agree exactly.",
+    oracle="""
+WITH m AS (
+  SELECT (year(o_orderdate) - 1995) * 4 + (month(o_orderdate) - 1) // 3 AS idx,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM m),
+c AS (
+  SELECT idx,
+         CAST(SUM(cents) OVER (ORDER BY idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM m
+)
+SELECT CAST(c.idx + 1 AS INTEGER) AS k_quarters,
+       c.cum AS cum_cents,
+       t.total AS total_cents
+FROM c CROSS JOIN t
+WHERE 2 * c.cum >= t.total
+ORDER BY c.idx
+LIMIT 1
+""",
+)
+def sql_scripting_procedural_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("scripting_orders")
+    return spark.sql(
+        """
+BEGIN
+  DECLARE total BIGINT;
+  DECLARE cum BIGINT DEFAULT 0;
+  DECLARE k INT DEFAULT 0;
+  SET total = (SELECT CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               FROM scripting_orders);
+  WHILE cum * 2 < total DO
+    SET k = k + 1;
+    SET cum = (SELECT CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               FROM scripting_orders
+               WHERE o_orderdate < add_months(DATE '1995-01-01', k * 3));
+  END WHILE;
+  SELECT k AS k_quarters, cum AS cum_cents, total AS total_cents;
+END
+"""
+    )

@@ -459,3 +459,82 @@ def asof_join_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("converted_2h", F.col("next_purchase_ts").isNotNull())
     )
+
+
+# ---------------------------------------------------------------------------
+# Runtime bloom-filter join pruning (Spark injected runtime filter)
+# ---------------------------------------------------------------------------
+
+
+def runtime_bloom_join(spark: SparkSession, sf_dir: str, force: bool) -> DataFrame:
+    """Core of ``runtime_bloom_filter_join``: lineitem ⋈ selectively-filtered
+    orders with Catalyst's runtime bloom-filter injection toggled. With
+    ``force=True`` the optimizer builds a bloom filter from the filtered
+    orders keys and pushes a ``might_contain`` predicate into the lineitem
+    SCAN — at 100 TB that prunes the probe side shuffle down to ~the
+    selectivity of the build side, the engine-native equivalent of
+    bloom_join_prune_audit's portable bloom. Confs are set+restored around
+    plan construction; the result is materialized (eager localCheckpoint)
+    BEFORE restore so the plan executes under the intended confs."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true" if force else "false",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        o = table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        out = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_items"),
+                F.sum("cents").cast("bigint").alias("revenue_cents"),
+            )
+            .localCheckpoint()  # eager: executes under the confs above
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out
+
+
+@register(
+    "runtime_bloom_filter_join",
+    category="joins",
+    doc="Engine-native runtime filtering: Catalyst's injected bloom filter "
+    "(spark.sql.optimizer.runtime.bloomFilter) builds a bloom sketch from "
+    "the SELECTIVE side of a shuffle join (urgent orders) and pushes a "
+    "might_contain predicate into the fact-scan — probe-side rows that "
+    "cannot join are dropped AT THE SCAN, before the shuffle. The 100 TB "
+    "lever for selective fact⋈fact joins (the portable-bloom twin "
+    "bloom_join_prune_audit computes the same pruning arithmetic as data). "
+    "Result is the plain join aggregate — the filter is result-neutral by "
+    "construction; tests/test_plan_shapes.py pins might_contain into the "
+    "executed plan and its absence when disabled.",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus
+""",
+)
+def runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return runtime_bloom_join(spark, sf_dir, force=True)
