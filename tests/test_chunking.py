@@ -173,3 +173,30 @@ def test_zipf_slope_python_parity(spark):
     ib = n * dxx
     isign = -1 if ia < 0 else 1
     assert row["intercept_micro"] == isign * ((2 * abs(ia) + ib) // (2 * ib))
+
+
+def test_flesch_python_recompute(spark):
+    import re
+
+    from wheels_in_motion_analytics_spark.tables import table as tbl
+
+    specs = load_all_queries()
+    out = {r["doc_id"]: r for r in specs["readability_flesch_audit"].fn(spark, SF_SMALL).collect()}
+    docs = tbl(spark, SF_SMALL, "documents").select("doc_id", "text").collect()
+
+    def hup(a, b):
+        return (2 * a + b) // (2 * b)
+
+    for r in docs:
+        text = r["text"]
+        words = len([w for w in re.split(r"\s+", text.lower()) if w])
+        sentences = max(len(re.findall(r"[.!?]+", text)), 1)
+        syllables = len(re.findall(r"[aeiouy]+", text.lower()))
+        row = out[r["doc_id"]]
+        assert (row["words"], row["sentences"], row["syllables"]) == (
+            words, sentences, syllables,
+        )
+        score = 206835 - hup(1015 * words, sentences) - (
+            hup(84600 * syllables, words) if words else 0
+        )
+        assert row["flesch_milli"] == score

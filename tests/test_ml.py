@@ -662,3 +662,30 @@ def test_rendezvous_rebalance_invariant(spark):
     # and the moved fraction is ~1/8 (exact expectation under uniformity)
     assert abs(r.moved_ppm / 1e6 - 1 / 8) < 0.05
     assert r.n_keys == table(spark, SF_SMALL, "orders").count()
+
+
+def test_fairness_audit_python_recompute(spark):
+    from wheels_in_motion_analytics_spark.functions.ml import FAIR_MIN_CHARS
+
+    specs = load_all_queries()
+    out = {r["lang"]: r for r in specs["fairness_selection_rate_audit"].fn(spark, SF_SMALL).collect()}
+    docs = table(spark, SF_SMALL, "documents").select("lang", "n_chars").collect()
+    agg: dict[str, list[int]] = {}
+    for r in docs:
+        n, s = agg.get(r["lang"], [0, 0])
+        agg[r["lang"]] = [n + 1, s + (1 if r["n_chars"] >= FAIR_MIN_CHARS else 0)]
+    n_tot = sum(v[0] for v in agg.values())
+    sel_tot = sum(v[1] for v in agg.values())
+    def hup(a, b):
+        return (2 * a + b) // (2 * b)
+    mx_lang = min(agg, key=lambda k: (-(agg[k][1] * 1_000_000 // agg[k][0]), k))
+    n_max, sel_max = agg[mx_lang]
+    assert set(out) == set(agg)
+    for lang, (n, s) in agg.items():
+        row = out[lang]
+        assert row["n_docs"] == n and row["n_sel"] == s
+        assert row["rate_ppm"] == hup(s * 1_000_000, n)
+        assert row["parity_gap_ppm"] == hup(s * 1_000_000, n) - hup(sel_tot * 1_000_000, n_tot)
+        di = hup(s * n_max * 1_000_000, n * sel_max)
+        assert row["di_ratio_ppm"] == di
+        assert row["passes_four_fifths"] == (di >= 800_000)

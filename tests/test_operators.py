@@ -631,3 +631,58 @@ def test_anomaly_days_seasonal_mad_recompute(spark):
     }
     assert got == want
     assert all(r for r in got)  # nonempty at this fixture
+
+
+def test_graph_node_jaccard_python_recompute(spark):
+    """Exact re-derivation of the top-k Jaccard list from the edge set."""
+    from collections import defaultdict
+
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_SMALL
+    from wheels_in_motion_analytics_spark.functions.graph import (
+        NODE_SIM_TOPK,
+        TRI_MIN_QTY,
+        TRI_MIN_SHARED,
+    )
+    from wheels_in_motion_analytics_spark.registry import load_all_queries
+    from wheels_in_motion_analytics_spark.tables import table as tbl
+
+    specs = load_all_queries()
+    out = [
+        (r["na"], r["nb"], r["n_common"], r["n_union"], r["jaccard_ppm"])
+        for r in specs["graph_node_jaccard_similarity"].fn(spark, SF_SMALL).collect()
+    ]
+    links = (
+        tbl(spark, SF_SMALL, "lineitem")
+        .where(F.col("l_quantity") >= TRI_MIN_QTY)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .collect()
+    )
+    by_part = defaultdict(set)
+    for r in links:
+        by_part[r["l_partkey"]].add(r["l_suppkey"])
+    shared = defaultdict(int)
+    for s in by_part.values():
+        ss = sorted(s)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                shared[(ss[i], ss[j])] += 1
+    adj = defaultdict(set)
+    for (a, b), cnt in shared.items():
+        if cnt >= TRI_MIN_SHARED:
+            adj[a].add(b)
+            adj[b].add(a)
+    cand = []
+    nodes = sorted(adj)
+    for a in nodes:
+        for b in nodes:
+            if a < b:
+                common = len(adj[a] & adj[b])
+                if common:
+                    union = len(adj[a]) + len(adj[b]) - common
+                    ppm = (2 * common * 1_000_000 + union) // (2 * union)
+                    cand.append((a, b, common, union, ppm))
+    cand.sort(key=lambda t: (-t[4], t[0], t[1]))
+    assert out == cand[:NODE_SIM_TOPK]

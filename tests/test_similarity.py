@@ -403,3 +403,13 @@ def test_ann_recall_eval_bounds_and_consistency(spark):
     # half-up integer division re-derivation
     n, m = row["n_queries"], row["n_matched"]
     assert row["recall_ppm"] == (2 * m * 1_000_000 + n) // (2 * n)
+
+
+def test_silhouette_bounds_and_partition(spark):
+    specs = load_all_queries()
+    rows = specs["silhouette_simplified_ivf"].fn(spark, SF_SMALL).collect()
+    total = sum(r["n_points"] for r in rows)
+    corpus = 500  # sf0.001 embeddings
+    assert total <= corpus and total > 0
+    for r in rows:
+        assert 0 <= r["min_sil_ppm"] <= r["mean_sil_ppm"] <= r["max_sil_ppm"] <= 1_000_000

@@ -656,3 +656,94 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("lbl").alias("community"),
         F.count(F.lit(1)).over(wsz).cast("bigint").alias("community_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Node neighborhood similarity (common-neighbor Jaccard)
+# ---------------------------------------------------------------------------
+
+NODE_SIM_TOPK = 20
+
+
+@register(
+    "graph_node_jaccard_similarity",
+    category="graph",
+    doc="Structural node similarity in the co-supply graph: Jaccard of "
+    "neighbor sets |N(a) ∩ N(b)| / |N(a) ∪ N(b)| for every supplier pair "
+    "with at least one COMMON neighbor — the link-prediction / entity-"
+    "similarity primitive. SCALE SHAPE: candidate pairs come from the "
+    "wedge join through shared neighbors (each common neighbor emits its "
+    "pair once; grouping counts the intersection) — NEVER all-pairs; "
+    "degrees attach by join; the union size is inclusion-exclusion "
+    "(da + db - common), so no set materialization. jaccard_ppm is exact "
+    f"half-up integer division; top {NODE_SIM_TOPK} by (jaccard, pair).",
+    oracle=f"""
+WITH {_TRI_EDGES_ORACLE},
+adj AS (
+  SELECT s1 AS u, s2 AS v FROM edges
+  UNION ALL
+  SELECT s2 AS u, s1 AS v FROM edges
+),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u),
+common AS (
+  SELECT a.u AS na, b.u AS nb, CAST(COUNT(*) AS BIGINT) AS c
+  FROM adj a JOIN adj b ON a.v = b.v AND a.u < b.u
+  GROUP BY 1, 2
+)
+SELECT na, nb, c AS n_common,
+       da.d + db.d - c AS n_union,
+       CAST((2 * c * 1000000 + (da.d + db.d - c))
+            // (2 * (da.d + db.d - c)) AS BIGINT) AS jaccard_ppm
+FROM common
+JOIN deg da ON da.u = na
+JOIN deg db ON db.u = nb
+ORDER BY jaccard_ppm DESC, na, nb
+LIMIT {NODE_SIM_TOPK}
+""",
+)
+def graph_node_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    links = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= TRI_MIN_QTY)
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = links.select(F.col("p"), F.col("s").alias("s1"))
+    b = links.select(F.col("p"), F.col("s").alias("s2"))
+    und = (
+        a.join(b, "p")
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= TRI_MIN_SHARED)
+        .select("s1", "s2")
+    )
+    adj = (
+        und.select(F.col("s1").alias("u"), F.col("s2").alias("v"))
+        .unionByName(und.select(F.col("s2").alias("u"), F.col("s1").alias("v")))
+        .localCheckpoint()  # wedge join + two degree attaches reuse it
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    common = (
+        adj.select(F.col("u").alias("na"), "v")
+        .join(adj.select(F.col("u").alias("nb"), "v"), "v")
+        .where(F.col("na") < F.col("nb"))
+        .groupBy("na", "nb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    c = F.col
+    out = (
+        common.join(deg.select(c("u").alias("na"), c("d").alias("da")), "na")
+        .join(deg.select(c("u").alias("nb"), c("d").alias("db")), "nb")
+        .select(
+            "na",
+            "nb",
+            c("c").alias("n_common"),
+            (c("da") + c("db") - c("c")).alias("n_union"),
+            F.expr(
+                "CAST((2 * c * 1000000 + (da + db - c))"
+                " DIV (2 * (da + db - c)) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+    return out.orderBy(F.desc("jaccard_ppm"), "na", "nb").limit(NODE_SIM_TOPK)

@@ -1103,3 +1103,105 @@ def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kappa_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fairness audit — selection rates + four-fifths (disparate impact) rule
+# ---------------------------------------------------------------------------
+
+FAIR_MIN_CHARS = 500  # the audited selector: "long-document" gate
+
+
+@register(
+    "fairness_selection_rate_audit",
+    category="ml",
+    doc=f"Group-fairness audit of a documented selector (keep documents "
+    f"with n_chars >= {FAIR_MIN_CHARS}) across language groups: per-group "
+    "selection rate, signed parity gap vs the overall rate, disparate-"
+    "impact ratio vs the highest-rate group, and the EEOC four-fifths-rule "
+    "verdict — the pre-training data-mix fairness numbers. ONE groupBy "
+    "scan + a broadcast 1-row totals/max join. Every metric is an exact "
+    "cross-multiplied half-up integer (rate_ppm from raw counts; the DI "
+    "ratio avoids dividing two rounded rates: ratio = sel_g * n_max * 1e6 "
+    "/ (n_g * sel_max) on raw counts) — no float quotient is hashed.",
+    oracle=f"""
+WITH g AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN n_chars >= {FAIR_MIN_CHARS} THEN 1 ELSE 0 END) AS BIGINT) AS n_sel
+  FROM documents GROUP BY lang
+),
+t AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS n_tot, CAST(SUM(n_sel) AS BIGINT) AS sel_tot
+  FROM g
+),
+mx AS (
+  SELECT n_docs AS n_max, n_sel AS sel_max FROM g
+  ORDER BY CAST(n_sel AS HUGEINT) * 1000000 // n_docs DESC, lang ASC LIMIT 1
+)
+SELECT lang, n_docs, n_sel,
+       CAST((2 * CAST(n_sel AS HUGEINT) * 1000000 + n_docs) // (2 * CAST(n_docs AS HUGEINT)) AS BIGINT) AS rate_ppm,
+       CAST((2 * CAST(n_sel AS HUGEINT) * 1000000 + n_docs) // (2 * CAST(n_docs AS HUGEINT))
+            - (2 * CAST(sel_tot AS HUGEINT) * 1000000 + n_tot) // (2 * CAST(n_tot AS HUGEINT)) AS BIGINT) AS parity_gap_ppm,
+       CAST(CASE WHEN sel_max = 0 THEN NULL
+            ELSE (2 * CAST(n_sel AS HUGEINT) * n_max * 1000000 + CAST(n_docs AS HUGEINT) * sel_max)
+                 // (2 * CAST(n_docs AS HUGEINT) * sel_max) END AS BIGINT) AS di_ratio_ppm,
+       CASE WHEN sel_max = 0 THEN NULL
+            ELSE (2 * CAST(n_sel AS HUGEINT) * n_max * 1000000 + CAST(n_docs AS HUGEINT) * sel_max)
+                 // (2 * CAST(n_docs AS HUGEINT) * sel_max) >= 800000 END AS passes_four_fifths
+FROM g CROSS JOIN t CROSS JOIN mx
+""",
+)
+def fairness_selection_rate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col
+    g = (
+        table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((c("n_chars") >= FAIR_MIN_CHARS).cast("bigint"))
+            .cast("bigint")
+            .alias("n_sel"),
+        )
+        .localCheckpoint()  # totals + max-rate group + output rows share it
+    )
+    t = g.agg(
+        F.sum("n_docs").cast("bigint").alias("n_tot"),
+        F.sum("n_sel").cast("bigint").alias("sel_tot"),
+    )
+    # highest-rate group by cross-multiplied comparison (no float ranking):
+    # floor(sel*1e6/n) ranks identically to the oracle's HUGEINT division
+    mx = (
+        g.select(
+            c("n_docs").alias("n_max"),
+            c("n_sel").alias("sel_max"),
+            F.expr("CAST(n_sel * 1000000 DIV n_docs AS BIGINT)").alias("__r"),
+            "lang",
+        )
+        .orderBy(F.desc("__r"), F.asc("lang"))
+        .limit(1)
+        .drop("__r", "lang")
+    )
+    rate = "CAST((2 * {s} * 1000000 + {n}) DIV (2 * {n}) AS BIGINT)"
+    di = (
+        "CASE WHEN sel_max = 0 THEN CAST(NULL AS BIGINT) ELSE "
+        "CAST((2 * CAST(n_sel AS DECIMAL(38,0)) * n_max * 1000000"
+        " + CAST(n_docs AS DECIMAL(38,0)) * sel_max)"
+        " DIV (2 * CAST(n_docs AS DECIMAL(38,0)) * sel_max) AS BIGINT) END"
+    )
+    return (
+        g.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "lang",
+            "n_docs",
+            "n_sel",
+            F.expr(rate.format(s="n_sel", n="n_docs")).alias("rate_ppm"),
+            (
+                F.expr(rate.format(s="n_sel", n="n_docs"))
+                - F.expr(rate.format(s="sel_tot", n="n_tot"))
+            ).cast("bigint").alias("parity_gap_ppm"),
+            F.expr(di).alias("di_ratio_ppm"),
+            (F.expr(di) >= 800000).alias("passes_four_fifths"),
+        )
+    )

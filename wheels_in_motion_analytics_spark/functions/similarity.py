@@ -2167,3 +2167,131 @@ def ann_recall_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["ann_recall_at_k_eval"].oracle = _recall_eval_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Simplified silhouette over the frozen IVF cells — clustering quality eval
+# ---------------------------------------------------------------------------
+
+
+def _silhouette_oracle() -> str:
+    from wheels_in_motion_analytics_spark.functions.ivf_artifact import (
+        IVF_FROZEN_CENTROIDS,
+    )
+
+    cent_values = ",\n    ".join(
+        f"({c}, [{', '.join(repr(float(v)) for v in row)}])"
+        for c, row in enumerate(IVF_FROZEN_CENTROIDS)
+    )
+    return f"""
+WITH {_ORACLE_NORM},
+cents (cell, cvec) AS (
+  SELECT * FROM (VALUES
+    {cent_values}
+  ) AS t(cell, cvec)
+),
+sims AS (
+  SELECT vec_id, cell,
+         CAST(round(ROUND(list_dot_product(e, cvec) / nrm, 6) * 1000000, 0) AS BIGINT) AS sim_micro
+  FROM nn CROSS JOIN cents
+),
+ranked AS (
+  SELECT vec_id, cell, sim_micro,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim_micro DESC, cell ASC) AS rnk
+  FROM sims
+),
+pts AS (
+  SELECT o.vec_id, o.cell,
+         CAST((2 * (o.sim_micro - s.sim_micro) * 1000000 + (1000000 - s.sim_micro))
+              // (2 * (1000000 - s.sim_micro)) AS BIGINT) AS sil_ppm
+  FROM (SELECT * FROM ranked WHERE rnk = 1) o
+  JOIN (SELECT * FROM ranked WHERE rnk = 2) s USING (vec_id)
+  WHERE s.sim_micro < 1000000
+)
+SELECT cell,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST((2 * CAST(SUM(sil_ppm) AS HUGEINT) + COUNT(*))
+            // (2 * CAST(COUNT(*) AS HUGEINT)) AS BIGINT) AS mean_sil_ppm,
+       CAST(MIN(sil_ppm) AS BIGINT) AS min_sil_ppm,
+       CAST(MAX(sil_ppm) AS BIGINT) AS max_sil_ppm
+FROM pts GROUP BY cell
+"""
+
+
+@register(
+    "silhouette_simplified_ivf",
+    category="similarity",
+    doc="Simplified (centroid-based) silhouette over the frozen IVF cells "
+    "— the clustering-quality eval an indexing pipeline reads before "
+    "trusting a coarse quantizer: per point, a = cosine distance to its "
+    "own centroid, b = distance to the nearest OTHER centroid, "
+    "s = (b-a)/max(a,b), which on the unit sphere reduces to "
+    "(sim1-sim2)/(1-sim2). O(n x cells) — the centroid relation is a "
+    "16-row broadcast crossJoin, NEVER pairwise points (full silhouette "
+    "is quadratic; the simplified form is the standard at-scale "
+    "substitute). All ratios are half-up integer divisions on the 6dp "
+    "micro grid; per-cell mean/min/max silhouette ppm. Degenerate "
+    "sim2 = 1 points (duplicate of another centroid) are excluded by "
+    "definition.",
+    oracle=None,  # assembled below (centroid literals)
+)
+def silhouette_simplified_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from wheels_in_motion_analytics_spark.functions.ivf_artifact import (
+        IVF_FROZEN_CENTROIDS,
+    )
+
+    vectors = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cdf = spark.createDataFrame(
+        [(c, [float(v) for v in row]) for c, row in enumerate(IVF_FROZEN_CENTROIDS)],
+        "cell INT, cvec ARRAY<DOUBLE>",
+    )
+    sims = (
+        _norm_vectors_of(vectors)
+        .crossJoin(F.broadcast(cdf))
+        .select(
+            "vec_id",
+            "cell",
+            F.round(
+                F.round(dot(F.col("e"), F.col("cvec")) / F.col("nrm"), 6) * 1000000, 0
+            )
+            .cast("bigint")
+            .alias("sim_micro"),
+        )
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.desc("sim_micro"), F.asc("cell"))
+    ranked = (
+        sims.withColumn("rnk", F.row_number().over(wc))
+        .where(F.col("rnk") <= 2)
+        .localCheckpoint()  # own-cell and runner-up branches share it
+    )
+    own = ranked.where(F.col("rnk") == 1).select(
+        "vec_id", "cell", F.col("sim_micro").alias("s1")
+    )
+    runner = ranked.where(F.col("rnk") == 2).select(
+        "vec_id", F.col("sim_micro").alias("s2")
+    )
+    pts = (
+        own.join(runner, "vec_id")
+        .where(F.col("s2") < 1000000)
+        .select(
+            "cell",
+            F.expr(
+                "CAST((2 * (s1 - s2) * 1000000 + (1000000 - s2))"
+                " DIV (2 * (1000000 - s2)) AS BIGINT)"
+            ).alias("sil_ppm"),
+        )
+    )
+    return pts.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.expr(
+            "CAST((2 * CAST(SUM(sil_ppm) AS DECIMAL(38,0)) + COUNT(*))"
+            " DIV (2 * COUNT(*)) AS BIGINT)"
+        ).alias("mean_sil_ppm"),
+        F.min("sil_ppm").cast("bigint").alias("min_sil_ppm"),
+        F.max("sil_ppm").cast("bigint").alias("max_sil_ppm"),
+    )
+
+
+REGISTRY["silhouette_simplified_ivf"].oracle = _silhouette_oracle()

@@ -302,3 +302,69 @@ def gopher_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         fail_top2.alias("fail_top2"),
         (~(fail_dup2 | fail_dup3 | fail_top2)).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Readability — Flesch reading-ease on exact integer arithmetic
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "readability_flesch_audit",
+    category="text",
+    doc="Flesch reading-ease audit per document: 206.835 - 1.015*(words/"
+    "sentences) - 84.6*(syllables/words), with sentences = non-overlapping "
+    "[.!?]+ runs (min 1), syllables = [aeiouy]+ vowel runs (the standard "
+    "heuristic), words = whitespace tokens. The two rational terms are "
+    "exact HALF-UP integer divisions in milli units — the score is a "
+    "deterministic integer on both engines (no float division). One "
+    "projection scan, zero shuffles below the output.",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({_ORACLE_TOKS}) AS BIGINT) AS words,
+         greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syllables
+  FROM documents
+)
+SELECT doc_id, words, sentences, syllables,
+       CAST(206835
+            - (2 * 1015 * words + sentences) // (2 * sentences)
+            - CASE WHEN words = 0 THEN 0
+                   ELSE (2 * 84600 * syllables + words) // (2 * words) END
+            AS BIGINT) AS flesch_milli
+FROM t
+""",
+)
+def readability_flesch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col
+    t = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("words"),
+        F.greatest(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), F.lit(0))),
+            F.lit(1),
+        )
+        .cast("bigint")
+        .alias("sentences"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("syllables"),
+    )
+    return t.select(
+        "doc_id",
+        "words",
+        "sentences",
+        "syllables",
+        (
+            F.lit(206835)
+            - F.expr("(2 * 1015 * words + sentences) DIV (2 * sentences)")
+            - F.when(c("words") == 0, F.lit(0)).otherwise(
+                F.expr("(2 * 84600 * syllables + words) DIV (2 * words)")
+            )
+        )
+        .cast("bigint")
+        .alias("flesch_milli"),
+    )
