@@ -689,3 +689,59 @@ def test_fairness_audit_python_recompute(spark):
         di = hup(s * n_max * 1_000_000, n * sel_max)
         assert row["di_ratio_ppm"] == di
         assert row["passes_four_fifths"] == (di >= 800_000)
+
+
+def test_gbdt_two_round_python_recompute(spark):
+    """Exact integer re-derivation of both boosting rounds (F0, split
+    argmax by normalized variance reduction, half-up leaf means, residual
+    update) from the raw rows."""
+    specs = load_all_queries()
+    out = {r["round"]: r for r in specs["gbdt_two_round_regression"].fn(spark, SF_SMALL).collect()}
+    rows = (
+        table(spark, SF_SMALL, "lineitem")
+        .selectExpr(
+            "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * 1000 AS y",
+            "CAST(l_quantity AS BIGINT) AS q",
+            "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d",
+        )
+        .collect()
+    )
+    n = len(rows)
+    f0 = (2 * sum(r["y"] for r in rows) + n) // (2 * n)
+
+    def hup_signed(s, m):
+        return -((2 * (-s) + m) // (2 * m)) if s < 0 else (2 * s + m) // (2 * m)
+
+    def best(data, feat):
+        from collections import defaultdict
+
+        agg = defaultdict(lambda: [0, 0])
+        for fv, r in data:
+            agg[fv][0] += 1
+            agg[fv][1] += r
+        nt = sum(v[0] for v in agg.values())
+        st = sum(v[1] for v in agg.values())
+        nl = sl = 0
+        cand = []
+        for fv in sorted(agg):
+            nl += agg[fv][0]
+            sl += agg[fv][1]
+            nr, sr = nt - nl, st - sl
+            if nl and nr:
+                score = (sl * sl * nr + sr * sr * nl) // (nl * nr * nt)
+                cand.append((score, -fv, fv, nl, nr, sl, sr))
+        score, _, fv, nl, nr, sl, sr = max(cand)
+        return fv, nl, nr, hup_signed(sl, nl), hup_signed(sr, nr), score
+
+    r1 = [(r["q"], r["y"] - f0) for r in rows]
+    t1, nl1, nr1, gl1, gr1, sc1 = best(r1, "q")
+    row1 = out[1]
+    assert (row1["split_at"], row1["n_left"], row1["n_right"]) == (t1, nl1, nr1)
+    assert (row1["leaf_left_milli"], row1["leaf_right_milli"]) == (gl1, gr1)
+    assert row1["score_per_row"] == sc1
+    r2 = [(r["d"], (r["y"] - f0) - (gl1 if r["q"] <= t1 else gr1)) for r in rows]
+    t2, nl2, nr2, gl2, gr2, sc2 = best(r2, "d")
+    row2 = out[2]
+    assert (row2["split_at"], row2["n_left"], row2["n_right"]) == (t2, nl2, nr2)
+    assert (row2["leaf_left_milli"], row2["leaf_right_milli"]) == (gl2, gr2)
+    assert row2["score_per_row"] == sc2

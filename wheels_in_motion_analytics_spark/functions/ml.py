@@ -30,7 +30,7 @@ import pyspark.sql.functions as F
 
 from wheels_in_motion_analytics_spark.functions.similarity import hash_hex
 from wheels_in_motion_analytics_spark.functions.text import tokens
-from wheels_in_motion_analytics_spark.registry import register
+from wheels_in_motion_analytics_spark.registry import REGISTRY, register
 from wheels_in_motion_analytics_spark.tables import table
 
 # ---------------------------------------------------------------------------
@@ -1205,3 +1205,214 @@ def fairness_selection_rate_audit(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.expr(di) >= 800000).alias("passes_four_fifths"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-round gradient-boosted stumps (squared loss) — the GBDT training loop
+# ---------------------------------------------------------------------------
+
+
+def _gbdt_oracle() -> str:
+    return """
+WITH src AS (
+  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * 1000 AS y_milli,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d
+  FROM lineitem
+),
+f0 AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         (2 * CAST(SUM(y_milli) AS HUGEINT) + COUNT(*)) // (2 * CAST(COUNT(*) AS HUGEINT)) AS f0_milli
+  FROM src
+),
+r1 AS (SELECT q, d, y_milli - f0_milli AS r FROM src CROSS JOIN f0),
+h1 AS (
+  SELECT q, CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(r) AS HUGEINT) AS s
+  FROM r1 GROUP BY q
+),
+c1 AS (
+  SELECT q,
+         SUM(n) OVER w AS nl, SUM(s) OVER w AS sl,
+         SUM(n) OVER () AS nt, SUM(s) OVER () AS st
+  FROM h1 WINDOW w AS (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s1 AS (
+  SELECT q AS split, nl, sl, nt - nl AS nr, st - sl AS sr,
+         (sl*sl*(nt-nl) + (st-sl)*(st-sl)*nl) // (nl*(nt-nl)*nt) AS score
+  FROM c1 WHERE nl > 0 AND nt - nl > 0
+),
+b1 AS MATERIALIZED (SELECT * FROM s1 ORDER BY score DESC, split ASC LIMIT 1),
+g1 AS MATERIALIZED (
+  SELECT split,
+         CASE WHEN sl < 0 THEN -((2*(-sl) + nl) // (2*nl)) ELSE (2*sl + nl) // (2*nl) END AS gl,
+         CASE WHEN sr < 0 THEN -((2*(-sr) + nr) // (2*nr)) ELSE (2*sr + nr) // (2*nr) END AS gr,
+         nl, nr, score
+  FROM b1
+),
+r2 AS (
+  SELECT d, r - CASE WHEN q <= g1.split THEN g1.gl ELSE g1.gr END AS r
+  FROM r1 CROSS JOIN g1
+),
+h2 AS (
+  SELECT d, CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(r) AS HUGEINT) AS s
+  FROM r2 GROUP BY d
+),
+c2 AS (
+  SELECT d,
+         SUM(n) OVER w AS nl, SUM(s) OVER w AS sl,
+         SUM(n) OVER () AS nt, SUM(s) OVER () AS st
+  FROM h2 WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s2 AS (
+  SELECT d AS split, nl, sl, nt - nl AS nr, st - sl AS sr,
+         (sl*sl*(nt-nl) + (st-sl)*(st-sl)*nl) // (nl*(nt-nl)*nt) AS score
+  FROM c2 WHERE nl > 0 AND nt - nl > 0
+),
+b2 AS MATERIALIZED (SELECT * FROM s2 ORDER BY score DESC, split ASC LIMIT 1),
+g2 AS (
+  SELECT split,
+         CASE WHEN sl < 0 THEN -((2*(-sl) + nl) // (2*nl)) ELSE (2*sl + nl) // (2*nl) END AS gl,
+         CASE WHEN sr < 0 THEN -((2*(-sr) + nr) // (2*nr)) ELSE (2*sr + nr) // (2*nr) END AS gr,
+         nl, nr, score
+  FROM b2
+)
+SELECT CAST(1 AS BIGINT) AS round, 'quantity' AS feature,
+       CAST(split AS BIGINT) AS split_at,
+       CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+       CAST(gl AS BIGINT) AS leaf_left_milli, CAST(gr AS BIGINT) AS leaf_right_milli,
+       CAST(score AS BIGINT) AS score_per_row
+FROM g1
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS round, 'discount' AS feature,
+       CAST(split AS BIGINT) AS split_at,
+       CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+       CAST(gl AS BIGINT) AS leaf_left_milli, CAST(gr AS BIGINT) AS leaf_right_milli,
+       CAST(score AS BIGINT) AS score_per_row
+FROM g2
+"""
+
+
+@register(
+    "gbdt_two_round_regression",
+    category="ml",
+    doc="Two boosting rounds of regression stumps under squared loss — the "
+    "LightGBM training LOOP (decision_stump_best_split is the single-split "
+    "primitive): F0 = global mean, round 1 splits on quantity by exact "
+    "variance-reduction argmax over residuals, leaf values = mean residual "
+    "(half-up milli-cents), residuals UPDATE, round 2 splits the boosted "
+    "residuals on discount. SCALE SHAPE: each round is ONE map-side-"
+    "combinable (n, Σr) aggregate over a BOUNDED feature domain (~50 "
+    "quantity / 11 discount values) + a bounded-relation argmax — the "
+    "identical shape LightGBM distributes; residual update is a broadcast "
+    "1-row join, never a shuffle. EXACTNESS: all residuals on the integer "
+    "milli-cents grid; split score = (SL²·nR + SR²·nL) DIV (nL·nR) in "
+    "DECIMAL(38,0) normalized per row (DIV nt — same constant for every "
+    "split, so the argmax is unchanged and the emitted gain is scale-"
+    "invariant BIGINT), argmax tiebreak on split value; leaf means are "
+    "signed half-up integer divisions. Fits ~sf30 before the score "
+    "product leaves DECIMAL(38,0).",
+    oracle=None,  # assembled below
+)
+def gbdt_two_round_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col
+    src = table(spark, sf_dir, "lineitem").select(
+        (F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint") * 1000).alias(
+            "y_milli"
+        ),
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint").alias("d"),
+    )
+    f0 = src.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.expr(
+            "CAST((2 * CAST(SUM(y_milli) AS DECIMAL(38,0)) + COUNT(*))"
+            " DIV (2 * COUNT(*)) AS DECIMAL(38,0))"
+        ).alias("f0_milli"),
+    )
+    r1 = (
+        src.crossJoin(F.broadcast(f0))
+        .select("q", "d", (c("y_milli") - c("f0_milli")).cast("decimal(38,0)").alias("r"))
+        # two histogram passes (round 1 on q, round 2 on d) read this
+        .localCheckpoint()
+    )
+
+    def best_split(rel: DataFrame, feat: str) -> DataFrame:
+        h = rel.groupBy(feat).agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum("r").cast("decimal(38,0)").alias("s"),
+        )
+        # bounded feature domain (≤~50 rows) — unpartitioned windows are
+        # bin-bounded, the stump exemption
+        w = Window.orderBy(feat).rowsBetween(Window.unboundedPreceding, 0)
+        wall = Window.orderBy(feat).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        cum = h.select(
+            c(feat).alias("split"),
+            F.sum("n").over(w).cast("decimal(38,0)").alias("nl"),
+            F.sum("s").over(w).cast("decimal(38,0)").alias("sl"),
+            F.sum("n").over(wall).cast("decimal(38,0)").alias("nt"),
+            F.sum("s").over(wall).cast("decimal(38,0)").alias("st"),
+        )
+        scored = cum.where((c("nl") > 0) & (c("nt") - c("nl") > 0)).select(
+            "split",
+            "nl",
+            "sl",
+            (c("nt") - c("nl")).alias("nr"),
+            (c("st") - c("sl")).alias("sr"),
+            # per-row gain: normalizing by nt keeps the argmax ordering
+            # (same constant for every split) AND the value scale-INVARIANT
+            # (~(avg residual)^2, never row-count-scaled) — Spark's DIV
+            # returns BIGINT and silently wraps past 2^63, so the quotient
+            # itself must fit a long at any SF (found the hard way: the
+            # unnormalized score overflowed at sf0.01)
+            F.expr(
+                "CAST((sl*sl*(nt-nl) + (st-sl)*(st-sl)*nl)"
+                " DIV (nl*(nt-nl)*nt) AS DECIMAL(38,0))"
+            ).alias("score"),
+        )
+        gamma = (
+            "CASE WHEN {s} < 0 THEN -CAST((2*(-{s}) + {n}) DIV (2*{n}) AS DECIMAL(38,0))"
+            " ELSE CAST((2*{s} + {n}) DIV (2*{n}) AS DECIMAL(38,0)) END"
+        )
+        return (
+            scored.orderBy(F.desc("score"), F.asc("split"))
+            .limit(1)
+            .select(
+                "split",
+                "nl",
+                "nr",
+                F.expr(gamma.format(s="sl", n="nl")).alias("gl"),
+                F.expr(gamma.format(s="sr", n="nr")).alias("gr"),
+                "score",
+            )
+        )
+
+    b1 = best_split(r1, "q").localCheckpoint()  # residual update + output reuse it
+    r2 = r1.crossJoin(F.broadcast(b1.select(
+        c("split").alias("t1"), c("gl").alias("g1l"), c("gr").alias("g1r")
+    ))).select(
+        "d",
+        (
+            c("r")
+            - F.when(c("q") <= c("t1"), c("g1l")).otherwise(c("g1r"))
+        ).cast("decimal(38,0)").alias("r"),
+    )
+    b2 = best_split(r2, "d")
+
+    def emit(b: DataFrame, rnd: int, feat: str) -> DataFrame:
+        return b.select(
+            F.lit(rnd).cast("bigint").alias("round"),
+            F.lit(feat).alias("feature"),
+            c("split").cast("bigint").alias("split_at"),
+            c("nl").cast("bigint").alias("n_left"),
+            c("nr").cast("bigint").alias("n_right"),
+            c("gl").cast("bigint").alias("leaf_left_milli"),
+            c("gr").cast("bigint").alias("leaf_right_milli"),
+            c("score").cast("bigint").alias("score_per_row"),
+        )
+
+    return emit(b1, 1, "quantity").unionByName(emit(b2, 2, "discount"))
+
+
+REGISTRY["gbdt_two_round_regression"].oracle = _gbdt_oracle()
