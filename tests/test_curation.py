@@ -225,3 +225,34 @@ def test_length_bucket_padding_python_recompute(spark):
         assert row["real_tokens"] == s
         assert row["padded_tokens"] == padded
         assert row["waste_ppm"] == (2 * (padded - s) * 1_000_000 + padded) // (2 * padded)
+
+
+def test_weighted_sample_python_recompute(spark):
+    """A-ES parity: identical md5 draws, nano-ln grid, ratio ordering."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from wheels_in_motion_analytics_spark.functions.curation import WSAMPLE_K
+
+    specs = load_all_queries()
+    out = [
+        (r["doc_id"], r["weight"], r["u52"], r["ln_nano"])
+        for r in specs["curate_weighted_sample_noreplace"].fn(spark, SF_SMALL).collect()
+    ]
+    docs = (
+        table(spark, SF_SMALL, "documents")
+        .where(F.col("n_chars") > 0)
+        .select("doc_id", "n_chars")
+        .collect()
+    )
+    cand = []
+    for r in docs:
+        u52 = int(hashlib.md5(f"wsr:{r['doc_id']}".encode()).hexdigest()[:13], 16) + 1
+        ln = math.log(u52 / 4503599627370496.0)
+        ln_nano = int(
+            Decimal(repr(ln)).quantize(Decimal("1e-9"), ROUND_HALF_UP) * 1_000_000_000
+        )
+        cand.append((r["doc_id"], r["n_chars"], u52, ln_nano))
+    cand.sort(key=lambda t: (-(t[3] / t[1]), t[0]))
+    assert sorted(out, key=lambda t: (-(t[3] / t[1]), t[0])) == cand[:WSAMPLE_K]

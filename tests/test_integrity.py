@@ -155,3 +155,51 @@ def test_label_propagation_partitions_nodes(spark):
     for r in rows:
         assert r.community in node_set
         assert r.community_size == sizes[r.community]
+
+
+def test_t_closeness_python_recompute(spark):
+    from collections import defaultdict
+
+    from wheels_in_motion_analytics_spark.functions.integrity import (
+        TCLOSE_BUCKETS,
+        TCLOSE_BUCKET_W,
+        TCLOSE_T_PPM,
+    )
+
+    specs = load_all_queries()
+    out = {
+        (r["prio"], r["yr"]): r
+        for r in specs["t_closeness_audit"].fn(spark, SF_SMALL).collect()
+    }
+    rows = (
+        table(spark, SF_SMALL, "orders")
+        .selectExpr(
+            "o_orderpriority AS prio",
+            "CAST(year(o_orderdate) AS BIGINT) AS yr",
+            f"least(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+            f" DIV {TCLOSE_BUCKET_W}, {TCLOSE_BUCKETS - 1}) AS v",
+        )
+        .collect()
+    )
+    per = defaultdict(lambda: [0] * TCLOSE_BUCKETS)
+    for r in rows:
+        per[(r["prio"], r["yr"])][r["v"]] += 1
+    tot = [0] * TCLOSE_BUCKETS
+    for counts in per.values():
+        for i, c in enumerate(counts):
+            tot[i] += c
+    n_t = sum(tot)
+    tcum = [sum(tot[: i + 1]) for i in range(TCLOSE_BUCKETS)]
+    assert set(out) == set(per)
+    for key, counts in per.items():
+        n_g = sum(counts)
+        gcum = [sum(counts[: i + 1]) for i in range(TCLOSE_BUCKETS)]
+        dd = sum(
+            abs(gcum[i] * n_t - tcum[i] * n_g) for i in range(TCLOSE_BUCKETS - 1)
+        )
+        denom = n_g * n_t * (TCLOSE_BUCKETS - 1)
+        emd = (2 * dd * 1_000_000 + denom) // (2 * denom)
+        row = out[key]
+        assert row["n_rows"] == n_g
+        assert row["emd_ppm"] == emd
+        assert row["t_close_ok"] == (emd <= TCLOSE_T_PPM)

@@ -198,3 +198,42 @@ def test_incremental_line_dedup_equals_full_and_skips_are_sound(spark):
     assert skipped, "some base docs must be untouched by the batch"
     for d in skipped:
         assert base_only[d] == full[d][2], f"doc {d} skipped but changed"
+
+
+def test_sorted_neighborhood_python_recompute(spark):
+    """Exact re-derivation: window-of-4 pairs over the sorted distinct name
+    list, kept at levenshtein 1..3."""
+    from wheels_in_motion_analytics_spark.functions.linkage import (
+        SNM_MAX_DIST,
+        SNM_WINDOW,
+    )
+
+    from wheels_in_motion_analytics_spark.tables import table
+
+    specs = load_all_queries()
+    out = {
+        (r["name_a"], r["name_b"]): (r["rank_gap"], r["dist"])
+        for r in specs["linkage_sorted_neighborhood"].fn(spark, SF_SMALL).collect()
+    }
+    names = sorted(
+        r["p_name"]
+        for r in table(spark, SF_SMALL, "part").select("p_name").distinct().collect()
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    expected = {}
+    for i, a in enumerate(names):
+        for gap in range(1, SNM_WINDOW + 1):
+            if i + gap < len(names):
+                d = lev(a, names[i + gap])
+                if 1 <= d <= SNM_MAX_DIST:
+                    expected[(a, names[i + gap])] = (gap, d)
+    assert out == expected

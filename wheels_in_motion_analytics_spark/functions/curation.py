@@ -1257,3 +1257,73 @@ def curate_length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (2 * CAST(bucket AS DECIMAL(38,0)) * n_docs) AS BIGINT)"
         ).alias("waste_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling WITHOUT replacement — Efraimidis–Spirakis A-ES
+# ---------------------------------------------------------------------------
+
+WSAMPLE_K = 50
+
+
+@register(
+    "curate_weighted_sample_noreplace",
+    category="curation",
+    doc=f"Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES): "
+    f"the top-{WSAMPLE_K} documents by key u^(1/w) — equivalently by "
+    "ln(u)/w descending — with u a deterministic md5 52-bit uniform and "
+    "w = n_chars. THE distributed weighted-no-replacement algorithm: one "
+    "pass, no sequential state, exact top-k via TakeOrderedAndProject "
+    "(heap, no global sort) — the without-replacement complement of "
+    "curate_pps_poisson_sample (with-replacement) and the md5-threshold "
+    "samplers (Bernoulli). DETERMINISM: ln(u) is quantized to the nano "
+    "grid in isolation (green-precedent discipline); the ORDERING key "
+    "ln_nano/w is a single IEEE division of identical integers on both "
+    "engines (bit-identical doubles, doc_id tiebreak); the EMITTED "
+    "columns are integers only.",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         ('0x' || substr(md5('wsr:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1 AS u52
+  FROM documents WHERE n_chars > 0
+),
+k AS (
+  SELECT doc_id, weight, u52,
+         CAST(round(ln(CAST(u52 AS DOUBLE) / 4503599627370496.0), 9) * 1000000000
+              AS BIGINT) AS ln_nano
+  FROM d
+)
+SELECT doc_id, weight, u52, ln_nano
+FROM k
+ORDER BY CAST(ln_nano AS DOUBLE) / weight DESC, doc_id ASC
+LIMIT {WSAMPLE_K}
+""",
+)
+def curate_weighted_sample_noreplace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col
+    d = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            (
+                hash_hex(
+                    F.concat(F.lit("wsr:"), F.col("doc_id").cast("string")), 13
+                )
+                + 1
+            ).alias("u52"),
+        )
+    )
+    k = d.select(
+        "*",
+        (
+            F.round(F.log(c("u52").cast("double") / F.lit(4503599627370496.0)), 9)
+            * 1000000000
+        )
+        .cast("bigint")
+        .alias("ln_nano"),
+    )
+    return k.orderBy(
+        (c("ln_nano").cast("double") / c("weight")).desc(), c("doc_id").asc()
+    ).limit(WSAMPLE_K)

@@ -851,3 +851,111 @@ def rendezvous_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + count(*)) DIV (2 * count(*)) AS BIGINT)"
         ).alias("moved_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness — the distributional privacy audit (completes k-anon / l-div)
+# ---------------------------------------------------------------------------
+
+TCLOSE_BUCKET_W = 5000000  # 50k-dollar cents buckets for the sensitive attr
+TCLOSE_BUCKETS = 4
+TCLOSE_T_PPM = 200000  # t = 0.2
+
+
+@register(
+    "t_closeness_audit",
+    category="privacy",
+    doc=f"t-closeness audit (t={TCLOSE_T_PPM / 1e6}): for each quasi-"
+    "identifier class (order priority x order year), the Earth Mover's "
+    "Distance between the class's distribution of the ORDERED sensitive "
+    f"attribute (order value in {TCLOSE_BUCKETS} fixed buckets) and the "
+    "global distribution — EMD over an ordered domain is the sum of "
+    "|cumulative-share differences| / (V-1). Completes the privacy "
+    "family: k_anonymity_audit (class size), l_diversity_audit (distinct "
+    "sensitive values), t_closeness (distributional leakage). EXACTNESS: "
+    "cumulative shares compare by CROSS-MULTIPLICATION of raw counts "
+    "(|cum_g*n_tot - cum_tot*n_g|), summed in DECIMAL(38,0) and emitted "
+    "as one half-up emd_ppm — no float quotient. ONE conditional "
+    "aggregate per class (the bucket domain is fixed), a broadcast 1-row "
+    "totals join.",
+    oracle=f"""
+WITH s AS (
+  SELECT o_orderpriority AS prio,
+         CAST(year(o_orderdate) AS BIGINT) AS yr,
+         least(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // {TCLOSE_BUCKET_W},
+               {TCLOSE_BUCKETS - 1}) AS v
+  FROM orders
+),
+g AS (
+  SELECT prio, yr,
+         CAST(COUNT(*) AS HUGEINT) AS n_g,
+         CAST(SUM(CASE WHEN v <= 0 THEN 1 ELSE 0 END) AS HUGEINT) AS c0,
+         CAST(SUM(CASE WHEN v <= 1 THEN 1 ELSE 0 END) AS HUGEINT) AS c1,
+         CAST(SUM(CASE WHEN v <= 2 THEN 1 ELSE 0 END) AS HUGEINT) AS c2
+  FROM s GROUP BY prio, yr
+),
+t AS (
+  SELECT CAST(SUM(n_g) AS HUGEINT) AS n_t,
+         CAST(SUM(c0) AS HUGEINT) AS t0,
+         CAST(SUM(c1) AS HUGEINT) AS t1,
+         CAST(SUM(c2) AS HUGEINT) AS t2
+  FROM g
+),
+d AS (
+  SELECT prio, yr, n_g, n_t,
+         abs(c0 * n_t - t0 * n_g) + abs(c1 * n_t - t1 * n_g)
+           + abs(c2 * n_t - t2 * n_g) AS dd
+  FROM g CROSS JOIN t
+)
+SELECT prio, yr, CAST(n_g AS BIGINT) AS n_rows,
+       CAST((2 * dd * 1000000 + n_g * n_t * {TCLOSE_BUCKETS - 1})
+            // (2 * n_g * n_t * {TCLOSE_BUCKETS - 1}) AS BIGINT) AS emd_ppm,
+       (2 * dd * 1000000 + n_g * n_t * {TCLOSE_BUCKETS - 1})
+            // (2 * n_g * n_t * {TCLOSE_BUCKETS - 1}) <= {TCLOSE_T_PPM} AS t_close_ok
+FROM d
+""",
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col
+    s = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.least(
+            F.expr(
+                f"CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DIV {TCLOSE_BUCKET_W}"
+            ),
+            F.lit(TCLOSE_BUCKETS - 1).cast("bigint"),
+        ).alias("v"),
+    )
+    g = s.groupBy("prio", "yr").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_g"),
+        F.sum((c("v") <= 0).cast("int")).cast("decimal(38,0)").alias("c0"),
+        F.sum((c("v") <= 1).cast("int")).cast("decimal(38,0)").alias("c1"),
+        F.sum((c("v") <= 2).cast("int")).cast("decimal(38,0)").alias("c2"),
+    ).localCheckpoint()  # totals + per-class rows share it
+    t = g.agg(
+        F.sum("n_g").cast("decimal(38,0)").alias("n_t"),
+        F.sum("c0").cast("decimal(38,0)").alias("t0"),
+        F.sum("c1").cast("decimal(38,0)").alias("t1"),
+        F.sum("c2").cast("decimal(38,0)").alias("t2"),
+    )
+    dd = (
+        F.abs(c("c0") * c("n_t") - c("t0") * c("n_g"))
+        + F.abs(c("c1") * c("n_t") - c("t1") * c("n_g"))
+        + F.abs(c("c2") * c("n_t") - c("t2") * c("n_g"))
+    ).cast("decimal(38,0)")
+    emd = F.expr(
+        f"CAST((2 * dd * 1000000 + n_g * n_t * {TCLOSE_BUCKETS - 1})"
+        f" DIV (2 * n_g * n_t * {TCLOSE_BUCKETS - 1}) AS BIGINT)"
+    )
+    return (
+        g.crossJoin(F.broadcast(t))
+        .withColumn("dd", dd)
+        .select(
+            "prio",
+            "yr",
+            c("n_g").cast("bigint").alias("n_rows"),
+            emd.alias("emd_ppm"),
+            (emd <= TCLOSE_T_PPM).alias("t_close_ok"),
+        )
+    )

@@ -748,3 +748,79 @@ def fuzzy_lookup_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dist").cast("int").alias("dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking — the other classic ER candidate generator
+# ---------------------------------------------------------------------------
+
+SNM_WINDOW = 4  # compare records within this rank distance
+SNM_MAX_DIST = 3
+
+
+@register(
+    "linkage_sorted_neighborhood",
+    category="linkage",
+    doc=f"Sorted-neighborhood entity resolution over the part-name "
+    "dictionary: records sorted by name, candidate pairs = records within "
+    f"rank distance {SNM_WINDOW} (the sliding window), matches kept at "
+    f"levenshtein 1..{SNM_MAX_DIST}. The CLASSIC alternative to key "
+    "blocking (record_linkage_part_names): a fixed candidate budget of "
+    "w*n pairs regardless of key-skew — blocking keys blow up on hot "
+    "blocks, the sorted window cannot. SCALE SHAPE: the global sort rank "
+    "comes from the TWO-PHASE exact rank (never a single-task window); "
+    "the window self-join is an equi-join on rank DIV window (each record "
+    "lands in 2 coarse buckets, pairs checked within ±w) — shuffle "
+    "bounded by 2n rows.",
+    oracle=f"""
+WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+ranked AS (
+  SELECT name, row_number() OVER (ORDER BY name) AS rn FROM names
+),
+cand AS (
+  SELECT a.name AS name_a, b.name AS name_b,
+         CAST(b.rn - a.rn AS BIGINT) AS rank_gap
+  FROM ranked a JOIN ranked b
+    ON b.rn > a.rn AND b.rn <= a.rn + {SNM_WINDOW}
+)
+SELECT name_a, name_b, rank_gap,
+       CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+FROM cand
+WHERE levenshtein(name_a, name_b) BETWEEN 1 AND {SNM_MAX_DIST}
+""",
+)
+def linkage_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.operators.windows import global_row_number
+
+    names = table(spark, sf_dir, "part").select(F.col("p_name").alias("name")).distinct()
+    ranked = global_row_number(names, [F.asc("name")], rn_name="rn")
+    # coarse-bucket equi-join: record r joins buckets floor(rn/w) and
+    # floor(rn/w)+1, so every pair within rank distance w shares a bucket
+    a = ranked.select(
+        F.col("name").alias("name_a"),
+        F.col("rn").alias("ra"),
+        F.explode(
+            F.array(
+                F.expr(f"CAST(rn DIV {SNM_WINDOW} AS BIGINT)"),
+                F.expr(f"CAST(rn DIV {SNM_WINDOW} AS BIGINT) + 1"),
+            )
+        ).alias("bkt"),
+    )
+    b = ranked.select(
+        F.col("name").alias("name_b"),
+        F.col("rn").alias("rb"),
+        F.expr(f"CAST(rn DIV {SNM_WINDOW} AS BIGINT)").alias("bkt"),
+    )
+    cand = (
+        a.join(b, "bkt")
+        .where((F.col("rb") > F.col("ra")) & (F.col("rb") <= F.col("ra") + SNM_WINDOW))
+        .dropDuplicates(["name_a", "name_b"])
+        .select(
+            "name_a",
+            "name_b",
+            (F.col("rb") - F.col("ra")).cast("bigint").alias("rank_gap"),
+        )
+    )
+    return cand.select(
+        "*", F.levenshtein("name_a", "name_b").cast("bigint").alias("dist")
+    ).where(F.col("dist").between(1, SNM_MAX_DIST))
