@@ -87,3 +87,19 @@ def test_wav_decode_via_stdlib_wave():
     assert samples[0] == struct.unpack("<h", data[:2])[0]
     assert samples[-1] == struct.unpack("<h", data[-2:])[0]
     assert all(-32768 <= s <= 32767 for s in samples)
+
+
+def test_image_ahash_popcount_consistency(spark):
+    from wheels_in_motion_analytics_spark.registry import load_all_queries
+
+    rows = (
+        load_all_queries()["multimodal_image_ahash"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert len(rows) == 500
+    for r in rows:
+        assert 0 <= r["ahash_hi"] < 2**32 and 0 <= r["ahash_lo"] < 2**32
+        assert r["n_ones"] == bin(r["ahash_hi"]).count("1") + bin(r["ahash_lo"]).count("1")
+        # mean-threshold hashes of non-constant images are never all-0/all-1
+        assert 0 < r["n_ones"] < 64

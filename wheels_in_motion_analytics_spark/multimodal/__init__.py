@@ -26,7 +26,7 @@ import pyspark.sql.functions as F
 import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from wheels_in_motion_analytics_spark.registry import register
+from wheels_in_motion_analytics_spark.registry import REGISTRY, register
 from wheels_in_motion_analytics_spark.tables import table
 
 MEDIA_SCHEMA = T.StructType(
@@ -675,3 +675,108 @@ def multimodal_cdc_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hash (aHash) — the image-dedup fingerprint
+# ---------------------------------------------------------------------------
+
+
+def _oracle_image_ahash() -> str:
+    """Replicates decode + aHash over the reconstructed raster hex: pixel p
+    (decoded top-down index) reads the stored bottom-up BGR triple; gray is
+    channel-order-free ((b0+b1+b2) DIV 3). Pixel offsets ride a 64-row
+    VALUES relation; the bit test cross-multiplies against the mean
+    (gray*64 > sum_gray — no division anywhere)."""
+    row_bytes = codecs.IMG_W * 3
+    vals = []
+    for p in range(codecs.IMG_W * codecs.IMG_H):
+        r, c = divmod(p, codecs.IMG_W)
+        base = (codecs.IMG_H - 1 - r) * row_bytes + c * 3
+        vals.append(f"({p}, {base})")
+    return f"""
+WITH rast AS (
+  SELECT doc_id, {_raster_hex_sql("'bmp:' || CAST(doc_id AS VARCHAR)")} AS rh
+  FROM documents
+),
+pos (p, byte_off) AS (VALUES {", ".join(vals)}),
+px AS (
+  SELECT doc_id, p,
+         ('0x' || substr(rh, byte_off * 2 + 1, 2))::BIGINT
+         + ('0x' || substr(rh, byte_off * 2 + 3, 2))::BIGINT
+         + ('0x' || substr(rh, byte_off * 2 + 5, 2))::BIGINT AS gray3
+  FROM rast CROSS JOIN pos
+),
+m AS (
+  SELECT doc_id, p, gray3,
+         CAST(SUM(gray3) OVER (PARTITION BY doc_id) AS BIGINT) AS tot
+  FROM px
+),
+bits AS (
+  SELECT doc_id, p,
+         CASE WHEN gray3 * 64 > tot THEN 1 ELSE 0 END AS bit
+  FROM m
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN p >= 32 THEN bit * (CAST(1 AS BIGINT) << (p - 32)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+       CAST(SUM(CASE WHEN p < 32 THEN bit * (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS ahash_lo,
+       CAST(SUM(bit) AS BIGINT) AS n_ones
+FROM bits
+GROUP BY doc_id
+"""
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ahash_hi", T.LongType()),
+        T.StructField("ahash_lo", T.LongType()),
+        T.StructField("n_ones", T.LongType()),
+    ]
+)
+
+
+@register(
+    "multimodal_image_ahash",
+    category="multimodal",
+    doc="Perceptual average-hash (aHash) over REAL decoded BMP pixels — "
+    "the image-dedup fingerprint (the binary-asset sibling of simhash): "
+    "decode the 24-bit BMP (pure-Python codec on genuine file bytes), "
+    "grayscale each pixel ((r+g+b) DIV 3 — integer), set bit p when the "
+    "pixel outshines the image mean (cross-multiplied gray*64 > total — "
+    "NO division), emit the 64-bit hash as two exact 32-bit halves + "
+    "popcount. SCALE SHAPE: one Arrow-batched mapInPandas pass, hashes "
+    "then join/group like any dedup key (Hamming-bucket pairing = the "
+    "multiprobe-LSH recipe). Oracle reconstructs decode + hash "
+    "arithmetically from the md5 fixture bytes.",
+    oracle=None,  # assembled below
+)
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = bmp_media_table(spark, sf_dir)
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            his, los, ones = [], [], []
+            for payload in pdf["payload"]:
+                w, h, rgb = codecs.decode_bmp(payload)
+                grays = [
+                    rgb[i] + rgb[i + 1] + rgb[i + 2] for i in range(0, len(rgb), 3)
+                ]
+                tot = sum(grays)
+                n = len(grays)
+                bits = [1 if g * n > tot else 0 for g in grays]
+                hi = sum(b << (p - 32) for p, b in enumerate(bits) if p >= 32)
+                lo = sum(b << p for p, b in enumerate(bits) if p < 32)
+                his.append(hi)
+                los.append(lo)
+                ones.append(sum(bits))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "ahash_hi": his, "ahash_lo": los, "n_ones": ones}
+            )
+
+    return media.mapInPandas(run, AHASH_SCHEMA)
+
+
+REGISTRY["multimodal_image_ahash"].oracle = _oracle_image_ahash()
