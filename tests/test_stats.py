@@ -362,3 +362,52 @@ def test_kaplan_meier_invariants(spark):
             round(math.log(1 - first.d_events / first.n_risk), 9), 6
         )
         assert abs(first.log_survival - want) < 1e-9
+
+
+def test_sprt_python_recompute(spark):
+    """Exact sequential replay: same frozen nano-ln increments, same
+    arrival order, same first-crossing semantics."""
+    from wheels_in_motion_analytics_spark.functions.stats import (
+        SPRT_A_NANO,
+        SPRT_B_NANO,
+        SPRT_L0_NANO,
+        SPRT_L1_NANO,
+    )
+
+    row = SPECS["sprt_sequential_test"].fn(spark, SF_SMALL).collect()[0]
+    rows = (
+        table(spark, SF_SMALL, "orders")
+        .select("o_orderkey", "o_orderdate", "o_orderstatus")
+        .collect()
+    )
+    rows.sort(key=lambda r: (r["o_orderdate"], r["o_orderkey"]))
+    cum = 0
+    stop = None
+    for i, r in enumerate(rows, 1):
+        cum += SPRT_L1_NANO if r["o_orderstatus"] == "F" else SPRT_L0_NANO
+        if stop is None and (cum >= SPRT_A_NANO or cum <= SPRT_B_NANO):
+            stop = (i, cum)
+    assert row["n_total"] == len(rows)
+    assert row["final_llr_nano"] == cum
+    if stop is None:
+        assert row["decision"] == "continue"
+        assert row["stopped_at_n"] is None
+    else:
+        assert (row["stopped_at_n"], row["llr_at_stop_nano"]) == stop
+        assert row["decision"] == (
+            "accept_h1" if stop[1] >= SPRT_A_NANO else "accept_h0"
+        )
+
+
+def test_conformal_coverage_guarantee(spark):
+    """Split-conformal finite-sample guarantee: empirical coverage on the
+    held-out half must be >= 1 - alpha - slack, and q is the exact order
+    statistic (python re-selection)."""
+    from wheels_in_motion_analytics_spark.functions.ml import CONF_ALPHA_PCT
+
+    row = SPECS["conformal_interval_calibration"].fn(spark, SF_SMALL).collect()[0]
+    assert row["q_idx"] == min(
+        -(-(row["n_cal"] + 1) * (100 - CONF_ALPHA_PCT) // 100), row["n_cal"]
+    )
+    assert row["coverage_ppm"] >= 860_000  # 90% target minus small-n slack
+    assert row["n_covered"] <= row["n_test"]

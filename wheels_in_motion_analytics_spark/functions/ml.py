@@ -1416,3 +1416,118 @@ def gbdt_two_round_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["gbdt_two_round_regression"].oracle = _gbdt_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Split conformal prediction — distribution-free interval calibration
+# ---------------------------------------------------------------------------
+
+CONF_ALPHA_PCT = 10  # target 90% coverage
+
+
+@register(
+    "conformal_interval_calibration",
+    category="ml",
+    doc="Split conformal prediction: a deterministic md5 half of orders "
+    "calibrates (model = per-priority mean price trained on the "
+    "calibration half only), the nonconformity quantile q = the "
+    f"ceil((n+1)*{100 - CONF_ALPHA_PCT}/100)-th smallest |residual| — an "
+    "EXACT order statistic selected by the distributed quickselect "
+    "(operators/windows.py:global_kth_smallest, histogram narrowing, "
+    "never a global sort) — and the held-out half audits empirical "
+    "coverage of ŷ±q. The distribution-free uncertainty method modern "
+    "eval stacks use. All integers: cents grid, floor group means, "
+    "half-up coverage ppm, audited coverage verdict (≥88% at the 90% "
+    "target — the finite-sample guarantee keeps slack).",
+    oracle=f"""
+WITH o AS (
+  SELECT o_orderkey AS k, o_orderpriority AS prio,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         ('0x' || substr(md5('cal:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 2 = 0 AS is_cal
+  FROM orders
+),
+model AS (
+  SELECT prio, CAST(SUM(cents) AS HUGEINT) // COUNT(*) AS yhat
+  FROM o WHERE is_cal GROUP BY prio
+),
+resid AS (
+  SELECT o.k, o.is_cal, abs(o.cents - CAST(m.yhat AS BIGINT)) AS r
+  FROM o JOIN model m USING (prio)
+),
+cal AS (SELECT r FROM resid WHERE is_cal),
+nq AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cal,
+         least(CAST(ceil((COUNT(*) + 1) * {100 - CONF_ALPHA_PCT} / 100.0) AS BIGINT),
+               CAST(COUNT(*) AS BIGINT)) AS q_idx
+  FROM cal
+),
+q AS (
+  SELECT n_cal, q_idx,
+         (SELECT r FROM cal ORDER BY r LIMIT 1 OFFSET (SELECT q_idx - 1 FROM nq)) AS q_cents
+  FROM nq
+),
+cov AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN resid.r <= q.q_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+  FROM resid CROSS JOIN q WHERE NOT is_cal
+)
+SELECT q.n_cal, q.q_idx, CAST(q.q_cents AS BIGINT) AS q_cents,
+       cov.n_test, cov.n_covered,
+       CAST((2 * CAST(n_covered AS HUGEINT) * 1000000 + n_test)
+            // (2 * CAST(n_test AS HUGEINT)) AS BIGINT) AS coverage_ppm,
+       (2 * CAST(n_covered AS HUGEINT) * 1000000 + n_test)
+            // (2 * CAST(n_test AS HUGEINT)) >= 880000 AS coverage_ok
+FROM q CROSS JOIN cov
+""",
+)
+def conformal_interval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.functions.similarity import hash_hex
+    from wheels_in_motion_analytics_spark.operators.windows import global_kth_smallest
+
+    c = F.col
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        (
+            hash_hex(F.concat(F.lit("cal:"), F.col("o_orderkey").cast("string"))) % 2
+            == 0
+        ).alias("is_cal"),
+    )
+    model = (
+        o.where("is_cal")
+        .groupBy("prio")
+        .agg(
+            F.expr("CAST(CAST(SUM(cents) AS DECIMAL(38,0)) DIV COUNT(*) AS BIGINT)").alias(
+                "yhat"
+            )
+        )
+    )
+    resid = (
+        o.join(F.broadcast(model), "prio")
+        .select("k", "is_cal", F.abs(c("cents") - c("yhat")).alias("r"))
+        # quickselect (multi-pass) + the coverage agg both read this
+        .localCheckpoint()
+    )
+    cal = resid.where("is_cal")
+    keep = 100 - CONF_ALPHA_PCT
+
+    def q_rank(n: int) -> int:
+        return min(-(-(n + 1) * keep // 100), n)  # ceil, capped at n
+
+    q_cents, n_cal = global_kth_smallest(cal, "r", q_rank)
+    q_idx = q_rank(n_cal)
+    cov = resid.where(~c("is_cal")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum((c("r") <= q_cents).cast("bigint")).cast("bigint").alias("n_covered"),
+    )
+    ppm = "CAST((2 * CAST(n_covered AS DECIMAL(38,0)) * 1000000 + n_test) DIV (2 * n_test) AS BIGINT)"
+    return cov.select(
+        F.lit(n_cal).cast("bigint").alias("n_cal"),
+        F.lit(q_idx).cast("bigint").alias("q_idx"),
+        F.lit(q_cents).cast("bigint").alias("q_cents"),
+        "n_test",
+        "n_covered",
+        F.expr(ppm).alias("coverage_ppm"),
+        (F.expr(ppm) >= 880000).alias("coverage_ok"),
+    )

@@ -1467,3 +1467,104 @@ def kaplan_meier_curve(per: DataFrame) -> DataFrame:
         .otherwise(F.round(F.sum("t").over(wi).cast("double"), 6))
         .alias("log_survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SPRT — Wald's sequential probability ratio test
+# ---------------------------------------------------------------------------
+
+# frozen nano-ln constants (H0: p=0.45 vs H1: p=0.55, alpha=beta=0.05) —
+# computed ONCE in Python (Decimal half-up of math.log) and embedded as
+# integer literals in BOTH engines: the query contains zero libm calls.
+SPRT_L1_NANO = 200670695  # ln(p1/p0)
+SPRT_L0_NANO = -200670695  # ln((1-p1)/(1-p0))
+SPRT_A_NANO = 2944438979  # ln((1-beta)/alpha)  -> accept H1 at/above
+SPRT_B_NANO = -2944438979  # ln(beta/(1-alpha)) -> accept H0 at/below
+
+
+@register(
+    "sprt_sequential_test",
+    category="stats",
+    doc="Wald's SPRT over the order stream in arrival order (orderdate, "
+    "orderkey): H0 p=0.45 vs H1 p=0.55 on the fulfilled-order rate, "
+    "log-likelihood increments and decision boundaries FROZEN as nano-ln "
+    "integer literals (no libm call in the plan — the bootstrap/DP "
+    "frozen-constant recipe), cumulative LLR via the TWO-PHASE exact "
+    "prefix sum (never a single-task sort), first boundary crossing via "
+    "one min(struct) aggregate. Emits the decision, the sample size at "
+    "which the test stopped (the whole point of sequential testing — "
+    "stop early), and the LLR at crossing and at stream end. The "
+    "early-stopping A/B readout beside the fixed-horizon welch/cuped "
+    "pair.",
+    oracle=f"""
+WITH s AS (
+  SELECT o_orderkey AS k, o_orderdate AS d,
+         CASE WHEN o_orderstatus = 'F'
+              THEN CAST({SPRT_L1_NANO} AS BIGINT)
+              ELSE CAST({SPRT_L0_NANO} AS BIGINT) END AS llr
+  FROM orders
+),
+c AS (
+  SELECT k,
+         CAST(SUM(llr) OVER (ORDER BY d, k
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(ROW_NUMBER() OVER (ORDER BY d, k) AS BIGINT) AS rn
+  FROM s
+),
+x AS (
+  SELECT rn, cum FROM c
+  WHERE cum >= {SPRT_A_NANO} OR cum <= {SPRT_B_NANO}
+  ORDER BY rn LIMIT 1
+),
+fin AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(SUM(llr) AS BIGINT) AS final_llr_nano
+  FROM s
+)
+SELECT CASE WHEN x.rn IS NULL THEN 'continue'
+            WHEN x.cum >= {SPRT_A_NANO} THEN 'accept_h1'
+            ELSE 'accept_h0' END AS decision,
+       x.rn AS stopped_at_n,
+       x.cum AS llr_at_stop_nano,
+       fin.n_total, fin.final_llr_nano
+FROM fin LEFT JOIN x ON TRUE
+""",
+)
+def sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.operators.windows import global_prefix_sums
+
+    c = F.col
+    s = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderdate").alias("d"),
+        F.when(F.col("o_orderstatus") == "F", F.lit(SPRT_L1_NANO))
+        .otherwise(F.lit(SPRT_L0_NANO))
+        .cast("bigint")
+        .alias("llr"),
+        F.lit(1).alias("one"),
+    )
+    pre = global_prefix_sums(s, ["d", "k"], ["llr", "one"])
+    crossing = pre.where(
+        (c("llr_cum") >= SPRT_A_NANO) | (c("llr_cum") <= SPRT_B_NANO)
+    ).agg(
+        F.min(
+            F.struct(
+                c("one_cum").cast("bigint").alias("rn"),
+                c("llr_cum").cast("bigint").alias("cum"),
+            )
+        ).alias("x")
+    )
+    fin = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum("llr").cast("bigint").alias("final_llr_nano"),
+    )
+    return crossing.crossJoin(fin).select(
+        F.when(c("x").isNull(), F.lit("continue"))
+        .when(c("x.cum") >= SPRT_A_NANO, F.lit("accept_h1"))
+        .otherwise(F.lit("accept_h0"))
+        .alias("decision"),
+        c("x.rn").alias("stopped_at_n"),
+        c("x.cum").alias("llr_at_stop_nano"),
+        "n_total",
+        "final_llr_nano",
+    )
