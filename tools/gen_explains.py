@@ -90,6 +90,17 @@ PICKS += [
     ("label_propagation_communities", "4 synchronous Pregel rounds: edges join + (node,label) partial agg + per-node argmax window"),
     ("ndcg_at_k_retrieval", "two TakeOrderedAndProject heaps (system/ideal top-10) over one checkpointed candidate relation"),
 ]
+# round-6 headliners
+PICKS += [
+    ("runtime_bloom_filter_join", "Catalyst-injected bloom: might_contain pushed into the probe-side scan before the shuffle join"),
+    ("mmr_diversified_topk", "broadcast relevance pass -> TakeOrderedAndProject heap top-24; greedy selection on LIMIT-bounded bytes"),
+    ("zipf_token_rank_slope", "explode -> vocab agg -> two-phase exact rank -> ONE DECIMAL moment agg over the top-1000 grid"),
+    ("gbdt_two_round_regression", "two boosting rounds: bounded-domain (n,Σr) aggs + broadcast residual update, no row-scale shuffle"),
+    ("graph_node_jaccard_similarity", "mirrored adjacency wedge join for candidates; degree attach joins; heap top-20"),
+    ("sprt_sequential_test", "frozen nano-ln literals; two-phase prefix-sum LLR walk; min(struct) first crossing"),
+    ("conformal_interval_calibration", "quickselect histogram rounds for the exact quantile + one coverage agg over the checkpointed residuals"),
+    ("ann_recall_at_k_eval", "blocked exact matmul cells vs bucketed LSH, one (query,neighbor) join + single agg"),
+]
 PICKS = [(n, d) for n, d in PICKS if d is not None]
 seen = set()
 PICKS = [x for x in PICKS if not (x[0] in seen or seen.add(x[0]))]
