@@ -745,3 +745,44 @@ def test_gbdt_two_round_python_recompute(spark):
     assert (row2["split_at"], row2["n_left"], row2["n_right"]) == (t2, nl2, nr2)
     assert (row2["leaf_left_milli"], row2["leaf_right_milli"]) == (gl2, gr2)
     assert row2["score_per_row"] == sc2
+
+
+def test_feature_store_no_leakage(spark):
+    """Point-in-time contract: every feature must be reproducible from
+    STRICTLY-PRIOR rows only (python replay over the full per-customer
+    history)."""
+    from collections import defaultdict
+
+    specs = load_all_queries()
+    out = {
+        r["order_key"]: r
+        for r in specs["feature_store_training_set"].fn(spark, SF_SMALL).collect()
+    }
+    hist = defaultdict(list)
+    for r in (
+        table(spark, SF_SMALL, "orders")
+        .where(F.col("o_custkey") % 10 == 7)
+        .selectExpr(
+            "o_orderkey AS k",
+            "o_custkey AS cust",
+            "CAST(o_orderdate AS DATE) AS d",
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .collect()
+    ):
+        hist[r["cust"]].append((r["d"], r["k"], r["cents"]))
+    for cust, rows in hist.items():
+        rows.sort()
+        for i, (d, k, cents) in enumerate(rows):
+            if i >= 3 or k not in out:
+                continue
+            row = out[k]
+            prior = rows[:i]
+            assert row["prior_orders"] == len(prior)
+            assert row["prior_spend_cents"] == sum(p[2] for p in prior)
+            assert row["spend_90d_cents"] == sum(
+                p[2] for p in prior if 1 <= (d - p[0]).days <= 90
+            )
+            assert row["days_since_prev"] == (
+                (d - prior[-1][0]).days if prior else None
+            )

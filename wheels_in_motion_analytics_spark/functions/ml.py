@@ -1531,3 +1531,105 @@ def conformal_interval_calibration(spark: SparkSession, sf_dir: str) -> DataFram
         F.expr(ppm).alias("coverage_ppm"),
         (F.expr(ppm) >= 880000).alias("coverage_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature-store training-set assembly — leakage-free point-in-time features
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "feature_store_training_set",
+    category="ml",
+    doc="Leakage-free training-set assembly (the feature-store join): for "
+    "every order (the label event), customer features AS OF strictly "
+    "BEFORE the order — lifetime prior order count, prior total spend, "
+    "prior 90-day spend, days since previous order — computed with "
+    "PRECEDING-only frames (rowsBetween(-inf,-1) / a 90-day RANGE frame "
+    "ending 1 day back), so no feature can see its own label row or any "
+    "later one (the leakage class point-in-time joins exist to prevent). "
+    "SCALE SHAPE: ONE customer-key Exchange serves all four frames (the "
+    "rolling_features_customer posture); same-day earlier orders are "
+    "excluded by the day-grain range bound on BOTH engines identically. "
+    "Label and money stay on the exact cents grid. Emits a bounded audit "
+    "slice (customers ending in 7, first 3 orders each) rather than the "
+    "full fact join.",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey AS k, o_custkey AS cust, CAST(o_orderdate AS DATE) AS d,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_custkey % 10 = 7
+),
+f AS (
+  SELECT k, cust, d, cents,
+         CAST(COUNT(*) OVER w_prior AS BIGINT) AS prior_orders,
+         CAST(COALESCE(SUM(cents) OVER w_prior, 0) AS BIGINT) AS prior_spend_cents,
+         CAST(COALESCE(SUM(cents) OVER (
+             PARTITION BY cust ORDER BY d
+             RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND INTERVAL 1 DAY PRECEDING
+         ), 0) AS BIGINT) AS spend_90d_cents,
+         CAST(d - lag(d) OVER (PARTITION BY cust ORDER BY d, k) AS BIGINT)
+           AS days_since_prev,
+         row_number() OVER (PARTITION BY cust ORDER BY d, k) AS rn
+  FROM o
+  WINDOW w_prior AS (PARTITION BY cust ORDER BY d, k
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT k AS order_key, cust, d AS label_date, cents AS label_cents,
+       prior_orders, prior_spend_cents, spend_90d_cents, days_since_prev
+FROM f WHERE rn <= 3
+""",
+)
+def feature_store_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") % 10 == 7)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("cust"),
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    w_prior = Window.partitionBy("cust").orderBy("d", "k").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # day-grain RANGE frame ending one day back — the same-day exclusion is
+    # part of the point-in-time contract (same-day events may not be
+    # available at serving time)
+    w_90d = (
+        Window.partitionBy("cust")
+        .orderBy(F.datediff(c("d"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-90, -1)
+    )
+    w_seq = Window.partitionBy("cust").orderBy("d", "k")
+    f = o.select(
+        "k",
+        "cust",
+        "d",
+        "cents",
+        F.count(F.lit(1)).over(w_prior).cast("bigint").alias("prior_orders"),
+        F.coalesce(F.sum("cents").over(w_prior), F.lit(0))
+        .cast("bigint")
+        .alias("prior_spend_cents"),
+        F.coalesce(F.sum("cents").over(w_90d), F.lit(0))
+        .cast("bigint")
+        .alias("spend_90d_cents"),
+        F.datediff(c("d"), F.lag("d").over(w_seq)).cast("bigint").alias(
+            "days_since_prev"
+        ),
+        F.row_number().over(w_seq).alias("rn"),
+    )
+    return f.where(c("rn") <= 3).select(
+        c("k").alias("order_key"),
+        "cust",
+        c("d").alias("label_date"),
+        c("cents").alias("label_cents"),
+        "prior_orders",
+        "prior_spend_cents",
+        "spend_90d_cents",
+        "days_since_prev",
+    )
