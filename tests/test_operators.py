@@ -686,3 +686,59 @@ def test_graph_node_jaccard_python_recompute(spark):
                     cand.append((a, b, common, union, ppm))
     cand.sort(key=lambda t: (-t[4], t[0], t[1]))
     assert out == cand[:NODE_SIM_TOPK]
+
+
+def test_binseg_nested_consistency(spark):
+    """The level-2 picks must be the exact CUSUM argmax of their own
+    segment's day series (python replay), and the left/right picks must
+    bracket the level-1 day."""
+    from collections import defaultdict
+
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_SMALL
+    from wheels_in_motion_analytics_spark.registry import load_all_queries
+    from wheels_in_motion_analytics_spark.tables import table as tbl
+
+    out = {
+        (r["level"], r["segment"]): r
+        for r in load_all_queries()["binseg_two_level_changepoints"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    daily = defaultdict(int)
+    for r in (
+        tbl(spark, SF_SMALL, "orders")
+        .selectExpr(
+            "CAST(o_orderdate AS DATE) AS day",
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .collect()
+    ):
+        daily[r["day"]] += r["cents"]
+    days = sorted(daily)
+
+    def pick(lo, hi):  # [lo, hi) indices into days
+        seg = days[lo:hi]
+        n = len(seg)
+        s = sum(daily[d] for d in seg)
+        best = None
+        pc = 0
+        for j, d in enumerate(seg[:-1], 1):
+            pc += daily[d]
+            stat = abs(n * pc - j * s)
+            if best is None or stat > best[0]:
+                best = (stat, d)
+        return best
+
+    st, d1 = pick(0, len(days))
+    assert out[(1, "full")]["change_day"] == d1
+    assert out[(1, "full")]["max_abs_stat"] == str(st)
+    k1 = days.index(d1) + 1  # global rank of the level-1 pick
+    stl, dl = pick(0, k1)
+    str_, dr = pick(k1, len(days))
+    assert out[(2, "left")]["change_day"] == dl
+    assert out[(2, "left")]["max_abs_stat"] == str(stl)
+    assert out[(2, "right")]["change_day"] == dr
+    assert out[(2, "right")]["max_abs_stat"] == str(str_)
+    assert dl < d1 <= dr or dl < d1  # picks bracket the split

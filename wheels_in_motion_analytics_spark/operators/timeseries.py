@@ -1729,3 +1729,186 @@ def anomaly_days_seasonal_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.abs("resid") * 10000 > MAD_SIGMA_X10000 * F.col("mad"))
         .select("day", "cents", "dow", "dow_median", "resid", "mad")
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary segmentation — the multiple-changepoint extension of CUSUM
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "binseg_two_level_changepoints",
+    category="timeseries",
+    doc="Binary segmentation over daily revenue: the top-level CUSUM "
+    "changepoint (cusum_changepoint_daily's statistic) splits the series, "
+    "then each child segment is searched again — three changepoints from "
+    "TWO levels, the standard multiple-changepoint method. SCALE SHAPE: "
+    "the day-grain prefix relation is computed ONCE (two-phase exact "
+    "prefix sums) and every segment's statistic derives from it "
+    "arithmetically (n_seg*(P_k-P_a) - j*S_seg — no per-segment rescan); "
+    "each pick is one max(struct) aggregate. Statistics stay in "
+    "DECIMAL(38,0) and emit as digit strings (same contract as the "
+    "sibling); segment means are exact floor cents.",
+    oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+p AS MATERIALIZED (
+  SELECT day, cents,
+         CAST(SUM(cents) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS pc,
+         CAST(ROW_NUMBER() OVER (ORDER BY day) AS HUGEINT) AS k
+  FROM d
+),
+t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(cents) AS HUGEINT) AS s FROM d),
+full_pick AS MATERIALIZED (
+  SELECT p.day, p.k, p.pc, abs(t.n * p.pc - p.k * t.s) AS stat
+  FROM p CROSS JOIN t WHERE p.k < t.n
+  ORDER BY abs(t.n * p.pc - p.k * t.s) DESC, p.day LIMIT 1
+),
+seg AS (
+  SELECT 'left' AS segment, CAST(0 AS HUGEINT) AS ka, fp.k AS kb,
+         CAST(0 AS HUGEINT) AS pa, fp.pc AS pb
+  FROM full_pick fp
+  UNION ALL
+  SELECT 'right', fp.k, t.n, fp.pc, t.s
+  FROM full_pick fp CROSS JOIN t
+),
+child AS (
+  SELECT s.segment, p.day,
+         abs((s.kb - s.ka) * (p.pc - s.pa) - (p.k - s.ka) * (s.pb - s.pa)) AS stat,
+         row_number() OVER (
+           PARTITION BY s.segment
+           ORDER BY abs((s.kb - s.ka) * (p.pc - s.pa) - (p.k - s.ka) * (s.pb - s.pa)) DESC,
+                    p.day
+         ) AS rn
+  FROM seg s JOIN p ON p.k > s.ka AND p.k < s.kb
+)
+SELECT 1 AS level, 'full' AS segment, day AS change_day,
+       CAST(stat AS VARCHAR) AS max_abs_stat
+FROM full_pick
+UNION ALL
+SELECT 2 AS level, segment, day AS change_day, CAST(stat AS VARCHAR) AS max_abs_stat
+FROM child WHERE rn = 1
+""",
+)
+def binseg_two_level_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.operators.windows import global_prefix_sums
+
+    c = F.col
+    d = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents")
+        )
+        .withColumn("one", F.lit(1))
+        .localCheckpoint()  # prefix pass + totals agg share it
+    )
+    pre = global_prefix_sums(d, ["day"], ["cents", "one"]).select(
+        "day",
+        c("cents_cum").cast("decimal(38,0)").alias("pc"),
+        c("one_cum").cast("decimal(38,0)").alias("k"),
+    ).localCheckpoint()  # full pick + both child picks read it
+    tot = d.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("s"),
+    )
+
+    def argmax(rel: DataFrame) -> DataFrame:
+        """rel: (day, stat DECIMAL) -> 1-row (day, stat) by (stat desc, day)."""
+        return rel.agg(
+            F.max(
+                F.struct(
+                    c("stat").alias("stat"),
+                    (-F.datediff(c("day"), F.lit("1970-01-01").cast("date")))
+                    .cast("long")
+                    .alias("negday"),
+                    c("day").alias("day"),
+                    c("k").alias("k"),
+                    c("pc").alias("pc"),
+                )
+            ).alias("b")
+        ).select(
+            c("b.day").alias("day"), c("b.stat").alias("stat"),
+            c("b.k").alias("k"), c("b.pc").alias("pc"),
+        )
+
+    full_cand = pre.crossJoin(F.broadcast(tot)).where(c("k") < c("n")).select(
+        "day", "k", "pc",
+        F.abs(c("n") * c("pc") - c("k") * c("s")).cast("decimal(38,0)").alias("stat"),
+    )
+    fp = argmax(full_cand).localCheckpoint()  # defines both child segments
+    seg = (
+        fp.select(
+            F.lit("left").alias("segment"),
+            F.lit(0).cast("decimal(38,0)").alias("ka"),
+            c("k").alias("kb"),
+            F.lit(0).cast("decimal(38,0)").alias("pa"),
+            c("pc").alias("pb"),
+        )
+        .unionByName(
+            fp.crossJoin(F.broadcast(tot)).select(
+                F.lit("right").alias("segment"),
+                c("k").alias("ka"),
+                c("n").alias("kb"),
+                c("pc").alias("pa"),
+                c("s").alias("pb"),
+            )
+        )
+    )
+    child_cand = (
+        pre.crossJoin(F.broadcast(seg))
+        .where((c("k") > c("ka")) & (c("k") < c("kb")))
+        .select(
+            "segment",
+            "day",
+            "k",
+            "pc",
+            F.abs(
+                (c("kb") - c("ka")) * (c("pc") - c("pa"))
+                - (c("k") - c("ka")) * (c("pb") - c("pa"))
+            )
+            .cast("decimal(38,0)")
+            .alias("stat"),
+        )
+    )
+    wseg = Window.partitionBy("segment")
+    child_pick = (
+        child_cand.withColumn(
+            "best",
+            F.max(
+                F.struct(
+                    c("stat").alias("stat"),
+                    (-F.datediff(c("day"), F.lit("1970-01-01").cast("date")))
+                    .cast("long")
+                    .alias("negday"),
+                )
+            ).over(wseg),
+        )
+        .where(
+            (c("stat") == c("best.stat"))
+            & (
+                F.datediff(c("day"), F.lit("1970-01-01").cast("date")).cast("long")
+                == -c("best.negday")
+            )
+        )
+        .select("segment", "day", "stat")
+    )
+    out_full = fp.select(
+        F.lit(1).cast("int").alias("level"),
+        F.lit("full").alias("segment"),
+        c("day").alias("change_day"),
+        c("stat").cast("string").alias("max_abs_stat"),
+    )
+    out_child = child_pick.select(
+        F.lit(2).cast("int").alias("level"),
+        "segment",
+        c("day").alias("change_day"),
+        c("stat").cast("string").alias("max_abs_stat"),
+    )
+    return out_full.unionByName(out_child)
