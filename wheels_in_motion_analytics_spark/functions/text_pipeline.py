@@ -774,3 +774,138 @@ from wheels_in_motion_analytics_spark.functions.stats import corr_ppm_sql as _co
 _REG_ZIPF["zipf_token_rank_slope"].oracle = _REG_ZIPF[
     "zipf_token_rank_slope"
 ].oracle.replace("__RHO__", _corr_ppm_sql("num", "dxx", "dyy"))
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary drift PSI — corpus-mix monitoring between sources
+# ---------------------------------------------------------------------------
+
+VDRIFT_TOPK = 200  # monitored vocabulary: global top-K tokens
+VDRIFT_LAPLACE = 1
+
+
+@register(
+    "vocab_drift_psi",
+    category="text",
+    doc=f"Vocabulary-drift PSI between the two largest document sources: "
+    f"shares of the global top-{VDRIFT_TOPK} tokens (+ one OTHER cell for "
+    "the tail, add-one smoothing) compared as Σ (p−q)·ln(p/q) — the "
+    "data-drift monitor applied to a training corpus's token mix (the "
+    "text twin of psi_price_drift). Counts are exact integers; each ln "
+    "term is rounded in isolation (the single libm call, green-precedent "
+    "discipline) and terms accumulate in DECIMAL. Emits the "
+    f"top-20-by-|term| decomposition with the total. SCALE SHAPE: one "
+    "explode+groupBy for counts, the monitored vocab is a bounded "
+    "broadcast, everything after is bounded-relation arithmetic.",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS t
+  FROM documents
+),
+src2 AS (
+  SELECT source, row_number() OVER (ORDER BY COUNT(*) DESC, source) AS srank
+  FROM toks GROUP BY source QUALIFY srank <= 2
+),
+vocab AS (
+  SELECT t FROM toks GROUP BY t
+  ORDER BY COUNT(*) DESC, t LIMIT {VDRIFT_TOPK}
+),
+cell AS (
+  SELECT s.srank, COALESCE(v.t, '<OTHER>') AS token, COUNT(*) AS n
+  FROM toks JOIN src2 s USING (source)
+  LEFT JOIN vocab v ON toks.t = v.t
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT token FROM vocab UNION ALL SELECT '<OTHER>'
+),
+filled AS (
+  SELECT g.token,
+         COALESCE(MAX(CASE WHEN srank = 1 THEN n END), 0) + {VDRIFT_LAPLACE} AS na,
+         COALESCE(MAX(CASE WHEN srank = 2 THEN n END), 0) + {VDRIFT_LAPLACE} AS nb
+  FROM (SELECT t AS token FROM vocab UNION ALL SELECT '<OTHER>') g
+  LEFT JOIN cell ON cell.token = g.token
+  GROUP BY g.token
+),
+tot AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM filled),
+terms AS (
+  SELECT token,
+         round((CAST(na AS DOUBLE) / ta - CAST(nb AS DOUBLE) / tb)
+               * round(ln((CAST(na AS DOUBLE) / ta) / (CAST(nb AS DOUBLE) / tb)), 6),
+               6) AS psi_term
+  FROM filled CROSS JOIN tot
+)
+SELECT token, psi_term,
+       CAST(SUM(CAST(psi_term AS DECIMAL(18,6))) OVER () AS DOUBLE) AS psi_total
+FROM terms
+ORDER BY abs(psi_term) DESC, token
+LIMIT 20
+""",
+)
+def vocab_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select("source", F.explode(tokens(F.col("text"))).alias("t"))
+        .localCheckpoint()  # source ranking, vocab and cells all read it
+    )
+    src2 = (
+        toks.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "source")
+        .limit(2)
+        .select(
+            "source",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n"), "source"))
+            .alias("srank"),
+        )
+    )
+    vocab = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "t")
+        .limit(VDRIFT_TOPK)
+        .select(c("t").alias("vt"))
+    )
+    cell = (
+        toks.join(F.broadcast(src2), "source")
+        .join(F.broadcast(vocab), toks.t == vocab.vt, "left")
+        .select("srank", F.coalesce(c("vt"), F.lit("<OTHER>")).alias("token"))
+        .groupBy("srank", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = vocab.select(c("vt").alias("token")).unionByName(
+        spark.createDataFrame([("<OTHER>",)], "token string")
+    )
+    filled = (
+        grid.join(cell, "token", "left")
+        .groupBy("token")
+        .agg(
+            (
+                F.coalesce(F.max(F.when(c("srank") == 1, c("n"))), F.lit(0))
+                + VDRIFT_LAPLACE
+            ).alias("na"),
+            (
+                F.coalesce(F.max(F.when(c("srank") == 2, c("n"))), F.lit(0))
+                + VDRIFT_LAPLACE
+            ).alias("nb"),
+        )
+    )
+    tot = filled.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    pa = c("na").cast("double") / c("ta")
+    pb = c("nb").cast("double") / c("tb")
+    term = F.round((pa - pb) * F.round(F.log(pa / pb), 6), 6)
+    terms = filled.crossJoin(F.broadcast(tot)).select(
+        "token", term.alias("psi_term")
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        terms.select(
+            "token",
+            "psi_term",
+            F.sum(c("psi_term").cast("decimal(18,6)")).over(wall).cast("double").alias("psi_total"),
+        )
+        .orderBy(F.abs(c("psi_term")).desc(), "token")
+        .limit(20)
+    )
