@@ -786,3 +786,47 @@ def test_feature_store_no_leakage(spark):
             assert row["days_since_prev"] == (
                 (d - prior[-1][0]).days if prior else None
             )
+
+
+def test_pinball_loss_python_recompute(spark):
+    """Exact replay: md5 split, type-1 quantile fit on the calibration
+    half, 4-scaled pinball loss on the held-out half."""
+    import hashlib
+    from collections import defaultdict
+
+    specs = load_all_queries()
+    out = {
+        (r["prio"], r["q_pct"]): r
+        for r in specs["pinball_loss_quantile_eval"].fn(spark, SF_SMALL).collect()
+    }
+    rows = (
+        table(spark, SF_SMALL, "orders")
+        .selectExpr(
+            "o_orderkey AS k",
+            "o_orderpriority AS prio",
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .collect()
+    )
+    cal, test = defaultdict(list), defaultdict(list)
+    for r in rows:
+        is_cal = int(hashlib.md5(f"pin:{r['k']}".encode()).hexdigest()[:15], 16) % 2 == 0
+        (cal if is_cal else test)[r["prio"]].append(r["cents"])
+    for prio, vals in cal.items():
+        vals.sort()
+        n = len(vals)
+        for q_pct, rank in ((25, (n + 3) // 4), (75, (3 * n + 3) // 4)):
+            yhat = vals[rank - 1]
+            row = out[(prio, q_pct)]
+            assert row["yhat_cents"] == yhat
+            w_above = 1 if q_pct == 25 else 3
+            w_below = 3 if q_pct == 25 else 1
+            losses = [
+                w_above * (y - yhat) if y >= yhat else w_below * (yhat - y)
+                for y in test[prio]
+            ]
+            assert row["n_test"] == len(losses)
+            assert row["total_loss4"] == sum(losses)
+            assert row["mean_loss4_milli"] == (
+                2 * sum(losses) * 1000 + len(losses)
+            ) // (2 * len(losses))

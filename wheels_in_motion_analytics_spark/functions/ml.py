@@ -1633,3 +1633,137 @@ def feature_store_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spend_90d_cents",
         "days_since_prev",
     )
+
+
+# ---------------------------------------------------------------------------
+# Pinball (quantile) loss evaluation — the quantile-forecast scorer
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pinball_loss_quantile_eval",
+    category="ml",
+    doc="Pinball-loss evaluation of quantile predictions: per-priority "
+    "Q25/Q75 price quantiles are fitted on a deterministic md5 calibration "
+    "half (type-1 quantiles — value at rank ceil(q*n) — picked from the "
+    "DISTINCT-value cumulative relation, the mann-whitney trick: the "
+    "per-group window runs over ~distinct prices, never rows), then "
+    "scored on the held-out half with the pinball loss in exact 4-scaled "
+    "integer cents (q=1/4: loss4 = 1*(y-yhat) above, 3*(yhat-y) below; "
+    "q=3/4 mirrored). The standard quantile-regression / probabilistic-"
+    "forecast metric. Emits per (priority, quantile): the fitted yhat, "
+    "test count, total and half-up mean milli-loss — all integers.",
+    oracle="""
+WITH o AS (
+  SELECT o_orderpriority AS prio,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         ('0x' || substr(md5('pin:' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 2 = 0 AS is_cal
+  FROM orders
+),
+dv AS (
+  SELECT prio, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM o WHERE is_cal GROUP BY prio, cents
+),
+cum AS (
+  SELECT prio, cents,
+         CAST(SUM(cnt) OVER (PARTITION BY prio ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c,
+         CAST(SUM(cnt) OVER (PARTITION BY prio) AS BIGINT) AS n
+  FROM dv
+),
+q AS (
+  SELECT prio, 25 AS q_pct, MIN(CASE WHEN c >= (n + 3) // 4 THEN cents END) AS yhat
+  FROM cum GROUP BY prio
+  UNION ALL
+  SELECT prio, 75 AS q_pct, MIN(CASE WHEN c >= (3 * n + 3) // 4 THEN cents END) AS yhat
+  FROM cum GROUP BY prio
+),
+sc AS (
+  SELECT q.prio, q.q_pct, q.yhat,
+         CASE WHEN q.q_pct = 25 THEN
+                CASE WHEN o.cents >= q.yhat THEN (o.cents - q.yhat)
+                     ELSE 3 * (q.yhat - o.cents) END
+              ELSE
+                CASE WHEN o.cents >= q.yhat THEN 3 * (o.cents - q.yhat)
+                     ELSE (q.yhat - o.cents) END
+         END AS loss4
+  FROM o JOIN q ON o.prio = q.prio
+  WHERE NOT o.is_cal
+)
+SELECT prio, CAST(q_pct AS BIGINT) AS q_pct, CAST(yhat AS BIGINT) AS yhat_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(loss4) AS BIGINT) AS total_loss4,
+       CAST((2 * CAST(SUM(loss4) AS HUGEINT) * 1000 + COUNT(*))
+            // (2 * CAST(COUNT(*) AS HUGEINT)) AS BIGINT) AS mean_loss4_milli
+FROM sc GROUP BY prio, q_pct, yhat
+""",
+)
+def pinball_loss_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.functions.similarity import hash_hex
+
+    c = F.col
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        (
+            hash_hex(F.concat(F.lit("pin:"), F.col("o_orderkey").cast("string"))) % 2
+            == 0
+        ).alias("is_cal"),
+    ).localCheckpoint()  # quantile fit + held-out scoring share it
+    dv = (
+        o.where("is_cal")
+        .groupBy("prio", "cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    # per-group windows over the DISTINCT-value relation (bounded by the
+    # price domain, never row count)
+    wc = Window.partitionBy("prio").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy("prio")
+    cum = dv.select(
+        "prio",
+        "cents",
+        F.sum("cnt").over(wc).cast("bigint").alias("c"),
+        F.sum("cnt").over(wn).cast("bigint").alias("n"),
+    )
+    q25 = cum.groupBy("prio").agg(
+        F.min(F.when(F.expr("c >= (n + 3) DIV 4"), c("cents"))).alias("yhat")
+    ).withColumn("q_pct", F.lit(25))
+    q75 = cum.groupBy("prio").agg(
+        F.min(F.when(F.expr("c >= (3 * n + 3) DIV 4"), c("cents"))).alias("yhat")
+    ).withColumn("q_pct", F.lit(75))
+    q = q25.unionByName(q75)
+    test = o.where(~c("is_cal"))
+    sc = test.join(F.broadcast(q), "prio").select(
+        "prio",
+        "q_pct",
+        "yhat",
+        F.when(
+            c("q_pct") == 25,
+            F.when(c("cents") >= c("yhat"), c("cents") - c("yhat")).otherwise(
+                3 * (c("yhat") - c("cents"))
+            ),
+        )
+        .otherwise(
+            F.when(c("cents") >= c("yhat"), 3 * (c("cents") - c("yhat"))).otherwise(
+                c("yhat") - c("cents")
+            )
+        )
+        .alias("loss4"),
+    )
+    return sc.groupBy("prio", "q_pct", "yhat").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum("loss4").cast("bigint").alias("total_loss4"),
+        F.expr(
+            "CAST((2 * CAST(SUM(loss4) AS DECIMAL(38,0)) * 1000 + COUNT(*))"
+            " DIV (2 * COUNT(*)) AS BIGINT)"
+        ).alias("mean_loss4_milli"),
+    ).select(
+        "prio",
+        c("q_pct").cast("bigint").alias("q_pct"),
+        c("yhat").cast("bigint").alias("yhat_cents"),
+        "n_test",
+        "total_loss4",
+        "mean_loss4_milli",
+    )
