@@ -100,6 +100,8 @@ PICKS += [
     ("sprt_sequential_test", "frozen nano-ln literals; two-phase prefix-sum LLR walk; min(struct) first crossing"),
     ("conformal_interval_calibration", "quickselect histogram rounds for the exact quantile + one coverage agg over the checkpointed residuals"),
     ("ann_recall_at_k_eval", "blocked exact matmul cells vs bucketed LSH, one (query,neighbor) join + single agg"),
+    ("feature_store_training_set", "PRECEDING-only frames: ONE customer Exchange serves lifetime + 90d-range + lag features"),
+    ("binseg_two_level_changepoints", "one prefix relation; every segment statistic is arithmetic over it, three max(struct) picks"),
 ]
 PICKS = [(n, d) for n, d in PICKS if d is not None]
 seen = set()
