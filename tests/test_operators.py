@@ -742,3 +742,44 @@ def test_binseg_nested_consistency(spark):
     assert out[(2, "right")]["change_day"] == dr
     assert out[(2, "right")]["max_abs_stat"] == str(str_)
     assert dl < d1 <= dr or dl < d1  # picks bracket the split
+
+
+def test_mase_python_recompute(spark):
+    from collections import defaultdict
+
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_SMALL
+    from wheels_in_motion_analytics_spark.operators.timeseries import MASE_SEASON
+    from wheels_in_motion_analytics_spark.registry import load_all_queries
+    from wheels_in_motion_analytics_spark.tables import table as tbl
+
+    row = load_all_queries()["mase_seasonal_naive_eval"].fn(spark, SF_SMALL).collect()[0]
+    daily = defaultdict(int)
+    for r in (
+        tbl(spark, SF_SMALL, "orders")
+        .selectExpr(
+            "CAST(o_orderdate AS DATE) AS day",
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .collect()
+    ):
+        daily[r["day"]] += r["cents"]
+    import datetime
+
+    def sae(lag):
+        n = s = 0
+        for d, v in daily.items():
+            prev = d - datetime.timedelta(days=lag)
+            if prev in daily:
+                n += 1
+                s += abs(v - daily[prev])
+        return n, s
+
+    n_f, sae_f = sae(MASE_SEASON)
+    n_b, sae_b = sae(1)
+    assert (row["n_seasonal_pairs"], row["sae_seasonal_cents"]) == (n_f, sae_f)
+    assert (row["n_naive_pairs"], row["sae_naive_cents"]) == (n_b, sae_b)
+    want = (2 * sae_f * n_b * 1_000_000 + n_f * sae_b) // (2 * n_f * sae_b)
+    assert row["mase_ppm"] == want
+    assert row["beats_naive"] == (want < 1_000_000)

@@ -542,3 +542,32 @@ def test_stream_ingest_versioned_commits_match_batch_aggregate(spark):
         assert row["n_events"] == batch[et]["n_events"]
         assert row["total_cents"] == batch[et]["total_cents"]
         assert row["n_versions"] == 3  # one atomic append per micro-batch
+
+
+def test_stream_fanout_sinks_agree_and_match_batch(spark):
+    from wheels_in_motion_analytics_spark.streaming.sinks import (
+        _FO_KEY_MOD,
+        stream_fanout_two_sinks,
+    )
+    from wheels_in_motion_analytics_spark.tables import table as tbl
+
+    out = {r["event_type"]: r for r in stream_fanout_two_sinks(spark, SF_SMALL).collect()}
+    batch = {
+        r["event_type"]: r
+        for r in (
+            tbl(spark, SF_SMALL, "events")
+            .where(F.col("event_id") % _FO_KEY_MOD == 0)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+                ).alias("c"),
+            )
+        ).collect()
+    }
+    assert set(out) == set(batch)
+    for et, row in out.items():
+        assert row["sinks_agree"]
+        assert row["mirror_events"] == row["state_events"] == batch[et]["n"]
+        assert row["mirror_cents"] == row["state_cents"] == batch[et]["c"]

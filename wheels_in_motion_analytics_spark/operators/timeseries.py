@@ -1912,3 +1912,89 @@ def binseg_two_level_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame
         c("stat").cast("string").alias("max_abs_stat"),
     )
     return out_full.unionByName(out_child)
+
+
+# ---------------------------------------------------------------------------
+# MASE — scale-free forecast accuracy vs the seasonal-naive baseline
+# ---------------------------------------------------------------------------
+
+MASE_SEASON = 7  # weekly seasonality
+
+
+@register(
+    "mase_seasonal_naive_eval",
+    category="timeseries",
+    doc=f"MASE evaluation of the seasonal-naive forecaster on daily "
+    f"revenue: forecast(d) = revenue(d-{MASE_SEASON}) (calendar lag — "
+    "missing days drop pairs identically on both engines), scored "
+    "against the one-day naive baseline. MASE = MAE(forecast)/"
+    "MAE(baseline) computed WITHOUT any float: the ratio emits as a "
+    "half-up ppm of exact integer error sums cross-multiplied with the "
+    "pair counts (sum_f * n_b * 1e6 / (n_f * sum_b)). The standard "
+    "scale-free forecast metric (Hyndman) beside the EWMA/seasonal "
+    "decomposition family. One day-grain aggregate + two self-joins on "
+    "the bounded calendar relation.",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+f AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n_f,
+         CAST(SUM(abs(a.cents - b.cents)) AS HUGEINT) AS sae_f
+  FROM d a JOIN d b ON b.day = a.day - {MASE_SEASON}
+),
+b AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n_b,
+         CAST(SUM(abs(a.cents - b.cents)) AS HUGEINT) AS sae_b
+  FROM d a JOIN d b ON b.day = a.day - 1
+)
+SELECT CAST(n_f AS BIGINT) AS n_seasonal_pairs,
+       CAST(sae_f AS BIGINT) AS sae_seasonal_cents,
+       CAST(n_b AS BIGINT) AS n_naive_pairs,
+       CAST(sae_b AS BIGINT) AS sae_naive_cents,
+       CAST((2 * sae_f * n_b * 1000000 + n_f * sae_b)
+            // (2 * n_f * sae_b) AS BIGINT) AS mase_ppm,
+       (2 * sae_f * n_b * 1000000 + n_f * sae_b)
+            // (2 * n_f * sae_b) < 1000000 AS beats_naive
+FROM f CROSS JOIN b
+""",
+)
+def mase_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col
+    d = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents")
+        )
+        .localCheckpoint()  # both lag self-joins read it
+    )
+
+    def sae(lag_days: int, n_name: str, s_name: str) -> DataFrame:
+        a = d.select("day", c("cents").alias("ca"))
+        b = d.select(
+            F.date_add(c("day"), lag_days).alias("day"), c("cents").alias("cb")
+        )
+        return a.join(b, "day").agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias(n_name),
+            F.sum(F.abs(c("ca") - c("cb"))).cast("decimal(38,0)").alias(s_name),
+        )
+
+    f = sae(MASE_SEASON, "n_f", "sae_f")
+    bl = sae(1, "n_b", "sae_b")
+    ppm = (
+        "CAST((2 * sae_f * n_b * CAST(1000000 AS DECIMAL(38,0)) + n_f * sae_b)"
+        " DIV (2 * n_f * sae_b) AS BIGINT)"
+    )
+    return f.crossJoin(bl).select(
+        c("n_f").cast("bigint").alias("n_seasonal_pairs"),
+        c("sae_f").cast("bigint").alias("sae_seasonal_cents"),
+        c("n_b").cast("bigint").alias("n_naive_pairs"),
+        c("sae_b").cast("bigint").alias("sae_naive_cents"),
+        F.expr(ppm).alias("mase_ppm"),
+        (F.expr(ppm) < 1000000).alias("beats_naive"),
+    )

@@ -269,3 +269,143 @@ def stream_ingest_versioned_table(spark: SparkSession, sf_dir: str) -> DataFrame
     for d in (stage, root, ckpt):
         shutil.rmtree(d, ignore_errors=True)
     return final
+
+
+# ---------------------------------------------------------------------------
+# Multi-sink fanout — one stream, two exactly-once destinations
+# ---------------------------------------------------------------------------
+
+_FO_KEY_MOD = 13
+
+
+@register(
+    "stream_fanout_two_sinks",
+    category="streaming",
+    doc="Multi-sink streaming fanout: ONE availableNow stream whose "
+    "foreachBatch writes every micro-batch to TWO destinations — a "
+    "partitioned parquet mirror (idempotent per-batch overwrite into a "
+    "batch=<id> subdir: replays rewrite, never duplicate) and a running "
+    "per-type aggregate folded through the keyed MERGE. The result joins "
+    "both destinations and PROVES they agree: per event type, the "
+    "mirror's recount vs the merged running totals, with match verdicts. "
+    "This is the consistency contract a dual-write pipeline (lake mirror "
+    "+ serving state) must keep; batch-boundary independence comes free "
+    "from the idempotent batch-dir scheme. Exact integer cents.",
+    oracle=f"""
+WITH s AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_id % {_FO_KEY_MOD} = 0
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS mirror_events,
+       CAST(SUM(cents) AS BIGINT) AS mirror_cents,
+       CAST(COUNT(*) AS BIGINT) AS state_events,
+       CAST(SUM(cents) AS BIGINT) AS state_cents,
+       TRUE AS sinks_agree
+FROM s GROUP BY event_type
+""",
+)
+def stream_fanout_two_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from wheels_in_motion_analytics_spark.sources.cdc import merge_upsert
+    from wheels_in_motion_analytics_spark.tables import table
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_id") % _FO_KEY_MOD == 0)
+        .select(
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        )
+    )
+    stage = tempfile.mkdtemp(prefix="fanout_src_")
+    mirror = tempfile.mkdtemp(prefix="fanout_mirror_")
+    state = tempfile.mkdtemp(prefix="fanout_state_")
+    ckpt = tempfile.mkdtemp(prefix="fanout_ckpt_")
+    for part in range(3):
+        ev.where(F.col("event_id") % 3 == part).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(stage, f"f{part}"))
+    # empty keyed state (schema only) so the first merge has a target
+    ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("c"),
+    ).limit(0).write.mode("overwrite").parquet(os.path.join(state, "data"))
+
+    def fanout(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        # sink 1: idempotent lake mirror — replays overwrite their own dir
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(mirror, f"batch={batch_id}")
+        )
+        # sink 2: running per-type totals folded via the keyed MERGE
+        prev = sess.read.parquet(os.path.join(state, "data"))
+        delta = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("c"),
+        )
+        merged = (
+            prev.select(
+                F.col("event_type"), F.col("n").alias("pn"), F.col("c").alias("pc")
+            )
+            .join(delta, "event_type", "full_outer")
+            .select(
+                "event_type",
+                (F.coalesce(F.col("pn"), F.lit(0)) + F.coalesce(F.col("n"), F.lit(0)))
+                .cast("bigint")
+                .alias("n"),
+                (F.coalesce(F.col("pc"), F.lit(0)) + F.coalesce(F.col("c"), F.lit(0)))
+                .cast("bigint")
+                .alias("c"),
+            )
+            .localCheckpoint()  # read-modify-overwrite guard (NOTES #6)
+        )
+        merged.write.mode("overwrite").parquet(os.path.join(state, "data"))
+
+    q = (
+        spark.readStream.schema("event_id BIGINT, event_type STRING, cents BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(stage, "*"))
+        .writeStream.foreachBatch(fanout)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("availableNow fanout stream did not finish in 300s")
+    m = (
+        spark.read.parquet(os.path.join(mirror, "batch=*"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("mirror_events"),
+            F.sum("cents").cast("bigint").alias("mirror_cents"),
+        )
+    )
+    st = spark.read.parquet(os.path.join(state, "data")).select(
+        "event_type",
+        F.col("n").alias("state_events"),
+        F.col("c").alias("state_cents"),
+    )
+    out = (
+        m.join(st, "event_type")
+        .select(
+            "event_type",
+            "mirror_events",
+            "mirror_cents",
+            "state_events",
+            "state_cents",
+            (
+                (F.col("mirror_events") == F.col("state_events"))
+                & (F.col("mirror_cents") == F.col("state_cents"))
+            ).alias("sinks_agree"),
+        )
+        .localCheckpoint()
+    )
+    for dpath in (stage, mirror, state, ckpt):
+        shutil.rmtree(dpath, ignore_errors=True)
+    return out
