@@ -830,3 +830,18 @@ def test_pinball_loss_python_recompute(spark):
             assert row["mean_loss4_milli"] == (
                 2 * sum(losses) * 1000 + len(losses)
             ) // (2 * len(losses))
+
+
+def test_woe_iv_counts_and_total(spark):
+    rows = SPECS["woe_iv_feature_audit"].fn(spark, SF_SMALL).collect()
+    from wheels_in_motion_analytics_spark.functions.ml import WOE_LAPLACE
+
+    n_orders = table(spark, SF_SMALL, "orders").count()
+    assert sum(r["n_good"] + r["n_bad"] - 2 * WOE_LAPLACE for r in rows) == n_orders
+    totals = {r["iv_total"] for r in rows}
+    assert len(totals) == 1
+    # WoE sign must track the share comparison
+    tg = sum(r["n_good"] for r in rows)
+    tb = sum(r["n_bad"] for r in rows)
+    for r in rows:
+        assert (r["woe"] > 0) == (r["n_good"] * tb > r["n_bad"] * tg) or r["woe"] == 0

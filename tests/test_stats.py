@@ -411,3 +411,31 @@ def test_conformal_coverage_guarantee(spark):
     )
     assert row["coverage_ppm"] >= 860_000  # 90% target minus small-n slack
     assert row["n_covered"] <= row["n_test"]
+
+
+def test_runs_test_python_recompute(spark):
+    from collections import defaultdict
+
+    row = SPECS["runs_test_randomness"].fn(spark, SF_SMALL).collect()[0]
+    daily = defaultdict(int)
+    for r in (
+        table(spark, SF_SMALL, "orders")
+        .selectExpr(
+            "CAST(o_orderdate AS DATE) AS day",
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .collect()
+    ):
+        daily[r["day"]] += r["cents"]
+    vals = sorted(daily.values())
+    m = vals[(len(vals) + 1) // 2 - 1]
+    seq = [1 if daily[d] > m else 0 for d in sorted(daily) if daily[d] != m]
+    n1, n2 = sum(seq), len(seq) - sum(seq)
+    runs = 1 + sum(1 for a, b in zip(seq, seq[1:]) if a != b)
+    assert (row["n_above"], row["n_below"], row["n_runs"]) == (n1, n2, runs)
+    n = n1 + n2
+    a = runs * n - 2 * n1 * n2 - n
+    assert row["a_scaled"] == a
+    assert row["reject_randomness"] == (
+        a * a * (n - 1) * 10000 > 38416 * 2 * n1 * n2 * (2 * n1 * n2 - n)
+    )

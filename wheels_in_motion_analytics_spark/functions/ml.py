@@ -1767,3 +1767,85 @@ def pinball_loss_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_loss4",
         "mean_loss4_milli",
     )
+
+
+# ---------------------------------------------------------------------------
+# WoE / IV — weight-of-evidence binning and information value
+# ---------------------------------------------------------------------------
+
+WOE_BUCKETS = 10
+WOE_LAPLACE = 1
+
+
+@register(
+    "woe_iv_feature_audit",
+    category="ml",
+    doc=f"Weight-of-Evidence / Information-Value audit of order price as a "
+    "predictor of fulfilment (the credit-scoring feature screen): "
+    f"{WOE_BUCKETS} fixed-width price bins, per-bin WoE = "
+    "ln(share_good/share_bad) from exact integer counts (add-one "
+    "smoothing), IV contribution = (share_good - share_bad) * WoE, total "
+    "IV on every row. Same isolated-ln 6dp + DECIMAL-accumulate "
+    "discipline as psi_price_drift (driver-green class). ONE conditional "
+    "groupBy scan + a broadcast totals join; the predictive-power "
+    "screening step before any scorecard/GBM training.",
+    oracle=f"""
+WITH b AS (
+  SELECT least(CAST(floor(o_totalprice / 60000.0 * {WOE_BUCKETS}) AS INTEGER),
+               {WOE_BUCKETS - 1}) AS bucket,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS good
+  FROM orders
+),
+counts AS (
+  SELECT bucket,
+         CAST(SUM(good) + {WOE_LAPLACE} AS BIGINT) AS ng,
+         CAST(SUM(1 - good) + {WOE_LAPLACE} AS BIGINT) AS nb
+  FROM b GROUP BY bucket
+),
+tot AS (SELECT SUM(ng) AS tg, SUM(nb) AS tb FROM counts),
+terms AS (
+  SELECT bucket, ng, nb,
+         round(ln((CAST(ng AS DOUBLE) / tg) / (CAST(nb AS DOUBLE) / tb)), 6) AS woe,
+         round((CAST(ng AS DOUBLE) / tg - CAST(nb AS DOUBLE) / tb)
+               * round(ln((CAST(ng AS DOUBLE) / tg) / (CAST(nb AS DOUBLE) / tb)), 6),
+               6) AS iv_term
+  FROM counts CROSS JOIN tot
+)
+SELECT bucket, ng AS n_good, nb AS n_bad, woe, iv_term,
+       CAST(SUM(CAST(iv_term AS DECIMAL(18,6))) OVER () AS DOUBLE) AS iv_total
+FROM terms
+""",
+)
+def woe_iv_feature_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col
+    b = table(spark, sf_dir, "orders").select(
+        F.least(
+            F.floor(F.col("o_totalprice") / 60000.0 * WOE_BUCKETS).cast("int"),
+            F.lit(WOE_BUCKETS - 1),
+        ).alias("bucket"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("good"),
+    )
+    counts = b.groupBy("bucket").agg(
+        (F.sum("good") + WOE_LAPLACE).cast("bigint").alias("ng"),
+        (F.sum(1 - c("good")) + WOE_LAPLACE).cast("bigint").alias("nb"),
+    )
+    tot = counts.agg(F.sum("ng").alias("tg"), F.sum("nb").alias("tb"))
+    pg = c("ng").cast("double") / c("tg")
+    pb = c("nb").cast("double") / c("tb")
+    woe = F.round(F.log(pg / pb), 6)
+    iv_term = F.round((pg - pb) * woe, 6)
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        c("ng").alias("n_good"),
+        c("nb").alias("n_bad"),
+        woe.alias("woe"),
+        iv_term.alias("iv_term"),
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return terms.select(
+        "*",
+        F.sum(c("iv_term").cast("decimal(18,6)"))
+        .over(wall)
+        .cast("double")
+        .alias("iv_total"),
+    )

@@ -1568,3 +1568,106 @@ def sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total",
         "final_llr_nano",
     )
+
+
+# ---------------------------------------------------------------------------
+# Wald–Wolfowitz runs test — nonparametric randomness check
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "runs_test_randomness",
+    category="stats",
+    doc="Wald–Wolfowitz runs test on daily revenue vs its median: days "
+    "classify above/below the EXACT lower median (selected by the "
+    "distributed quickselect — ties with the median drop, the standard "
+    "treatment), the run count comes from one lag pass over the bounded "
+    "day grain, and the normal-approximation verdict |z| > 1.96 is "
+    "decided ENTIRELY in integers by cross-multiplication: "
+    "(R*N - 2*n1*n2 - N)^2 * (N-1) * 10000 > 38416 * 2*n1*n2 * "
+    "(2*n1*n2 - N), accumulated in DECIMAL(38,0). A rejected test means "
+    "the series is trending/clustered (seasonality, drift) rather than "
+    "random around its median — the sanity check before applying "
+    "i.i.d.-assuming methods. No float anywhere.",
+    oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+med AS (
+  SELECT cents AS m FROM d ORDER BY cents
+  LIMIT 1 OFFSET (SELECT (COUNT(*) + 1) // 2 - 1 FROM d)
+),
+s AS (
+  SELECT day, CASE WHEN cents > m THEN 1 ELSE 0 END AS above
+  FROM d CROSS JOIN med WHERE cents <> m
+),
+runs AS (
+  SELECT above,
+         CASE WHEN lag(above) OVER (ORDER BY day) IS NULL THEN 1
+              WHEN lag(above) OVER (ORDER BY day) <> above THEN 1 ELSE 0 END AS startrun
+  FROM s
+),
+agg AS (
+  SELECT CAST(SUM(above) AS HUGEINT) AS n1,
+         CAST(SUM(1 - above) AS HUGEINT) AS n2,
+         CAST(SUM(startrun) AS HUGEINT) AS r
+  FROM runs
+)
+SELECT CAST(n1 AS BIGINT) AS n_above,
+       CAST(n2 AS BIGINT) AS n_below,
+       CAST(r AS BIGINT) AS n_runs,
+       CAST(r * (n1 + n2) - 2 * n1 * n2 - (n1 + n2) AS BIGINT) AS a_scaled,
+       (r * (n1 + n2) - 2 * n1 * n2 - (n1 + n2))
+         * (r * (n1 + n2) - 2 * n1 * n2 - (n1 + n2))
+         * (n1 + n2 - 1) * 10000
+         > 38416 * 2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2)) AS reject_randomness
+FROM agg
+""",
+)
+def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from wheels_in_motion_analytics_spark.operators.windows import global_kth_smallest
+
+    c = F.col
+    d = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents")
+        )
+        .localCheckpoint()  # quickselect passes + the runs pass share it
+    )
+    m, _n = global_kth_smallest(d, "cents", lambda n: (n + 1) // 2)
+    s = d.where(c("cents") != m).select(
+        "day", (c("cents") > m).cast("int").alias("above")
+    )
+    # bounded day-grain window (same exemption as the calendar ops)
+    w = W.orderBy("day")
+    runs = s.select(
+        "above",
+        F.when(F.lag("above").over(w).isNull(), F.lit(1))
+        .when(F.lag("above").over(w) != c("above"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("startrun"),
+    )
+    agg = runs.agg(
+        F.sum("above").cast("decimal(38,0)").alias("n1"),
+        F.sum(1 - c("above")).cast("decimal(38,0)").alias("n2"),
+        F.sum("startrun").cast("decimal(38,0)").alias("r"),
+    )
+    a = "(r * (n1 + n2) - 2 * n1 * n2 - (n1 + n2))"
+    return agg.select(
+        c("n1").cast("bigint").alias("n_above"),
+        c("n2").cast("bigint").alias("n_below"),
+        c("r").cast("bigint").alias("n_runs"),
+        F.expr(f"CAST({a} AS BIGINT)").alias("a_scaled"),
+        F.expr(
+            f"{a} * {a} * (n1 + n2 - 1) * 10000"
+            " > 38416 * 2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2))"
+        ).alias("reject_randomness"),
+    )
