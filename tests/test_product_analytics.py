@@ -160,3 +160,24 @@ def test_wau_matches_direct_sliding_distinct(spark):
     assert set(got) == {
         lo + datetime.timedelta(days=i) for i in range((hi - lo).days + 1)
     }
+
+
+def test_abc_xyz_partition_and_masses(spark):
+    from wheels_in_motion_analytics_spark.registry import load_all_queries
+    from wheels_in_motion_analytics_spark.tables import table as tbl
+
+    rows = load_all_queries()["abc_xyz_classification"].fn(spark, SF_SMALL).collect()
+    n_parts = (
+        tbl(spark, SF_SMALL, "lineitem").select("l_partkey").distinct().count()
+    )
+    assert sum(r["n_parts"] for r in rows) == n_parts
+    by_abc = {}
+    for r in rows:
+        by_abc[r["abc"]] = by_abc.get(r["abc"], 0) + r["revenue_cents"]
+    tot = sum(by_abc.values())
+    # A-class revenue share must dominate (>= its 70% cut is guaranteed by
+    # construction only approximately — assert the ordering instead)
+    assert by_abc.get("A", 0) >= by_abc.get("B", 0) >= 0
+    assert set(r["abc"] for r in rows) <= {"A", "B", "C"}
+    assert set(r["xyz"] for r in rows) <= {"X", "Y", "Z"}
+    assert tot == sum(r["revenue_cents"] for r in rows)

@@ -439,3 +439,46 @@ def test_runs_test_python_recompute(spark):
     assert row["reject_randomness"] == (
         a * a * (n - 1) * 10000 > 38416 * 2 * n1 * n2 * (2 * n1 * n2 - n)
     )
+
+
+def test_did_python_recompute(spark):
+    from collections import defaultdict
+
+    from wheels_in_motion_analytics_spark.functions.stats import (
+        DID_SPLIT,
+        DID_TREATED_REGION,
+    )
+
+    row = SPECS["did_estimator_regions"].fn(spark, SF_SMALL).collect()[0]
+    orders = table(spark, SF_SMALL, "orders").selectExpr(
+        "o_custkey",
+        f"CAST(o_orderdate >= TIMESTAMP '{DID_SPLIT} 00:00:00' AS INT) AS after",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 1000 AS milli",
+    )
+    cust = table(spark, SF_SMALL, "customer").selectExpr("c_custkey", "c_nationkey")
+    nat = table(spark, SF_SMALL, "nation").selectExpr("n_nationkey", "n_regionkey")
+    reg = table(spark, SF_SMALL, "region").selectExpr("r_regionkey", "r_name")
+    rows = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nat, cust.c_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .selectExpr(
+            f"CAST(r_name = '{DID_TREATED_REGION}' AS INT) AS treated",
+            "after",
+            "milli",
+        )
+        .collect()
+    )
+    cells = defaultdict(lambda: [0, 0])
+    for r in rows:
+        cells[(r["treated"], r["after"])][0] += 1
+        cells[(r["treated"], r["after"])][1] += r["milli"]
+
+    def mean(t, a):
+        n, s = cells[(t, a)]
+        return (2 * s + n) // (2 * n)
+
+    did = (mean(1, 1) - mean(1, 0)) - (mean(0, 1) - mean(0, 0))
+    assert row["did_milli"] == did
+    assert row["treated_after_milli"] == mean(1, 1)
+    assert row["n_treated"] == cells[(1, 1)][0] + cells[(1, 0)][0]

@@ -826,3 +826,118 @@ def wau_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # islands still open at the horizon close beyond it — their -1 falls off
     # the axis, which is exactly right for an inclusive prefix
     return pre.select("day", F.col("delta_cum").cast("bigint").alias("wau"))
+
+
+# ---------------------------------------------------------------------------
+# ABC-XYZ classification — the inventory/revenue segmentation matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "abc_xyz_classification",
+    category="product",
+    doc="ABC-XYZ classification of parts: ABC by cumulative revenue share "
+    "(A <= 70%, B <= 90%, C rest — exact cross-multiplied cumulative "
+    "comparisons over the TWO-PHASE revenue rank, never a single-task "
+    "sort) crossed with XYZ demand variability (CV^2 of monthly demand "
+    "against 0.25 / 1.0 thresholds, decided by the cross-multiplied "
+    "integer test n*Σq² - (Σq)² vs k*(Σq)²/... all in DECIMAL(38,0), no "
+    "sqrt or division). The classic planning matrix; emits per-class "
+    "part counts and revenue mass. Demand months with zero sales count "
+    "as gaps (the months-observed denominator is per-part).",
+    oracle="""
+WITH prev AS (
+  SELECT l_partkey AS p,
+         CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS HUGEINT) AS rev
+  FROM lineitem GROUP BY 1
+),
+ranked AS (
+  SELECT p, rev,
+         CAST(SUM(rev) OVER (ORDER BY rev DESC, p
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS cum,
+         CAST(SUM(rev) OVER () AS HUGEINT) AS tot
+  FROM prev
+),
+abc AS (
+  SELECT p, rev,
+         CASE WHEN cum * 100 <= tot * 70 THEN 'A'
+              WHEN cum * 100 <= tot * 90 THEN 'B'
+              ELSE 'C' END AS abc
+  FROM ranked
+),
+mdem AS (
+  SELECT l_partkey AS p,
+         (year(l_shipdate) - 1990) * 12 + month(l_shipdate) AS m,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+var_ AS (
+  SELECT p, CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(q) AS HUGEINT) AS s,
+         SUM(q * q) AS ss
+  FROM mdem GROUP BY p
+),
+xyz AS (
+  SELECT p,
+         CASE WHEN (n * ss - s * s) * 4 <= s * s THEN 'X'
+              WHEN n * ss - s * s <= s * s THEN 'Y'
+              ELSE 'Z' END AS xyz
+  FROM var_
+)
+SELECT abc.abc, xyz.xyz,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(abc.rev) AS BIGINT) AS revenue_cents
+FROM abc JOIN xyz USING (p)
+GROUP BY abc.abc, xyz.xyz
+""",
+)
+def abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.operators.windows import global_prefix_sums
+
+    c = F.col
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+        (
+            (F.year("l_shipdate") - 1990) * 12 + F.month("l_shipdate")
+        ).alias("m"),
+    ).localCheckpoint()  # revenue rank + monthly-demand variance share it
+    prev = li.groupBy("p").agg(F.sum("cents").cast("bigint").alias("rev"))
+    # exact cumulative revenue share via the two-phase prefix sum over
+    # (rev DESC, p) — part relations are row-scale at 100 TB
+    ranked = global_prefix_sums(
+        prev.withColumn("negrev", -c("rev")), ["negrev", "p"], ["rev"]
+    )
+    tot = prev.agg(F.sum("rev").cast("decimal(38,0)").alias("tot"))
+    abc = ranked.crossJoin(F.broadcast(tot)).select(
+        "p",
+        "rev",
+        F.when(
+            c("rev_cum").cast("decimal(38,0)") * 100 <= c("tot") * 70, F.lit("A")
+        )
+        .when(c("rev_cum").cast("decimal(38,0)") * 100 <= c("tot") * 90, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc"),
+    )
+    mdem = li.groupBy("p", "m").agg(F.sum("q").cast("bigint").alias("mq"))
+    var_ = mdem.groupBy("p").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("mq").cast("decimal(38,0)").alias("s"),
+        F.sum(c("mq").cast("decimal(38,0)") * c("mq")).alias("ss"),
+    )
+    xyz = var_.select(
+        "p",
+        F.when((c("n") * c("ss") - c("s") * c("s")) * 4 <= c("s") * c("s"), "X")
+        .when(c("n") * c("ss") - c("s") * c("s") <= c("s") * c("s"), "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+    )
+    return (
+        abc.join(xyz, "p")
+        .groupBy("abc", "xyz")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("rev").cast("bigint").alias("revenue_cents"),
+        )
+    )

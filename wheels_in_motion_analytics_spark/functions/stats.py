@@ -1671,3 +1671,120 @@ def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
             " > 38416 * 2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2))"
         ).alias("reject_randomness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences — the panel causal estimator
+# ---------------------------------------------------------------------------
+
+DID_SPLIT = "1998-01-01"
+DID_TREATED_REGION = "EUROPE"
+
+
+@register(
+    "did_estimator_regions",
+    category="stats",
+    doc=f"Difference-in-differences point estimate: treated = customers in "
+    f"{DID_TREATED_REGION}, control = everyone else, periods split at "
+    f"{DID_SPLIT}; outcome = mean order value. DiD = (treated_after - "
+    "treated_before) - (control_after - control_before) on HALF-UP "
+    "MILLI-CENT cell means — each of the four panel cells is one exact "
+    "integer division, and the estimate is arithmetic over those four "
+    "integers (deterministic on any engine, no float). ONE conditional "
+    "aggregate over the star join (region dim broadcast). The canonical "
+    "quasi-experimental readout beside the welch/cuped/sprt family.",
+    oracle=f"""
+WITH j AS (
+  SELECT CASE WHEN r.r_name = '{DID_TREATED_REGION}' THEN 1 ELSE 0 END AS treated,
+         CASE WHEN o.o_orderdate >= TIMESTAMP '{DID_SPLIT} 00:00:00' THEN 1 ELSE 0 END AS after,
+         CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) * 1000 AS milli
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+),
+cells AS (
+  SELECT treated, after,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(milli) AS HUGEINT) AS s
+  FROM j GROUP BY treated, after
+),
+m AS (
+  SELECT treated, after,
+         CAST((2 * s + n) // (2 * n) AS BIGINT) AS mean_milli,
+         CAST(n AS BIGINT) AS n_rows
+  FROM cells
+)
+SELECT t1.mean_milli AS treated_after_milli,
+       t0.mean_milli AS treated_before_milli,
+       c1.mean_milli AS control_after_milli,
+       c0.mean_milli AS control_before_milli,
+       t1.n_rows + t0.n_rows AS n_treated,
+       c1.n_rows + c0.n_rows AS n_control,
+       (t1.mean_milli - t0.mean_milli) - (c1.mean_milli - c0.mean_milli)
+         AS did_milli
+FROM (SELECT * FROM m WHERE treated = 1 AND after = 1) t1,
+     (SELECT * FROM m WHERE treated = 1 AND after = 0) t0,
+     (SELECT * FROM m WHERE treated = 0 AND after = 1) c1,
+     (SELECT * FROM m WHERE treated = 0 AND after = 0) c0
+""",
+)
+def did_estimator_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_orderdate") >= F.lit(f"{DID_SPLIT} 00:00:00").cast("timestamp"))
+        .cast("int")
+        .alias("after"),
+        (F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint") * 1000).alias(
+            "milli"
+        ),
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    j = (
+        o.join(cust, c("o_custkey") == c("c_custkey"))
+        .join(F.broadcast(nat), c("c_nationkey") == c("n_nationkey"))
+        .join(F.broadcast(reg), c("n_regionkey") == c("r_regionkey"))
+        .select(
+            (c("r_name") == DID_TREATED_REGION).cast("int").alias("treated"),
+            "after",
+            "milli",
+        )
+    )
+    cells = j.groupBy("treated", "after").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("milli").cast("decimal(38,0)").alias("s"),
+    )
+    m = cells.select(
+        "treated",
+        "after",
+        F.expr("CAST((2 * s + n) DIV (2 * n) AS BIGINT)").alias("mean_milli"),
+        c("n").cast("bigint").alias("n_rows"),
+    )
+
+    def cell(t: int, a: int, prefix: str) -> DataFrame:
+        return m.where((c("treated") == t) & (c("after") == a)).select(
+            c("mean_milli").alias(f"{prefix}_milli"), c("n_rows").alias(f"{prefix}_n")
+        )
+
+    t1, t0 = cell(1, 1, "treated_after"), cell(1, 0, "treated_before")
+    c1, c0 = cell(0, 1, "control_after"), cell(0, 0, "control_before")
+    return (
+        t1.crossJoin(t0)
+        .crossJoin(c1)
+        .crossJoin(c0)
+        .select(
+            "treated_after_milli",
+            "treated_before_milli",
+            "control_after_milli",
+            "control_before_milli",
+            (c("treated_after_n") + c("treated_before_n")).alias("n_treated"),
+            (c("control_after_n") + c("control_before_n")).alias("n_control"),
+            (
+                (c("treated_after_milli") - c("treated_before_milli"))
+                - (c("control_after_milli") - c("control_before_milli"))
+            ).alias("did_milli"),
+        )
+    )
