@@ -113,3 +113,39 @@ def test_mmr_diversifies_vs_pure_relevance(spark):
     one pick on real embeddings)."""
     out = SPECS["mmr_diversified_topk"].fn(spark, SF_SMALL).collect()
     assert any(r["max_sim_micro"] != 0 for r in out if r["sel_rank"] > 1)
+
+
+def test_mrr_python_recompute(spark):
+    from collections import defaultdict
+
+    from wheels_in_motion_analytics_spark.functions.retrieval import (
+        MRR_GOLD_MIN_TF,
+        MRR_K,
+        MRR_LCM,
+        QUERY_TERMS,
+    )
+
+    rows = SPECS["mrr_eval_retrieval"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == len(QUERY_TERMS)
+    tf = defaultdict(lambda: defaultdict(int))
+    for r in table(spark, SF_SMALL, "documents").select("doc_id", "text").collect():
+        for t in r["text"].lower().split():
+            if t in QUERY_TERMS:
+                tf[t][r["doc_id"]] += 1
+    total = 0
+    for row in rows:
+        t = row["term"]
+        golds = [d for d, n in tf[t].items() if n >= MRR_GOLD_MIN_TF]
+        gold = min(golds) if golds else None
+        assert row["gold_doc"] == gold
+        ranked = sorted(tf[t].items(), key=lambda kv: (-kv[1], kv[0]))[:MRR_K]
+        pos = next((i + 1 for i, (d, _) in enumerate(ranked) if d == gold), None)
+        assert row["sys_rank"] == pos
+        rr = MRR_LCM // pos if pos else 0
+        assert row[f"rr_x{MRR_LCM}"] == rr
+        total += rr
+    n_q = len(QUERY_TERMS)
+    mrr_ppm = (2 * total * 10**6 + n_q * MRR_LCM) // (2 * n_q * MRR_LCM)
+    for row in rows:
+        assert row[f"rr_sum_x{MRR_LCM}"] == total
+        assert row["mrr_ppm"] == mrr_ppm

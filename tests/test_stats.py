@@ -482,3 +482,103 @@ def test_did_python_recompute(spark):
     assert row["did_milli"] == did
     assert row["treated_after_milli"] == mean(1, 1)
     assert row["n_treated"] == cells[(1, 1)][0] + cells[(1, 0)][0]
+
+
+def test_kruskal_wallis_python_recompute(spark):
+    """Exact grid recompute: ranks, micro grid, tie factor — and the grid
+    H must sit within 1e-4 of the float textbook H."""
+    from collections import defaultdict
+
+    row = SPECS["kruskal_wallis_priority"].fn(spark, SF_SMALL).collect()[0]
+    data = [
+        (float(r["v"]), int(r["g"]))
+        for r in table(spark, SF_SMALL, "orders")
+        .selectExpr(
+            "CAST(o_totalprice AS DECIMAL(18,2)) AS v",
+            "CAST(substr(o_orderpriority, 1, 1) AS INT) AS g",
+        )
+        .collect()
+    ]
+    per_val = defaultdict(lambda: [0, 0, 0, 0, 0, 0])  # n_tot, c1..c5
+    for v, g in data:
+        per_val[v][0] += 1
+        per_val[v][g] += 1
+    n = len(data)
+    cum = 0
+    r2 = [0] * 6
+    ngrp = [0] * 6
+    ties = 0
+    for v in sorted(per_val):
+        t = per_val[v][0]
+        dr = 2 * cum + t + 1
+        for g in range(1, 6):
+            r2[g] += per_val[v][g] * dr
+            ngrp[g] += per_val[v][g]
+        ties += t * t * t - t
+        cum += t
+    assert row["n_total"] == n and row["ties_t"] == ties
+    names = ["urgent", "high", "medium", "notspec", "low"]
+    for g, name in enumerate(names, start=1):
+        assert row[f"n_{name}"] == ngrp[g]
+        assert row[f"r2_{name}"] == r2[g]
+    # exact grid recompute
+    sdev = 0
+    for g in range(1, 6):
+        m = (2 * r2[g] * 10**6 + ngrp[g]) // (2 * ngrp[g])
+        d = m - (n + 1) * 10**6
+        sdev += ngrp[g] * d * d
+    h0_nano = (3 * sdev) // (n * (n + 1) * 1000)
+    tf_ppm = ((n**3 - n) * 10**6) // ((n**3 - n) - ties)
+    h_micro = (h0_nano * tf_ppm) // 10**9
+    assert row["h_micro"] == h_micro
+    assert row["reject_equal_dists"] == (h_micro > 9487729)
+    # grid H within 1e-4 of the float textbook statistic
+    h_float = (
+        12.0 / (n * (n + 1)) * sum((r2[g] / 2.0) ** 2 / ngrp[g] for g in range(1, 6))
+        - 3.0 * (n + 1)
+    ) / (1.0 - ties / float(n**3 - n))
+    assert abs(h_micro / 1e6 - h_float) < 1e-4 * max(1.0, abs(h_float))
+
+
+def test_kendall_tau_python_recompute(spark):
+    from collections import defaultdict
+    from fractions import Fraction
+    from math import isqrt
+
+    row = SPECS["kendall_tau_daily"].fn(spark, SF_SMALL).collect()[0]
+    daily = defaultdict(lambda: [0, 0])
+    for r in (
+        table(spark, SF_SMALL, "orders")
+        .selectExpr(
+            "CAST(o_orderdate AS DATE) AS day",
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .collect()
+    ):
+        daily[r["day"]][0] += 1
+        daily[r["day"]][1] += r["cents"]
+    pts = [tuple(daily[d]) for d in sorted(daily)]
+    n = len(pts)
+    conc = disc = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx, dy = pts[j][0] - pts[i][0], pts[j][1] - pts[i][1]
+            if dx * dy > 0:
+                conc += 1
+            elif dx * dy < 0:
+                disc += 1
+            if dx == 0:
+                tx += 1
+            if dy == 0:
+                ty += 1
+    n0 = n * (n - 1) // 2
+    assert (row["n_days"], row["concordant"], row["discordant"]) == (n, conc, disc)
+    assert (row["tied_x"], row["tied_y"]) == (tx, ty)
+    num, dxx, dyy = conc - disc, n0 - tx, n0 - ty
+    a, b = isqrt(dxx), isqrt(dyy)
+    sign = -1 if num < 0 else 1
+    expected = sign * ((2 * abs(num) * 10**6 + a * b) // (2 * a * b))
+    assert row["tau_b_ppm"] == expected
+    # ppm value is within 1/isqrt-grid of the float tau-b
+    tau = float(Fraction(num) / Fraction(isqrt(dxx * dyy) or 1))
+    assert abs(row["tau_b_ppm"] / 1e6 - tau) < 5e-4

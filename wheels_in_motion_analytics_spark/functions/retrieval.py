@@ -486,3 +486,127 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 from wheels_in_motion_analytics_spark.registry import REGISTRY as _REG_MMR  # noqa: E402
 
 _REG_MMR["mmr_diversified_topk"].oracle = _mmr_oracle()
+
+
+# ---------------------------------------------------------------------------
+# MRR — mean reciprocal rank on the exact x2520 integer grid
+# ---------------------------------------------------------------------------
+
+MRR_K = 10
+MRR_LCM = 2520  # lcm(1..10): every reciprocal rank 1/r is integral x2520
+MRR_GOLD_MIN_TF = 3
+
+
+@register(
+    "mrr_eval_retrieval",
+    category="retrieval",
+    doc=f"Mean reciprocal rank of the per-term occurrence ranking against "
+    f"an INDEPENDENT gold label (smallest doc_id with tf >= "
+    f"{MRR_GOLD_MIN_TF} for the term) — the third retrieval-quality "
+    "metric beside recall (ann_recall_at_k_eval) and NDCG. Reciprocal "
+    f"ranks live on the exact x{MRR_LCM} integer grid (lcm of 1..{MRR_K}: "
+    "1/r is always integral), so rr, their sum and mrr_ppm (half-up DIV) "
+    "are deterministic integers on any engine. SCALE SHAPE: candidates "
+    "are the query-term postings only (filtered inside the token array "
+    "before explode — a sliver of the corpus); the per-term top-10 window "
+    "partitions on the term key of that sliver, never the full corpus.",
+    oracle=f"""
+WITH d AS (SELECT doc_id, {_ORACLE_TOKS} AS ws FROM documents),
+tf AS (
+  SELECT tok, doc_id, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(ws) AS tok FROM d)
+  WHERE tok IN ({_QUERY_IN})
+  GROUP BY 1, 2
+),
+terms AS (SELECT unnest([{_QUERY_IN}]) AS tok),
+gold AS (
+  SELECT terms.tok,
+         (SELECT MIN(doc_id) FROM tf
+          WHERE tf.tok = terms.tok AND tf.tf >= {MRR_GOLD_MIN_TF}) AS gold_doc
+  FROM terms
+),
+ranked AS (
+  SELECT tok, doc_id,
+         row_number() OVER (PARTITION BY tok ORDER BY tf DESC, doc_id) AS pos
+  FROM tf
+),
+rr AS (
+  SELECT g.tok, g.gold_doc,
+         r.pos AS sys_rank,
+         CAST(COALESCE({MRR_LCM} // r.pos, 0) AS BIGINT) AS rr_x{MRR_LCM}
+  FROM gold g
+  LEFT JOIN ranked r
+    ON r.tok = g.tok AND r.doc_id = g.gold_doc AND r.pos <= {MRR_K}
+),
+s AS (
+  SELECT CAST(SUM(rr_x{MRR_LCM}) AS BIGINT) AS rr_sum,
+         CAST(COUNT(*) AS BIGINT) AS n_q
+  FROM rr
+)
+SELECT rr.tok AS term, rr.gold_doc, rr.sys_rank, rr.rr_x{MRR_LCM},
+       s.rr_sum AS rr_sum_x{MRR_LCM},
+       CAST((2 * s.rr_sum * 1000000 + s.n_q * {MRR_LCM})
+            // (2 * s.n_q * {MRR_LCM}) AS BIGINT) AS mrr_ppm
+FROM rr CROSS JOIN s
+""",
+)
+def mrr_eval_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col
+    term_arr = F.array(*[F.lit(t) for t in QUERY_TERMS])
+    ws = tokens(F.col("text"))
+    tf = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode_outer(
+                F.filter(ws, lambda t: F.array_contains(term_arr, t))
+            ).alias("tok"),
+        )
+        .where(c("tok").isNotNull())
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()  # consumed by gold labels AND the ranking
+    )
+    terms = spark.range(1).select(F.explode(term_arr).alias("tok"))
+    gold = terms.join(
+        tf.where(c("tf") >= MRR_GOLD_MIN_TF)
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("gold_doc")),
+        "tok",
+        "left",
+    )
+    # postings sliver only: the window partitions on the 4 query terms of
+    # an already-filtered relation, never the corpus.
+    ranked = tf.withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("tok").orderBy(F.desc("tf"), F.asc("doc_id"))
+        ),
+    ).where(c("pos") <= MRR_K)
+    rr = gold.join(
+        ranked.select("tok", c("doc_id").alias("gold_doc"), c("pos")),
+        ["tok", "gold_doc"],
+        "left",
+    ).select(
+        c("tok").alias("term"),
+        "gold_doc",
+        c("pos").cast("bigint").alias("sys_rank"),
+        F.coalesce(
+            F.expr(f"CAST({MRR_LCM} DIV pos AS BIGINT)"), F.lit(0)
+        ).alias(f"rr_x{MRR_LCM}"),
+    )
+    s = rr.agg(
+        F.sum(f"rr_x{MRR_LCM}").cast("bigint").alias("rr_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("n_q"),
+    )
+    return rr.crossJoin(s).select(
+        "term",
+        "gold_doc",
+        "sys_rank",
+        f"rr_x{MRR_LCM}",
+        c("rr_sum").alias(f"rr_sum_x{MRR_LCM}"),
+        F.expr(
+            f"CAST((2 * rr_sum * 1000000 + n_q * {MRR_LCM})"
+            f" DIV (2 * n_q * {MRR_LCM}) AS BIGINT)"
+        ).alias("mrr_ppm"),
+    )

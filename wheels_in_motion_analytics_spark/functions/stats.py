@@ -1788,3 +1788,269 @@ def did_estimator_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("did_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal–Wallis H — k-group rank ANOVA on the two-phase rank machinery
+# ---------------------------------------------------------------------------
+
+_KW_GROUPS = ["urgent", "high", "medium", "notspec", "low"]  # priority 1..5
+
+
+@register(
+    "kruskal_wallis_priority",
+    category="stats",
+    doc="Kruskal–Wallis H test: do order totals differ across the five "
+    "order priorities? The k-group generalization of "
+    "mann_whitney_u_prices on the SAME scale shape: values aggregate to "
+    "the distinct-value relation, exclusive cumulative counts come from "
+    "the TWO-PHASE prefix sum (no single-task window over the "
+    "nearly-unique prices), and per-group rank sums use exact DOUBLED "
+    "average ranks (2*cum_before + t + 1, an integer even under ties). "
+    "H is then evaluated ENTIRELY on a deterministic integer micro-grid: "
+    "per-group micro mean doubled ranks via half-up DIV, squared "
+    "deviations from the exact grand mean doubled rank (N+1), tie "
+    "correction as a ppm factor. Every DIV quotient fits BIGINT and "
+    "every DECIMAL(38,0) intermediate stays under 38 digits past sf100 "
+    "(the round-6 DIV-wrap trap is sized out: mean-rank micro ≤ 2N*1e6, "
+    "S ≤ N*(2N*1e6)^2 ≈ 1e36 at sf100). Verdict: H_micro > 9487729 "
+    "(chi-square 0.05 critical, df=4) — grid-deterministic on any "
+    "engine.",
+    oracle="""
+WITH s AS (
+  SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+         CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS g
+  FROM orders
+),
+vals AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS n_tot,
+         CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(SUM(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         CAST(SUM(CASE WHEN g = 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+         CAST(SUM(CASE WHEN g = 5 THEN 1 ELSE 0 END) AS BIGINT) AS c5
+  FROM s GROUP BY v
+),
+cum AS (
+  SELECT *, CAST(COALESCE(SUM(n_tot) OVER (ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    AS cum_before
+  FROM vals
+),
+agg AS (
+  SELECT CAST(SUM(n_tot) AS HUGEINT) AS n,
+         CAST(SUM(n_tot * n_tot * n_tot - n_tot) AS HUGEINT) AS t,
+         CAST(SUM(c1 * (2 * cum_before + n_tot + 1)) AS HUGEINT) AS r2_1,
+         CAST(SUM(c2 * (2 * cum_before + n_tot + 1)) AS HUGEINT) AS r2_2,
+         CAST(SUM(c3 * (2 * cum_before + n_tot + 1)) AS HUGEINT) AS r2_3,
+         CAST(SUM(c4 * (2 * cum_before + n_tot + 1)) AS HUGEINT) AS r2_4,
+         CAST(SUM(c5 * (2 * cum_before + n_tot + 1)) AS HUGEINT) AS r2_5,
+         CAST(SUM(c1) AS HUGEINT) AS n_1, CAST(SUM(c2) AS HUGEINT) AS n_2,
+         CAST(SUM(c3) AS HUGEINT) AS n_3, CAST(SUM(c4) AS HUGEINT) AS n_4,
+         CAST(SUM(c5) AS HUGEINT) AS n_5
+  FROM cum
+),
+dev AS (
+  SELECT *,
+    (2 * r2_1 * 1000000 + n_1) // (2 * n_1) - (n + 1) * 1000000 AS d1,
+    (2 * r2_2 * 1000000 + n_2) // (2 * n_2) - (n + 1) * 1000000 AS d2,
+    (2 * r2_3 * 1000000 + n_3) // (2 * n_3) - (n + 1) * 1000000 AS d3,
+    (2 * r2_4 * 1000000 + n_4) // (2 * n_4) - (n + 1) * 1000000 AS d4,
+    (2 * r2_5 * 1000000 + n_5) // (2 * n_5) - (n + 1) * 1000000 AS d5
+  FROM agg
+),
+h AS (
+  SELECT *,
+    (3 * (n_1*d1*d1 + n_2*d2*d2 + n_3*d3*d3 + n_4*d4*d4 + n_5*d5*d5))
+      // (n * (n + 1) * 1000) AS h0_nano,
+    ((n*n*n - n) * 1000000) // ((n*n*n - n) - t) AS tf_ppm
+  FROM dev
+)
+SELECT CAST(n AS BIGINT) AS n_total,
+       CAST(t AS BIGINT) AS ties_t,
+       CAST(n_1 AS BIGINT) AS n_urgent, CAST(n_2 AS BIGINT) AS n_high,
+       CAST(n_3 AS BIGINT) AS n_medium, CAST(n_4 AS BIGINT) AS n_notspec,
+       CAST(n_5 AS BIGINT) AS n_low,
+       CAST(r2_1 AS BIGINT) AS r2_urgent, CAST(r2_2 AS BIGINT) AS r2_high,
+       CAST(r2_3 AS BIGINT) AS r2_medium, CAST(r2_4 AS BIGINT) AS r2_notspec,
+       CAST(r2_5 AS BIGINT) AS r2_low,
+       CAST((h0_nano * tf_ppm) // 1000000000 AS BIGINT) AS h_micro,
+       (h0_nano * tf_ppm) // 1000000000 > 9487729 AS reject_equal_dists
+FROM h
+""",
+)
+def kruskal_wallis_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.operators.windows import global_prefix_sums
+
+    c = F.col
+    s = table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("g"),
+    )
+    vals = s.groupBy("v").agg(
+        F.count(F.lit(1)).alias("n_tot"),
+        *[
+            F.sum((c("g") == i + 1).cast("bigint")).alias(f"c{i + 1}")
+            for i in range(5)
+        ],
+    )
+    cum = global_prefix_sums(vals, ["v"], ["n_tot"]).withColumn(
+        "cum_before", c("n_tot_cum") - c("n_tot")
+    )
+    dr = 2 * c("cum_before") + c("n_tot") + 1
+    agg = cum.agg(
+        F.sum("n_tot").cast("decimal(38,0)").alias("n"),
+        F.sum(
+            c("n_tot") * c("n_tot") * c("n_tot") - c("n_tot")
+        ).cast("decimal(38,0)").alias("t"),
+        *[
+            F.sum(c(f"c{i + 1}") * dr).cast("decimal(38,0)").alias(f"r2_{i + 1}")
+            for i in range(5)
+        ],
+        *[
+            F.sum(f"c{i + 1}").cast("decimal(38,0)").alias(f"n_{i + 1}")
+            for i in range(5)
+        ],
+    )
+    # micro mean doubled rank (half-up DIV -> BIGINT quotient, <= 2N*1e6)
+    # minus the exact grand mean doubled rank (N+1) in micro.
+    dev = agg.select(
+        "*",
+        *[
+            F.expr(
+                f"(2 * r2_{i + 1} * 1000000 + n_{i + 1}) DIV (2 * n_{i + 1})"
+                " - CAST((n + 1) * 1000000 AS BIGINT)"
+            ).alias(f"d{i + 1}")
+            for i in range(5)
+        ],
+    )
+    sdev = " + ".join(
+        f"n_{i + 1} * CAST(d{i + 1} AS DECIMAL(38,0)) * d{i + 1}"
+        for i in range(5)
+    )
+    h = dev.select(
+        "*",
+        F.expr(f"(3 * ({sdev})) DIV (n * (n + 1) * 1000)").alias("h0_nano"),
+        F.expr("((n*n*n - n) * 1000000) DIV ((n*n*n - n) - t)").alias("tf_ppm"),
+    )
+    return h.select(
+        c("n").cast("bigint").alias("n_total"),
+        c("t").cast("bigint").alias("ties_t"),
+        *[
+            c(f"n_{i + 1}").cast("bigint").alias(f"n_{g}")
+            for i, g in enumerate(_KW_GROUPS)
+        ],
+        *[
+            c(f"r2_{i + 1}").cast("bigint").alias(f"r2_{g}")
+            for i, g in enumerate(_KW_GROUPS)
+        ],
+        F.expr(
+            "CAST((CAST(h0_nano AS DECIMAL(38,0)) * tf_ppm)"
+            " DIV 1000000000 AS BIGINT)"
+        ).alias("h_micro"),
+        F.expr(
+            "(CAST(h0_nano AS DECIMAL(38,0)) * tf_ppm) DIV 1000000000"
+            " > 9487729"
+        ).alias("reject_equal_dists"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bivariate Kendall tau-b — concordance between two daily series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kendall_tau_daily",
+    category="stats",
+    doc="Bivariate Kendall tau-b between daily order COUNT and daily "
+    "revenue — completes the correlation family (Pearson matrix, "
+    "Spearman, Mann–Kendall-vs-time) with the concordance coefficient "
+    "that handles ties on BOTH variables. SCALE SHAPE: the fact table "
+    "aggregates to the CALENDAR-BOUNDED day grain first (<= ~2.4k rows "
+    "at any SF), so the pair relation is ~2.9M rows regardless of data "
+    "scale — same sanctioned shape as mann_kendall/theil_sen. "
+    "Concordant/discordant/tie pair counts are exact BIGINTs from one "
+    "aggregate over the ordered-pair join; tau_b = (C-D)/sqrt((n0-Tx)"
+    "(n0-Ty)) goes through the shared corrected-isqrt ppm path "
+    "(with_corr_ppm) — no float quotient reaches the output.",
+    oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS x,
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS y
+  FROM orders GROUP BY 1
+),
+p AS (
+  SELECT
+    CAST(SUM(CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+    CAST(SUM(CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+    CAST(SUM(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) AS BIGINT) AS tied_x,
+    CAST(SUM(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) AS BIGINT) AS tied_y,
+    CAST(COUNT(*) AS BIGINT) AS n0
+  FROM d a JOIN d b ON b.day > a.day
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM d),
+m AS (
+  SELECT n.n_days, p.conc, p.disc, p.tied_x, p.tied_y,
+         CAST(p.conc - p.disc AS HUGEINT) AS num,
+         CAST(p.n0 - p.tied_x AS HUGEINT) AS dxx,
+         CAST(p.n0 - p.tied_y AS HUGEINT) AS dyy
+  FROM n CROSS JOIN p
+)
+SELECT n_days, conc AS concordant, disc AS discordant, tied_x, tied_y,
+       {CORR} AS tau_b_ppm
+FROM m
+""",
+)
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col
+    d = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("x"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("y"),
+        )
+        .localCheckpoint()  # reused by the pair join and the day count
+    )
+    a = d.select(c("day").alias("da"), c("x").alias("xa"), c("y").alias("ya"))
+    b = d.select(c("day").alias("db"), c("x").alias("xb"), c("y").alias("yb"))
+    p = (
+        a.crossJoin(b)
+        .where(c("db") > c("da"))
+        .agg(
+            F.sum(
+                ((c("xb") - c("xa")) * (c("yb") - c("ya")) > 0).cast("bigint")
+            ).alias("conc"),
+            F.sum(
+                ((c("xb") - c("xa")) * (c("yb") - c("ya")) < 0).cast("bigint")
+            ).alias("disc"),
+            F.sum((c("xb") == c("xa")).cast("bigint")).alias("tied_x"),
+            F.sum((c("yb") == c("ya")).cast("bigint")).alias("tied_y"),
+            F.count(F.lit(1)).cast("bigint").alias("n0"),
+        )
+    )
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    m = n.crossJoin(p).select(
+        "n_days",
+        c("conc").alias("concordant"),
+        c("disc").alias("discordant"),
+        "tied_x",
+        "tied_y",
+        (c("conc") - c("disc")).cast("decimal(38,0)").alias("num"),
+        (c("n0") - c("tied_x")).cast("decimal(38,0)").alias("dxx"),
+        (c("n0") - c("tied_y")).cast("decimal(38,0)").alias("dyy"),
+    )
+    return with_corr_ppm(m, out="tau_b_ppm").select(
+        "n_days", "concordant", "discordant", "tied_x", "tied_y", "tau_b_ppm"
+    )
+
+
+from wheels_in_motion_analytics_spark.registry import REGISTRY as _REG_KT  # noqa: E402
+
+_REG_KT["kendall_tau_daily"].oracle = _REG_KT["kendall_tau_daily"].oracle.replace(
+    "{CORR}", corr_ppm_sql("num", "dxx", "dyy")
+)
