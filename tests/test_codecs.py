@@ -103,3 +103,51 @@ def test_image_ahash_popcount_consistency(spark):
         assert r["n_ones"] == bin(r["ahash_hi"]).count("1") + bin(r["ahash_lo"]).count("1")
         # mean-threshold hashes of non-constant images are never all-0/all-1
         assert 0 < r["n_ones"] < 64
+
+
+def test_audio_silence_segments_invariants(spark):
+    """Python replay of the window/threshold/island pipeline on the real
+    decoded samples, plus structural segment invariants."""
+    from wheels_in_motion_analytics_spark.multimodal import (
+        AUDIO_SEG_WINDOW,
+        audio_media_table,
+    )
+    from wheels_in_motion_analytics_spark.registry import load_all_queries
+
+    rows = {
+        r["doc_id"]: r
+        for r in load_all_queries()["multimodal_audio_silence_segments"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert len(rows) == 500
+    n_win = C.WAV_SAMPLES // AUDIO_SEG_WINDOW
+    payloads = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in audio_media_table(spark, "/root/testdata/sf0.001")
+        .limit(20)
+        .collect()
+    }
+    for doc_id, payload in payloads.items():
+        _, _, samples = C.decode_wav(payload)
+        wsums = [
+            sum(abs(s) for s in samples[w * AUDIO_SEG_WINDOW : (w + 1) * AUDIO_SEG_WINDOW])
+            for w in range(n_win)
+        ]
+        total = sum(wsums)
+        low = [n_win * 2 * ws < total for ws in wsums]
+        segs = sum(1 for i, f in enumerate(low) if f and (i == 0 or not low[i - 1]))
+        best = 0
+        run = 0
+        for f in low:
+            run = run + 1 if f else 0
+            best = max(best, run)
+        r = rows[doc_id]
+        assert r["total_abs"] == total
+        assert r["n_low_windows"] == sum(low)
+        assert r["n_segments"] == segs
+        assert r["longest_segment"] == best
+    for r in rows.values():
+        assert r["n_segments"] <= r["n_low_windows"]
+        assert r["longest_segment"] <= r["n_low_windows"]
+        assert (r["n_segments"] == 0) == (r["n_low_windows"] == 0)

@@ -203,3 +203,92 @@ def test_t_closeness_python_recompute(spark):
         assert row["n_rows"] == n_g
         assert row["emd_ppm"] == emd
         assert row["t_close_ok"] == (emd <= TCLOSE_T_PPM)
+
+
+def test_hits_python_recompute(spark):
+    """Exact integer-dynamics recompute of the unrolled HITS rounds."""
+    from collections import defaultdict
+
+    from wheels_in_motion_analytics_spark.functions.graph import (
+        HITS_ROUNDS,
+        HITS_TOPK,
+        _HITS_SCALE,
+    )
+
+    rows = SPECS["hits_hubs_authorities"].fn(spark, SF_SMALL).collect()
+    edges = {
+        (r["l_suppkey"], r["l_partkey"])
+        for r in table(spark, SF_SMALL, "lineitem")
+        .select("l_suppkey", "l_partkey")
+        .collect()
+    }
+    h = {s: _HITS_SCALE for s, _ in edges}
+    a = {}
+    for _ in range(HITS_ROUNDS):
+        a = defaultdict(int)
+        for s, p in edges:
+            a[p] += h[s]
+        mx = max(a.values())
+        a = {p: v * _HITS_SCALE // mx for p, v in a.items()}
+        h = defaultdict(int)
+        for s, p in edges:
+            h[s] += a[p]
+        mx = max(h.values())
+        h = {s: v * _HITS_SCALE // mx for s, v in h.items()}
+    exp_auth = sorted(a.items(), key=lambda kv: (-kv[1], kv[0]))[:HITS_TOPK]
+    exp_hub = sorted(h.items(), key=lambda kv: (-kv[1], kv[0]))[:HITS_TOPK]
+    got_auth = [(r["key"], r["score_ppm"]) for r in rows if r["side"] == "authority"]
+    got_hub = [(r["key"], r["score_ppm"]) for r in rows if r["side"] == "hub"]
+    assert got_auth == exp_auth
+    assert got_hub == exp_hub
+    ranks = sorted(r["rnk"] for r in rows if r["side"] == "hub")
+    assert ranks == list(range(1, HITS_TOPK + 1))
+
+
+def test_ktruss_python_peel_replay(spark):
+    """Replay the support/peel fixpoint in Python and compare the
+    surviving edge set and supports."""
+    from collections import Counter, defaultdict
+
+    from wheels_in_motion_analytics_spark.functions.graph import (
+        KTRUSS_K,
+        KTRUSS_MIN_QTY,
+        KTRUSS_MIN_SHARED,
+        KTRUSS_TOPK,
+    )
+
+    rows = SPECS["ktruss_cosupply_peel"].fn(spark, SF_SMALL).collect()
+    links = defaultdict(set)
+    for r in (
+        table(spark, SF_SMALL, "lineitem")
+        .where(F.col("l_quantity") >= KTRUSS_MIN_QTY)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .collect()
+    ):
+        links[r["l_partkey"]].add(r["l_suppkey"])
+    shared = Counter()
+    for ss in links.values():
+        ss = sorted(ss)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                shared[(ss[i], ss[j])] += 1
+    edges = {e for e, n in shared.items() if n >= KTRUSS_MIN_SHARED}
+    while True:
+        adj = defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        supp = {e: len(adj[e[0]] & adj[e[1]]) for e in edges}
+        nxt = {e for e in edges if supp[e] >= KTRUSS_K - 2}
+        if nxt == edges:
+            break
+        edges = nxt
+    expected = sorted(
+        ((supp[e], e) for e in edges), key=lambda t: (-t[0], t[1])
+    )[:KTRUSS_TOPK]
+    got = [((r["support"]), (r["s1"], r["s2"])) for r in rows]
+    assert got == expected
+    for r in rows:
+        assert r["converged"] is True
+        assert r["n_edges_final"] == len(edges)

@@ -845,3 +845,85 @@ def test_woe_iv_counts_and_total(spark):
     tb = sum(r["n_bad"] for r in rows)
     for r in rows:
         assert (r["woe"] > 0) == (r["n_good"] * tb > r["n_bad"] * tg) or r["woe"] == 0
+
+
+def test_isotonic_pav_monotone_and_matches_exact_pav(spark):
+    """The ppm-grid minimax fit must be nondecreasing, and within a few
+    ppm of classical pool-adjacent-violators run on exact fractions."""
+    from fractions import Fraction
+
+    rows = sorted(
+        SPECS["isotonic_calibration_pav"].fn(spark, SF_SMALL).collect(),
+        key=lambda r: r["bin"],
+    )
+    iso = [r["iso_rate_ppm"] for r in rows]
+    assert iso == sorted(iso)  # monotone
+    # classical PAV on exact fractions
+    blocks = [[Fraction(r["n_pos"]), Fraction(r["n"])] for r in rows]
+    out = []
+    for b in blocks:
+        out.append(b)
+        while len(out) > 1 and out[-2][0] * out[-1][1] > out[-1][0] * out[-2][1]:
+            p2, n2 = out.pop()
+            out[-1][0] += p2
+            out[-1][1] += n2
+    exact = []
+    for p, n in out:
+        v = Fraction(p, n)
+        # expand the pooled value over its member bins
+        exact.extend([v] * 0)
+    # re-expand: walk blocks again tracking how many bins each pool ate
+    exact = []
+    i = 0
+    for p, n in out:
+        acc_p, acc_n, cnt = Fraction(0), Fraction(0), 0
+        while acc_p != p or acc_n != n:
+            acc_p += Fraction(rows[i + cnt]["n_pos"])
+            acc_n += Fraction(rows[i + cnt]["n"])
+            cnt += 1
+        exact.extend([Fraction(p, n)] * cnt)
+        i += cnt
+    assert len(exact) == len(rows)
+    for got_ppm, want in zip(iso, exact):
+        assert abs(Fraction(got_ppm, 10**6) - want) <= Fraction(2, 10**6)
+
+
+def test_lift_deciles_python_recompute(spark):
+    rows = sorted(
+        SPECS["lift_curve_deciles"].fn(spark, SF_SMALL).collect(),
+        key=lambda r: r["decile"],
+    )
+    data = sorted(
+        (
+            (-r["cents"], r["o_orderkey"], r["pos"])
+            for r in table(spark, SF_SMALL, "orders")
+            .selectExpr(
+                "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+                "o_orderkey",
+                "CAST(o_orderstatus = 'F' AS INT) AS pos",
+            )
+            .collect()
+        ),
+    )
+    n = len(data)
+    q, r10 = divmod(n, 10)
+    sizes = [q + 1] * r10 + [q] * (10 - r10)
+    total_pos = sum(p for _, _, p in data)
+    i = 0
+    cum = 0
+    for d, size in enumerate(sizes, start=1):
+        chunk = data[i : i + size]
+        i += size
+        npos = sum(p for _, _, p in chunk)
+        cum += npos
+        row = rows[d - 1]
+        assert row["n"] == size and row["n_pos"] == npos
+        assert row["pos_rate_ppm"] == (2_000_000 * npos + size) // (2 * size)
+        assert row["cum_capture_ppm"] == (2_000_000 * cum + total_pos) // (
+            2 * total_pos
+        )
+        assert row["lift_ppm"] == (2_000_000 * npos * n + size * total_pos) // (
+            2 * size * total_pos
+        )
+    # decile 1 (highest scores) should over-capture vs uniform in a sane table
+    assert rows[0]["cum_capture_ppm"] >= 0

@@ -222,3 +222,24 @@ def test_state_store_read_equals_batch_groupby(spark):
     }
     assert state_counts == batch
     assert len(state_counts) > 0
+
+
+def test_transpose_region_metrics_shape_and_values(spark):
+    """transpose() must be the exact flip of the 5-row metrics relation."""
+    from wheels_in_motion_analytics_spark.registry import load_all_queries
+
+    rows = load_all_queries()["transpose_region_metrics"].fn(spark, SF_SMALL).collect()
+    assert [r["key"] for r in rows] == ["n_orders", "revenue_cents", "n_customers"]
+    cols = rows[0].asDict().keys()
+    assert sorted(c for c in cols if c != "key") == [
+        "AFRICA",
+        "AMERICA",
+        "ASIA",
+        "EUROPE",
+        "MIDDLE EAST",
+    ]
+    # row sums equal the untransposed totals
+    orders = table(spark, SF_SMALL, "orders")
+    n_orders = orders.count()
+    got_n = sum(v for k, v in rows[0].asDict().items() if k != "key")
+    assert got_n == n_orders

@@ -747,3 +747,284 @@ def graph_node_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return out.orderBy(F.desc("jaccard_ppm"), "na", "nb").limit(NODE_SIM_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# HITS — hubs (suppliers) and authorities (parts) on the bipartite graph
+# ---------------------------------------------------------------------------
+
+HITS_ROUNDS = 2
+HITS_TOPK = 10
+_HITS_SCALE = 1_000_000
+
+
+def _oracle_hits() -> str:
+    steps = [
+        "e AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey AS p"
+        " FROM lineitem)",
+        f"h0 AS (SELECT DISTINCT s, CAST({_HITS_SCALE} AS HUGEINT) AS sc FROM e)",
+    ]
+    prev_h = "h0"
+    for r in range(1, HITS_ROUNDS + 1):
+        steps.append(
+            f"""a{r} AS MATERIALIZED (
+  SELECT e.p, CAST(SUM({prev_h}.sc) AS HUGEINT) AS sc
+  FROM e JOIN {prev_h} USING (s) GROUP BY e.p)"""
+        )
+        steps.append(
+            f"a{r}n AS MATERIALIZED (SELECT p, (sc * {_HITS_SCALE})"
+            f" // (SELECT MAX(sc) FROM a{r}) AS sc FROM a{r})"
+        )
+        steps.append(
+            f"""h{r} AS MATERIALIZED (
+  SELECT e.s, CAST(SUM(a{r}n.sc) AS HUGEINT) AS sc
+  FROM e JOIN a{r}n USING (p) GROUP BY e.s)"""
+        )
+        steps.append(
+            f"h{r}n AS MATERIALIZED (SELECT s, (sc * {_HITS_SCALE})"
+            f" // (SELECT MAX(sc) FROM h{r}) AS sc FROM h{r})"
+        )
+        prev_h = f"h{r}n"
+    last = HITS_ROUNDS
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + f"""
+SELECT side, key, score_ppm, rnk FROM (
+  SELECT 'authority' AS side, CAST(p AS BIGINT) AS key,
+         CAST(sc AS BIGINT) AS score_ppm,
+         row_number() OVER (ORDER BY sc DESC, p) AS rnk
+  FROM a{last}n ORDER BY sc DESC, p LIMIT {HITS_TOPK}
+) UNION ALL
+SELECT side, key, score_ppm, rnk FROM (
+  SELECT 'hub' AS side, CAST(s AS BIGINT) AS key,
+         CAST(sc AS BIGINT) AS score_ppm,
+         row_number() OVER (ORDER BY sc DESC, s) AS rnk
+  FROM h{last}n ORDER BY sc DESC, s LIMIT {HITS_TOPK}
+)"""
+    )
+
+
+@register(
+    "hits_hubs_authorities",
+    category="graph",
+    doc=f"HITS (Kleinberg) over the supplier->part bipartite supply graph: "
+    f"{HITS_ROUNDS} unrolled mutual-reinforcement rounds — authority = "
+    "sum of pointing hub scores, hub = sum of pointed authority scores — "
+    "with MAX-normalization after every half-step kept in EXACT integers "
+    f"(score*1e6 DIV max, bounded at {_HITS_SCALE}); emits the top-"
+    f"{HITS_TOPK} authorities and hubs. SCALE SHAPE: each half-round is "
+    "one edge join + one map-side-combinable sum keyed on the node id "
+    "(the PageRank shape); the normalizer is a 1-row aggregate crossJoin, "
+    "never a global window; the edge relation is checkpointed once and "
+    "reused by all rounds. Deterministic integer dynamics — identical on "
+    "any engine; oracle = unrolled MATERIALIZED CTE rounds (the kcore "
+    "lesson). Top-k via ORDER BY+LIMIT heaps.",
+    oracle=_oracle_hits(),
+)
+def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col
+    e = (
+        table(spark, sf_dir, "lineitem")
+        .select(c("l_suppkey").alias("s"), c("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint()  # all rounds read it
+    )
+    h = e.select("s").distinct().select(
+        "s", F.lit(_HITS_SCALE).cast("decimal(38,0)").alias("sc")
+    )
+    a = None
+    for _ in range(HITS_ROUNDS):
+        # checkpoint the raw aggregate BEFORE the max-normalizer crossJoin:
+        # crossJoin(df.agg(max)) otherwise evaluates the un-materialized
+        # aggregate subplan TWICE per half-round (the double-subplan trap),
+        # compounding across rounds. Node-cardinality state — cheap.
+        a = (
+            e.join(h, "s")
+            .groupBy("p")
+            .agg(F.sum("sc").cast("decimal(38,0)").alias("sc"))
+            .localCheckpoint()
+        )
+        a = a.crossJoin(a.agg(F.max("sc").alias("mx"))).select(
+            "p", F.expr(f"CAST((sc * {_HITS_SCALE}) DIV mx AS DECIMAL(38,0))").alias("sc")
+        )
+        h = (
+            e.join(a, "p")
+            .groupBy("s")
+            .agg(F.sum("sc").cast("decimal(38,0)").alias("sc"))
+            .localCheckpoint()
+        )
+        h = h.crossJoin(h.agg(F.max("sc").alias("mx"))).select(
+            "s", F.expr(f"CAST((sc * {_HITS_SCALE}) DIV mx AS DECIMAL(38,0))").alias("sc")
+        )
+
+    def topk(df: DataFrame, key: str, side: str) -> DataFrame:
+        lim = df.orderBy(F.desc("sc"), F.asc(key)).limit(HITS_TOPK)
+        w = Window.orderBy(F.desc("sc"), F.asc(key))
+        return lim.select(
+            F.lit(side).alias("side"),
+            c(key).cast("bigint").alias("key"),
+            c("sc").cast("bigint").alias("score_ppm"),
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+        )
+
+    return topk(a, "p", "authority").unionAll(topk(h, "s", "hub"))
+
+
+# ---------------------------------------------------------------------------
+# k-truss — edge peeling by triangle support (the edge sibling of k-core)
+# ---------------------------------------------------------------------------
+
+KTRUSS_K = 4  # every surviving edge sits in >= k-2 = 2 triangles
+KTRUSS_MIN_QTY = 45
+KTRUSS_MIN_SHARED = 2
+KTRUSS_ROUNDS = 7  # fixpoint needs 6 at sf0.1; verdict audits the budget
+KTRUSS_TOPK = 20
+
+
+def _oracle_ktruss() -> str:
+    base = f"""e0 AS MATERIALIZED (
+  SELECT a.s AS s1, b.s AS s2
+  FROM links a JOIN links b USING (p)
+  WHERE a.s < b.s GROUP BY 1, 2 HAVING COUNT(*) >= {KTRUSS_MIN_SHARED})"""
+    steps = [
+        f"""links AS MATERIALIZED (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+  WHERE l_quantity >= {KTRUSS_MIN_QTY})""",
+        base,
+    ]
+    for r in range(1, KTRUSS_ROUNDS + 1):
+        p = r - 1
+        steps.append(
+            f"""t{p} AS MATERIALIZED (
+  SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+  FROM e{p} e1 JOIN e{p} e2 ON e1.s2 = e2.s1
+  JOIN e{p} e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2)"""
+        )
+        steps.append(
+            f"""sp{p} AS MATERIALIZED (
+  SELECT s1, s2, COUNT(*) AS supp FROM (
+    SELECT a AS s1, b AS s2 FROM t{p}
+    UNION ALL SELECT a, c FROM t{p}
+    UNION ALL SELECT b, c FROM t{p}) GROUP BY 1, 2)"""
+        )
+        steps.append(
+            f"""e{r} AS MATERIALIZED (
+  SELECT e.s1, e.s2 FROM e{p} e
+  LEFT JOIN sp{p} s ON s.s1 = e.s1 AND s.s2 = e.s2
+  WHERE COALESCE(s.supp, 0) >= {KTRUSS_K - 2})"""
+        )
+    last, prev = KTRUSS_ROUNDS, KTRUSS_ROUNDS - 1
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + f""",
+tf AS MATERIALIZED (
+  SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+  FROM e{last} e1 JOIN e{last} e2 ON e1.s2 = e2.s1
+  JOIN e{last} e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2),
+spf AS (
+  SELECT s1, s2, COUNT(*) AS supp FROM (
+    SELECT a AS s1, b AS s2 FROM tf
+    UNION ALL SELECT a, c FROM tf
+    UNION ALL SELECT b, c FROM tf) GROUP BY 1, 2),
+summary AS (
+  SELECT (SELECT COUNT(*) FROM e{last}) AS n_edges_final,
+         (SELECT COUNT(*) FROM e{last}) = (SELECT COUNT(*) FROM e{prev})
+           AS converged
+)
+SELECT e.s1, e.s2, CAST(COALESCE(s.supp, 0) AS BIGINT) AS support,
+       CAST(summary.n_edges_final AS BIGINT) AS n_edges_final,
+       summary.converged
+FROM e{last} e
+LEFT JOIN spf s ON s.s1 = e.s1 AND s.s2 = e.s2
+CROSS JOIN summary
+ORDER BY support DESC, e.s1, e.s2 LIMIT {KTRUSS_TOPK}"""
+    )
+
+
+@register(
+    "ktruss_cosupply_peel",
+    category="graph",
+    doc=f"{KTRUSS_K}-truss of the co-supply graph (qty >= "
+    f"{KTRUSS_MIN_QTY}, shared >= {KTRUSS_MIN_SHARED}): iteratively drop "
+    f"edges in fewer than {KTRUSS_K - 2} triangles until fixpoint — the "
+    "EDGE-cohesion sibling of kcore_decomposition (k-truss is the "
+    "community-core primitive in graph mining). Each round re-derives "
+    "per-edge triangle support from the degree-ordered oriented wedge "
+    "join (O(E^1.5) work, skew-bounded) and filters; the Spark loop "
+    "early-exits on a fixpoint (ONE scalar of driver state per round, "
+    f"the kcore pattern) under a {KTRUSS_ROUNDS}-round budget, and the "
+    "AUDITED converged verdict hash-fails if that budget is ever "
+    "insufficient (oracle replays the same unrolled MATERIALIZED rounds "
+    "— surplus rounds are no-ops past the fixpoint). Emits the top-"
+    f"{KTRUSS_TOPK} surviving edges by final support.",
+    oracle=_oracle_ktruss(),
+)
+def ktruss_cosupply_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col
+    links = (
+        table(spark, sf_dir, "lineitem")
+        .where(c("l_quantity") >= KTRUSS_MIN_QTY)
+        .select(c("l_partkey").alias("p"), c("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = links.select("p", c("s").alias("s1"))
+    b = links.select("p", c("s").alias("s2"))
+    e = (
+        a.join(b, "p")
+        .where(c("s1") < c("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(c("shared") >= KTRUSS_MIN_SHARED)
+        .select("s1", "s2")
+        .localCheckpoint()
+    )
+
+    def support(edges: DataFrame) -> DataFrame:
+        # materialize the triangle relation: its three pair projections
+        # would otherwise re-run the wedge join three times per round
+        tri = oriented_triangles(edges).localCheckpoint()
+        pairs = (
+            tri.select(F.least("a", "b").alias("s1"), F.greatest("a", "b").alias("s2"))
+            .unionAll(
+                tri.select(
+                    F.least("a", "c").alias("s1"), F.greatest("a", "c").alias("s2")
+                )
+            )
+            .unionAll(
+                tri.select(
+                    F.least("b", "c").alias("s1"), F.greatest("b", "c").alias("s2")
+                )
+            )
+        )
+        return pairs.groupBy("s1", "s2").agg(F.count(F.lit(1)).alias("supp"))
+
+    n_prev = e.count()
+    converged = False
+    for _ in range(KTRUSS_ROUNDS):
+        sp = support(e)
+        e = (
+            e.join(sp, ["s1", "s2"], "left")
+            .where(F.coalesce(c("supp"), F.lit(0)) >= KTRUSS_K - 2)
+            .select("s1", "s2")
+            .localCheckpoint()
+        )
+        n_now = e.count()  # one scalar of driver state per round
+        if n_now == n_prev:
+            converged = True
+            break
+        n_prev = n_now
+    out = (
+        e.join(support(e), ["s1", "s2"], "left")
+        .select(
+            "s1",
+            "s2",
+            F.coalesce(c("supp"), F.lit(0)).cast("bigint").alias("support"),
+            F.lit(n_prev).cast("bigint").alias("n_edges_final"),
+            F.lit(converged).alias("converged"),
+        )
+        .orderBy(F.desc("support"), "s1", "s2")
+        .limit(KTRUSS_TOPK)
+    )
+    return out

@@ -1849,3 +1849,215 @@ def woe_iv_feature_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("iv_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic regression (PAV) — monotone recalibration of the reliability bins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "isotonic_calibration_pav",
+    category="ml",
+    doc="Isotonic recalibration of the reliability diagram: the "
+    "pool-adjacent-violators fit computed RELATIONALLY via the minimax "
+    "identity fit_i = max_{j<=i} min_{k>=i} pooledRate(j..k) — no "
+    "sequential pooling loop, so the whole fit is joins + aggregates "
+    "over the BOUNDED bin relation (B=10: 55 intervals, <=1k triples, "
+    "constant at any data scale; the only fact-scaled work is the same "
+    "one groupBy as calibration_reliability_bins). Pooled rates are "
+    "half-up ppm integers from exact prefix sums, so the minimax runs "
+    "on a deterministic integer grid on any engine; the result is "
+    "provably nondecreasing (max-min over nested sets) and equals PAV "
+    "up to the ppm grid (property-tested against exact-fraction PAV).",
+    oracle=f"""
+WITH src AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+  FROM orders
+),
+mm AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM src),
+bins AS (
+  SELECT CAST((cents - lo) * {CALIB_BINS} // (hi - lo + 1) AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS n_pos
+  FROM src CROSS JOIN mm GROUP BY 1
+),
+pre AS (
+  SELECT bin, n, n_pos,
+         CAST(SUM(n) OVER (ORDER BY bin) AS HUGEINT) AS cn,
+         CAST(SUM(n_pos) OVER (ORDER BY bin) AS HUGEINT) AS cp
+  FROM bins
+),
+iv AS (
+  SELECT a.bin AS j, b.bin AS k,
+         CAST((2000000 * (b.cp - a.cp + a.n_pos) + (b.cn - a.cn + a.n))
+              // (2 * (b.cn - a.cn + a.n)) AS BIGINT) AS rate_ppm
+  FROM pre a JOIN pre b ON a.bin <= b.bin
+),
+mn AS (
+  SELECT p.bin, iv.j, MIN(iv.rate_ppm) AS m
+  FROM pre p JOIN iv ON iv.j <= p.bin AND iv.k >= p.bin
+  GROUP BY p.bin, iv.j
+),
+fit AS (SELECT bin, CAST(MAX(m) AS BIGINT) AS iso_rate_ppm FROM mn GROUP BY bin)
+SELECT b.bin, b.n, b.n_pos,
+       CAST((2000000 * b.n_pos + b.n) // (2 * b.n) AS BIGINT) AS raw_rate_ppm,
+       f.iso_rate_ppm
+FROM bins b JOIN fit f USING (bin)
+""",
+)
+def isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col
+    src = table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("pos"),
+    )
+    mm = src.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    bins = (
+        src.crossJoin(F.broadcast(mm))
+        .groupBy(
+            F.expr(f"(cents - lo) * {CALIB_BINS} DIV (hi - lo + 1)").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+        )
+        .localCheckpoint()  # bounded B-row relation feeds prefix + output
+    )
+    # bounded-domain window (B = CALIB_BINS rows) — calendar-grain exemption
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pre = bins.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("n_pos").over(w).alias("cp"),
+    )
+    a = pre.select(
+        c("bin").alias("j"),
+        (c("cn") - c("n")).alias("cn0"),
+        (c("cp") - c("n_pos")).alias("cp0"),
+    )
+    b = pre.select(c("bin").alias("k"), "cn", "cp")
+    iv = (
+        a.join(b, c("j") <= c("k"))
+        .select(
+            "j",
+            "k",
+            F.expr(
+                "CAST((2000000 * CAST(cp - cp0 AS DECIMAL(38,0))"
+                " + (cn - cn0)) DIV (2 * (cn - cn0)) AS BIGINT)"
+            ).alias("rate_ppm"),
+        )
+    )
+    mn = (
+        pre.select("bin")
+        .join(iv, (c("j") <= c("bin")) & (c("k") >= c("bin")))
+        .groupBy("bin", "j")
+        .agg(F.min("rate_ppm").alias("m"))
+    )
+    fit = mn.groupBy("bin").agg(F.max("m").cast("bigint").alias("iso_rate_ppm"))
+    return bins.join(fit, "bin").select(
+        "bin",
+        "n",
+        "n_pos",
+        F.expr("CAST((2000000 * n_pos + n) DIV (2 * n) AS BIGINT)").alias(
+            "raw_rate_ppm"
+        ),
+        "iso_rate_ppm",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gains / lift deciles — the campaign-targeting evaluation table
+# ---------------------------------------------------------------------------
+
+LIFT_TILES = 10
+
+
+@register(
+    "lift_curve_deciles",
+    category="ml",
+    doc=f"Gains/lift table: rows scored by order total (desc), cut into "
+    f"{LIFT_TILES} EXACT global deciles via the TWO-PHASE ntile "
+    "(operators/windows.py — range-partitioned parallel sort, no "
+    "single-task window), positives = F-status orders. Per decile: "
+    "exact counts, half-up ppm positive rate, cumulative capture ppm "
+    "(share of all positives caught down to this decile), and lift vs "
+    "the base rate as the cross-multiplied half-up ppm "
+    "(n_pos*N vs n*P — no float rates). The decile-grain cumulative "
+    "window is 10 rows (bounded-domain exemption). The classic "
+    "model-quality readout beside AUC/PR/NDCG.",
+    oracle=f"""
+WITH src AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         o_orderkey,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+  FROM orders
+),
+tiled AS (
+  SELECT pos,
+         ntile({LIFT_TILES}) OVER (ORDER BY cents DESC, o_orderkey) AS decile
+  FROM src
+),
+d AS (
+  SELECT decile, CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(pos) AS HUGEINT) AS n_pos
+  FROM tiled GROUP BY decile
+),
+tot AS (SELECT CAST(SUM(n) AS HUGEINT) AS nn, CAST(SUM(n_pos) AS HUGEINT) AS pp FROM d),
+cum AS (
+  SELECT decile, n, n_pos,
+         CAST(SUM(n_pos) OVER (ORDER BY decile) AS HUGEINT) AS cum_pos
+  FROM d
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(n AS BIGINT) AS n,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST((2000000 * n_pos + n) // (2 * n) AS BIGINT) AS pos_rate_ppm,
+       CAST((2000000 * cum_pos + pp) // (2 * pp) AS BIGINT) AS cum_capture_ppm,
+       CAST((2000000 * n_pos * nn + n * pp) // (2 * n * pp) AS BIGINT) AS lift_ppm
+FROM cum CROSS JOIN tot
+""",
+)
+def lift_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.operators.windows import global_ntile
+
+    c = F.col
+    src = table(spark, sf_dir, "orders").select(
+        (-F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")).alias(
+            "neg_cents"
+        ),
+        "o_orderkey",
+        (F.col("o_orderstatus") == "F").cast("int").alias("pos"),
+    )
+    tiled = global_ntile(src, LIFT_TILES, ["neg_cents", "o_orderkey"], "decile")
+    d = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("pos").cast("decimal(38,0)").alias("n_pos"),
+    )
+    tot = d.agg(
+        F.sum("n").cast("decimal(38,0)").alias("nn"),
+        F.sum("n_pos").cast("decimal(38,0)").alias("pp"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = d.select(
+        "decile", "n", "n_pos", F.sum("n_pos").over(w).alias("cum_pos")
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        c("decile").cast("bigint").alias("decile"),
+        c("n").cast("bigint").alias("n"),
+        c("n_pos").cast("bigint").alias("n_pos"),
+        F.expr("CAST((2000000 * n_pos + n) DIV (2 * n) AS BIGINT)").alias(
+            "pos_rate_ppm"
+        ),
+        F.expr(
+            "CAST((2000000 * cum_pos + pp) DIV (2 * pp) AS BIGINT)"
+        ).alias("cum_capture_ppm"),
+        F.expr(
+            "CAST((2000000 * n_pos * nn + n * pp) DIV (2 * n * pp) AS BIGINT)"
+        ).alias("lift_ppm"),
+    )

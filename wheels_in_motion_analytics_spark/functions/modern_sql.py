@@ -350,3 +350,72 @@ BEGIN
 END
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# DataFrame.transpose — the Spark 4 row<->column flip as a relational op
+# ---------------------------------------------------------------------------
+
+_TR_REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+
+
+@register(
+    "transpose_region_metrics",
+    category="modern_sql",
+    doc="Spark 4 DataFrame.transpose over a per-region metrics relation: "
+    "the star join + groupBy collapses the fact table to 5 region rows x "
+    "3 BIGINT metrics, then transpose() flips it to one row PER METRIC "
+    "with a sorted column per region ('MIDDLE EAST' exercises "
+    "space-in-identifier handling end to end). transpose is driver-"
+    "bounded by construction here — it runs on the 5-row aggregate, "
+    "never the fact table; the heavy work stays in the distributed "
+    "star-join aggregate (region/nation broadcast). Oracle rebuilds the "
+    "same shape with conditional aggregates + UNION ALL arms in "
+    "original-column order.",
+    oracle=f"""
+WITH m AS (
+  SELECT r.r_name,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+         CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name
+)
+SELECT 'n_orders' AS key,
+       {", ".join(f'''CAST(SUM(CASE WHEN r_name = '{r}' THEN n_orders END) AS BIGINT) AS "{r}"''' for r in _TR_REGIONS)}
+FROM m
+UNION ALL
+SELECT 'revenue_cents',
+       {", ".join(f"CAST(SUM(CASE WHEN r_name = '{r}' THEN revenue_cents END) AS BIGINT)" for r in _TR_REGIONS)}
+FROM m
+UNION ALL
+SELECT 'n_customers',
+       {", ".join(f"CAST(SUM(CASE WHEN r_name = '{r}' THEN n_customers END) AS BIGINT)" for r in _TR_REGIONS)}
+FROM m
+""",
+)
+def transpose_region_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("revenue_cents"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+    return m.transpose()

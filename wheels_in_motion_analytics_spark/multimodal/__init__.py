@@ -780,3 +780,141 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["multimodal_image_ahash"].oracle = _oracle_image_ahash()
+
+
+# ---------------------------------------------------------------------------
+# Audio silence segmentation — windowed energy -> threshold -> islands (VAD)
+# ---------------------------------------------------------------------------
+
+AUDIO_SEG_WINDOW = 16  # samples per energy window -> 16 windows per clip
+
+
+def _oracle_audio_silence() -> str:
+    nw = codecs.WAV_SAMPLES // AUDIO_SEG_WINDOW
+    return f"""
+WITH h AS (
+  SELECT doc_id, k,
+         md5('wav:' || CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)) AS hx
+  FROM documents
+  CROSS JOIN (SELECT unnest(range({WAV_BLOCKS})) AS k) kk
+),
+s AS (
+  SELECT doc_id, k * 8 + j AS idx,
+         CASE WHEN u >= 32768 THEN 65536 - u ELSE u END AS a
+  FROM (
+    SELECT doc_id, k, j,
+           ('0x' || substr(hx, CAST(j * 4 + 1 AS INTEGER), 2))::BIGINT
+           + 256 * ('0x' || substr(hx, CAST(j * 4 + 3 AS INTEGER), 2))::BIGINT AS u
+    FROM h CROSS JOIN (SELECT unnest(range(8)) AS j) jj
+  )
+),
+w AS (
+  SELECT doc_id, idx // {AUDIO_SEG_WINDOW} AS w, CAST(SUM(a) AS BIGINT) AS wsum
+  FROM s GROUP BY 1, 2
+),
+t AS (SELECT doc_id, CAST(SUM(wsum) AS BIGINT) AS total FROM w GROUP BY 1),
+low AS (
+  SELECT w.doc_id, w.w
+  FROM w JOIN t USING (doc_id)
+  WHERE {nw} * 2 * w.wsum < t.total
+),
+isl AS (
+  SELECT doc_id,
+         w - row_number() OVER (PARTITION BY doc_id ORDER BY w) AS grp
+  FROM low
+),
+seg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS seg_len
+  FROM isl GROUP BY doc_id, grp
+),
+per AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_segments,
+         CAST(MAX(seg_len) AS BIGINT) AS longest_segment,
+         CAST(SUM(seg_len) AS BIGINT) AS n_low_windows
+  FROM seg GROUP BY doc_id
+)
+SELECT t.doc_id,
+       t.total AS total_abs,
+       COALESCE(per.n_low_windows, 0) AS n_low_windows,
+       COALESCE(per.n_segments, 0) AS n_segments,
+       COALESCE(per.longest_segment, 0) AS longest_segment
+FROM t LEFT JOIN per USING (doc_id)
+"""
+
+
+AUDIO_SEG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("total_abs", T.LongType()),
+        T.StructField("n_low_windows", T.LongType()),
+        T.StructField("n_segments", T.LongType()),
+        T.StructField("longest_segment", T.LongType()),
+    ]
+)
+
+
+@register(
+    "multimodal_audio_silence_segments",
+    category="multimodal",
+    doc=f"VAD-shaped silence segmentation over REAL WAV decode: per clip, "
+    f"{codecs.WAV_SAMPLES // AUDIO_SEG_WINDOW} windows of "
+    f"{AUDIO_SEG_WINDOW} samples -> exact integer |sample| energy per "
+    "window -> 'low' iff window energy is under HALF the clip's mean "
+    "window energy (pure integer cross-multiplication) -> adjacent low "
+    "windows merge into segments (gaps-and-islands). The ENTIRE "
+    "window/threshold/merge pipeline runs inside the decode kernel "
+    "(mapInPandas) on the clip's own 256 samples — per-clip local work, "
+    "ZERO shuffles, embarrassingly parallel at any corpus size. Oracle "
+    "replays decode, windowing, the threshold and the island merge from "
+    "the md5 fixture bytes in SQL.",
+    oracle=_oracle_audio_silence(),
+)
+def multimodal_audio_silence_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    media = audio_media_table(spark, sf_dir)
+    n_win = codecs.WAV_SAMPLES // AUDIO_SEG_WINDOW
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            tot, nlow, nseg, longest = [], [], [], []
+            for payload in pdf["payload"]:
+                _rate, _n, samples = codecs.decode_wav(payload)
+                wsums = [
+                    sum(
+                        abs(s)
+                        for s in samples[
+                            w * AUDIO_SEG_WINDOW : (w + 1) * AUDIO_SEG_WINDOW
+                        ]
+                    )
+                    for w in range(n_win)
+                ]
+                total = sum(wsums)
+                low = [n_win * 2 * ws < total for ws in wsums]
+                segs, run_len, best = 0, 0, 0
+                for flag in low:
+                    if flag:
+                        run_len += 1
+                        if run_len == 1:
+                            segs += 1
+                        best = max(best, run_len)
+                    else:
+                        run_len = 0
+                tot.append(total)
+                nlow.append(sum(low))
+                nseg.append(segs)
+                longest.append(best)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "total_abs": tot,
+                    "n_low_windows": nlow,
+                    "n_segments": nseg,
+                    "longest_segment": longest,
+                }
+            )
+
+    return media.mapInPandas(run, AUDIO_SEG_SCHEMA)
