@@ -413,3 +413,32 @@ def test_silhouette_bounds_and_partition(spark):
     assert total <= corpus and total > 0
     for r in rows:
         assert 0 <= r["min_sil_ppm"] <= r["mean_sil_ppm"] <= r["max_sil_ppm"] <= 1_000_000
+
+
+def test_ngram_novelty_python_recompute(spark):
+    from collections import Counter
+
+    from wheels_in_motion_analytics_spark.tables import table
+
+    rows = {
+        r["doc_id"]: r
+        for r in SPECS["doc_ngram_novelty_audit"].fn(spark, SF_SMALL).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, SF_SMALL, "documents").collect()
+    }
+    sh = {}
+    for d, text in docs.items():
+        ws = text.lower().split()
+        sh[d] = {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+    df = Counter(s for ss in sh.values() for s in ss)
+    for d, ss in sh.items():
+        if not ss:
+            assert d not in rows
+            continue
+        novel = sum(1 for s in ss if df[s] == 1)
+        r = rows[d]
+        assert r["n_shingles"] == len(ss)
+        assert r["n_novel"] == novel
+        assert r["novelty_ppm"] == (2_000_000 * novel + len(ss)) // (2 * len(ss))

@@ -80,3 +80,55 @@ def test_nearest_supplier_matches_bruteforce(spark):
         for r in SPECS["spatial_nearest_supplier"].fn(spark, SF_SMALL).collect()
     }
     assert out == brute
+
+
+def test_dbscan_python_recompute(spark):
+    """Brute-force neighborhood classification must match exactly."""
+    from wheels_in_motion_analytics_spark.operators.spatial import (
+        DBSCAN_EPS,
+        DBSCAN_MIN_PTS,
+        _coord,
+    )
+
+    rows = {
+        r["point_class"]: r
+        for r in SPECS["dbscan_core_border_noise"].fn(spark, SF_SMALL).collect()
+    }
+    pts = [
+        (r["k"], r["x"], r["y"])
+        for r in table(spark, SF_SMALL, "customer")
+        .select(
+            F.col("c_custkey").alias("k"),
+            _coord("dbx|", F.col("c_custkey")).alias("x"),
+            _coord("dby|", F.col("c_custkey")).alias("y"),
+        )
+        .collect()
+    ]
+    e2 = DBSCAN_EPS * DBSCAN_EPS
+    nbrs, core = {}, {}
+    for k, x, y in pts:
+        n = sum(1 for k2, x2, y2 in pts if (x - x2) ** 2 + (y - y2) ** 2 <= e2)
+        nbrs[k] = n
+        core[k] = n >= DBSCAN_MIN_PTS
+    cls = {}
+    for k, x, y in pts:
+        if core[k]:
+            cls[k] = "core"
+        elif any(
+            core[k2]
+            for k2, x2, y2 in pts
+            if k2 != k and (x - x2) ** 2 + (y - y2) ** 2 <= e2
+        ):
+            cls[k] = "border"
+        else:
+            cls[k] = "noise"
+    from collections import defaultdict
+
+    agg = defaultdict(list)
+    for k, c in cls.items():
+        agg[c].append(nbrs[k])
+    assert set(rows) == set(agg)
+    for c, ns in agg.items():
+        assert rows[c]["n_points"] == len(ns)
+        assert rows[c]["min_neighbors"] == min(ns)
+        assert rows[c]["max_neighbors"] == max(ns)

@@ -582,3 +582,149 @@ def test_kendall_tau_python_recompute(spark):
     # ppm value is within 1/isqrt-grid of the float tau-b
     tau = float(Fraction(num) / Fraction(isqrt(dxx * dyy) or 1))
     assert abs(row["tau_b_ppm"] / 1e6 - tau) < 5e-4
+
+
+def test_mcnemar_python_recompute(spark):
+    row = SPECS["mcnemar_paired_classifiers"].fn(spark, SF_SMALL).collect()[0]
+    data = [
+        (r["cents"], r["b"])
+        for r in table(spark, SF_SMALL, "orders")
+        .selectExpr(
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+            "CAST(o_orderstatus = 'F' AS INT) AS b",
+        )
+        .collect()
+    ]
+    n = len(data)
+    s = sum(c for c, _ in data)
+    n11 = sum(1 for c, b in data if c * n > s and b == 1)
+    n10 = sum(1 for c, b in data if c * n > s and b == 0)
+    n01 = sum(1 for c, b in data if c * n <= s and b == 1)
+    n00 = n - n11 - n10 - n01
+    assert (row["both_pos"], row["only_a"], row["only_b"], row["both_neg"]) == (
+        n11,
+        n10,
+        n01,
+        n00,
+    )
+    d = abs(n10 - n01) - 1
+    assert row["chi2_milli"] == (2000 * d * d + (n10 + n01)) // (2 * (n10 + n01))
+    assert row["reject_marginal_homogeneity"] == (d * d * 10000 > 38416 * (n10 + n01))
+
+
+def test_jonckheere_python_recompute(spark):
+    from bisect import bisect_left, bisect_right
+    from collections import defaultdict
+
+    row = SPECS["jonckheere_terpstra_trend"].fn(spark, SF_SMALL).collect()[0]
+    groups = defaultdict(list)
+    for r in (
+        table(spark, SF_SMALL, "orders")
+        .selectExpr(
+            "CAST(o_totalprice * 100 AS BIGINT) AS cents100",
+            "CAST(substr(o_orderpriority, 1, 1) AS INT) AS g",
+        )
+        .collect()
+    ):
+        groups[r["g"]].append(r["cents100"])
+    for g in groups:
+        groups[g].sort()
+    j2 = 0
+    for j in range(1, 6):
+        for k in range(j + 1, 6):
+            for x in groups[j]:
+                # 2 * (#{y > x} + 0.5 * #{y == x})
+                gt = len(groups[k]) - bisect_right(groups[k], x)
+                eq = bisect_right(groups[k], x) - bisect_left(groups[k], x)
+                j2 += 2 * gt + eq
+    ns = [len(groups[g]) for g in range(1, 6)]
+    n = sum(ns)
+    sq = sum(x * x for x in ns)
+    sq3 = sum(x * x * (2 * x + 3) for x in ns)
+    d = 2 * j2 - (n * n - sq)
+    var72 = n * n * (2 * n + 3) - sq3
+    assert row["n_total"] == n
+    assert row["jt_2j"] == j2
+    assert row["d_scaled"] == d
+    assert row["var72"] == str(var72)
+    assert row["trend_significant"] == (d * d * 90000 > 2 * 38416 * var72)
+
+
+def test_ab_srm_python_recompute(spark):
+    import hashlib
+
+    rows = {r["design"]: r for r in SPECS["ab_srm_check"].fn(spark, SF_SMALL).collect()}
+    keys = [
+        r["c_custkey"]
+        for r in table(spark, SF_SMALL, "customer").select("c_custkey").collect()
+    ]
+    hs = [int(hashlib.md5(f"arm:{k}".encode()).hexdigest()[:15], 16) for k in keys]
+    n = len(hs)
+    n_even = sum(1 for h in hs if h % 2 == 0)
+    n_hold = sum(1 for h in hs if h % 10 == 0)
+    r = rows["50_50"]
+    d = 2 * n_even - n
+    assert (r["n_a"], r["n_b"]) == (n_even, n - n_even)
+    assert r["chi2_milli"] == (2000 * d * d + n) // (2 * n)
+    assert r["srm_detected"] == (d * d * 10000 > 38416 * n)
+    r = rows["90_10"]
+    d = 10 * n_hold - n
+    assert (r["n_a"], r["n_b"]) == (n - n_hold, n_hold)
+    assert r["chi2_milli"] == (2000 * d * d + 9 * n) // (2 * 9 * n)
+    assert r["srm_detected"] == (d * d * 10000 > 38416 * 9 * n)
+
+
+def test_psm_caliper_python_recompute(spark):
+    from wheels_in_motion_analytics_spark.functions.stats import (
+        _PSM_OFFSET,
+        PSM_CALIPER_CENTS,
+        PSM_TREATED_SEGMENT,
+    )
+
+    row = SPECS["psm_caliper_matching"].fn(spark, SF_SMALL).collect()[0]
+    cust = {
+        r["k"]: (r["bal"], r["treated"])
+        for r in table(spark, SF_SMALL, "customer")
+        .selectExpr(
+            "c_custkey AS k",
+            f"CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + {_PSM_OFFSET} AS bal",
+            f"CAST(c_mktsegment = '{PSM_TREATED_SEGMENT}' AS INT) AS treated",
+        )
+        .collect()
+    }
+    rev = {
+        r["k"]: r["cents"]
+        for r in table(spark, SF_SMALL, "orders")
+        .selectExpr(
+            "o_custkey AS k",
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .groupBy("k")
+        .sum("cents")
+        .withColumnRenamed("sum(cents)", "cents")
+        .collect()
+    }
+    treated = [(k, b) for k, (b, t) in cust.items() if t == 1]
+    control = [(k, b) for k, (b, t) in cust.items() if t == 0]
+    n_matched = 0
+    sum_diff = 0
+    sum_gap = 0
+    for tk, tb in treated:
+        cands = [
+            (abs(tb - cb), ck) for ck, cb in control if abs(tb - cb) <= PSM_CALIPER_CENTS
+        ]
+        if not cands:
+            continue
+        gap, ck = min(cands)
+        n_matched += 1
+        sum_diff += rev.get(tk, 0) - rev.get(ck, 0)
+        sum_gap += gap
+    assert row["n_treated"] == len(treated)
+    assert row["n_control"] == len(control)
+    assert row["n_matched"] == n_matched
+    assert row["sum_diff_cents"] == sum_diff
+    sign = -1 if sum_diff < 0 else 1
+    assert row["att_milli_cents"] == sign * (
+        (2000 * abs(sum_diff) + n_matched) // (2 * n_matched)
+    )
+    assert row["mean_gap_milli"] == (2000 * sum_gap + n_matched) // (2 * n_matched)

@@ -68,3 +68,32 @@ def test_word_freqs_collapses_corpus(spark, tmp_path):
     df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
     wf = {r.w: r.f for r in word_freqs(spark, str(tmp_path)).collect()}
     assert wf == {"the": 3, "cat": 2, "hat": 1}
+
+
+def test_fertility_invariants_and_totals(spark):
+    """Fertility >= 1 (BPE never splits below 1 token/word after merges
+    cap at word length), per-lang totals reconcile with the corpus, and
+    the ratio grids replay exactly."""
+    from tests.conftest import SF_SMALL
+    from wheels_in_motion_analytics_spark.registry import load_all_queries
+    from wheels_in_motion_analytics_spark.tables import table
+
+    rows = load_all_queries()["tokenizer_fertility_audit"].fn(spark, SF_SMALL).collect()
+    total_words = 0
+    for r in rows:
+        assert r["n_bpe_tokens"] >= r["n_words"]  # >= 1 token per word
+        assert r["fertility_ppm"] == (
+            2_000_000 * r["n_bpe_tokens"] + r["n_words"]
+        ) // (2 * r["n_words"])
+        assert r["chars_per_token_milli"] == (
+            2_000 * r["n_chars"] + r["n_bpe_tokens"]
+        ) // (2 * r["n_bpe_tokens"])
+        total_words += r["n_words"]
+    corpus_words = (
+        table(spark, SF_SMALL, "documents")
+        .selectExpr("size(filter(split(lower(text), '\\\\s+'), x -> x != '')) AS n")
+        .groupBy()
+        .sum("n")
+        .collect()[0][0]
+    )
+    assert total_words == corpus_words

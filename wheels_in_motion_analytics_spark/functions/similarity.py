@@ -2295,3 +2295,53 @@ def silhouette_simplified_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REGISTRY["silhouette_simplified_ivf"].oracle = _silhouette_oracle()
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty — how much of each doc's content exists nowhere else?
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_ngram_novelty_audit",
+    category="dedup-llm",
+    doc="Per-document n-gram novelty: the fraction of a doc's distinct "
+    f"{SHINGLE_N}-word shingles whose corpus document frequency is 1 "
+    "(they appear in NO other document) — the memorization/novelty audit "
+    "run before adding a source to a training mix (low novelty = the "
+    "source is mostly boilerplate already in the corpus; the flip side "
+    "of the dedup family's duplication measures). SCALE SHAPE: one "
+    "shingle explode feeding two map-side-combinable groupBys (df keyed "
+    "on shingle, novelty keyed on doc) and a postings join-back — the "
+    "inverted-index shape; the shingle relation is checkpointed once "
+    "for its two consumers (the corpus-expansion lesson). novelty_ppm "
+    "is a half-up integer division.",
+    oracle=f"""
+WITH {_ORACLE_SHINGLES},
+df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s)
+SELECT sh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST((CAST(2000000 AS HUGEINT) * SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)
+             + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS novelty_ppm
+FROM sh JOIN df USING (s)
+GROUP BY sh.doc_id
+""",
+)
+def doc_ngram_novelty_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col
+    sh = doc_shingles(spark, sf_dir).localCheckpoint()  # df agg + join-back
+    df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(df, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum((c("df") == 1).cast("bigint")).cast("bigint").alias("n_novel"),
+            F.expr(
+                "CAST((CAST(2000000 AS DECIMAL(38,0))"
+                " * sum(CAST(df = 1 AS BIGINT)) + count(*))"
+                " DIV (2 * count(*)) AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+    )

@@ -236,3 +236,115 @@ def bpe_encode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_sym").alias("n_bpe_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility — tokens/word and chars/token by language bucket
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tokenizer_fertility_audit",
+    category="tokenizer-llm",
+    doc="Tokenizer fertility audit: tokens-per-word and chars-per-token of "
+    "the trained BPE, broken down by the langid heuristic bucket — THE "
+    "standard multilingual tokenizer-quality readout (a tokenizer with "
+    "high fertility on some language inflates its training cost and "
+    "degrades its effective context). Same dictionary-encoding shape as "
+    "bpe_encode_token_counts (merge work is O(vocab), corpus words hash-"
+    "join the dictionary — never per-row re-tokenization); language "
+    "labels are the marker-stopword vote; ratios are half-up ppm/milli "
+    "integers from exact counts.",
+    oracle=_oracle_prefix(BPE_MERGES)
+    + """
+, dict AS (
+  SELECT w, CAST(len(list_filter(string_split(seq, ' '), x -> x <> ''))
+                 AS BIGINT) AS n_sym
+  FROM seqs{M}
+),
+docs AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+lab AS (
+  SELECT doc_id, toks,
+         len(list_filter(toks, t -> t IN ('the','a','and','of','to','is'))) AS c_en,
+         len(list_filter(toks, t -> t IN ('el','la','de','que','y','los'))) AS c_es,
+         len(list_filter(toks, t -> t IN ('le','les','des','et','un','une'))) AS c_fr
+  FROM docs
+),
+dw AS (
+  SELECT doc_id,
+         CASE WHEN c_en = 0 AND c_es = 0 AND c_fr = 0 THEN 'und'
+              WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+              WHEN c_es >= c_fr THEN 'es'
+              ELSE 'fr' END AS lang,
+         unnest(toks) AS w
+  FROM lab
+)
+SELECT dw.lang,
+       CAST(COUNT(DISTINCT dw.doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(d.n_sym) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(len(dw.w)) AS BIGINT) AS n_chars,
+       CAST((CAST(2000000 AS HUGEINT) * SUM(d.n_sym) + COUNT(*))
+            // (2 * COUNT(*)) AS BIGINT) AS fertility_ppm,
+       CAST((CAST(2000 AS HUGEINT) * SUM(len(dw.w)) + SUM(d.n_sym))
+            // (2 * SUM(d.n_sym)) AS BIGINT) AS chars_per_token_milli
+FROM dw JOIN dict d ON d.w = dw.w
+GROUP BY dw.lang
+""".replace("{M}", str(BPE_MERGES)),
+)
+def tokenizer_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.functions.text import LANG_MARKERS, tokens
+
+    c = F.col
+    _, seqs = train_bpe(word_freqs(spark, sf_dir))
+    dictionary = seqs.select(
+        "w", F.size(F.expr(_SYMS)).cast("long").alias("n_sym")
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+
+    def count_in(markers):
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(c("toks"), lambda t: F.array_contains(arr, t)))
+
+    lab = docs.select(
+        "doc_id",
+        "toks",
+        count_in(LANG_MARKERS["en"]).alias("c_en"),
+        count_in(LANG_MARKERS["es"]).alias("c_es"),
+        count_in(LANG_MARKERS["fr"]).alias("c_fr"),
+    )
+    dw = lab.select(
+        "doc_id",
+        F.when(
+            (c("c_en") == 0) & (c("c_es") == 0) & (c("c_fr") == 0), F.lit("und")
+        )
+        .when((c("c_en") >= c("c_es")) & (c("c_en") >= c("c_fr")), F.lit("en"))
+        .when(c("c_es") >= c("c_fr"), F.lit("es"))
+        .otherwise(F.lit("fr"))
+        .alias("lang"),
+        F.explode("toks").alias("w"),
+    )
+    return (
+        dw.join(dictionary, "w")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
+            F.sum(F.length("w")).cast("bigint").alias("n_chars"),
+            F.expr(
+                "CAST((CAST(2000000 AS DECIMAL(38,0)) * sum(n_sym) + count(*))"
+                " DIV (2 * count(*)) AS BIGINT)"
+            ).alias("fertility_ppm"),
+            F.expr(
+                "CAST((CAST(2000 AS DECIMAL(38,0)) * sum(length(w)) + sum(n_sym))"
+                " DIV (2 * sum(n_sym)) AS BIGINT)"
+            ).alias("chars_per_token_milli"),
+        )
+    )

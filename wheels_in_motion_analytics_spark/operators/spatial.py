@@ -229,3 +229,131 @@ def spatial_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ring_best.unionByName(rest_best)
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN point classification — core / border / noise by eps-neighborhoods
+# ---------------------------------------------------------------------------
+
+DBSCAN_EPS = 30_000
+DBSCAN_MIN_PTS = 4  # neighborhood size INCLUDING the point itself
+_DB_E2 = DBSCAN_EPS * DBSCAN_EPS
+
+
+@register(
+    "dbscan_core_border_noise",
+    category="spatial",
+    doc=f"DBSCAN density classification (eps={DBSCAN_EPS}, minPts="
+    f"{DBSCAN_MIN_PTS}) of the md5-derived customer points: core = "
+    ">= minPts points (incl. self) within eps, border = non-core with a "
+    "core neighbor, noise = the rest. SCALE SHAPE: the eps-pair relation "
+    "comes from the SAME lossless grid-cell candidate join as "
+    "spatial_radius_join (cell side = eps, 3x3 neighborhood equi-join — "
+    "never the quadratic self-join; that is the oracle's job), is "
+    "checkpointed once, and feeds BOTH the neighbor count and the "
+    "core-neighbor existence check. All geometry in exact int64; emits "
+    "the per-class census.",
+    oracle=f"""
+WITH pts AS (
+  SELECT c_custkey AS k,
+         {_oracle_coord('dbx|', 'c_custkey')} AS x,
+         {_oracle_coord('dby|', 'c_custkey')} AS y
+  FROM customer
+),
+pairs AS (
+  SELECT a.k AS ka, b.k AS kb
+  FROM pts a JOIN pts b
+    ON a.k <> b.k
+   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {_DB_E2}
+),
+nbrs AS (
+  SELECT p.k, 1 + COALESCE(cnt, 0) AS n_nbrs
+  FROM pts p LEFT JOIN (SELECT ka, COUNT(*) AS cnt FROM pairs GROUP BY ka) c
+    ON c.ka = p.k
+),
+flag AS (
+  SELECT k, n_nbrs, n_nbrs >= {DBSCAN_MIN_PTS} AS is_core FROM nbrs
+),
+cls AS (
+  SELECT f.k, f.n_nbrs,
+         CASE WHEN f.is_core THEN 'core'
+              WHEN EXISTS (SELECT 1 FROM pairs p JOIN flag g ON g.k = p.kb
+                           WHERE p.ka = f.k AND g.is_core) THEN 'border'
+              ELSE 'noise' END AS cls
+  FROM flag f
+)
+SELECT cls AS point_class,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(MIN(n_nbrs) AS BIGINT) AS min_neighbors,
+       CAST(MAX(n_nbrs) AS BIGINT) AS max_neighbors
+FROM cls GROUP BY cls
+""",
+)
+def dbscan_core_border_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col
+    pts = table(spark, sf_dir, "customer").select(
+        c("c_custkey").alias("k"),
+        _coord("dbx|", c("c_custkey")).alias("x"),
+        _coord("dby|", c("c_custkey")).alias("y"),
+    )
+    t = pts.select(
+        c("k").alias("kb"),
+        c("x").alias("bx"),
+        c("y").alias("by"),
+        (c("x") - c("x") % DBSCAN_EPS).alias("cx"),
+        (c("y") - c("y") % DBSCAN_EPS).alias("cy"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    p = pts.select(
+        c("k").alias("ka"),
+        c("x").alias("ax"),
+        c("y").alias("ay"),
+        F.explode(offsets).alias("o"),
+    ).select(
+        "ka",
+        "ax",
+        "ay",
+        (c("ax") - c("ax") % DBSCAN_EPS + c("o.dx") * DBSCAN_EPS).alias("cx"),
+        (c("ay") - c("ay") % DBSCAN_EPS + c("o.dy") * DBSCAN_EPS).alias("cy"),
+    )
+    d2 = (c("ax") - c("bx")) * (c("ax") - c("bx")) + (c("ay") - c("by")) * (
+        c("ay") - c("by")
+    )
+    pairs = (
+        p.join(t, ["cx", "cy"])
+        .where((c("ka") != c("kb")) & (d2 <= _DB_E2))
+        .select("ka", "kb")
+        .localCheckpoint()  # feeds neighbor counts AND core-neighbor check
+    )
+    nbrs = pts.join(
+        pairs.groupBy("ka").agg(F.count(F.lit(1)).alias("cnt")),
+        pts.k == c("ka"),
+        "left",
+    ).select("k", (F.coalesce(c("cnt"), F.lit(0)) + 1).alias("n_nbrs"))
+    flag = nbrs.withColumn("is_core", c("n_nbrs") >= DBSCAN_MIN_PTS)
+    has_core = (
+        pairs.join(
+            flag.select(c("k").alias("kb"), c("is_core").alias("core_b")), "kb"
+        )
+        .groupBy("ka")
+        .agg(F.max("core_b").alias("has_core_nbr"))
+    )
+    cls = flag.join(has_core, flag.k == has_core.ka, "left").select(
+        flag.k,
+        "n_nbrs",
+        F.when(c("is_core"), F.lit("core"))
+        .when(F.coalesce(c("has_core_nbr"), F.lit(False)), F.lit("border"))
+        .otherwise(F.lit("noise"))
+        .alias("point_class"),
+    )
+    return cls.groupBy("point_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.min("n_nbrs").cast("bigint").alias("min_neighbors"),
+        F.max("n_nbrs").cast("bigint").alias("max_neighbors"),
+    )
