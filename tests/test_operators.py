@@ -783,3 +783,24 @@ def test_mase_python_recompute(spark):
     want = (2 * sae_f * n_b * 1_000_000 + n_f * sae_b) // (2 * n_f * sae_b)
     assert row["mase_ppm"] == want
     assert row["beats_naive"] == (want < 1_000_000)
+
+
+def test_builtin_session_window_agrees_with_manual_sessionizer(spark):
+    """The engine-native session_window must produce exactly the manual
+    gaps-and-islands sessions (same starts, counts, and values)."""
+    from tests.conftest import SF_SMALL
+    from wheels_in_motion_analytics_spark.registry import load_all_queries
+
+    SPECS = load_all_queries()
+    builtin = {
+        (r["user_id"], r["session_start"]): (r["n_events"], round(r["session_value"], 6))
+        for r in SPECS["session_window_builtin_batch"].fn(spark, SF_SMALL).collect()
+    }
+    manual = {
+        (r["user_id"], r["session_start"]): (
+            r["n_events"],
+            round(r["session_value"], 6),
+        )
+        for r in SPECS["sessionize_events"].fn(spark, SF_SMALL).collect()
+    }
+    assert builtin == manual

@@ -149,3 +149,38 @@ def test_mrr_python_recompute(spark):
     for row in rows:
         assert row[f"rr_sum_x{MRR_LCM}"] == total
         assert row["mrr_ppm"] == mrr_ppm
+
+
+def test_rbo_python_recompute(spark):
+    from collections import Counter, defaultdict
+
+    from wheels_in_motion_analytics_spark.functions.retrieval import (
+        _RBO_W,
+        RBO_K,
+        QUERY_TERMS,
+    )
+
+    row = SPECS["rbo_rankings_agreement"].fn(spark, SF_SMALL).collect()[0]
+    # occurrence ranking
+    occ = Counter()
+    for r in table(spark, SF_SMALL, "documents").select("doc_id", "text").collect():
+        for t in r["text"].lower().split():
+            if t in QUERY_TERMS:
+                occ[r["doc_id"]] += 1
+    occ_top = [
+        d for d, _ in sorted(occ.items(), key=lambda kv: (-kv[1], kv[0]))[:RBO_K]
+    ]
+    # bm25 ranking via the registered query (already oracle-verified)
+    bm_top = [r["doc_id"] for r in SPECS["bm25_topk_search"].fn(spark, SF_SMALL).collect()]
+    pa = {d: i + 1 for i, d in enumerate(bm_top)}
+    pb = {d: i + 1 for i, d in enumerate(occ_top)}
+    shared = set(pa) & set(pb)
+    total_ov = 0
+    rbo = 0
+    for d in range(1, RBO_K + 1):
+        ov = sum(1 for x in shared if pa[x] <= d and pb[x] <= d)
+        total_ov += ov
+        rbo += (_RBO_W[d - 1] * ov) // d
+    assert row["total_overlap"] == total_ov
+    assert row["rbo_micro"] == rbo
+    assert 0 <= row["rbo_micro"] <= sum(_RBO_W)  # RBO in [0, ~0.65e6] truncated

@@ -728,3 +728,56 @@ def test_psm_caliper_python_recompute(spark):
         (2000 * abs(sum_diff) + n_matched) // (2 * n_matched)
     )
     assert row["mean_gap_milli"] == (2000 * sum_gap + n_matched) // (2 * n_matched)
+
+
+def test_permutation_test_python_recompute(spark):
+    import hashlib
+
+    from wheels_in_motion_analytics_spark.functions.stats import (
+        PERM_B,
+        PERM_SEGMENT,
+    )
+
+    row = SPECS["permutation_test_segment_revenue"].fn(spark, SF_SMALL).collect()[0]
+    cust = {
+        r["k"]: r["t"]
+        for r in table(spark, SF_SMALL, "customer")
+        .selectExpr(
+            "c_custkey AS k", f"CAST(c_mktsegment = '{PERM_SEGMENT}' AS INT) AS t"
+        )
+        .collect()
+    }
+    rev = {}
+    for r in (
+        table(spark, SF_SMALL, "orders")
+        .selectExpr(
+            "o_custkey AS k", "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c"
+        )
+        .collect()
+    ):
+        rev[r["k"]] = rev.get(r["k"], 0) + r["c"]
+    pts = [(k, t, rev.get(k, 0)) for k, t in cust.items()]
+    st = sum(o for _, t, o in pts if t == 1)
+    nt = sum(1 for _, t, _ in pts if t == 1)
+    sc = sum(o for _, t, o in pts if t == 0)
+    nc = len(pts) - nt
+    obs = st * nc - sc * nt
+    n_extreme = 0
+    for b in range(PERM_B):
+        s0 = n0 = s1 = n1 = 0
+        for k, _, o in pts:
+            arm = int(hashlib.md5(f"perm:{b}:{k}".encode()).hexdigest()[:15], 16) % 2
+            if arm == 0:
+                s0 += o
+                n0 += 1
+            else:
+                s1 += o
+                n1 += 1
+        if abs(s0 * n1 - s1 * n0) * (nt * nc) >= abs(obs) * (n0 * n1):
+            n_extreme += 1
+    assert (row["n_treated"], row["n_control"]) == (nt, nc)
+    assert row["obs_diff_num"] == str(obs)
+    assert row["n_extreme"] == n_extreme
+    assert row["p_milli"] == (2000 * (1 + n_extreme) + (PERM_B + 1)) // (
+        2 * (PERM_B + 1)
+    )

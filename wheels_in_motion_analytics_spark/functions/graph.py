@@ -1028,3 +1028,125 @@ def ktruss_cosupply_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(KTRUSS_TOPK)
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity — do high-degree suppliers co-supply with each other?
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "degree_assortativity_cosupply",
+    category="graph",
+    doc="Degree assortativity coefficient of the co-supply graph (same "
+    f"edge set as triangle_count_cosupply): the Pearson correlation of "
+    "endpoint degrees over the SYMMETRIZED directed edge list (each "
+    "undirected edge contributes both orientations — the standard "
+    "Newman formulation, which makes the x/y marginals identical). "
+    "Positive = hub-hub mixing, negative = hub-leaf (disassortative). "
+    "One degree aggregate + one edge join + one moment aggregate; the "
+    "coefficient goes through the shared corrected-isqrt ppm path and "
+    "the exact moments emit as DIGIT STRINGS (they grow ~E*deg^2, past "
+    "BIGINT at scale — the decimal lesson).",
+    oracle=f"""
+WITH links AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+  WHERE l_quantity >= {TRI_MIN_QTY}
+),
+und AS (
+  SELECT a.s AS s1, b.s AS s2
+  FROM links a JOIN links b USING (p)
+  WHERE a.s < b.s GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MIN_SHARED}
+),
+deg AS (
+  SELECT n, CAST(COUNT(*) AS HUGEINT) AS d FROM (
+    SELECT s1 AS n FROM und UNION ALL SELECT s2 FROM und
+  ) GROUP BY n
+),
+dir AS (
+  SELECT s1 AS a, s2 AS b FROM und UNION ALL SELECT s2, s1 FROM und
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(da.d) AS HUGEINT) AS sx,
+         CAST(SUM(da.d * da.d) AS HUGEINT) AS sxx,
+         CAST(SUM(da.d * db.d) AS HUGEINT) AS sxy
+  FROM dir
+  JOIN deg da ON da.n = dir.a
+  JOIN deg db ON db.n = dir.b
+),
+m AS (
+  SELECT n, n * sxy - sx * sx AS num,
+         n * sxx - sx * sx AS dxx,
+         n * sxx - sx * sx AS dyy
+  FROM mom
+)
+SELECT CAST(n AS BIGINT) AS n_directed,
+       CAST(num AS VARCHAR) AS num,
+       CAST(dxx AS VARCHAR) AS dxx,
+       {{CORR}} AS r_ppm
+FROM m
+""",
+)
+def degree_assortativity_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.functions.stats import with_corr_ppm
+
+    c = F.col
+    links = (
+        table(spark, sf_dir, "lineitem")
+        .where(c("l_quantity") >= TRI_MIN_QTY)
+        .select(c("l_partkey").alias("p"), c("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = links.select("p", c("s").alias("s1"))
+    b = links.select("p", c("s").alias("s2"))
+    und = (
+        a.join(b, "p")
+        .where(c("s1") < c("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(c("shared") >= TRI_MIN_SHARED)
+        .select("s1", "s2")
+        .localCheckpoint()  # degree agg + both orientations read it
+    )
+    deg = (
+        und.select(c("s1").alias("n"))
+        .unionAll(und.select("s2"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    direct = und.select(c("s1").alias("a"), c("s2").alias("b")).unionAll(
+        und.select(c("s2").alias("a"), c("s1").alias("b"))
+    )
+    da = deg.select(c("n").alias("a"), c("d").alias("dega"))
+    db = deg.select(c("n").alias("b"), c("d").alias("degb"))
+    mom = (
+        direct.join(da, "a")
+        .join(db, "b")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum("dega").cast("decimal(38,0)").alias("sx"),
+            F.sum(c("dega") * c("dega")).cast("decimal(38,0)").alias("sxx"),
+            F.sum(c("dega") * c("degb")).cast("decimal(38,0)").alias("sxy"),
+        )
+    )
+    m = mom.select(
+        "n",
+        F.expr("CAST(n * sxy - sx * sx AS DECIMAL(38,0))").alias("num"),
+        F.expr("CAST(n * sxx - sx * sx AS DECIMAL(38,0))").alias("dxx"),
+        F.expr("CAST(n * sxx - sx * sx AS DECIMAL(38,0))").alias("dyy"),
+    )
+    return with_corr_ppm(m, out="r_ppm").select(
+        c("n").cast("bigint").alias("n_directed"),
+        c("num").cast("string").alias("num"),
+        c("dxx").cast("string").alias("dxx"),
+        "r_ppm",
+    )
+
+
+from wheels_in_motion_analytics_spark.functions.stats import corr_ppm_sql as _corr_sql2  # noqa: E402
+from wheels_in_motion_analytics_spark.registry import REGISTRY as _REG_DA  # noqa: E402
+
+_REG_DA["degree_assortativity_cosupply"].oracle = _REG_DA[
+    "degree_assortativity_cosupply"
+].oracle.replace("{CORR}", _corr_sql2("num", "dxx", "dyy"))

@@ -2061,3 +2061,75 @@ def lift_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((2000000 * n_pos * nn + n * pp) DIV (2 * n * pp) AS BIGINT)"
         ).alias("lift_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization — map one distribution onto a reference's quantiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quantile_normalize_balances",
+    category="ml",
+    doc="Quantile normalization (the bioinformatics/feature-prep classic): "
+    "supplier account balances are remapped onto the CUSTOMER balance "
+    "distribution — rank r of m on the source side reads the reference "
+    "value at index ((2r-1)*n) DIV (2m) + 1 (midpoint mapping, all "
+    "positive integer arithmetic; a naive ceil form goes through a "
+    "negative numerator whose DIV/floor semantics diverge across "
+    "engines). Both rankings are EXACT global row_numbers from the "
+    "two-phase range-partitioned sort (no single-task window at any "
+    "scale), and the remap is one equi-join on the computed reference "
+    "rank. Output preserves source ordering exactly (rank is monotone "
+    "in value).",
+    oracle="""
+WITH s AS (
+  SELECT s_suppkey AS k,
+         CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+         row_number() OVER (ORDER BY CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT), s_suppkey) AS r
+  FROM supplier
+),
+c AS (
+  SELECT CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS ref_cents,
+         row_number() OVER (ORDER BY CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT), c_custkey) AS rr
+  FROM customer
+),
+mn AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM s),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c)
+SELECT s.k AS s_suppkey,
+       s.cents,
+       CAST(s.r AS BIGINT) AS rank,
+       c.ref_cents AS norm_cents
+FROM s CROSS JOIN mn CROSS JOIN nn
+JOIN c ON c.rr = ((2 * s.r - 1) * nn.n) // (2 * mn.m) + 1
+""",
+)
+def quantile_normalize_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.operators.windows import global_row_number
+
+    c = F.col
+    s = table(spark, sf_dir, "supplier").select(
+        c("s_suppkey").alias("k"),
+        F.floor(c("s_acctbal") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    ref = table(spark, sf_dir, "customer").select(
+        c("c_custkey").alias("ck"),
+        F.floor(c("c_acctbal") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("ref_cents"),
+    )
+    sr = global_row_number(s, ["cents", "k"], "r")
+    cr = global_row_number(ref, ["ref_cents", "ck"], "rr").localCheckpoint()
+    m = sr.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    n = cr.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    mapped = (
+        sr.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(n))
+        .withColumn("target", F.expr("((2 * r - 1) * n) DIV (2 * m) + 1"))
+    )
+    return mapped.join(cr, mapped.target == cr.rr).select(
+        c("k").alias("s_suppkey"),
+        "cents",
+        c("r").cast("bigint").alias("rank"),
+        c("ref_cents").alias("norm_cents"),
+    )

@@ -610,3 +610,168 @@ def mrr_eval_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" DIV (2 * n_q * {MRR_LCM}) AS BIGINT)"
         ).alias("mrr_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank-biased overlap — agreement between two retrieval rankings
+# ---------------------------------------------------------------------------
+
+RBO_K = 10
+# frozen integer micro weights: round(1e6 * (1-p) * p^(d-1)), p = 0.9
+_RBO_W = [100000, 90000, 81000, 72900, 65610, 59049, 53144, 47830, 43047, 38742]
+_RBO_W_SQL = "CASE d " + " ".join(
+    f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_RBO_W)
+) + " END"
+
+
+@register(
+    "rbo_rankings_agreement",
+    category="retrieval",
+    doc=f"Rank-biased overlap (p=0.9, truncated at depth {RBO_K}) between "
+    "the BM25 top-10 and the raw occurrence-count top-10 — the standard "
+    "measure for 'how much did the ranker change?' (indefinite rankings, "
+    "top-weighted, defined on prefix overlaps). Both rankings come from "
+    "ORDER BY+LIMIT heaps; the per-depth overlap |A_1..d ∩ B_1..d| is a "
+    "bounded 10x10 position join x 10 depths, and RBO accumulates as "
+    "frozen integer micro-weights: rbo_micro = sum_d (w_d * overlap_d) "
+    "DIV d with w_d = round(1e6*(1-p)*p^(d-1)) — fully deterministic "
+    "integers (the NDCG discount-table recipe).",
+    oracle=f"""
+WITH d AS (SELECT doc_id, {_ORACLE_TOKS} AS ws FROM documents),
+tf AS (
+  SELECT doc_id, dl, tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, len(ws) AS dl, unnest(ws) AS tok FROM d)
+  WHERE tok IN ({_QUERY_IN})
+  GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT COUNT(*) AS n, CAST(SUM(len(ws)) AS DOUBLE) / COUNT(*) AS avgdl FROM d
+),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+contrib AS (
+  SELECT tf.doc_id,
+         round(round(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1), 6)
+               * tf.tf * ({BM25_K1} + 1)
+               / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * tf.dl / stats.avgdl)),
+               6) AS c
+  FROM tf JOIN df USING (tok) CROSS JOIN stats
+),
+bm AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS pa
+  FROM (SELECT doc_id, CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+        FROM contrib GROUP BY doc_id)
+  ORDER BY bm25 DESC, doc_id LIMIT {RBO_K}
+),
+occ AS (
+  SELECT doc_id, row_number() OVER (ORDER BY occ DESC, doc_id) AS pb
+  FROM (SELECT doc_id, COUNT(*) AS occ
+        FROM (SELECT doc_id, unnest(ws) AS tok FROM d)
+        WHERE tok IN ({_QUERY_IN}) GROUP BY doc_id)
+  ORDER BY occ DESC, doc_id LIMIT {RBO_K}
+),
+matched AS (SELECT bm.pa, occ.pb FROM bm JOIN occ USING (doc_id)),
+depths AS (SELECT unnest(range(1, {RBO_K} + 1)) AS d),
+per_depth AS (
+  SELECT depths.d,
+         CAST(COUNT(*) FILTER (WHERE matched.pa <= depths.d
+                                 AND matched.pb <= depths.d) AS BIGINT) AS ov
+  FROM depths LEFT JOIN matched ON TRUE
+  GROUP BY depths.d
+)
+SELECT CAST(SUM(ov) AS BIGINT) AS total_overlap,
+       CAST(SUM(({_RBO_W_SQL}) * ov // d) AS BIGINT) AS rbo_micro
+FROM per_depth
+""",
+)
+def rbo_rankings_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col
+    term_arr = F.array(*[F.lit(t) for t in QUERY_TERMS])
+    ws = tokens(F.col("text"))
+    m = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(ws).alias("dl"),
+            F.explode_outer(
+                F.filter(ws, lambda t: F.array_contains(term_arr, t))
+            ).alias("tok"),
+        )
+        .where(c("tok").isNotNull())
+        .localCheckpoint()  # both rankings read the candidate postings
+    )
+    occ_rank = (
+        m.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .orderBy(F.desc("occ"), F.asc("doc_id"))
+        .limit(RBO_K)
+        .withColumn(
+            "pb", F.row_number().over(Window.orderBy(F.desc("occ"), F.asc("doc_id")))
+        )
+        .select("doc_id", "pb")
+    )
+    # BM25 scores: same derivation as bm25_topk_search
+    stats = (
+        table(spark, sf_dir, "documents")
+        .select(F.size(tokens(F.col("text"))).alias("dl"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        )
+    )
+    tf = m.groupBy("doc_id", "dl", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.round(
+        F.log((c("n") - c("df") + 0.5) / (c("df") + 0.5) + 1), 6
+    )
+    contrib = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                idf
+                * c("tf")
+                * (BM25_K1 + 1)
+                / (
+                    c("tf")
+                    + BM25_K1 * (1 - BM25_B + BM25_B * c("dl") / c("avgdl"))
+                ),
+                6,
+            ).alias("cv"),
+        )
+    )
+    bm_rank = (
+        contrib.groupBy("doc_id")
+        .agg(F.sum(c("cv").cast("decimal(18,6)")).cast("double").alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(RBO_K)
+        .withColumn(
+            "pa",
+            F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id"))),
+        )
+        .select("doc_id", "pa")
+    )
+    matched = bm_rank.join(occ_rank, "doc_id").select("pa", "pb")
+    depths = spark.range(1, RBO_K + 1).select(c("id").cast("int").alias("d"))
+    w_arr = F.array(*[F.lit(w) for w in _RBO_W])
+    per_depth = (
+        depths.join(matched, how="left")
+        .groupBy("d")
+        .agg(
+            F.sum(
+                ((c("pa") <= c("d")) & (c("pb") <= c("d"))).cast("bigint")
+            ).alias("ov")
+        )
+        .select("d", F.coalesce(c("ov"), F.lit(0)).alias("ov"))
+    )
+    w_expr = "array(" + ",".join(str(w) for w in _RBO_W) + ")"
+    terms = per_depth.select(
+        "ov",
+        F.expr(f"CAST(element_at({w_expr}, d) * ov AS BIGINT) DIV d").alias(
+            "term"
+        ),
+    )
+    return terms.agg(
+        F.sum("ov").cast("bigint").alias("total_overlap"),
+        F.sum("term").cast("bigint").alias("rbo_micro"),
+    )

@@ -2519,3 +2519,164 @@ def psm_caliper_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((2000 * sum_gap + n_matched) DIV (2 * n_matched) AS BIGINT)"
         ).alias("mean_gap_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Randomization (permutation) test — distribution-free two-group inference
+# ---------------------------------------------------------------------------
+
+PERM_B = 64
+PERM_SEGMENT = "AUTOMOBILE"
+
+
+@register(
+    "permutation_test_segment_revenue",
+    category="stats",
+    doc=f"Fisher-style randomization test: is the {PERM_SEGMENT}-vs-rest "
+    "difference in mean customer lifetime revenue explainable by chance "
+    f"relabeling? B={PERM_B} pseudo-random re-assignments (md5 parity "
+    "per (replica, customer) — deterministic 'coin flips', the "
+    "bootstrap's frozen-draw recipe), each replica's mean difference "
+    "compared against the observed one ENTIRELY by integer "
+    "cross-multiplication of rationals (|s0*n1 - s1*n0| * (nt*nc) vs "
+    "|st*nc - sc*nt| * (n0*n1) in DECIMAL(38,0) — sized to fit at "
+    "sf100); p = (1 + #extreme)/(B+1) as half-up milli. SCALE SHAPE: "
+    "the replica fan-out is ONE crossJoin of a B-row broadcast relation "
+    "over the REPARTITIONED customer relation (the bootstrap lesson: "
+    "fan-out after a single small split serializes onto one task), all "
+    "B replicas aggregate map-side-combinably in one pass. The "
+    "observed-difference numerator emits as a digit string.",
+    oracle=None,  # built below
+)
+def permutation_test_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.functions.similarity import hash_hex
+
+    c = F.col
+    par = spark.sparkContext.defaultParallelism
+    cust = table(spark, sf_dir, "customer").select(
+        c("c_custkey").alias("k"),
+        (c("c_mktsegment") == PERM_SEGMENT).cast("int").alias("treated"),
+    )
+    rev = (
+        table(spark, sf_dir, "orders")
+        .groupBy(c("o_custkey").alias("k"))
+        .agg(
+            F.sum(
+                F.floor(c("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    pts = (
+        cust.join(rev, "k", "left")
+        .select("k", "treated", F.coalesce(c("cents"), F.lit(0)).alias("out"))
+        .repartition(par)  # fan-out follows: spread the base relation first
+        .localCheckpoint()
+    )
+    obs = pts.agg(
+        F.sum(F.when(c("treated") == 1, c("out"))).cast("decimal(38,0)").alias("st"),
+        F.sum(F.when(c("treated") == 1, 1)).cast("decimal(38,0)").alias("nt"),
+        F.sum(F.when(c("treated") == 0, c("out"))).cast("decimal(38,0)").alias("sc"),
+        F.sum(F.when(c("treated") == 0, 1)).cast("decimal(38,0)").alias("nc"),
+    )
+    b_rel = spark.range(PERM_B).select(c("id").alias("b"))
+    fan = pts.crossJoin(F.broadcast(b_rel)).select(
+        "b",
+        "out",
+        (
+            hash_hex(
+                F.concat(
+                    F.lit("perm:"),
+                    c("b").cast("string"),
+                    F.lit(":"),
+                    c("k").cast("string"),
+                ),
+                15,
+            )
+            % 2
+        ).alias("arm"),
+    )
+    per_b = fan.groupBy("b").agg(
+        F.sum(F.when(c("arm") == 0, c("out"))).cast("decimal(38,0)").alias("s0"),
+        F.sum(F.when(c("arm") == 0, 1)).cast("decimal(38,0)").alias("n0"),
+        F.sum(F.when(c("arm") == 1, c("out"))).cast("decimal(38,0)").alias("s1"),
+        F.sum(F.when(c("arm") == 1, 1)).cast("decimal(38,0)").alias("n1"),
+    )
+    ext = per_b.crossJoin(F.broadcast(obs)).agg(
+        F.sum(
+            F.expr(
+                "CAST(abs(s0 * n1 - s1 * n0) * (nt * nc)"
+                " >= abs(st * nc - sc * nt) * (n0 * n1) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("n_extreme")
+    )
+    return obs.crossJoin(ext).select(
+        c("nt").cast("bigint").alias("n_treated"),
+        c("nc").cast("bigint").alias("n_control"),
+        F.expr("CAST(st * nc - sc * nt AS STRING)").alias("obs_diff_num"),
+        F.lit(PERM_B).cast("bigint").alias("b_total"),
+        "n_extreme",
+        F.expr(
+            f"CAST((2000 * (1 + n_extreme) + ({PERM_B} + 1))"
+            f" DIV (2 * ({PERM_B} + 1)) AS BIGINT)"
+        ).alias("p_milli"),
+    )
+
+
+def _perm_oracle() -> str:
+    md5 = "('0x' || substr(md5('perm:' || CAST(b AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 15))::BIGINT % 2"
+    return f"""
+WITH cust AS (
+  SELECT c_custkey AS k,
+         CASE WHEN c_mktsegment = '{PERM_SEGMENT}' THEN 1 ELSE 0 END AS treated
+  FROM customer
+),
+rev AS (
+  SELECT o_custkey AS k,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+pts AS (
+  SELECT cust.k, cust.treated, COALESCE(rev.cents, 0) AS outv
+  FROM cust LEFT JOIN rev USING (k)
+),
+obs AS (
+  SELECT CAST(SUM(CASE WHEN treated = 1 THEN outv END) AS HUGEINT) AS st,
+         CAST(SUM(CASE WHEN treated = 1 THEN 1 END) AS HUGEINT) AS nt,
+         CAST(SUM(CASE WHEN treated = 0 THEN outv END) AS HUGEINT) AS sc,
+         CAST(SUM(CASE WHEN treated = 0 THEN 1 END) AS HUGEINT) AS nc
+  FROM pts
+),
+fan AS (
+  SELECT b, outv, {md5} AS arm
+  FROM pts CROSS JOIN (SELECT unnest(range({PERM_B})) AS b) bb
+),
+per_b AS (
+  SELECT b,
+         CAST(SUM(CASE WHEN arm = 0 THEN outv END) AS HUGEINT) AS s0,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 END) AS HUGEINT) AS n0,
+         CAST(SUM(CASE WHEN arm = 1 THEN outv END) AS HUGEINT) AS s1,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 END) AS HUGEINT) AS n1
+  FROM fan GROUP BY b
+),
+ext AS (
+  SELECT CAST(SUM(CASE WHEN abs(s0 * n1 - s1 * n0) * (obs.nt * obs.nc)
+                        >= abs(obs.st * obs.nc - obs.sc * obs.nt) * (n0 * n1)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+  FROM per_b CROSS JOIN obs
+)
+SELECT CAST(obs.nt AS BIGINT) AS n_treated,
+       CAST(obs.nc AS BIGINT) AS n_control,
+       CAST(obs.st * obs.nc - obs.sc * obs.nt AS VARCHAR) AS obs_diff_num,
+       CAST({PERM_B} AS BIGINT) AS b_total,
+       ext.n_extreme,
+       CAST((2000 * (1 + ext.n_extreme) + ({PERM_B} + 1))
+            // (2 * ({PERM_B} + 1)) AS BIGINT) AS p_milli
+FROM obs CROSS JOIN ext
+"""
+
+
+from wheels_in_motion_analytics_spark.registry import REGISTRY as _REG_PERM  # noqa: E402
+
+_REG_PERM["permutation_test_segment_revenue"].oracle = _perm_oracle()

@@ -1998,3 +1998,61 @@ def mase_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(ppm).alias("mase_ppm"),
         (F.expr(ppm) < 1000000).alias("beats_naive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Built-in session_window in BATCH mode — the engine-native sessionizer
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "session_window_builtin_batch",
+    category="timeseries",
+    doc="Spark's built-in session_window() running in BATCH mode over the "
+    "events table (30-min inactivity gap) — the engine-native twin of "
+    "the manual gaps-and-islands rewrite in sessionize_events, proving "
+    "the two sessionizers agree end to end. Semantics probed and "
+    "pinned: a gap of EXACTLY the timeout still merges (inclusive), "
+    "and session end = last event + gap. One shuffle on "
+    "(user_id, session); value sums decimal-accumulate. The oracle "
+    "replays the inclusive-gap islands and emits MAX(ts) + 30 min as "
+    "the window end.",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   <= INTERVAL 30 MINUTE
+              THEN 0 ELSE 1 END AS is_new
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {oracle_dsum('value')} AS session_value
+FROM sess
+GROUP BY user_id, session_seq
+""",
+)
+def session_window_builtin_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            dsum("value").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
