@@ -159,8 +159,10 @@ def test_pq_frozen_codebooks_match_trainer(spark):
 
     trained = train_pq_codebooks(spark, "/root/testdata/sf0.01")
     assert len(trained) == len(PQ_FROZEN_CODEBOOKS)
+    # 1e-12 tolerance, not bit-equality: BLAS kernel dispatch varies by
+    # ~1 ULP across host CPUs (see the IVF artifact test / NOTES.md)
     for got, want in zip(trained, PQ_FROZEN_CODEBOOKS):
-        assert np.array_equal(np.asarray(got), np.asarray(want))
+        assert np.allclose(np.asarray(got), np.asarray(want), rtol=0, atol=1e-12)
 
 
 def test_pq_codes_are_nibble_packed_and_error_positive(spark):

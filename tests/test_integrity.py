@@ -292,3 +292,107 @@ def test_ktruss_python_peel_replay(spark):
     for r in rows:
         assert r["converged"] is True
         assert r["n_edges_final"] == len(edges)
+
+
+def test_clustering_coefficient_python_recompute(spark):
+    from collections import Counter, defaultdict
+
+    from wheels_in_motion_analytics_spark.functions.graph import (
+        TRI_MIN_QTY,
+        TRI_MIN_SHARED,
+    )
+
+    row = SPECS["clustering_coefficient_cosupply"].fn(spark, SF_SMALL).collect()[0]
+    links = defaultdict(set)
+    for r in (
+        table(spark, SF_SMALL, "lineitem")
+        .where(F.col("l_quantity") >= TRI_MIN_QTY)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .collect()
+    ):
+        links[r["l_partkey"]].add(r["l_suppkey"])
+    shared = Counter()
+    for ss in links.values():
+        ss = sorted(ss)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                shared[(ss[i], ss[j])] += 1
+    edges = {e for e, n in shared.items() if n >= TRI_MIN_SHARED}
+    adj = defaultdict(set)
+    for x, y in edges:
+        adj[x].add(y)
+        adj[y].add(x)
+    tri_per = Counter()
+    nodes = sorted(adj)
+    n_tri = 0
+    for x, y in edges:
+        common = adj[x] & adj[y]
+        for z in common:
+            if z > max(x, y):
+                n_tri += 1
+                tri_per[x] += 1
+                tri_per[y] += 1
+                tri_per[z] += 1
+    wedges = sum(len(adj[v]) * (len(adj[v]) - 1) // 2 for v in nodes)
+    assert row["n_triangles"] == n_tri
+    assert row["n_wedges"] == wedges
+    assert row["global_cc_ppm"] == (2_000_000 * 3 * n_tri + wedges) // (2 * wedges)
+    loc = []
+    for v in nodes:
+        d = len(adj[v])
+        if d >= 2:
+            pairs = d * (d - 1) // 2
+            loc.append((2_000_000 * tri_per[v] * 2 + d * (d - 1)) // (2 * pairs))
+    assert row["n_nodes_deg2"] == len(loc)
+    assert row["avg_local_cc_ppm"] == (2 * sum(loc) + len(loc)) // (2 * len(loc))
+
+
+def test_modularity_python_recompute(spark):
+    """Recompute Q from the (already-verified) community assignment and
+    the raw edge set; check the exact integer derivation and Q in [-0.5, 1]."""
+    from collections import Counter, defaultdict
+
+    from wheels_in_motion_analytics_spark.functions.graph import (
+        TRI_MIN_QTY,
+        TRI_MIN_SHARED,
+    )
+
+    row = SPECS["community_modularity_score"].fn(spark, SF_SMALL).collect()[0]
+    comm = {
+        r["node"]: r["community"]
+        for r in SPECS["label_propagation_communities"].fn(spark, SF_SMALL).collect()
+    }
+    links = defaultdict(set)
+    for r in (
+        table(spark, SF_SMALL, "lineitem")
+        .where(F.col("l_quantity") >= TRI_MIN_QTY)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .collect()
+    ):
+        links[r["l_partkey"]].add(r["l_suppkey"])
+    shared = Counter()
+    for ss in links.values():
+        ss = sorted(ss)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                shared[(ss[i], ss[j])] += 1
+    edges = {e for e, n in shared.items() if n >= TRI_MIN_SHARED}
+    m = len(edges)
+    ec = Counter()
+    dc = Counter()
+    for a, b in edges:
+        if comm[a] == comm[b]:
+            ec[comm[a]] += 1
+        dc[comm[a]] += 1
+        dc[comm[b]] += 1
+    num = sum(4 * m * ec[c] - dc[c] * dc[c] for c in dc)
+    assert row["n_edges"] == m
+    assert row["n_communities"] == len(dc)
+    assert row["q_num"] == str(num)
+    sign = -1 if num < 0 else 1
+    assert row["q_ppm"] == sign * (
+        (2_000_000 * abs(num) + 4 * m * m) // (2 * 4 * m * m)
+    )
+    assert -500_000 <= row["q_ppm"] <= 1_000_000

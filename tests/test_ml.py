@@ -927,3 +927,42 @@ def test_lift_deciles_python_recompute(spark):
         )
     # decile 1 (highest scores) should over-capture vs uniform in a sane table
     assert rows[0]["cum_capture_ppm"] >= 0
+
+
+def test_ece_python_recompute(spark):
+    from collections import defaultdict
+
+    from wheels_in_motion_analytics_spark.functions.ml import CALIB_BINS
+
+    row = SPECS["expected_calibration_error"].fn(spark, SF_SMALL).collect()[0]
+    data = [
+        (r["cents"], r["pos"])
+        for r in table(spark, SF_SMALL, "orders")
+        .selectExpr(
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+            "CAST(o_orderstatus = 'F' AS INT) AS pos",
+        )
+        .collect()
+    ]
+    lo = min(c for c, _ in data)
+    hi = max(c for c, _ in data)
+    bins = defaultdict(lambda: [0, 0])
+    for cts, pos in data:
+        b = (cts - lo) * CALIB_BINS // (hi - lo + 1)
+        bins[b][0] += 1
+        bins[b][1] += pos
+    ece_num = 0
+    mce = 0
+    ntot = 0
+    for b, (n, npos) in bins.items():
+        acc = (2_000_000 * npos + n) // (2 * n)
+        conf = ((2 * b + 1) * 1_000_000) // (2 * CALIB_BINS)
+        gap = abs(acc - conf)
+        ece_num += n * gap
+        mce = max(mce, gap)
+        ntot += n
+    assert row["n_bins_used"] == len(bins)
+    assert row["n_total"] == ntot
+    assert row["ece_num"] == ece_num
+    assert row["ece_ppm"] == (2 * ece_num + ntot) // (2 * ntot)
+    assert row["mce_ppm"] == mce

@@ -63,9 +63,14 @@ def test_ann_bucketed_recall_vs_bruteforce(spark):
 
 
 def test_ivf_frozen_artifact_matches_trainer(spark):
-    """The frozen quantizer artifact must be bit-identical to what the
-    production per-corpus trainer produces on the training corpus — pins
-    that freezing (for oracle checkability) didn't fork the model."""
+    """The frozen quantizer artifact must match what the production
+    per-corpus trainer produces on the training corpus — pins that
+    freezing (for oracle checkability) didn't fork the model. Tolerance
+    is 1e-12 (not bit-equality): the trainer's `unit @ cents.T` goes
+    through BLAS, whose kernel dispatch (AVX level / threading) differs
+    across HOST CPUs by ~1 ULP — observed when the container moved
+    hosts. Oracle exactness is unaffected: queries embed the FROZEN
+    centroids on both engines."""
     import numpy as np
 
     from wheels_in_motion_analytics_spark.functions.ivf_artifact import (
@@ -75,8 +80,10 @@ def test_ivf_frozen_artifact_matches_trainer(spark):
         _train_ivf_centroids,
     )
 
-    trained = _train_ivf_centroids(spark, "/root/testdata/sf0.01")
-    assert np.array_equal(np.asarray(trained), np.asarray(IVF_FROZEN_CENTROIDS))
+    trained = np.asarray(_train_ivf_centroids(spark, "/root/testdata/sf0.01"))
+    frozen = np.asarray(IVF_FROZEN_CENTROIDS)
+    assert trained.shape == frozen.shape
+    assert np.allclose(trained, frozen, rtol=0, atol=1e-12)
 
 
 def test_bruteforce_matmul_twin_matches_blocked_plan(spark):

@@ -781,3 +781,86 @@ def test_permutation_test_python_recompute(spark):
     assert row["p_milli"] == (2000 * (1 + n_extreme) + (PERM_B + 1)) // (
         2 * (PERM_B + 1)
     )
+
+
+def test_wilcoxon_signed_rank_python_recompute(spark):
+    from collections import defaultdict
+
+    from wheels_in_motion_analytics_spark.functions.stats import CUPED_SPLIT
+
+    row = SPECS["wilcoxon_signed_rank_prepost"].fn(spark, SF_SMALL).collect()[0]
+    per = defaultdict(lambda: [0, 0])
+    for r in (
+        table(spark, SF_SMALL, "orders")
+        .selectExpr(
+            "o_custkey",
+            f"CAST(o_orderdate < TIMESTAMP '{CUPED_SPLIT}' AS INT) AS pre",
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .collect()
+    ):
+        per[r["o_custkey"]][r["pre"]] += r["cents"]
+    # index order: per[cust][1] = pre-period cents, per[cust][0] = post
+    diffs = []
+    for v in per.values():
+        x, y = v[1], v[0]
+        if x != y:
+            diffs.append(y - x)
+    n = len(diffs)
+    per_abs = defaultdict(lambda: [0, 0])
+    for d in diffs:
+        per_abs[abs(d)][0] += 1
+        if d > 0:
+            per_abs[abs(d)][1] += 1
+    cum = 0
+    w2 = 0
+    ties = 0
+    for a in sorted(per_abs):
+        t, p = per_abs[a]
+        w2 += p * (2 * cum + t + 1)
+        ties += t * t * t - t
+        cum += t
+    dd = 2 * w2 - n * (n + 1)
+    var48 = 2 * n * (n + 1) * (2 * n + 1) - ties
+    assert row["n_pairs"] == n
+    assert row["w2_pos"] == w2
+    assert row["d_scaled"] == dd
+    assert row["ties_t"] == ties
+    assert row["var48"] == str(var48)
+    assert row["reject_symmetry"] == (dd * dd * 30000 > 38416 * var48)
+
+
+def test_friedman_python_recompute(spark):
+    from collections import defaultdict
+
+    row = SPECS["friedman_test_priority_months"].fn(spark, SF_SMALL).collect()[0]
+    cell = defaultdict(dict)
+    for r in (
+        table(spark, SF_SMALL, "orders")
+        .selectExpr(
+            "CAST(date_trunc('month', o_orderdate) AS DATE) AS blk",
+            "CAST(substr(o_orderpriority, 1, 1) AS INT) AS g",
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .collect()
+    ):
+        cell[r["blk"]][r["g"]] = cell[r["blk"]].get(r["g"], 0) + r["cents"]
+    full = {b: v for b, v in cell.items() if len(v) == 5}
+    r2 = [0] * 6
+    for b, vals in full.items():
+        for g, v in vals.items():
+            below = sum(1 for v2 in vals.values() if v2 < v)
+            eq = sum(1 for v2 in vals.values() if v2 == v)
+            r2[g] += 2 * below + eq + 1
+    n = len(full)
+    s2 = sum(r2[g] * r2[g] for g in range(1, 6))
+    q_milli = (2 * 3 * s2 * 1000 + 30 * n) // (2 * 30 * n) - 3 * n * 6 * 1000
+    names = ["urgent", "high", "medium", "notspec", "low"]
+    assert row["n_blocks"] == n
+    for g, name in enumerate(names, start=1):
+        assert row[f"r2_{name}"] == r2[g]
+    assert row["q_milli"] == q_milli
+    assert row["reject_equal_treatments"] == (q_milli > 9488)
+    # grid Q close to textbook float Q
+    qf = 12.0 / (n * 5 * 6) * sum((r2[g] / 2.0) ** 2 for g in range(1, 6)) - 3 * n * 6
+    assert abs(q_milli / 1000.0 - qf) < 0.01 * max(1.0, abs(qf))

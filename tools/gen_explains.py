@@ -103,6 +103,17 @@ PICKS += [
     ("feature_store_training_set", "PRECEDING-only frames: ONE customer Exchange serves lifetime + 90d-range + lag features"),
     ("binseg_two_level_changepoints", "one prefix relation; every segment statistic is arithmetic over it, three max(struct) picks"),
 ]
+# round-6 session-2 headliners
+PICKS += [
+    ("kruskal_wallis_priority", "distinct-value relation -> two-phase prefix sum -> ONE grid-integer H evaluation"),
+    ("hits_hubs_authorities", "unrolled mutual-reinforcement rounds over one checkpointed edge relation; 1-row max normalizers"),
+    ("ktruss_cosupply_peel", "per-round wedge-join support over a shrinking checkpointed edge set; fixpoint early exit"),
+    ("dbscan_core_border_noise", "grid-cell candidate self-join (no CartesianProduct); one pair relation feeds count + core check"),
+    ("isotonic_calibration_pav", "bin-bounded minimax: interval join + min/max aggs, constant work at any data scale"),
+    ("session_window_builtin_batch", "engine-native SessionWindow aggregate: one (user, session) Exchange"),
+    ("lift_curve_deciles", "two-phase exact ntile -> 10-row decile relation -> broadcast totals"),
+    ("permutation_test_segment_revenue", "repartitioned base -> B-row broadcast fan-out -> one map-side-combinable replica agg"),
+]
 PICKS = [(n, d) for n, d in PICKS if d is not None]
 seen = set()
 PICKS = [x for x in PICKS if not (x[0] in seen or seen.add(x[0]))]

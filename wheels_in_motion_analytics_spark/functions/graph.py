@@ -616,6 +616,18 @@ FROM l4
 """,
 )
 def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _und, _sym, labels = _lpa_labels(spark, sf_dir)
+    wsz = Window.partitionBy("lbl")
+    return labels.select(
+        "node",
+        F.col("lbl").alias("community"),
+        F.count(F.lit(1)).over(wsz).cast("bigint").alias("community_size"),
+    )
+
+
+def _lpa_labels(spark: SparkSession, sf_dir: str):
+    """(und, sym, labels) — the LPA core shared by the communities query
+    and the modularity score (identical rounds and tiebreaks)."""
     links = (
         table(spark, sf_dir, "lineitem")
         .where(F.col("l_quantity") >= TRI_MIN_QTY)
@@ -630,6 +642,7 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("shared"))
         .where(F.col("shared") >= TRI_MIN_SHARED)
         .select("s1", "s2")
+        .localCheckpoint()
     )
     sym = (
         und.select(F.col("s1").alias("src"), F.col("s2").alias("dst"))
@@ -650,12 +663,7 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
             .select("node", "lbl")
             .localCheckpoint()  # cut the per-round lineage growth
         )
-    wsz = Window.partitionBy("lbl")
-    return labels.select(
-        "node",
-        F.col("lbl").alias("community"),
-        F.count(F.lit(1)).over(wsz).cast("bigint").alias("community_size"),
-    )
+    return und, sym, labels
 
 
 # ---------------------------------------------------------------------------
@@ -1150,3 +1158,232 @@ from wheels_in_motion_analytics_spark.registry import REGISTRY as _REG_DA  # noq
 _REG_DA["degree_assortativity_cosupply"].oracle = _REG_DA[
     "degree_assortativity_cosupply"
 ].oracle.replace("{CORR}", _corr_sql2("num", "dxx", "dyy"))
+
+
+# ---------------------------------------------------------------------------
+# Clustering coefficients — global transitivity + average local
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "clustering_coefficient_cosupply",
+    category="graph",
+    doc="Global transitivity AND average local clustering coefficient of "
+    "the co-supply graph (same edge set as triangle_count_cosupply), "
+    "completing the cohesion family (triangles, k-core, k-truss, "
+    "assortativity). Global C = 3T / W with W = sum d(d-1)/2 open "
+    "wedges; local c_v = tri_v / (d_v choose 2) averaged over nodes "
+    "with d >= 2 — BOTH as exact half-up ppm integers: the global one "
+    "by direct cross-multiplication, the average-local one by summing "
+    "per-node cross-multiplied ppm values (each an exact integer) and "
+    "half-up dividing by the node count. One triangle enumeration "
+    "(degree-ordered wedge join), one degree aggregate, one join.",
+    oracle=f"""
+WITH {_TRI_EDGES_ORACLE},
+tri AS (
+  SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.s2 = e2.s1
+  JOIN edges e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+),
+deg AS (
+  SELECT n, CAST(COUNT(*) AS HUGEINT) AS d FROM (
+    SELECT s1 AS n FROM edges UNION ALL SELECT s2 FROM edges
+  ) GROUP BY n
+),
+pert AS (
+  SELECT node, CAST(COUNT(*) AS HUGEINT) AS t FROM (
+    SELECT unnest([a, b, c]) AS node FROM tri
+  ) GROUP BY node
+),
+tot AS (
+  SELECT CAST((SELECT COUNT(*) FROM tri) AS HUGEINT) AS n_tri,
+         CAST((SELECT SUM(d * (d - 1) // 2) FROM deg) AS HUGEINT) AS n_wedges
+),
+loc AS (
+  SELECT deg.n,
+         (2000000 * COALESCE(pert.t, 0) * 2 + deg.d * (deg.d - 1))
+           // (2 * (deg.d * (deg.d - 1) // 2)) AS c_ppm
+  FROM deg LEFT JOIN pert ON pert.node = deg.n
+  WHERE deg.d >= 2
+),
+avg_loc AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n_nodes,
+         CAST(SUM(c_ppm) AS HUGEINT) AS s
+  FROM loc
+)
+SELECT CAST(tot.n_tri AS BIGINT) AS n_triangles,
+       CAST(tot.n_wedges AS BIGINT) AS n_wedges,
+       CAST((2000000 * 3 * tot.n_tri + tot.n_wedges)
+            // (2 * tot.n_wedges) AS BIGINT) AS global_cc_ppm,
+       CAST(avg_loc.n_nodes AS BIGINT) AS n_nodes_deg2,
+       CAST((2 * avg_loc.s + avg_loc.n_nodes)
+            // (2 * avg_loc.n_nodes) AS BIGINT) AS avg_local_cc_ppm
+FROM tot CROSS JOIN avg_loc
+""",
+)
+def clustering_coefficient_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col
+    links = (
+        table(spark, sf_dir, "lineitem")
+        .where(c("l_quantity") >= TRI_MIN_QTY)
+        .select(c("l_partkey").alias("p"), c("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = links.select("p", c("s").alias("s1"))
+    b = links.select("p", c("s").alias("s2"))
+    und = (
+        a.join(b, "p")
+        .where(c("s1") < c("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(c("shared") >= TRI_MIN_SHARED)
+        .select("s1", "s2")
+        .localCheckpoint()  # degrees + triangle enumeration share it
+    )
+    tri = oriented_triangles(und).localCheckpoint()  # total + per-node reads
+    deg = (
+        und.select(c("s1").alias("n"))
+        .unionAll(und.select("s2"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    pert = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    )
+    tot = tri.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n_tri")).crossJoin(
+        deg.agg(
+            F.sum(F.expr("d * (d - 1) DIV 2")).cast("decimal(38,0)").alias("n_wedges")
+        )
+    )
+    loc = (
+        deg.where(c("d") >= 2)
+        .join(pert, deg.n == pert.node, "left")
+        .select(
+            F.expr(
+                "(CAST(2000000 AS DECIMAL(38,0)) * COALESCE(t, 0) * 2"
+                " + CAST(d AS DECIMAL(38,0)) * (d - 1))"
+                " DIV (2 * (CAST(d AS DECIMAL(38,0)) * (d - 1) DIV 2))"
+            ).alias("c_ppm")
+        )
+    )
+    avg_loc = loc.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_nodes"),
+        F.sum("c_ppm").cast("decimal(38,0)").alias("s"),
+    )
+    return tot.crossJoin(avg_loc).select(
+        c("n_tri").cast("bigint").alias("n_triangles"),
+        c("n_wedges").cast("bigint").alias("n_wedges"),
+        F.expr(
+            "CAST((2000000 * 3 * n_tri + n_wedges) DIV (2 * n_wedges) AS BIGINT)"
+        ).alias("global_cc_ppm"),
+        c("n_nodes").cast("bigint").alias("n_nodes_deg2"),
+        F.expr(
+            "CAST((2 * s + n_nodes) DIV (2 * n_nodes) AS BIGINT)"
+        ).alias("avg_local_cc_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Modularity — quality score of the detected communities
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "community_modularity_score",
+    category="graph",
+    doc="Newman modularity Q of the label-propagation partition (the SAME "
+    f"{LPA_ROUNDS} synchronous rounds and tiebreaks as "
+    "label_propagation_communities — shared core): Q = sum_c [e_c/m - "
+    "(d_c/2m)^2] computed EXACTLY as integers — num = sum_c (4*m*e_c - "
+    "d_c^2), den = 4*m^2, q_ppm = sign * half-up DIV; num emits as a "
+    "digit string. e_c is one labels-join per edge endpoint + a filtered "
+    "count, d_c one degree-labels join — all map-side-combinable. The "
+    "community-quality readout that tells you whether the partition is "
+    "better than random (Q > 0).",
+    oracle=f"""
+WITH {_TRI_EDGES_ORACLE.lstrip()},
+sym AS MATERIALIZED (
+  SELECT s1 AS src, s2 AS dst FROM edges
+  UNION ALL
+  SELECT s2, s1 FROM edges
+),
+l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),
+{_LPA_ROUND_ORACLE.format(name='l1', prev='l0')},
+{_LPA_ROUND_ORACLE.format(name='l2', prev='l1')},
+{_LPA_ROUND_ORACLE.format(name='l3', prev='l2')},
+{_LPA_ROUND_ORACLE.format(name='l4', prev='l3')},
+m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM edges),
+ec AS (
+  SELECT la.lbl, CAST(COUNT(*) AS HUGEINT) AS e_c
+  FROM edges e
+  JOIN l4 la ON la.node = e.s1
+  JOIN l4 lb ON lb.node = e.s2
+  WHERE la.lbl = lb.lbl
+  GROUP BY la.lbl
+),
+dc AS (
+  SELECT l4.lbl, CAST(COUNT(*) AS HUGEINT) AS d_c
+  FROM sym JOIN l4 ON l4.node = sym.src
+  GROUP BY l4.lbl
+),
+terms AS (
+  SELECT dc.lbl, 4 * m.m * COALESCE(ec.e_c, 0) - dc.d_c * dc.d_c AS t
+  FROM dc LEFT JOIN ec ON ec.lbl = dc.lbl CROSS JOIN m
+),
+agg AS (
+  SELECT CAST(SUM(t) AS HUGEINT) AS num,
+         CAST(COUNT(*) AS BIGINT) AS n_comm
+  FROM terms
+)
+SELECT CAST(m.m AS BIGINT) AS n_edges,
+       agg.n_comm AS n_communities,
+       CAST(agg.num AS VARCHAR) AS q_num,
+       CAST((CASE WHEN agg.num < 0 THEN -1 ELSE 1 END)
+            * ((2000000 * abs(agg.num) + 4 * m.m * m.m)
+               // (2 * 4 * m.m * m.m)) AS BIGINT) AS q_ppm
+FROM m CROSS JOIN agg
+""",
+)
+def community_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col
+    und, sym, labels = _lpa_labels(spark, sf_dir)
+    labels = labels.localCheckpoint()  # three consumers below
+    m = und.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("m"))
+    ec = (
+        und.join(labels.select(c("node").alias("s1"), c("lbl").alias("la")), "s1")
+        .join(labels.select(c("node").alias("s2"), c("lbl").alias("lb")), "s2")
+        .where(c("la") == c("lb"))
+        .groupBy(c("la").alias("lbl"))
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("e_c"))
+    )
+    dc = (
+        sym.join(labels.select(c("node").alias("src"), "lbl"), "src")
+        .groupBy("lbl")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("d_c"))
+    )
+    terms = (
+        dc.join(ec, "lbl", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.expr(
+                "4 * m * COALESCE(e_c, CAST(0 AS DECIMAL(38,0))) - d_c * d_c"
+            ).alias("t")
+        )
+    )
+    agg = terms.agg(
+        F.sum("t").cast("decimal(38,0)").alias("num"),
+        F.count(F.lit(1)).cast("bigint").alias("n_comm"),
+    )
+    return m.crossJoin(agg).select(
+        c("m").cast("bigint").alias("n_edges"),
+        c("n_comm").alias("n_communities"),
+        c("num").cast("string").alias("q_num"),
+        F.expr(
+            "CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)"
+            " * ((2000000 * abs(num) + 4 * m * m)"
+            " DIV (2 * 4 * m * m)) AS BIGINT)"
+        ).alias("q_ppm"),
+    )

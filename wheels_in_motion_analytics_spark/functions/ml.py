@@ -2133,3 +2133,84 @@ def quantile_normalize_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         c("r").cast("bigint").alias("rank"),
         c("ref_cents").alias("norm_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Expected calibration error — the scalar readout of the reliability diagram
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "expected_calibration_error",
+    category="ml",
+    doc=f"ECE + MCE over the {CALIB_BINS} reliability bins (same binning "
+    "as calibration_reliability_bins): per-bin confidence = the bin "
+    "midpoint on the normalized score axis (((2b+1)*1e6) DIV (2*B) — "
+    "exact), accuracy = half-up ppm positive rate, ECE = "
+    "sum n_b*|acc-conf| / N and MCE = max|acc-conf|, ALL integer "
+    "arithmetic end to end (no float anywhere). One groupBy + one "
+    "1-row aggregate; the single-number companion to the reliability "
+    "diagram and the isotonic recalibration.",
+    oracle=f"""
+WITH src AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+  FROM orders
+),
+mm AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM src),
+bins AS (
+  SELECT CAST((cents - lo) * {CALIB_BINS} // (hi - lo + 1) AS BIGINT) AS bin,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(pos) AS HUGEINT) AS n_pos
+  FROM src CROSS JOIN mm GROUP BY 1
+),
+gaps AS (
+  SELECT bin, n,
+         abs((2000000 * n_pos + n) // (2 * n)
+             - ((2 * bin + 1) * 1000000) // (2 * {CALIB_BINS})) AS gap
+  FROM bins
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+       CAST(SUM(n) AS BIGINT) AS n_total,
+       CAST(SUM(n * gap) AS BIGINT) AS ece_num,
+       CAST((2 * SUM(n * gap) + SUM(n)) // (2 * SUM(n)) AS BIGINT) AS ece_ppm,
+       CAST(MAX(gap) AS BIGINT) AS mce_ppm
+FROM gaps
+""",
+)
+def expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col
+    src = table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("pos"),
+    )
+    mm = src.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    bins = (
+        src.crossJoin(F.broadcast(mm))
+        .groupBy(
+            F.expr(f"(cents - lo) * {CALIB_BINS} DIV (hi - lo + 1)").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum("pos").cast("decimal(38,0)").alias("n_pos"),
+        )
+    )
+    gaps = bins.select(
+        "bin",
+        "n",
+        F.expr(
+            "abs((2000000 * n_pos + n) DIV (2 * n)"
+            f" - ((2 * bin + 1) * 1000000) DIV (2 * {CALIB_BINS}))"
+        ).alias("gap"),
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins_used"),
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum(c("n") * c("gap")).cast("bigint").alias("ece_num"),
+        F.expr(
+            "CAST((2 * sum(n * gap) + sum(n)) DIV (2 * sum(n)) AS BIGINT)"
+        ).alias("ece_ppm"),
+        F.max("gap").cast("bigint").alias("mce_ppm"),
+    )

@@ -2680,3 +2680,240 @@ FROM obs CROSS JOIN ext
 from wheels_in_motion_analytics_spark.registry import REGISTRY as _REG_PERM  # noqa: E402
 
 _REG_PERM["permutation_test_segment_revenue"].oracle = _perm_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank — paired pre/post nonparametric test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wilcoxon_signed_rank_prepost",
+    category="stats",
+    doc=f"Wilcoxon signed-rank test on PAIRED customer revenue: x = "
+    f"pre-{CUPED_SPLIT[:10]} lifetime cents, y = post-period cents, "
+    "d = y - x with zero differences dropped (the standard treatment). "
+    "Completes the rank-test family (MW, KW, JT, runs) with the PAIRED "
+    "member. |d| ranks use exact DOUBLED average ranks off the "
+    "TWO-PHASE prefix sum over the distinct-|d| relation; "
+    "W2 = 2*W+ = sum of doubled ranks of positive differences, "
+    "D = 2*W2 - n(n+1) = 4(W+ - mu), tie-corrected variance numerator "
+    "48*Var = 2n(n+1)(2n+1) - T emitted as a DIGIT STRING (exceeds "
+    "BIGINT past ~sf10), and the 5% verdict is pure cross-multiplication "
+    "D^2 * 3 * 10000 > 38416 * var48 — sized inside DECIMAL(38,0) at "
+    "sf100. No float anywhere.",
+    oracle=f"""
+WITH per AS (
+  SELECT o_custkey,
+         SUM(CASE WHEN o_orderdate < TIMESTAMP '{CUPED_SPLIT}'
+                  THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0 END) AS x,
+         SUM(CASE WHEN o_orderdate >= TIMESTAMP '{CUPED_SPLIT}'
+                  THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) ELSE 0 END) AS y
+  FROM orders GROUP BY o_custkey
+),
+d AS (
+  SELECT abs(y - x) AS a, CASE WHEN y > x THEN 1 ELSE 0 END AS pos
+  FROM per WHERE y <> x
+),
+vals AS (
+  SELECT a, CAST(COUNT(*) AS BIGINT) AS n_tot, CAST(SUM(pos) AS BIGINT) AS n_pos
+  FROM d GROUP BY a
+),
+cum AS (
+  SELECT *, CAST(COALESCE(SUM(n_tot) OVER (ORDER BY a
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+  FROM vals
+),
+agg AS (
+  SELECT CAST(SUM(n_tot) AS HUGEINT) AS n,
+         CAST(SUM(n_pos * (2 * cb + n_tot + 1)) AS HUGEINT) AS w2,
+         CAST(SUM(n_tot * n_tot * n_tot - n_tot) AS HUGEINT) AS t
+  FROM cum
+),
+f AS (
+  SELECT n, w2, t,
+         2 * w2 - n * (n + 1) AS dd,
+         2 * n * (n + 1) * (2 * n + 1) - t AS var48
+  FROM agg
+)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       CAST(w2 AS BIGINT) AS w2_pos,
+       CAST(dd AS BIGINT) AS d_scaled,
+       CAST(t AS BIGINT) AS ties_t,
+       CAST(var48 AS VARCHAR) AS var48,
+       dd * dd * 30000 > 38416 * var48 AS reject_symmetry
+FROM f
+""",
+)
+def wilcoxon_signed_rank_prepost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.operators.windows import global_prefix_sums
+
+    c = F.col
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    per = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.when(
+                    c("o_orderdate") < F.lit(CUPED_SPLIT).cast("timestamp"), cents
+                ).otherwise(F.lit(0))
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    c("o_orderdate") >= F.lit(CUPED_SPLIT).cast("timestamp"), cents
+                ).otherwise(F.lit(0))
+            ).alias("y"),
+        )
+    )
+    d = per.where(c("y") != c("x")).select(
+        F.abs(c("y") - c("x")).alias("a"),
+        (c("y") > c("x")).cast("bigint").alias("pos"),
+    )
+    vals = d.groupBy("a").agg(
+        F.count(F.lit(1)).alias("n_tot"), F.sum("pos").alias("n_pos")
+    )
+    cum = global_prefix_sums(vals, ["a"], ["n_tot"]).withColumn(
+        "cb", c("n_tot_cum") - c("n_tot")
+    )
+    agg = cum.agg(
+        F.sum("n_tot").cast("decimal(38,0)").alias("n"),
+        F.sum(c("n_pos") * (2 * c("cb") + c("n_tot") + 1))
+        .cast("decimal(38,0)")
+        .alias("w2"),
+        F.sum(c("n_tot") * c("n_tot") * c("n_tot") - c("n_tot"))
+        .cast("decimal(38,0)")
+        .alias("t"),
+    )
+    f = agg.select(
+        "n",
+        "w2",
+        "t",
+        F.expr("2 * w2 - n * (n + 1)").alias("dd"),
+        F.expr("2 * n * (n + 1) * (2 * n + 1) - t").alias("var48"),
+    )
+    return f.select(
+        c("n").cast("bigint").alias("n_pairs"),
+        c("w2").cast("bigint").alias("w2_pos"),
+        c("dd").cast("bigint").alias("d_scaled"),
+        c("t").cast("bigint").alias("ties_t"),
+        c("var48").cast("string").alias("var48"),
+        F.expr("dd * dd * 30000 > 38416 * var48").alias("reject_symmetry"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Friedman test — k treatments ranked within blocks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "friedman_test_priority_months",
+    category="stats",
+    doc="Friedman test: blocks = order months (calendar-bounded), "
+    "treatments = the 5 priorities, measurement = block revenue cents "
+    "per treatment, ranked WITHIN each block (doubled average ranks; "
+    "the per-block window is 5 rows — bounded-domain exemption, "
+    "parallel across blocks). Q = 3*sum(R2_j^2)/(n*k*(k+1)) - "
+    "3*n*(k+1) evaluated on the exact milli grid (every quotient "
+    "BIGINT-trivial: n = #months <= ~84 at any SF); verdict "
+    "q_milli > 9488 (chi-square df=4 at 5%). The repeated-measures "
+    "companion to kruskal_wallis (which assumes independent groups).",
+    oracle="""
+WITH cell AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS blk,
+         CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS g,
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS v
+  FROM orders GROUP BY 1, 2
+),
+full_blocks AS (
+  SELECT blk FROM cell GROUP BY blk HAVING COUNT(*) = 5
+),
+ranked AS (
+  SELECT c.blk, c.g,
+         CAST(2 * (SELECT COUNT(*) FROM cell c2
+                   WHERE c2.blk = c.blk AND c2.v < c.v)
+              + (SELECT COUNT(*) FROM cell c3
+                 WHERE c3.blk = c.blk AND c3.v = c.v) + 1 AS BIGINT) AS dr
+  FROM cell c JOIN full_blocks USING (blk)
+),
+rj AS (
+  SELECT g, CAST(SUM(dr) AS HUGEINT) AS r2 FROM ranked GROUP BY g
+),
+n AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM full_blocks),
+q AS (
+  SELECT n.n,
+         (SELECT SUM(r2 * r2) FROM rj) AS s2,
+         MAX(CASE WHEN g = 1 THEN r2 END) AS r2_1,
+         MAX(CASE WHEN g = 2 THEN r2 END) AS r2_2,
+         MAX(CASE WHEN g = 3 THEN r2 END) AS r2_3,
+         MAX(CASE WHEN g = 4 THEN r2 END) AS r2_4,
+         MAX(CASE WHEN g = 5 THEN r2 END) AS r2_5
+  FROM rj CROSS JOIN n GROUP BY n.n
+)
+SELECT CAST(n AS BIGINT) AS n_blocks,
+       CAST(r2_1 AS BIGINT) AS r2_urgent, CAST(r2_2 AS BIGINT) AS r2_high,
+       CAST(r2_3 AS BIGINT) AS r2_medium, CAST(r2_4 AS BIGINT) AS r2_notspec,
+       CAST(r2_5 AS BIGINT) AS r2_low,
+       CAST((2 * 3 * s2 * 1000 + 30 * n) // (2 * 30 * n)
+            - 3 * n * 6 * 1000 AS BIGINT) AS q_milli,
+       (2 * 3 * s2 * 1000 + 30 * n) // (2 * 30 * n)
+         - 3 * n * 6 * 1000 > 9488 AS reject_equal_treatments
+FROM q
+""",
+)
+def friedman_test_priority_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col
+    cell = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_trunc("month", c("o_orderdate")).cast("date").alias("blk"),
+            F.substring("o_orderpriority", 1, 1).cast("int").alias("g"),
+        )
+        .agg(
+            F.sum(
+                F.floor(c("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("v")
+        )
+        .localCheckpoint()  # ranks + block filter read it
+    )
+    full_blocks = (
+        cell.groupBy("blk").agg(F.count(F.lit(1)).alias("k")).where(c("k") == 5)
+    )
+    # per-block window over exactly 5 rows (bounded-domain exemption)
+    w = Window.partitionBy("blk").orderBy("v")
+    ranked = (
+        cell.join(full_blocks.select("blk"), "blk")
+        .withColumn("rk", F.rank().over(w))
+        .withColumn("cnt_eq", F.count(F.lit(1)).over(Window.partitionBy("blk", "v")))
+        .select(
+            "blk",
+            "g",
+            (2 * (c("rk") - 1) + c("cnt_eq") + 1).cast("bigint").alias("dr"),
+        )
+    )
+    rj = ranked.groupBy("g").agg(F.sum("dr").cast("decimal(38,0)").alias("r2"))
+    n = full_blocks.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+    q = rj.crossJoin(F.broadcast(n)).agg(
+        F.first("n").alias("n"),
+        F.sum(c("r2") * c("r2")).cast("decimal(38,0)").alias("s2"),
+        *[
+            F.max(F.when(c("g") == i + 1, c("r2"))).alias(f"r2_{i + 1}")
+            for i in range(5)
+        ],
+    )
+    # Q = 12/(n*k*(k+1)) * sum(R_j^2) - 3n(k+1); with doubled ranks
+    # s2 = sum(R2^2) = 4*sum(R^2), so the first term is 3*s2/(30n)
+    q_milli = (
+        "(2 * 3 * s2 * 1000 + 30 * n) DIV (2 * 30 * n)"
+        " - CAST(3 * n * 6 * 1000 AS BIGINT)"
+    )
+    return q.select(
+        c("n").cast("bigint").alias("n_blocks"),
+        *[
+            c(f"r2_{i + 1}").cast("bigint").alias(f"r2_{g}")
+            for i, g in enumerate(_KW_GROUPS)
+        ],
+        F.expr(f"CAST({q_milli} AS BIGINT)").alias("q_milli"),
+        F.expr(f"({q_milli}) > 9488").alias("reject_equal_treatments"),
+    )
