@@ -966,3 +966,35 @@ def test_ece_python_recompute(spark):
     assert row["ece_num"] == ece_num
     assert row["ece_ppm"] == (2 * ece_num + ntot) // (2 * ntot)
     assert row["mce_ppm"] == mce
+
+
+def test_ucb1_python_recompute(spark):
+    import math
+    from collections import defaultdict
+
+    rows = {r["segment"]: r for r in SPECS["bandit_ucb1_allocation"].fn(spark, SF_SMALL).collect()}
+    cust = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in table(spark, SF_SMALL, "customer").select("c_custkey", "c_mktsegment").collect()
+    }
+    arms = defaultdict(lambda: [0, 0])
+    for r in table(spark, SF_SMALL, "orders").select("o_custkey", "o_orderstatus").collect():
+        seg = cust[r["o_custkey"]]
+        arms[seg][0] += 1
+        arms[seg][1] += 1 if r["o_orderstatus"] == "F" else 0
+    nn = sum(n for n, _ in arms.values())
+    scores = {}
+    for seg, (n, s) in arms.items():
+        mean_ppm = (2_000_000 * s + n) // (2 * n)
+        score = round(s / n + math.sqrt(2 * round(math.log(nn), 9) / n), 6)
+        scores[seg] = score
+        r = rows[seg]
+        assert (r["pulls"], r["successes"], r["mean_ppm"]) == (n, s, mean_ppm)
+        assert abs(r["ucb_score"] - score) < 1e-12
+    top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+    assert sum(1 for r in rows.values() if r["chosen"]) == 1
+    assert rows[top]["chosen"] is True
+    # bonus shrinks with pulls: the most-pulled arm has the smallest bonus
+    most = max(arms.items(), key=lambda kv: kv[1][0])[0]
+    bonus = {seg: rows[seg]["ucb_score"] - arms[seg][1] / arms[seg][0] for seg in arms}
+    assert bonus[most] == min(bonus.values())

@@ -181,3 +181,51 @@ def test_abc_xyz_partition_and_masses(spark):
     assert set(r["abc"] for r in rows) <= {"A", "B", "C"}
     assert set(r["xyz"] for r in rows) <= {"X", "Y", "Z"}
     assert tot == sum(r["revenue_cents"] for r in rows)
+
+
+def test_markov_stationary_python_recompute(spark):
+    """Replay the integer-grid power iteration; also check the normalized
+    mass sums to ~1e6 and is close to the true stationary distribution."""
+    from collections import defaultdict
+
+    from wheels_in_motion_analytics_spark.functions.product_analytics import (
+        MARKOV_ROUNDS,
+    )
+
+    rows = {
+        r["state"]: r
+        for r in SPECS["markov_stationary_behavior"].fn(spark, SF_SMALL).collect()
+    }
+    ev = sorted(
+        (
+            (r["user_id"], r["ts"], r["event_id"], r["event_type"])
+            for r in table(spark, SF_SMALL, "events")
+            .select("user_id", "ts", "event_id", "event_type")
+            .collect()
+        ),
+    )
+    trans = defaultdict(int)
+    per_user = defaultdict(list)
+    for u, ts, eid, et in ev:
+        per_user[u].append((ts, eid, et))
+    for u, seq in per_user.items():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            trans[(a, b)] += 1
+    rtot = defaultdict(int)
+    for (a, _), n in trans.items():
+        rtot[a] += n
+    pi = {s: 10**6 for s in rtot}
+    for _ in range(MARKOV_ROUNDS):
+        nxt = defaultdict(int)
+        for (a, b), n in trans.items():
+            if a in pi:
+                nxt[b] += (pi[a] * n) // rtot[a]
+        pi = dict(nxt)
+    s = sum(pi.values())
+    assert set(rows) == set(pi)
+    for st, v in pi.items():
+        assert rows[st]["pi_grid"] == v
+        assert rows[st]["pi_norm_ppm"] == (2_000_000 * v + s) // (2 * s)
+    total_ppm = sum(r["pi_norm_ppm"] for r in rows.values())
+    assert abs(total_ppm - 1_000_000) <= len(rows)  # half-up rounding slack

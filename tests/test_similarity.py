@@ -449,3 +449,41 @@ def test_ngram_novelty_python_recompute(spark):
         assert r["n_shingles"] == len(ss)
         assert r["n_novel"] == novel
         assert r["novelty_ppm"] == (2_000_000 * novel + len(ss)) // (2 * len(ss))
+
+
+def test_containment_python_recompute_and_superset_of_jaccard(spark):
+    """Containment pairs must (a) replay exactly from raw shingle sets and
+    (b) be a superset of the symmetric Jaccard >= 0.8 pairs (containment
+    >= Jaccard always)."""
+    from wheels_in_motion_analytics_spark.functions.similarity import (
+        CONTAINMENT_PPM,
+    )
+    from wheels_in_motion_analytics_spark.tables import table
+
+    rows = {
+        (r["d1"], r["d2"]): r
+        for r in SPECS["dedup_shingle_containment"].fn(spark, SF_SMALL).collect()
+    }
+    sh = {}
+    for r in table(spark, SF_SMALL, "documents").collect():
+        ws = r["text"].lower().split()
+        sh[r["doc_id"]] = {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+    expect = {}
+    docs = sorted(d for d in sh if sh[d])
+    for x in range(len(docs)):
+        for y in range(x + 1, len(docs)):
+            a, b = docs[x], docs[y]
+            i = len(sh[a] & sh[b])
+            if 1_000_000 * i >= CONTAINMENT_PPM * min(len(sh[a]), len(sh[b])):
+                expect[(a, b)] = (i, len(sh[a]), len(sh[b]))
+    assert set(rows) == set(expect)
+    for (a, b), (i, n1, n2) in expect.items():
+        r = rows[(a, b)]
+        assert (r["n_common"], r["n1"], r["n2"]) == (i, n1, n2)
+        assert r["contain_in_1_ppm"] == (2_000_000 * i + n1) // (2 * n1)
+        assert r["contain_in_2_ppm"] == (2_000_000 * i + n2) // (2 * n2)
+    jac = {
+        (r.d1, r.d2)
+        for r in SPECS["dedup_ngram_jaccard"].fn(spark, SF_SMALL).collect()
+    }
+    assert jac <= set(rows)

@@ -864,3 +864,47 @@ def test_friedman_python_recompute(spark):
     # grid Q close to textbook float Q
     qf = 12.0 / (n * 5 * 6) * sum((r2[g] / 2.0) ** 2 for g in range(1, 6)) - 3 * n * 6
     assert abs(q_milli / 1000.0 - qf) < 0.01 * max(1.0, abs(qf))
+
+
+def test_seasonal_mann_kendall_python_recompute(spark):
+    from collections import defaultdict
+
+    row = SPECS["seasonal_mann_kendall_trend"].fn(spark, SF_SMALL).collect()[0]
+    daily = defaultdict(int)
+    for r in (
+        table(spark, SF_SMALL, "orders")
+        .selectExpr(
+            "CAST(o_orderdate AS DATE) AS day",
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .collect()
+    ):
+        daily[r["day"]] += r["cents"]
+    seasons = defaultdict(list)
+    for day, v in daily.items():
+        seasons[day.month].append((day, v))
+    s_stat = 0
+    var18 = 0
+    n_days = 0
+    for m, pts in seasons.items():
+        pts.sort()
+        n = len(pts)
+        n_days += n
+        var18 += n * (n - 1) * (2 * n + 5)
+        tiec = defaultdict(int)
+        for _, v in pts:
+            tiec[v] += 1
+        var18 -= sum(t * (t - 1) * (2 * t + 5) for t in tiec.values())
+        for i in range(n):
+            for j in range(i + 1, n):
+                d = pts[j][1] - pts[i][1]
+                s_stat += (d > 0) - (d < 0)
+    assert row["n_days"] == n_days
+    assert row["s_stat"] == s_stat
+    assert row["var18"] == var18
+    if abs(s_stat) <= 1:
+        assert row["trend_significant"] is False
+    else:
+        assert row["trend_significant"] == (
+            (abs(s_stat) - 1) ** 2 * 1_800_000_000 > 384_160_000 * var18
+        )

@@ -2214,3 +2214,94 @@ def expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ece_ppm"),
         F.max("gap").cast("bigint").alias("mce_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# UCB1 — which arm would the bandit pull next?
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bandit_ucb1_allocation",
+    category="ml",
+    doc="UCB1 allocation over the 5 market segments as arms: pulls = "
+    "historical orders, reward = F-status. Exploit term = exact half-up "
+    "ppm mean; explore bonus = sqrt(2*ln(N)/n_i) with ln(N) rounded to "
+    "9dp IN ISOLATION and the rest single IEEE ops rounded at 6dp "
+    "(the mann_whitney/welch green-precedent float class); the chosen "
+    "arm is the argmax on the ROUNDED score with segment tiebreak — "
+    "deterministic on any engine. ONE star-join aggregate; the "
+    "explore/exploit readout that turns the experiment family's "
+    "historical counts into a next-action decision.",
+    oracle="""
+WITH j AS (
+  SELECT c.c_mktsegment AS seg,
+         CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS win
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+arms AS (
+  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(win) AS BIGINT) AS s
+  FROM j GROUP BY seg
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM arms),
+scored AS (
+  SELECT seg, n, s,
+         CAST((CAST(2000000 AS HUGEINT) * s + n) // (2 * n) AS BIGINT)
+           AS mean_ppm,
+         round(CAST(s AS DOUBLE) / n
+               + sqrt(2 * round(ln(CAST(nn AS DOUBLE)), 9) / n), 6)
+           AS ucb_score
+  FROM arms CROSS JOIN tot
+)
+SELECT seg AS segment, n AS pulls, s AS successes, mean_ppm, ucb_score,
+       seg = (SELECT seg FROM scored ORDER BY ucb_score DESC, seg LIMIT 1)
+         AS chosen
+FROM scored
+""",
+)
+def bandit_ucb1_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col
+    j = (
+        table(spark, sf_dir, "orders")
+        .join(
+            table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            c("c_mktsegment").alias("seg"),
+            (c("o_orderstatus") == "F").cast("int").alias("win"),
+        )
+    )
+    arms = j.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("win").cast("bigint").alias("s"),
+    )
+    tot = arms.agg(F.sum("n").cast("bigint").alias("nn"))
+    scored = arms.crossJoin(F.broadcast(tot)).select(
+        "seg",
+        "n",
+        "s",
+        F.expr(
+            "CAST((CAST(2000000 AS DECIMAL(38,0)) * s + n) DIV (2 * n) AS BIGINT)"
+        ).alias("mean_ppm"),
+        F.round(
+            c("s").cast("double") / c("n")
+            + F.sqrt(2 * F.round(F.log(c("nn").cast("double")), 9) / c("n")),
+            6,
+        ).alias("ucb_score"),
+    ).localCheckpoint()  # argmax pick + output both read it
+    # deterministic argmax: max score, then min segment among ties
+    top = (
+        scored.orderBy(F.desc("ucb_score"), F.asc("seg"))
+        .limit(1)
+        .select(c("seg").alias("top_seg"))
+    )
+    return scored.crossJoin(F.broadcast(top)).select(
+        c("seg").alias("segment"),
+        c("n").alias("pulls"),
+        c("s").alias("successes"),
+        "mean_ppm",
+        "ucb_score",
+        (c("seg") == c("top_seg")).alias("chosen"),
+    )

@@ -941,3 +941,111 @@ def abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev").cast("bigint").alias("revenue_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary distribution — where does user behavior settle?
+# ---------------------------------------------------------------------------
+
+MARKOV_ROUNDS = 8
+
+
+def _oracle_markov() -> str:
+    steps = [
+        """s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)""",
+        """t AS MATERIALIZED (
+  SELECT from_type, to_type, n,
+         CAST(SUM(n) OVER (PARTITION BY from_type) AS HUGEINT) AS r
+  FROM (
+    SELECT prev_type AS from_type, event_type AS to_type,
+           CAST(COUNT(*) AS HUGEINT) AS n
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+  )
+)""",
+        "p0 AS (SELECT DISTINCT from_type AS st, CAST(1000000 AS HUGEINT) AS pi FROM t)",
+    ]
+    prev = "p0"
+    for r in range(1, MARKOV_ROUNDS + 1):
+        steps.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT t.to_type AS st, CAST(SUM((p.pi * t.n) // t.r) AS HUGEINT) AS pi
+  FROM {prev} p JOIN t ON t.from_type = p.st
+  GROUP BY t.to_type)"""
+        )
+        prev = f"p{r}"
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + f"""
+SELECT st AS state,
+       CAST(pi AS BIGINT) AS pi_grid,
+       CAST((2000000 * pi + (SELECT SUM(pi) FROM {prev}))
+            // (2 * (SELECT SUM(pi) FROM {prev})) AS BIGINT) AS pi_norm_ppm
+FROM {prev}"""
+    )
+
+
+@register(
+    "markov_stationary_behavior",
+    category="product-analytics",
+    doc=f"Stationary distribution of the user-behavior Markov chain (the "
+    "event_transition_matrix states): {MARKOV_ROUNDS} unrolled power-"
+    "iteration rounds pi' = pi P on an EXACT integer grid — each "
+    "per-edge term is (pi_i * c_ij) DIV r_i (floor, deterministic on "
+    "any engine), so the dynamics are grid-exact and the oracle replays "
+    "them as unrolled MATERIALIZED CTE rounds. The final mass "
+    "normalizes to half-up ppm. The long-run 'where do users spend "
+    "their sessions' readout on top of the transition matrix; state "
+    "space is the bounded event-type set, so every round is a "
+    "tiny-relation join + aggregate regardless of data scale (the "
+    "fact-scaled work is the ONE lag window building transitions).",
+    oracle=_oracle_markov(),
+)
+def markov_stationary_behavior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(c("prev_type").isNotNull())
+        .groupBy(c("prev_type").alias("from_type"), c("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+    )
+    t = (
+        base.join(
+            base.groupBy("from_type").agg(
+                F.sum("n").cast("decimal(38,0)").alias("r")
+            ),
+            "from_type",
+        )
+        .localCheckpoint()  # every round joins this tiny relation
+    )
+    pi = t.select(c("from_type").alias("st")).distinct().select(
+        "st", F.lit(1_000_000).cast("decimal(38,0)").alias("pi")
+    )
+    for _ in range(MARKOV_ROUNDS):
+        pi = (
+            pi.join(t, pi.st == t.from_type)
+            .select(
+                c("to_type").alias("st2"),
+                F.expr("CAST((pi * n) DIV r AS DECIMAL(38,0))").alias("term"),
+            )
+            .groupBy(c("st2").alias("st"))
+            .agg(F.sum("term").cast("decimal(38,0)").alias("pi"))
+        )
+    tot = pi.agg(F.sum("pi").cast("decimal(38,0)").alias("s"))
+    return pi.crossJoin(F.broadcast(tot)).select(
+        c("st").alias("state"),
+        c("pi").cast("bigint").alias("pi_grid"),
+        F.expr("CAST((2000000 * pi + s) DIV (2 * s) AS BIGINT)").alias(
+            "pi_norm_ppm"
+        ),
+    )

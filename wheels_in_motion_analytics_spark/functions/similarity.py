@@ -2345,3 +2345,83 @@ def doc_ngram_novelty_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment — partial-duplicate / quotation detection
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_PPM = 800_000  # |A ∩ B| / min(|A|,|B|) >= 0.8
+
+
+@register(
+    "dedup_shingle_containment",
+    category="dedup-llm",
+    doc="ASYMMETRIC near-duplicate detection: shingle containment "
+    "|A∩B| / min(|A|,|B|) — catches a document CONTAINED in a larger "
+    "one (quotations, page-plus-boilerplate, partial scrapes) that "
+    "symmetric Jaccard misses entirely (a small doc inside a big one "
+    "has low Jaccard but containment ~1). Same inverted-index self-join "
+    "shape as dedup_ngram_jaccard (shingle explode -> equi-join on "
+    "shingle -> pair counts; never all-pairs); emits pairs above "
+    "0.8 containment with BOTH directions' ppm (cross-multiplied "
+    "integer threshold, half-up ppm values) plus the Jaccard ppm for "
+    "contrast.",
+    oracle=f"""
+WITH {_ORACLE_SHINGLES},
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, i AS n_common, sa.n AS n1, sb.n AS n2,
+       CAST((2000000 * i + sa.n) // (2 * sa.n) AS BIGINT) AS contain_in_1_ppm,
+       CAST((2000000 * i + sb.n) // (2 * sb.n) AS BIGINT) AS contain_in_2_ppm,
+       CAST((2000000 * i + (sa.n + sb.n - i)) // (2 * (sa.n + sb.n - i))
+            AS BIGINT) AS jaccard_ppm
+FROM inter
+JOIN sizes sa ON sa.doc_id = d1
+JOIN sizes sb ON sb.doc_id = d2
+WHERE 1000000 * i >= {CONTAINMENT_PPM} * least(sa.n, sb.n)
+""",
+)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col
+    sh = doc_shingles(spark, sf_dir).localCheckpoint()  # sizes + self-join
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = sh.select(c("doc_id").alias("d1"), "s")
+    b = sh.select(c("doc_id").alias("d2"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(c("d1") < c("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    sa = sizes.select(c("doc_id").alias("d1"), c("n").alias("n1"))
+    sb = sizes.select(c("doc_id").alias("d2"), c("n").alias("n2"))
+    return (
+        inter.join(sa, "d1")
+        .join(sb, "d2")
+        .where(
+            F.lit(1_000_000) * c("i")
+            >= F.lit(CONTAINMENT_PPM) * F.least(c("n1"), c("n2"))
+        )
+        .select(
+            "d1",
+            "d2",
+            c("i").alias("n_common"),
+            "n1",
+            "n2",
+            F.expr("CAST((2000000 * i + n1) DIV (2 * n1) AS BIGINT)").alias(
+                "contain_in_1_ppm"
+            ),
+            F.expr("CAST((2000000 * i + n2) DIV (2 * n2) AS BIGINT)").alias(
+                "contain_in_2_ppm"
+            ),
+            F.expr(
+                "CAST((2000000 * i + (n1 + n2 - i)) DIV (2 * (n1 + n2 - i))"
+                " AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )

@@ -2056,3 +2056,122 @@ def session_window_builtin_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal Mann–Kendall — trend detection robust to annual seasonality
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "seasonal_mann_kendall_trend",
+    category="timeseries",
+    doc="Seasonal Mann–Kendall: the MK statistic computed WITHIN each "
+    "month-of-year season over daily revenue (pairs only compare "
+    "same-season days, so an annual cycle cannot masquerade as trend), "
+    "then S and the ties-corrected variance numerator 18*Var sum across "
+    "the 12 seasons — the standard Hirsch-Slack formulation (without "
+    "cross-season covariance; seasons are treated independent). All "
+    "integers: per-season pair signs, var18 = n(n-1)(2n+5) - sum "
+    "t(t-1)(2t+5) per season, and the continuity-corrected 5% verdict "
+    "(|S|-1)^2 * 18 * 10^8 > 1.96^2*10^8 * var18 by pure "
+    "cross-multiplication. The pair relation stays calendar-bounded "
+    "(same-season day pairs only — ~12x smaller than plain MK's).",
+    oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(month(o_orderdate) AS INTEGER) AS season,
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1, 2
+),
+s AS (
+  SELECT CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                       WHEN b.cents < a.cents THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+  FROM d a JOIN d b ON b.season = a.season AND b.day > a.day
+),
+per AS (
+  SELECT season, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY season
+),
+t AS (
+  SELECT CAST(COALESCE(SUM(c * (c - 1) * (2 * c + 5)), 0) AS BIGINT) AS tie18
+  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY season, cents) g
+),
+v AS (
+  SELECT CAST(SUM(n * (n - 1) * (2 * n + 5)) AS BIGINT) AS base18,
+         CAST(SUM(n) AS BIGINT) AS n_days
+  FROM per
+),
+m AS (
+  SELECT v.n_days, s.s_stat, v.base18 - t.tie18 AS var18
+  FROM v CROSS JOIN s CROSS JOIN t
+)
+SELECT n_days, s_stat, CAST(var18 AS BIGINT) AS var18,
+       CASE WHEN abs(s_stat) <= 1 THEN FALSE
+            ELSE CAST((abs(s_stat) - 1) AS HUGEINT) * (abs(s_stat) - 1) * 1800000000
+                 > CAST(384160000 AS HUGEINT) * var18 END AS trend_significant
+FROM m
+""",
+)
+def seasonal_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col
+    d = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.month("o_orderdate").alias("season"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents")
+        )
+        .localCheckpoint()  # pairs, per-season counts, tie groups share it
+    )
+    a = d.select(
+        c("season").alias("sa"), c("day").alias("da"), c("cents").alias("ca")
+    )
+    b = d.select(
+        c("season").alias("sb"), c("day").alias("db"), c("cents").alias("cb")
+    )
+    s = (
+        a.join(b, (c("sb") == c("sa")) & (c("db") > c("da")))
+        .agg(
+            F.sum(
+                F.when(c("cb") > c("ca"), 1)
+                .when(c("cb") < c("ca"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    per = d.groupBy("season").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    t = (
+        d.groupBy("season", "cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cc"))
+        .agg(
+            F.coalesce(
+                F.sum(c("cc") * (c("cc") - 1) * (2 * c("cc") + 5)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("tie18")
+        )
+    )
+    v = per.agg(
+        F.sum(c("n") * (c("n") - 1) * (2 * c("n") + 5))
+        .cast("bigint")
+        .alias("base18"),
+        F.sum("n").cast("bigint").alias("n_days"),
+    )
+    m = v.crossJoin(s).crossJoin(t).select(
+        "n_days", "s_stat", (c("base18") - c("tie18")).alias("var18")
+    )
+    sig = F.when(F.abs(c("s_stat")) <= 1, F.lit(False)).otherwise(
+        (F.abs(c("s_stat")) - 1).cast("decimal(38,0)")
+        * (F.abs(c("s_stat")) - 1).cast("decimal(38,0)")
+        * F.lit(1800000000).cast("decimal(38,0)")
+        > F.lit(384160000).cast("decimal(38,0)") * c("var18").cast("decimal(38,0)")
+    )
+    return m.select(
+        "n_days", "s_stat", "var18", sig.alias("trend_significant")
+    )
