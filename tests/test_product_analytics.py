@@ -229,3 +229,40 @@ def test_markov_stationary_python_recompute(spark):
         assert rows[st]["pi_norm_ppm"] == (2_000_000 * v + s) // (2 * s)
     total_ppm = sum(r["pi_norm_ppm"] for r in rows.values())
     assert abs(total_ppm - 1_000_000) <= len(rows)  # half-up rounding slack
+
+
+def test_shapley_attribution_python_recompute_and_efficiency(spark):
+    from collections import defaultdict
+
+    rows = {
+        r["channel"]: r
+        for r in SPECS["shapley_channel_attribution"].fn(spark, SF_SMALL).collect()
+    }
+    per = defaultdict(lambda: [0, 0, 0, 0])
+    idx = {"view": 0, "click": 1, "signup": 2, "purchase": 3}
+    for r in table(spark, SF_SMALL, "events").select("user_id", "event_type").collect():
+        if r["event_type"] in idx:
+            per[r["user_id"]][idx[r["event_type"]]] = 1
+    coal = defaultdict(lambda: [0, 0])
+    for flags in per.values():
+        key = tuple(flags[:3])
+        coal[key][0] += 1
+        coal[key][1] += flags[3]
+    v = {}
+    for key in [(a, b, c) for a in (0, 1) for b in (0, 1) for c in (0, 1)]:
+        n, cv = coal.get(key, (0, 0))
+        v[key] = (2_000_000 * cv + n) // (2 * n) if n else 0
+    phi = {
+        "view": 2 * (v[(1,0,0)] - v[(0,0,0)]) + (v[(1,1,0)] - v[(0,1,0)])
+        + (v[(1,0,1)] - v[(0,0,1)]) + 2 * (v[(1,1,1)] - v[(0,1,1)]),
+        "click": 2 * (v[(0,1,0)] - v[(0,0,0)]) + (v[(1,1,0)] - v[(1,0,0)])
+        + (v[(0,1,1)] - v[(0,0,1)]) + 2 * (v[(1,1,1)] - v[(1,0,1)]),
+        "signup": 2 * (v[(0,0,1)] - v[(0,0,0)]) + (v[(1,0,1)] - v[(1,0,0)])
+        + (v[(0,1,1)] - v[(0,1,0)]) + 2 * (v[(1,1,1)] - v[(1,1,0)]),
+    }
+    eff = 6 * (v[(1,1,1)] - v[(0,0,0)])
+    for ch, want in phi.items():
+        assert rows[ch]["phi_x6_ppm"] == want
+        assert rows[ch]["eff_x6_ppm"] == eff
+    # Shapley efficiency axiom holds exactly on the ppm grid
+    assert sum(phi.values()) == eff

@@ -908,3 +908,139 @@ def test_seasonal_mann_kendall_python_recompute(spark):
         assert row["trend_significant"] == (
             (abs(s_stat) - 1) ** 2 * 1_800_000_000 > 384_160_000 * var18
         )
+
+
+def test_price_elasticity_python_recompute(spark):
+    from collections import defaultdict
+
+    rows = {
+        r["brand"]: r
+        for r in SPECS["price_elasticity_loglog"].fn(spark, SF_SMALL).collect()
+    }
+    data = (
+        table(spark, SF_SMALL, "lineitem")
+        .join(
+            table(spark, SF_SMALL, "part").select("p_partkey", "p_brand"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .selectExpr(
+            "p_brand AS brand",
+            "CAST(round(ln(l_extendedprice / l_quantity), 9) * 1000000000 AS BIGINT) AS x",
+            "CAST(round(ln(l_quantity), 9) * 1000000000 AS BIGINT) AS y",
+        )
+        .collect()
+    )
+    m = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for r in data:
+        a = m[r["brand"]]
+        a[0] += 1
+        a[1] += r["x"]
+        a[2] += r["y"]
+        a[3] += r["x"] * r["y"]
+        a[4] += r["x"] * r["x"]
+    assert set(rows) == set(m)
+    for brand, (n, sx, sy, sxy, sxx) in m.items():
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        sign = -1 if num < 0 else 1
+        want = sign * ((2000 * abs(num) + den) // (2 * den))
+        assert rows[brand]["n"] == n
+        assert rows[brand]["elasticity_milli"] == want
+        # demand curves slope down: elasticity negative for every brand
+        assert rows[brand]["elasticity_milli"] < 0
+
+
+def test_newsvendor_python_recompute(spark):
+    from collections import defaultdict
+
+    from wheels_in_motion_analytics_spark.operators.timeseries import NV_CO, NV_CU
+
+    row = SPECS["newsvendor_stock_level"].fn(spark, SF_SMALL).collect()[0]
+    daily = defaultdict(int)
+    for r in (
+        table(spark, SF_SMALL, "lineitem")
+        .selectExpr("CAST(l_shipdate AS DATE) AS day", "CAST(l_quantity AS BIGINT) AS q")
+        .collect()
+    ):
+        daily[r["day"]] += r["q"]
+    dem = sorted(daily.values())
+    n = len(dem)
+    k = -(-4 * n // 5)
+    stock = dem[k - 1]
+    assert (row["n_days"], row["stock"]) == (n, stock)
+    under = sum(d - stock for d in dem if d > stock)
+    over = sum(stock - d for d in dem if d < stock)
+    served = sum(1 for d in dem if d <= stock)
+    assert row["under_units"] == under and row["over_units"] == over
+    assert row["service_ppm"] == (2_000_000 * served + n) // (2 * n)
+    assert row["cost_at_q"] == NV_CU * under + NV_CO * over
+
+    def cost(q):
+        return NV_CU * sum(d - q for d in dem if d > q) + NV_CO * sum(
+            q - d for d in dem if d < q
+        )
+
+    assert row["empirically_optimal"] == (
+        cost(stock - 1) >= cost(stock) <= cost(stock + 1)
+    )
+    assert row["empirically_optimal"] is True
+
+
+def test_hurst_python_recompute(spark):
+    import math
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from wheels_in_motion_analytics_spark.operators.timeseries import HURST_WINDOWS
+
+    rows = {
+        r["m"]: r for r in SPECS["hurst_rescaled_range"].fn(spark, SF_SMALL).collect()
+    }
+    daily = defaultdict(int)
+    for r in (
+        table(spark, SF_SMALL, "orders")
+        .selectExpr(
+            "CAST(o_orderdate AS DATE) AS day",
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .collect()
+    ):
+        daily[r["day"]] += r["cents"]
+    xs = [daily[d] for d in sorted(daily)]
+    pts = []
+    for m in HURST_WINDOWS:
+        rss = []
+        for b in range(len(xs) // m):
+            blkv = xs[b * m : (b + 1) * m]
+            sx = sum(blkv)
+            sxx = sum(v * v for v in blkv)
+            cum = 0
+            devs = []
+            for k, v in enumerate(blkv, start=1):
+                cum += v
+                devs.append(m * cum - k * sx)
+            r_scaled = max(max(devs), 0) - min(min(devs), 0)
+            rs = round(r_scaled / math.sqrt(m * sxx - sx * sx), 6)
+            rss.append(rs)
+        mean_rs = float(sum(Decimal(str(v)) for v in rss)) / len(rss)
+        row = rows[m]
+        assert row["n_blocks"] == len(rss)
+        assert abs(row["mean_rs"] - mean_rs) < 1e-9
+        pts.append(
+            (
+                int(round(math.log(m), 9) * 10**9),
+                int(round(math.log(mean_rs), 9) * 10**9),
+            )
+        )
+    n = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    sxx2 = sum(p[0] * p[0] for p in pts)
+    num = n * sxy - sx * sy
+    den = n * sxx2 - sx * sx
+    sign = -1 if num < 0 else 1
+    want = sign * ((2000 * abs(num) + den) // (2 * den))
+    for r in rows.values():
+        assert r["hurst_milli"] == want
+    assert 0 < want < 1000  # H in (0, 1) for a real series

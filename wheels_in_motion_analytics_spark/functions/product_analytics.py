@@ -1049,3 +1049,128 @@ def markov_stationary_behavior(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pi_norm_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shapley channel attribution — data-driven credit assignment
+# ---------------------------------------------------------------------------
+
+SHAPLEY_CHANNELS = ("view", "click", "signup")  # conversion = purchase
+
+
+@register(
+    "shapley_channel_attribution",
+    category="product-analytics",
+    doc="Data-driven (Shapley) attribution over the 3 marketing channels "
+    f"{SHAPLEY_CHANNELS} with conversion = any purchase event: v(S) = "
+    "conversion rate among users exposed to EXACTLY coalition S (8 "
+    "coalitions; empty coalitions contribute v=0), each v as a half-up "
+    "ppm integer, and the Shapley value on the ppm grid: phi_i*6 = "
+    "2(v_i - v_0) + (v_ij - v_j) + (v_ik - v_k) + 2(v_full - v_jk) — "
+    "pure integer arithmetic, so efficiency sum(phi*6) = 6(v_full - "
+    "v_0) holds EXACTLY and is emitted as an audit column. SCALE "
+    "SHAPE: one per-user exposure aggregate (map-side combinable "
+    "booleans), one 8-row coalition aggregate, then constant-size "
+    "arithmetic — the multi-touch upgrade from the rule-based "
+    "multi_touch_attribution.",
+    oracle="""
+WITH per AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS ev,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ec,
+         MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS es,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+coal AS (
+  SELECT ev, ec, es, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(conv) AS BIGINT) AS c
+  FROM per GROUP BY ev, ec, es
+),
+v AS (
+  SELECT
+    MAX(CASE WHEN ev=0 AND ec=0 AND es=0 THEN CAST((2000000*c + n) // (2*n) AS BIGINT) ELSE NULL END) AS v000,
+    MAX(CASE WHEN ev=1 AND ec=0 AND es=0 THEN CAST((2000000*c + n) // (2*n) AS BIGINT) ELSE NULL END) AS v100,
+    MAX(CASE WHEN ev=0 AND ec=1 AND es=0 THEN CAST((2000000*c + n) // (2*n) AS BIGINT) ELSE NULL END) AS v010,
+    MAX(CASE WHEN ev=0 AND ec=0 AND es=1 THEN CAST((2000000*c + n) // (2*n) AS BIGINT) ELSE NULL END) AS v001,
+    MAX(CASE WHEN ev=1 AND ec=1 AND es=0 THEN CAST((2000000*c + n) // (2*n) AS BIGINT) ELSE NULL END) AS v110,
+    MAX(CASE WHEN ev=1 AND ec=0 AND es=1 THEN CAST((2000000*c + n) // (2*n) AS BIGINT) ELSE NULL END) AS v101,
+    MAX(CASE WHEN ev=0 AND ec=1 AND es=1 THEN CAST((2000000*c + n) // (2*n) AS BIGINT) ELSE NULL END) AS v011,
+    MAX(CASE WHEN ev=1 AND ec=1 AND es=1 THEN CAST((2000000*c + n) // (2*n) AS BIGINT) ELSE NULL END) AS v111
+  FROM coal
+),
+vv AS (
+  SELECT COALESCE(v000,0) AS v000, COALESCE(v100,0) AS v100,
+         COALESCE(v010,0) AS v010, COALESCE(v001,0) AS v001,
+         COALESCE(v110,0) AS v110, COALESCE(v101,0) AS v101,
+         COALESCE(v011,0) AS v011, COALESCE(v111,0) AS v111
+  FROM v
+)
+SELECT channel, phi_x6_ppm, eff_x6_ppm FROM (
+  SELECT 'view' AS channel,
+         2*(v100 - v000) + (v110 - v010) + (v101 - v001) + 2*(v111 - v011) AS phi_x6_ppm,
+         6*(v111 - v000) AS eff_x6_ppm
+  FROM vv
+  UNION ALL
+  SELECT 'click',
+         2*(v010 - v000) + (v110 - v100) + (v011 - v001) + 2*(v111 - v101),
+         6*(v111 - v000)
+  FROM vv
+  UNION ALL
+  SELECT 'signup',
+         2*(v001 - v000) + (v101 - v100) + (v011 - v010) + 2*(v111 - v110),
+         6*(v111 - v000)
+  FROM vv
+)
+""",
+)
+def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col
+    per = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max((c("event_type") == "view").cast("int")).alias("ev"),
+            F.max((c("event_type") == "click").cast("int")).alias("ec"),
+            F.max((c("event_type") == "signup").cast("int")).alias("es"),
+            F.max((c("event_type") == "purchase").cast("int")).alias("conv"),
+        )
+    )
+    coal = per.groupBy("ev", "ec", "es").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("conv").cast("decimal(38,0)").alias("cv"),
+    )
+    cells = {
+        "v000": (0, 0, 0), "v100": (1, 0, 0), "v010": (0, 1, 0),
+        "v001": (0, 0, 1), "v110": (1, 1, 0), "v101": (1, 0, 1),
+        "v011": (0, 1, 1), "v111": (1, 1, 1),
+    }
+    v = coal.agg(
+        *[
+            F.coalesce(
+                F.max(
+                    F.when(
+                        (c("ev") == a) & (c("ec") == b) & (c("es") == d),
+                        F.expr("CAST((2000000 * cv + n) DIV (2 * n) AS BIGINT)"),
+                    )
+                ),
+                F.lit(0),
+            ).alias(name)
+            for name, (a, b, d) in cells.items()
+        ]
+    ).localCheckpoint()  # three channel arms read the 1-row lattice
+    eff = "6 * (v111 - v000)"
+    arms = [
+        ("view", "2*(v100 - v000) + (v110 - v010) + (v101 - v001) + 2*(v111 - v011)"),
+        ("click", "2*(v010 - v000) + (v110 - v100) + (v011 - v001) + 2*(v111 - v101)"),
+        ("signup", "2*(v001 - v000) + (v101 - v100) + (v011 - v010) + 2*(v111 - v110)"),
+    ]
+    out = None
+    for name, expr in arms:
+        arm = v.select(
+            F.lit(name).alias("channel"),
+            F.expr(f"CAST({expr} AS BIGINT)").alias("phi_x6_ppm"),
+            F.expr(f"CAST({eff} AS BIGINT)").alias("eff_x6_ppm"),
+        )
+        out = arm if out is None else out.unionAll(arm)
+    return out

@@ -2917,3 +2917,95 @@ def friedman_test_priority_months(spark: SparkSession, sf_dir: str) -> DataFrame
         F.expr(f"CAST({q_milli} AS BIGINT)").alias("q_milli"),
         F.expr(f"({q_milli}) > 9488").alias("reject_equal_treatments"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Price elasticity — log-log demand slope per brand
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "price_elasticity_loglog",
+    category="stats",
+    doc="Own-price elasticity of demand per part brand: OLS slope of "
+    "ln(quantity) on ln(unit price) over lineitem purchases — the "
+    "log-log regression whose slope IS the elasticity. Float "
+    "discipline: each row's ln is rounded to 9dp IN ISOLATION (the "
+    "psi/welch/zipf green class) and scaled to an exact NANO-integer "
+    "grid; all four moments accumulate in DECIMAL(38,0) (map-side "
+    "combinable, one scan), and the slope emits as sign-split half-up "
+    "milli from the exact integer numerator/denominator — no float "
+    "quotient is hashed. Negative elasticity = the demand curve slopes "
+    "down; the per-brand panel is broadcast-sized.",
+    oracle="""
+WITH r AS (
+  SELECT p.p_brand AS brand,
+         CAST(round(ln(l.l_extendedprice / l.l_quantity), 9) * 1000000000
+              AS BIGINT) AS x,
+         CAST(round(ln(l.l_quantity), 9) * 1000000000 AS BIGINT) AS y
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+m AS (
+  SELECT brand, CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+  FROM r GROUP BY brand
+),
+f AS (
+  SELECT brand, n,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS den
+  FROM m
+)
+SELECT brand, CAST(n AS BIGINT) AS n,
+       CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+            * ((2000 * abs(num) + den) // (2 * den)) AS BIGINT)
+         AS elasticity_milli
+FROM f
+""",
+)
+def price_elasticity_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col
+    r = (
+        table(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+            ),
+            c("l_partkey") == c("p_partkey"),
+        )
+        .select(
+            c("p_brand").alias("brand"),
+            (
+                F.round(F.log(c("l_extendedprice") / c("l_quantity")), 9)
+                * F.lit(1_000_000_000)
+            )
+            .cast("bigint")
+            .alias("x"),
+            (F.round(F.log(c("l_quantity")), 9) * F.lit(1_000_000_000))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    m = r.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(c("x").cast("decimal(38,0)") * c("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(c("x").cast("decimal(38,0)") * c("x")).cast("decimal(38,0)").alias("sxx"),
+    )
+    f = m.select(
+        "brand",
+        "n",
+        F.expr("n * sxy - sx * sy").alias("num"),
+        F.expr("n * sxx - sx * sx").alias("den"),
+    )
+    return f.select(
+        "brand",
+        c("n").cast("bigint").alias("n"),
+        F.expr(
+            "CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)"
+            " * ((2000 * abs(num) + den) DIV (2 * den)) AS BIGINT)"
+        ).alias("elasticity_milli"),
+    )

@@ -2175,3 +2175,281 @@ def seasonal_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "n_days", "s_stat", "var18", sig.alias("trend_significant")
     )
+
+
+# ---------------------------------------------------------------------------
+# Newsvendor — the quantile stocking policy with an optimality audit
+# ---------------------------------------------------------------------------
+
+NV_CU = 4  # underage cost per unit (lost margin)
+NV_CO = 1  # overage cost per unit (holding/salvage loss)
+
+
+@register(
+    "newsvendor_stock_level",
+    category="timeseries",
+    doc=f"Newsvendor stocking policy on daily total demand (lineitem "
+    f"quantity): critical ratio cu/(cu+co) = {NV_CU}/{NV_CU + NV_CO} "
+    "-> stock q* = smallest q with F(q) >= 0.8, i.e. the "
+    "ceil(0.8 n)-th smallest daily demand — selected by the "
+    "DISTRIBUTED QUICKSELECT (operators/windows.py:global_kth_smallest, "
+    "histogram narrowing, never a global sort). Emits exact integer "
+    "under/over unit sums, the empirical cost at q*, and an AUDITED "
+    "OPTIMALITY verdict: cost(q*-1) >= cost(q*) <= cost(q*+1) computed "
+    "exactly — if the policy ever stops being the empirical minimizer "
+    "the hash fails loudly. Service level as half-up ppm.",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(l_shipdate AS DATE) AS day,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS dem
+  FROM lineitem GROUP BY 1
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+q AS (
+  -- ceil(4n/5) in INTEGER arithmetic: ceil(0.8*n) in float overshoots at
+  -- multiples of 5 (0.8 is not dyadic: 0.8*5 = 4.0000000000000002)
+  SELECT dem AS stock FROM d ORDER BY dem
+  LIMIT 1 OFFSET (SELECT (4 * n + 4) // 5 - 1 FROM n)
+),
+costs AS (
+  SELECT
+    CAST(SUM(CASE WHEN dem > q.stock THEN dem - q.stock ELSE 0 END) AS BIGINT) AS under_u,
+    CAST(SUM(CASE WHEN dem < q.stock THEN q.stock - dem ELSE 0 END) AS BIGINT) AS over_u,
+    CAST(SUM(CASE WHEN dem > q.stock - 1 THEN dem - (q.stock - 1) ELSE 0 END) AS BIGINT) AS under_lo,
+    CAST(SUM(CASE WHEN dem < q.stock - 1 THEN (q.stock - 1) - dem ELSE 0 END) AS BIGINT) AS over_lo,
+    CAST(SUM(CASE WHEN dem > q.stock + 1 THEN dem - (q.stock + 1) ELSE 0 END) AS BIGINT) AS under_hi,
+    CAST(SUM(CASE WHEN dem < q.stock + 1 THEN (q.stock + 1) - dem ELSE 0 END) AS BIGINT) AS over_hi,
+    CAST(SUM(CASE WHEN dem <= q.stock THEN 1 ELSE 0 END) AS BIGINT) AS served
+  FROM d CROSS JOIN q
+)
+SELECT n.n AS n_days,
+       q.stock,
+       CAST((2000000 * c.served + n.n) // (2 * n.n) AS BIGINT) AS service_ppm,
+       c.under_u AS under_units, c.over_u AS over_units,
+       {NV_CU} * c.under_u + {NV_CO} * c.over_u AS cost_at_q,
+       ({NV_CU} * c.under_lo + {NV_CO} * c.over_lo
+          >= {NV_CU} * c.under_u + {NV_CO} * c.over_u)
+       AND ({NV_CU} * c.under_hi + {NV_CO} * c.over_hi
+          >= {NV_CU} * c.under_u + {NV_CO} * c.over_u) AS empirically_optimal
+FROM n CROSS JOIN q CROSS JOIN costs c
+""",
+)
+def newsvendor_stock_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.operators.windows import global_kth_smallest
+
+    c = F.col
+    d = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(c("l_shipdate").cast("date").alias("day"))
+        .agg(F.sum(c("l_quantity").cast("bigint")).alias("dem"))
+        .localCheckpoint()  # quickselect passes + the cost pass share it
+    )
+    stock, n_days = global_kth_smallest(d, "dem", lambda n: -(-4 * n // 5))
+    q = F.lit(stock)
+    costs = d.agg(
+        F.sum(F.when(c("dem") > q, c("dem") - q).otherwise(0)).alias("under_u"),
+        F.sum(F.when(c("dem") < q, q - c("dem")).otherwise(0)).alias("over_u"),
+        F.sum(
+            F.when(c("dem") > q - 1, c("dem") - (q - 1)).otherwise(0)
+        ).alias("under_lo"),
+        F.sum(
+            F.when(c("dem") < q - 1, (q - 1) - c("dem")).otherwise(0)
+        ).alias("over_lo"),
+        F.sum(
+            F.when(c("dem") > q + 1, c("dem") - (q + 1)).otherwise(0)
+        ).alias("under_hi"),
+        F.sum(
+            F.when(c("dem") < q + 1, (q + 1) - c("dem")).otherwise(0)
+        ).alias("over_hi"),
+        F.sum((c("dem") <= q).cast("bigint")).alias("served"),
+    )
+    cost = NV_CU * c("under_u") + NV_CO * c("over_u")
+    return costs.select(
+        F.lit(n_days).cast("bigint").alias("n_days"),
+        F.lit(stock).cast("bigint").alias("stock"),
+        F.expr(
+            f"CAST((2000000 * served + {n_days}) DIV (2 * {n_days}) AS BIGINT)"
+        ).alias("service_ppm"),
+        c("under_u").cast("bigint").alias("under_units"),
+        c("over_u").cast("bigint").alias("over_units"),
+        cost.cast("bigint").alias("cost_at_q"),
+        (
+            (NV_CU * c("under_lo") + NV_CO * c("over_lo") >= cost)
+            & (NV_CU * c("under_hi") + NV_CO * c("over_hi") >= cost)
+        ).alias("empirically_optimal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hurst exponent — rescaled-range long-memory diagnostic
+# ---------------------------------------------------------------------------
+
+HURST_WINDOWS = (16, 32, 64, 128)
+
+
+@register(
+    "hurst_rescaled_range",
+    category="timeseries",
+    doc="Hurst exponent by classical R/S analysis over daily revenue: for "
+    f"each window size m in {HURST_WINDOWS}, the series splits into "
+    "full m-day blocks; the block's cumulative-deviation range is kept "
+    "EXACT by scaling (dev_k*m = m*cum_k - k*sum, an integer — no "
+    "rational mean ever materializes) and R/S = R_scaled/sqrt(m*sum_x2 "
+    "- sum^2) is ONE isolated-rounded division+sqrt of exact integers "
+    "per block (the mann_whitney float class). Per-m mean R/S "
+    "decimal-accumulates (davg class); H = OLS slope of ln(mean RS) on "
+    "ln(m) over the 4 points, computed EXACTLY on the 9dp nano grid "
+    "with a sign-split half-up milli emission. H≈0.5 = random walk, "
+    ">0.5 persistent, <0.5 mean-reverting. Day-grain windows only "
+    "(calendar-bounded exemption).",
+    oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS x
+  FROM orders GROUP BY 1
+),
+idx AS (
+  SELECT x, row_number() OVER (ORDER BY day) AS i FROM d
+),
+blk AS (
+  SELECT mm.m, (i - 1) // mm.m AS b,
+         CAST(row_number() OVER (PARTITION BY mm.m, (i - 1) // mm.m ORDER BY i)
+              AS HUGEINT) AS k,
+         CAST(x AS HUGEINT) AS x
+  FROM idx CROSS JOIN (SELECT unnest([16, 32, 64, 128]) AS m) mm
+),
+wstat AS (
+  SELECT m, b, k, x,
+         SUM(x) OVER (PARTITION BY m, b ORDER BY k) AS cum,
+         SUM(x) OVER (PARTITION BY m, b) AS sx,
+         SUM(x * x) OVER (PARTITION BY m, b) AS sxx,
+         COUNT(*) OVER (PARTITION BY m, b) AS cnt
+  FROM blk
+),
+dev AS (
+  SELECT m, b, sx, sxx,
+         m * cum - k * sx AS ds
+  FROM wstat WHERE cnt = m
+),
+per_block AS (
+  SELECT m, b,
+         round((greatest(CAST(MAX(ds) AS DOUBLE), 0) - least(CAST(MIN(ds) AS DOUBLE), 0))
+               / sqrt(CAST(MAX(m) * MAX(sxx) - MAX(sx) * MAX(sx) AS DOUBLE)), 6) AS rs
+  FROM dev GROUP BY m, b
+),
+per_m AS (
+  SELECT m, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(CAST(SUM(CAST(rs AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS DOUBLE)
+           AS mean_rs
+  FROM per_block GROUP BY m
+),
+pts AS (
+  SELECT CAST(round(ln(CAST(m AS DOUBLE)), 9) * 1000000000 AS HUGEINT) AS lx,
+         CAST(round(ln(mean_rs), 9) * 1000000000 AS HUGEINT) AS ly
+  FROM per_m
+),
+fit AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(lx) AS sx, SUM(ly) AS sy, SUM(lx * ly) AS sxy, SUM(lx * lx) AS sxx
+  FROM pts
+),
+h AS (
+  SELECT n * sxy - sx * sy AS num, n * sxx - sx * sx AS den FROM fit
+)
+SELECT per_m.m, per_m.n_blocks, per_m.mean_rs,
+       CAST((CASE WHEN h.num < 0 THEN -1 ELSE 1 END)
+            * ((2000 * abs(h.num) + h.den) // (2 * h.den)) AS BIGINT)
+         AS hurst_milli
+FROM per_m CROSS JOIN h
+""",
+)
+def hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col
+    d = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("x")
+        )
+    )
+    # day-grain (calendar-bounded) global window — sanctioned exemption
+    idx = d.select(
+        "x", F.row_number().over(Window.orderBy("day")).alias("i")
+    ).localCheckpoint()  # replicated x4 and re-windowed below
+    m_arr = F.explode(F.array(*[F.lit(m) for m in HURST_WINDOWS]))
+    blk = idx.select("x", "i", m_arr.alias("m")).select(
+        "m",
+        F.expr("(i - 1) DIV m").alias("b"),
+        "x",
+        "i",
+    )
+    wb = Window.partitionBy("m", "b")
+    wk = Window.partitionBy("m", "b").orderBy("i")
+    wstat = blk.select(
+        "m",
+        "b",
+        F.row_number().over(wk).cast("bigint").alias("k"),
+        "x",
+        F.sum(c("x").cast("decimal(38,0)")).over(wk).alias("cum"),
+        F.sum(c("x").cast("decimal(38,0)")).over(wb).alias("sx"),
+        F.sum((c("x").cast("decimal(38,0)") * c("x"))).over(wb).alias("sxx"),
+        F.count(F.lit(1)).over(wb).alias("cnt"),
+    )
+    dev = wstat.where(c("cnt") == c("m")).select(
+        "m",
+        "b",
+        "sx",
+        "sxx",
+        F.expr("m * cum - k * sx").alias("ds"),
+    )
+    per_block = dev.groupBy("m", "b").agg(
+        F.round(
+            (
+                F.greatest(F.max("ds").cast("double"), F.lit(0.0))
+                - F.least(F.min("ds").cast("double"), F.lit(0.0))
+            )
+            / F.sqrt(
+                (F.max("m") * F.max("sxx") - F.max("sx") * F.max("sx")).cast(
+                    "double"
+                )
+            ),
+            6,
+        ).alias("rs")
+    )
+    per_m = per_block.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        (
+            F.sum(c("rs").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_rs"),
+    ).localCheckpoint()  # the fit and the output both read it
+    pts = per_m.select(
+        (F.round(F.log(c("m").cast("double")), 9) * F.lit(1_000_000_000))
+        .cast("decimal(38,0)")
+        .alias("lx"),
+        (F.round(F.log("mean_rs"), 9) * F.lit(1_000_000_000))
+        .cast("decimal(38,0)")
+        .alias("ly"),
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(c("lx") * c("ly")).alias("sxy"),
+        F.sum(c("lx") * c("lx")).alias("sxx"),
+    )
+    h = fit.select(
+        F.expr("n * sxy - sx * sy").alias("num"),
+        F.expr("n * sxx - sx * sx").alias("den"),
+    )
+    return per_m.crossJoin(F.broadcast(h)).select(
+        "m",
+        "n_blocks",
+        "mean_rs",
+        F.expr(
+            "CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)"
+            " * ((2000 * abs(num) + den) DIV (2 * den)) AS BIGINT)"
+        ).alias("hurst_milli"),
+    )
