@@ -266,3 +266,47 @@ def test_shapley_attribution_python_recompute_and_efficiency(spark):
         assert rows[ch]["eff_x6_ppm"] == eff
     # Shapley efficiency axiom holds exactly on the ppm grid
     assert sum(phi.values()) == eff
+
+
+def test_markov_entropy_rate_python_recompute(spark):
+    import math
+    from collections import defaultdict
+
+    from wheels_in_motion_analytics_spark.functions.product_analytics import (
+        MARKOV_ROUNDS,
+    )
+
+    row = SPECS["markov_entropy_rate"].fn(spark, SF_SMALL).collect()[0]
+    per_user = defaultdict(list)
+    for r in table(spark, SF_SMALL, "events").select("user_id", "ts", "event_id", "event_type").collect():
+        per_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    trans = defaultdict(int)
+    for seq in per_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            trans[(a, b)] += 1
+    rtot = defaultdict(int)
+    for (a, _), n in trans.items():
+        rtot[a] += n
+    pi = {s: 10**6 for s in rtot}
+    for _ in range(MARKOV_ROUNDS):
+        nxt = defaultdict(int)
+        for (a, b), n in trans.items():
+            if a in pi:
+                nxt[b] += (pi[a] * n) // rtot[a]
+        pi = dict(nxt)
+    z = sum(pi.values())
+
+    def ln9(v):
+        return int(round(math.log(v), 9) * 10**9)
+
+    s = sum(
+        (pi[a] * n * (ln9(rtot[a]) - ln9(n))) // rtot[a]
+        for (a, _b), n in trans.items()
+        if a in pi
+    )
+    assert row["n_states"] == len(pi)
+    want = (2 * s + z * 1000) // (2 * z * 1000)
+    assert row["entropy_rate_micro_nats"] == want
+    # bounded by ln(k) for k states
+    assert 0 <= row["entropy_rate_micro_nats"] <= int(math.log(len(pi)) * 1e6) + 1

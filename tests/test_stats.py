@@ -1044,3 +1044,130 @@ def test_hurst_python_recompute(spark):
     for r in rows.values():
         assert r["hurst_milli"] == want
     assert 0 < want < 1000  # H in (0, 1) for a real series
+
+
+def test_theil_decomposition_python_recompute(spark):
+    import math
+    from collections import defaultdict
+
+    row = SPECS["theil_inequality_decomposition"].fn(spark, SF_SMALL).collect()[0]
+    cust_region = {}
+    nat = {
+        r["n_nationkey"]: r["n_regionkey"]
+        for r in table(spark, SF_SMALL, "nation").collect()
+    }
+    reg = {
+        r["r_regionkey"]: r["r_name"]
+        for r in table(spark, SF_SMALL, "region").collect()
+    }
+    for r in table(spark, SF_SMALL, "customer").select("c_custkey", "c_nationkey").collect():
+        cust_region[r["c_custkey"]] = reg[nat[r["c_nationkey"]]]
+    per = defaultdict(int)
+    for r in (
+        table(spark, SF_SMALL, "orders")
+        .selectExpr("o_custkey", "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
+        .collect()
+    ):
+        per[r["o_custkey"]] += r["cents"]
+    nn = len(per)
+    yy = sum(per.values())
+
+    def ln9(v):
+        return int(round(math.log(v), 9) * 10**9)
+
+    sa = sum(y * (ln9(y) + ln9(nn) - ln9(yy)) for y in per.values())
+    grp = defaultdict(lambda: [0, 0])
+    for k, y in per.items():
+        g = grp[cust_region[k]]
+        g[0] += 1
+        g[1] += y
+    sb = sum(
+        ygrp * (ln9(ygrp) - ln9(ng) - ln9(yy) + ln9(nn))
+        for ng, ygrp in grp.values()
+    )
+
+    def micro(num):
+        sign = -1 if num < 0 else 1
+        return sign * ((2 * abs(num) + yy * 1000) // (2 * yy * 1000))
+
+    assert row["n_customers"] == nn
+    assert row["theil_total_micro"] == micro(sa)
+    assert row["theil_between_micro"] == micro(sb)
+    assert row["theil_within_micro"] == micro(sa - sb)
+    # inequality is nonnegative and decomposition is additive on the grid
+    assert row["theil_total_micro"] >= 0
+    assert (
+        abs(
+            row["theil_total_micro"]
+            - row["theil_between_micro"]
+            - row["theil_within_micro"]
+        )
+        <= 1
+    )
+
+
+def test_anova_python_recompute(spark):
+    from collections import defaultdict
+
+    row = SPECS["anova_oneway_segments"].fn(spark, SF_SMALL).collect()[0]
+    g = defaultdict(lambda: [0, 0, 0])
+    for r in (
+        table(spark, SF_SMALL, "customer")
+        .selectExpr("c_mktsegment AS seg", "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS x")
+        .collect()
+    ):
+        a = g[r["seg"]]
+        a[0] += 1
+        a[1] += r["x"]
+        a[2] += r["x"] * r["x"]
+    k = len(g)
+    nn = sum(a[0] for a in g.values())
+    ss = sum(a[1] for a in g.values())
+    sqn = sum((a[1] * a[1]) // a[0] for a in g.values())
+    ssw = sum((a[0] * a[2] - a[1] * a[1]) // a[0] for a in g.values())
+    ssb = sqn - (ss * ss) // nn
+    assert (row["n_groups"], row["n_total"]) == (k, nn)
+    assert row["ssb"] == str(ssb) and row["ssw"] == str(ssw)
+    assert row["f_milli"] == (2000 * ssb * (nn - k) + ssw * (k - 1)) // (
+        2 * ssw * (k - 1)
+    )
+    assert row["reject_equal_means"] == (
+        ssb * (nn - k) * 10000 > 23719 * ssw * (k - 1)
+    )
+    # F is near the textbook float F
+    means = {s: a[1] / a[0] for s, a in g.items()}
+    grand = ss / nn
+    ssb_f = sum(a[0] * (means[s] - grand) ** 2 for s, a in g.items())
+    ssw_f = sum(a[2] - a[1] ** 2 / a[0] for a in g.values())
+    f_f = (ssb_f / (k - 1)) / (ssw_f / (nn - k))
+    assert abs(row["f_milli"] / 1000.0 - f_f) < 0.01 * max(1.0, abs(f_f))
+
+
+def test_var_cvar_python_recompute(spark):
+    from collections import defaultdict
+
+    row = SPECS["var_cvar_revenue_changes"].fn(spark, SF_SMALL).collect()[0]
+    daily = defaultdict(int)
+    for r in (
+        table(spark, SF_SMALL, "orders")
+        .selectExpr(
+            "CAST(o_orderdate AS DATE) AS day",
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .collect()
+    ):
+        daily[r["day"]] += r["cents"]
+    days = sorted(daily)
+    deltas = [daily[b] - daily[a] for a, b in zip(days, days[1:])]
+    n = len(deltas)
+    k = (n + 19) // 20
+    var_c = sorted(deltas)[k - 1]
+    tail = [d for d in deltas if d <= var_c]
+    ts = sum(tail)
+    sign = -1 if ts < 0 else 1
+    assert (row["n_changes"], row["var_cents"], row["n_tail"]) == (n, var_c, len(tail))
+    assert row["cvar_milli_cents"] == sign * (
+        (2000 * abs(ts) + len(tail)) // (2 * len(tail))
+    )
+    # CVaR is at least as extreme as VaR (tail mean <= tail threshold)
+    assert row["cvar_milli_cents"] <= row["var_cents"] * 1000

@@ -991,23 +991,9 @@ FROM {prev}"""
     )
 
 
-@register(
-    "markov_stationary_behavior",
-    category="product-analytics",
-    doc=f"Stationary distribution of the user-behavior Markov chain (the "
-    "event_transition_matrix states): {MARKOV_ROUNDS} unrolled power-"
-    "iteration rounds pi' = pi P on an EXACT integer grid — each "
-    "per-edge term is (pi_i * c_ij) DIV r_i (floor, deterministic on "
-    "any engine), so the dynamics are grid-exact and the oracle replays "
-    "them as unrolled MATERIALIZED CTE rounds. The final mass "
-    "normalizes to half-up ppm. The long-run 'where do users spend "
-    "their sessions' readout on top of the transition matrix; state "
-    "space is the bounded event-type set, so every round is a "
-    "tiny-relation join + aggregate regardless of data scale (the "
-    "fact-scaled work is the ONE lag window building transitions).",
-    oracle=_oracle_markov(),
-)
-def markov_stationary_behavior(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _markov_chain(spark: SparkSession, sf_dir: str):
+    """(transitions, pi) — the integer-grid chain shared by the stationary
+    distribution and the entropy rate (identical rounds and grids)."""
     c = F.col
     ev = table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "event_id"
@@ -1041,6 +1027,28 @@ def markov_stationary_behavior(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(c("st2").alias("st"))
             .agg(F.sum("term").cast("decimal(38,0)").alias("pi"))
         )
+    return t, pi.localCheckpoint()
+
+
+@register(
+    "markov_stationary_behavior",
+    category="product-analytics",
+    doc=f"Stationary distribution of the user-behavior Markov chain (the "
+    "event_transition_matrix states): {MARKOV_ROUNDS} unrolled power-"
+    "iteration rounds pi' = pi P on an EXACT integer grid — each "
+    "per-edge term is (pi_i * c_ij) DIV r_i (floor, deterministic on "
+    "any engine), so the dynamics are grid-exact and the oracle replays "
+    "them as unrolled MATERIALIZED CTE rounds. The final mass "
+    "normalizes to half-up ppm. The long-run 'where do users spend "
+    "their sessions' readout on top of the transition matrix; state "
+    "space is the bounded event-type set, so every round is a "
+    "tiny-relation join + aggregate regardless of data scale (the "
+    "fact-scaled work is the ONE lag window building transitions).",
+    oracle=_oracle_markov(),
+)
+def markov_stationary_behavior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col
+    t, pi = _markov_chain(spark, sf_dir)
     tot = pi.agg(F.sum("pi").cast("decimal(38,0)").alias("s"))
     return pi.crossJoin(F.broadcast(tot)).select(
         c("st").alias("state"),
@@ -1174,3 +1182,77 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = arm if out is None else out.unionAll(arm)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Entropy rate — how predictable is the behavior chain?
+# ---------------------------------------------------------------------------
+
+
+def _oracle_markov_entropy() -> str:
+    # reuse the stationary oracle's chain, then weight -p log p by pi
+    base = _oracle_markov()
+    head, _sep, _tail = base.rpartition("\nSELECT")
+    return (
+        head
+        + f"""
+, ent AS (
+  SELECT CAST(SUM(
+           (p.pi * t.n *
+            (CAST(round(ln(CAST(t.r AS DOUBLE)), 9) * 1000000000 AS HUGEINT)
+             - CAST(round(ln(CAST(t.n AS DOUBLE)), 9) * 1000000000 AS HUGEINT)))
+           // t.r) AS HUGEINT) AS s
+  FROM p{MARKOV_ROUNDS} p JOIN t ON t.from_type = p.st
+),
+tot AS (SELECT CAST(SUM(pi) AS HUGEINT) AS z FROM p{MARKOV_ROUNDS})
+SELECT CAST((SELECT COUNT(*) FROM p{MARKOV_ROUNDS}) AS BIGINT) AS n_states,
+       CAST((2 * ent.s + tot.z * 1000) // (2 * tot.z * 1000) AS BIGINT)
+         AS entropy_rate_micro_nats
+FROM ent CROSS JOIN tot"""
+    )
+
+
+@register(
+    "markov_entropy_rate",
+    category="product-analytics",
+    doc="Entropy rate of the user-behavior Markov chain: H = -sum_i pi_i "
+    "sum_j p_ij ln p_ij, with pi from the SAME integer-grid power "
+    "iteration as markov_stationary_behavior (shared _markov_chain "
+    "core) and -ln p_ij = ln(r_i) - ln(c_ij) as isolated-9dp nano "
+    "integers; every (i,j) term is (pi_i * c_ij * dln) DIV r_i — a "
+    "deterministic floor on the grid — and the rate normalizes by the "
+    "stationary mass as half-up micro-nats. High entropy = sessions "
+    "are unpredictable (every next-step model will struggle); low = "
+    "strongly patterned funnels. Bounded state space: constant-size "
+    "arithmetic on top of the one fact-scaled lag window.",
+    oracle=_oracle_markov_entropy(),
+)
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col
+    t, pi = _markov_chain(spark, sf_dir)
+
+    def ln9(col):
+        return (F.round(F.log(col.cast("double")), 9) * F.lit(1_000_000_000)).cast(
+            "decimal(38,0)"
+        )
+
+    ent = (
+        pi.join(t, pi.st == t.from_type)
+        .select(
+            F.expr("pi * n").alias("w"),
+            (ln9(c("r")) - ln9(c("n"))).alias("dln"),
+            "r",
+        )
+        .select(F.expr("CAST((w * dln) DIV r AS DECIMAL(38,0))").alias("term"))
+        .agg(F.sum("term").cast("decimal(38,0)").alias("s"))
+    )
+    tot = pi.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_states"),
+        F.sum("pi").cast("decimal(38,0)").alias("z"),
+    )
+    return tot.crossJoin(ent).select(
+        "n_states",
+        F.expr(
+            "CAST((2 * s + z * 1000) DIV (2 * z * 1000) AS BIGINT)"
+        ).alias("entropy_rate_micro_nats"),
+    )

@@ -3009,3 +3009,242 @@ def price_elasticity_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * ((2000 * abs(num) + den) DIV (2 * den)) AS BIGINT)"
         ).alias("elasticity_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil index — decomposable inequality (between + within regions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "theil_inequality_decomposition",
+    category="stats",
+    doc="Theil-T inequality of customer lifetime revenue, DECOMPOSED into "
+    "between-region and within-region components (the additive "
+    "decomposition is why Theil beats Gini for drill-downs). Float "
+    "discipline: T = sum (y_i/Y) ln(y_i N / Y) expands to per-row "
+    "ln(y_i) + ln(N) - ln(Y), each rounded to 9dp IN ISOLATION and "
+    "accumulated as y_i-weighted DECIMAL sums (exact integers on the "
+    "nano grid); the final micro values are sign-split half-up "
+    "divisions by Y. Same machinery for the between term on the "
+    "REGION-aggregate relation (5 rows). Zero-revenue customers drop "
+    "(standard: 0*ln(0) = 0). One star-join aggregate + one region "
+    "rollup; additivity T ~= T_b + T_w is pinned in tests on the grid "
+    "tolerance.",
+    oracle="""
+WITH per AS (
+  SELECT c.c_custkey, r.r_name,
+         CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY c.c_custkey, r.r_name
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS nn, CAST(SUM(y) AS HUGEINT) AS yy FROM per
+),
+t_all AS (
+  SELECT CAST(SUM(CAST(y AS HUGEINT) *
+           (CAST(round(ln(CAST(y AS DOUBLE)), 9) * 1000000000 AS HUGEINT)
+            + CAST(round(ln(CAST(tot.nn AS DOUBLE)), 9) * 1000000000 AS HUGEINT)
+            - CAST(round(ln(CAST(tot.yy AS DOUBLE)), 9) * 1000000000 AS HUGEINT)))
+         AS HUGEINT) AS s
+  FROM per CROSS JOIN tot
+),
+grp AS (
+  SELECT r_name, CAST(COUNT(*) AS HUGEINT) AS ng, CAST(SUM(y) AS HUGEINT) AS yg
+  FROM per GROUP BY r_name
+),
+t_btw AS (
+  SELECT CAST(SUM(yg *
+           (CAST(round(ln(CAST(yg AS DOUBLE)), 9) * 1000000000 AS HUGEINT)
+            - CAST(round(ln(CAST(ng AS DOUBLE)), 9) * 1000000000 AS HUGEINT)
+            - CAST(round(ln(CAST(tot.yy AS DOUBLE)), 9) * 1000000000 AS HUGEINT)
+            + CAST(round(ln(CAST(tot.nn AS DOUBLE)), 9) * 1000000000 AS HUGEINT)))
+         AS HUGEINT) AS s
+  FROM grp CROSS JOIN tot
+)
+SELECT CAST(tot.nn AS BIGINT) AS n_customers,
+       CAST((CASE WHEN t_all.s < 0 THEN -1 ELSE 1 END)
+            * ((2 * abs(t_all.s) + tot.yy * 1000) // (2 * tot.yy * 1000))
+            AS BIGINT) AS theil_total_micro,
+       CAST((CASE WHEN t_btw.s < 0 THEN -1 ELSE 1 END)
+            * ((2 * abs(t_btw.s) + tot.yy * 1000) // (2 * tot.yy * 1000))
+            AS BIGINT) AS theil_between_micro,
+       CAST((CASE WHEN t_all.s - t_btw.s < 0 THEN -1 ELSE 1 END)
+            * ((2 * abs(t_all.s - t_btw.s) + tot.yy * 1000) // (2 * tot.yy * 1000))
+            AS BIGINT) AS theil_within_micro
+FROM tot CROSS JOIN t_all CROSS JOIN t_btw
+""",
+)
+def theil_inequality_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col
+
+    def ln9(col):
+        return (F.round(F.log(col.cast("double")), 9) * F.lit(1_000_000_000)).cast(
+            "decimal(38,0)"
+        )
+
+    per = (
+        table(spark, sf_dir, "orders")
+        .join(
+            table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            c("o_custkey") == c("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+            ),
+            c("c_nationkey") == c("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+            ),
+            c("n_regionkey") == c("r_regionkey"),
+        )
+        .groupBy("c_custkey", "r_name")
+        .agg(
+            F.sum(
+                F.floor(c("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("y")
+        )
+        .localCheckpoint()  # totals, per-row term, group rollup share it
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("nn"),
+        F.sum("y").cast("decimal(38,0)").alias("yy"),
+    ).localCheckpoint()
+    t_all = per.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            c("y").cast("decimal(38,0)")
+            * (ln9(c("y")) + ln9(c("nn")) - ln9(c("yy")))
+        )
+        .cast("decimal(38,0)")
+        .alias("s")
+    )
+    grp = per.groupBy("r_name").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("ng"),
+        F.sum("y").cast("decimal(38,0)").alias("yg"),
+    )
+    t_btw = grp.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            c("yg")
+            * (ln9(c("yg")) - ln9(c("ng")) - ln9(c("yy")) + ln9(c("nn")))
+        )
+        .cast("decimal(38,0)")
+        .alias("s")
+    )
+    out = (
+        tot.crossJoin(t_all.withColumnRenamed("s", "sa"))
+        .crossJoin(t_btw.withColumnRenamed("s", "sb"))
+    )
+
+    def micro(num):
+        return F.expr(
+            f"CAST((CASE WHEN {num} < 0 THEN -1 ELSE 1 END)"
+            f" * ((2 * abs({num}) + yy * 1000) DIV (2 * yy * 1000)) AS BIGINT)"
+        )
+
+    return out.select(
+        c("nn").cast("bigint").alias("n_customers"),
+        micro("sa").alias("theil_total_micro"),
+        micro("sb").alias("theil_between_micro"),
+        micro("sa - sb").alias("theil_within_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA — the parametric k-group companion to Kruskal-Wallis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "anova_oneway_segments",
+    category="stats",
+    doc="One-way ANOVA F across the 5 market segments on account-balance "
+    "cents: per-group power sums (n, S, S2) from ONE map-side-"
+    "combinable aggregate, then SSB = sum(S_g^2 DIV n_g) - S^2 DIV N "
+    "and SSW = sum((n_g*S2_g - S_g^2) DIV n_g) — every division a "
+    "deterministic integer floor sized to fit BIGINT at sf100 "
+    "(quotients ~ n*mean^2). Emitted: the sums as DIGIT STRINGS (they "
+    "exceed BIGINT at scale), F as half-up milli from exact integers, "
+    "and the 5% verdict by pure cross-multiplication against the "
+    "large-N critical value 2.3719 (df1=4). The parametric companion "
+    "to kruskal_wallis_priority.",
+    oracle="""
+WITH g AS (
+  SELECT c_mktsegment AS seg,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS HUGEINT) AS s,
+         CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                  * CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS HUGEINT) AS s2
+  FROM customer GROUP BY c_mktsegment
+),
+m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS k,
+         CAST(SUM(n) AS HUGEINT) AS nn,
+         CAST(SUM(s) AS HUGEINT) AS ss,
+         CAST(SUM((s * s) // n) AS HUGEINT) AS sqn,
+         CAST(SUM((n * s2 - s * s) // n) AS HUGEINT) AS ssw
+  FROM g
+),
+f AS (
+  SELECT k, nn, sqn - (ss * ss) // nn AS ssb, ssw FROM m
+)
+SELECT CAST(k AS BIGINT) AS n_groups,
+       CAST(nn AS BIGINT) AS n_total,
+       CAST(ssb AS VARCHAR) AS ssb,
+       CAST(ssw AS VARCHAR) AS ssw,
+       CAST((2000 * ssb * (nn - k) + ssw * (k - 1))
+            // (2 * ssw * (k - 1)) AS BIGINT) AS f_milli,
+       ssb * (nn - k) * 10000 > 23719 * ssw * (k - 1) AS reject_equal_means
+FROM f
+""",
+)
+def anova_oneway_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col
+    cents = F.floor(c("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+    g = (
+        table(spark, sf_dir, "customer")
+        .select(c("c_mktsegment").alias("seg"), cents.alias("x"))
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum("x").cast("decimal(38,0)").alias("s"),
+            F.sum(c("x").cast("decimal(38,0)") * c("x"))
+            .cast("decimal(38,0)")
+            .alias("s2"),
+        )
+    )
+    m = g.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("k"),
+        F.sum("n").cast("decimal(38,0)").alias("nn"),
+        F.sum("s").cast("decimal(38,0)").alias("ss"),
+        F.sum(F.expr("CAST((s * s) DIV n AS DECIMAL(38,0))"))
+        .cast("decimal(38,0)")
+        .alias("sqn"),
+        F.sum(F.expr("CAST((n * s2 - s * s) DIV n AS DECIMAL(38,0))"))
+        .cast("decimal(38,0)")
+        .alias("ssw"),
+    )
+    f = m.select(
+        "k",
+        "nn",
+        F.expr("sqn - CAST((ss * ss) DIV nn AS DECIMAL(38,0))").alias("ssb"),
+        "ssw",
+    )
+    return f.select(
+        c("k").cast("bigint").alias("n_groups"),
+        c("nn").cast("bigint").alias("n_total"),
+        c("ssb").cast("string").alias("ssb"),
+        c("ssw").cast("string").alias("ssw"),
+        F.expr(
+            "CAST((2000 * ssb * (nn - k) + ssw * (k - 1))"
+            " DIV (2 * ssw * (k - 1)) AS BIGINT)"
+        ).alias("f_milli"),
+        F.expr(
+            "ssb * (nn - k) * 10000 > 23719 * ssw * (k - 1)"
+        ).alias("reject_equal_means"),
+    )

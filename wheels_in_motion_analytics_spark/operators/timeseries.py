@@ -2453,3 +2453,88 @@ def hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * ((2000 * abs(num) + den) DIV (2 * den)) AS BIGINT)"
         ).alias("hurst_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# VaR / CVaR — tail risk of day-over-day revenue changes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "var_cvar_revenue_changes",
+    category="timeseries",
+    doc="Historical-simulation VaR(5%) and CVaR on day-over-day revenue "
+    "changes: deltas from one calendar-lag pass over the bounded day "
+    "grain, VaR = the ceil(0.05 n)-th smallest delta selected by the "
+    "DISTRIBUTED QUICKSELECT (integer k = (n+19) DIV 20 — no float "
+    "quantile index, the newsvendor lesson), CVaR = exact mean of the "
+    "tail at-or-below VaR as sign-split half-up milli-cents. All "
+    "integers end to end; the risk-desk readout built on the same "
+    "order-statistic primitive as conformal/newsvendor.",
+    oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+ch AS (
+  SELECT cents - lag(cents) OVER (ORDER BY day) AS delta
+  FROM d
+),
+cc AS (SELECT delta FROM ch WHERE delta IS NOT NULL),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cc),
+v AS (
+  SELECT delta AS var_cents FROM cc ORDER BY delta
+  LIMIT 1 OFFSET (SELECT (n + 19) // 20 - 1 FROM n)
+),
+tail AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS tn,
+         CAST(SUM(delta) AS HUGEINT) AS ts
+  FROM cc CROSS JOIN v WHERE delta <= v.var_cents
+)
+SELECT n.n AS n_changes,
+       CAST(v.var_cents AS BIGINT) AS var_cents,
+       CAST(tail.tn AS BIGINT) AS n_tail,
+       CAST((CASE WHEN tail.ts < 0 THEN -1 ELSE 1 END)
+            * ((2000 * abs(tail.ts) + tail.tn) // (2 * tail.tn)) AS BIGINT)
+         AS cvar_milli_cents
+FROM n CROSS JOIN v CROSS JOIN tail
+""",
+)
+def var_cvar_revenue_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.operators.windows import global_kth_smallest
+
+    c = F.col
+    d = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    # bounded day-grain window (calendar exemption)
+    ch = (
+        d.select(
+            (c("cents") - F.lag("cents").over(Window.orderBy("day"))).alias("delta")
+        )
+        .where(c("delta").isNotNull())
+        .localCheckpoint()  # quickselect passes + the tail pass share it
+    )
+    var_cents, n_changes = global_kth_smallest(
+        ch, "delta", lambda n: (n + 19) // 20
+    )
+    tail = ch.where(c("delta") <= var_cents).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("tn"),
+        F.sum("delta").cast("decimal(38,0)").alias("ts"),
+    )
+    return tail.select(
+        F.lit(n_changes).cast("bigint").alias("n_changes"),
+        F.lit(var_cents).cast("bigint").alias("var_cents"),
+        c("tn").cast("bigint").alias("n_tail"),
+        F.expr(
+            "CAST((CASE WHEN ts < 0 THEN -1 ELSE 1 END)"
+            " * ((2000 * abs(ts) + tn) DIV (2 * tn)) AS BIGINT)"
+        ).alias("cvar_milli_cents"),
+    )
