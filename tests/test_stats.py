@@ -1171,3 +1171,81 @@ def test_var_cvar_python_recompute(spark):
     )
     # CVaR is at least as extreme as VaR (tail mean <= tail threshold)
     assert row["cvar_milli_cents"] <= row["var_cents"] * 1000
+
+
+def test_eb_shrinkage_python_recompute_and_contraction(spark):
+    from collections import defaultdict
+
+    from wheels_in_motion_analytics_spark.functions.stats import EB_PSEUDO_M
+
+    rows = {
+        r["brand"]: r
+        for r in SPECS["eb_shrunk_return_rates"].fn(spark, SF_SMALL).collect()
+    }
+    part_brand = {
+        r["p_partkey"]: r["p_brand"]
+        for r in table(spark, SF_SMALL, "part").select("p_partkey", "p_brand").collect()
+    }
+    g = defaultdict(lambda: [0, 0])
+    for r in (
+        table(spark, SF_SMALL, "lineitem").select("l_partkey", "l_returnflag").collect()
+    ):
+        a = g[part_brand[r["l_partkey"]]]
+        a[0] += 1
+        a[1] += 1 if r["l_returnflag"] == "R" else 0
+    nn = sum(a[0] for a in g.values())
+    ss = sum(a[1] for a in g.values())
+    for brand, (n, s) in g.items():
+        r = rows[brand]
+        assert (r["n_lines"], r["n_returns"]) == (n, s)
+        raw = (2_000_000 * s + n) // (2 * n)
+        shrunk = (
+            2_000_000 * (s * nn + EB_PSEUDO_M * ss) + nn * (n + EB_PSEUDO_M)
+        ) // (2 * nn * (n + EB_PSEUDO_M))
+        glob = (2_000_000 * ss + nn) // (2 * nn)
+        assert r["raw_rate_ppm"] == raw
+        assert r["shrunk_rate_ppm"] == shrunk
+        assert r["global_rate_ppm"] == glob
+        # shrinkage contracts toward the global rate (up to 1ppm rounding)
+        assert abs(shrunk - glob) <= abs(raw - glob) + 1
+
+
+def test_gumbel_python_recompute(spark):
+    import math
+    from collections import defaultdict
+
+    from wheels_in_motion_analytics_spark.operators.timeseries import (
+        _GUM_EULER,
+        _GUM_SQRT6_PI,
+        _GUM_Y100,
+    )
+
+    row = SPECS["gumbel_block_maxima_fit"].fn(spark, SF_SMALL).collect()[0]
+    daily = defaultdict(int)
+    for r in (
+        table(spark, SF_SMALL, "orders")
+        .selectExpr(
+            "CAST(o_orderdate AS DATE) AS day",
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .collect()
+    ):
+        daily[r["day"]] += r["cents"]
+    mx = defaultdict(int)
+    for day, v in daily.items():
+        key = (day.year, day.month)
+        mx[key] = max(mx[key], v)
+    vals = list(mx.values())
+    n = len(vals)
+    s = sum(vals)
+    s2 = sum(v * v for v in vals)
+    mean = s / n
+    sigma = math.sqrt(n * s2 - s * s) / n
+    beta = sigma * _GUM_SQRT6_PI
+    mu = mean - _GUM_EULER * beta
+    assert row["n_blocks"] == n
+    assert abs(row["mu_cents"] - round(mu, 4)) < 1e-6
+    assert abs(row["beta_cents"] - round(beta, 4)) < 1e-6
+    assert abs(row["return_level_100_cents"] - round(mu + _GUM_Y100 * beta, 4)) < 1e-6
+    # the 100-block return level must exceed the observed mean and mu
+    assert row["return_level_100_cents"] > row["mu_cents"] > 0

@@ -2538,3 +2538,93 @@ def var_cvar_revenue_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * ((2000 * abs(ts) + tn) DIV (2 * tn)) AS BIGINT)"
         ).alias("cvar_milli_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gumbel block-maxima fit — extreme-value capacity planning
+# ---------------------------------------------------------------------------
+
+# frozen double literals (method-of-moments Gumbel + 100-block return level)
+_GUM_SQRT6_PI = 0.7796968012336761  # sqrt(6)/pi
+_GUM_EULER = 0.5772156649015329
+_GUM_Y100 = 4.600149226776579  # -ln(-ln(1 - 1/100))
+
+
+@register(
+    "gumbel_block_maxima_fit",
+    category="timeseries",
+    doc="Extreme-value analysis: Gumbel fit (method of moments) on MONTHLY "
+    "block maxima of daily revenue — beta = sigma*sqrt(6)/pi, mu = mean "
+    "- gamma*beta, and the 100-month return level mu + 4.6001*beta (the "
+    "capacity-planning number: revenue exceeded once per ~100 months). "
+    "Block maxima come from two calendar-grain aggregates; the moments "
+    "(n, S, S2) are EXACT integers, and every emitted double is ONE "
+    "fixed IEEE expression tree over those identical integers with "
+    "frozen irrational literals (sqrt6/pi, Euler gamma, y100), rounded "
+    "4dp in isolation — the mann_whitney float class. The EVT "
+    "complement to VaR/CVaR (which is an in-sample quantile; this "
+    "extrapolates beyond it).",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+         CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1, 2
+),
+mx AS (SELECT mo, CAST(MAX(cents) AS HUGEINT) AS m FROM d GROUP BY mo),
+mom AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(m) AS HUGEINT) AS s,
+         CAST(SUM(m * m) AS HUGEINT) AS s2
+  FROM mx
+),
+fit AS (
+  SELECT CAST(n AS BIGINT) AS n_blocks,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         sqrt(CAST(n * s2 - s * s AS DOUBLE)) / CAST(n AS DOUBLE) AS sigma
+  FROM mom
+)
+SELECT n_blocks,
+       round(mean - {_GUM_EULER} * (sigma * {_GUM_SQRT6_PI}), 4) AS mu_cents,
+       round(sigma * {_GUM_SQRT6_PI}, 4) AS beta_cents,
+       round(mean - {_GUM_EULER} * (sigma * {_GUM_SQRT6_PI})
+             + {_GUM_Y100} * (sigma * {_GUM_SQRT6_PI}), 4) AS return_level_100_cents
+FROM fit
+""",
+)
+def gumbel_block_maxima_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col
+    d = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_trunc("month", c("o_orderdate")).cast("date").alias("mo"),
+            c("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(
+                F.floor(c("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    mx = d.groupBy("mo").agg(F.max("cents").cast("decimal(38,0)").alias("m"))
+    mom = mx.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("m").cast("decimal(38,0)").alias("s"),
+        F.sum(c("m") * c("m")).cast("decimal(38,0)").alias("s2"),
+    )
+    fit = mom.select(
+        c("n").cast("bigint").alias("n_blocks"),
+        (c("s").cast("double") / c("n").cast("double")).alias("mean"),
+        (
+            F.sqrt((c("n") * c("s2") - c("s") * c("s")).cast("double"))
+            / c("n").cast("double")
+        ).alias("sigma"),
+    )
+    beta = c("sigma") * F.lit(_GUM_SQRT6_PI)
+    mu = c("mean") - F.lit(_GUM_EULER) * beta
+    return fit.select(
+        "n_blocks",
+        F.round(mu, 4).alias("mu_cents"),
+        F.round(beta, 4).alias("beta_cents"),
+        F.round(mu + F.lit(_GUM_Y100) * beta, 4).alias("return_level_100_cents"),
+    )
