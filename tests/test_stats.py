@@ -1249,3 +1249,82 @@ def test_gumbel_python_recompute(spark):
     assert abs(row["return_level_100_cents"] - round(mu + _GUM_Y100 * beta, 4)) < 1e-6
     # the 100-block return level must exceed the observed mean and mu
     assert row["return_level_100_cents"] > row["mu_cents"] > 0
+
+
+def test_ccf_python_recompute_and_lag0_is_kendall_pair(spark):
+    from collections import defaultdict
+    from datetime import timedelta
+    from math import isqrt
+
+    rows = {
+        r["lag"]: r
+        for r in SPECS["ccf_count_revenue_daily"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(rows) == set(range(-7, 8))
+    daily = defaultdict(lambda: [0, 0])
+    for r in (
+        table(spark, SF_SMALL, "orders")
+        .selectExpr(
+            "CAST(o_orderdate AS DATE) AS day",
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .collect()
+    ):
+        daily[r["day"]][0] += 1
+        daily[r["day"]][1] += r["cents"]
+    for lag in (-3, 0, 5):
+        pts = []
+        for day, (x, _y) in daily.items():
+            other = day + timedelta(days=lag)
+            if other in daily:
+                pts.append((x, daily[other][1]))
+        n = len(pts)
+        sx = sum(p[0] for p in pts)
+        sy = sum(p[1] for p in pts)
+        sxy = sum(p[0] * p[1] for p in pts)
+        sxx = sum(p[0] * p[0] for p in pts)
+        syy = sum(p[1] * p[1] for p in pts)
+        num = n * sxy - sx * sy
+        dxx = n * sxx - sx * sx
+        dyy = n * syy - sy * sy
+        a, b = isqrt(dxx), isqrt(dyy)
+        sign = -1 if num < 0 else 1
+        want = sign * ((2 * abs(num) * 10**6 + a * b) // (2 * a * b))
+        assert rows[lag]["n_pairs"] == n
+        assert rows[lag]["ccf_ppm"] == want
+    # symmetry of pair counts: n(k) == n(-k)
+    for k in range(1, 8):
+        assert rows[k]["n_pairs"] == rows[-k]["n_pairs"]
+
+
+def test_max_studentized_deviate_python_recompute(spark):
+    import math
+    from collections import defaultdict
+    from math import isqrt
+
+    row = SPECS["max_studentized_deviate_day"].fn(spark, SF_SMALL).collect()[0]
+    daily = defaultdict(int)
+    for r in (
+        table(spark, SF_SMALL, "orders")
+        .selectExpr(
+            "CAST(o_orderdate AS DATE) AS day",
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .collect()
+    ):
+        daily[r["day"]] += r["cents"]
+    n = len(daily)
+    s = sum(daily.values())
+    s2 = sum(v * v for v in daily.values())
+    best = max(daily.items(), key=lambda kv: (abs(kv[1] * n - s), -kv[0].toordinal()))
+    ds = abs(best[1] * n - s)
+    assert row["flagged_day"] == best[0]
+    assert row["n_days"] == n
+    dxx = n * s2 - s * s
+    a = isqrt(dxx)
+    want = (2 * ds * 10**6 + a) // (2 * a)
+    assert row["g_ppm"] == want
+    assert row["beyond_3_sigma"] == (ds * ds > 9 * dxx)
+    # ppm value close to the float G
+    g_float = (ds / n) / math.sqrt(dxx / n / n)
+    assert abs(row["g_ppm"] / 1e6 - g_float) < 1e-4

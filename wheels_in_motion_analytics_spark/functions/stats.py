@@ -3330,3 +3330,99 @@ def eb_shrunk_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "global_rate_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Max studentized deviate — which single day is most anomalous?
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "max_studentized_deviate_day",
+    category="stats",
+    doc="Grubbs-style max studentized deviate over daily revenue: G = "
+    "max|x - mean| / sd located by one exact-integer argmax "
+    "(max(struct(|x*n - S|, -day)) — no rational mean ever "
+    "materializes), G emitted in ppm through the shared corrected-isqrt "
+    "path (num = maxdev_scaled, denominator sqrt(n*S2 - S^2) via "
+    "dyy = 1), and the 3-sigma screening verdict by pure integer "
+    "cross-multiplication maxdev^2 > 9*(n*S2 - S^2). The single-point "
+    "complement to mad_outlier_audit (which flags sets) and "
+    "cusum/binseg (which find level shifts).",
+    oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS x
+  FROM orders GROUP BY 1
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS s,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2
+  FROM d
+),
+dev AS (
+  SELECT d.day, abs(CAST(d.x AS HUGEINT) * mom.n - mom.s) AS ds
+  FROM d CROSS JOIN mom
+),
+top AS (
+  SELECT day, ds FROM dev ORDER BY ds DESC, day ASC LIMIT 1
+),
+m AS (
+  SELECT top.day, CAST(mom.n AS BIGINT) AS n_days,
+         CAST(top.ds AS HUGEINT) AS num,
+         mom.n * mom.s2 - mom.s * mom.s AS dxx,
+         CAST(1 AS HUGEINT) AS dyy,
+         top.ds * top.ds > 9 * (mom.n * mom.s2 - mom.s * mom.s)
+           AS beyond_3_sigma
+  FROM top CROSS JOIN mom
+)
+SELECT day AS flagged_day, n_days, {CORR} AS g_ppm, beyond_3_sigma
+FROM m
+""",
+)
+def max_studentized_deviate_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col
+    d = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("x")
+        )
+        .localCheckpoint()  # moments + the deviation argmax share it
+    )
+    mom = d.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+        F.sum(c("x").cast("decimal(38,0)") * c("x"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    dev = d.crossJoin(F.broadcast(mom)).select(
+        "day",
+        F.expr("abs(CAST(x AS DECIMAL(38,0)) * n - s)").alias("ds"),
+        "n",
+        "s",
+        "s2",
+    )
+    top = dev.orderBy(F.desc("ds"), F.asc("day")).limit(1)
+    m = top.select(
+        c("day").alias("flagged_day"),
+        c("n").cast("bigint").alias("n_days"),
+        c("ds").alias("num"),
+        F.expr("CAST(n * s2 - s * s AS DECIMAL(38,0))").alias("dxx"),
+        F.lit(1).cast("decimal(38,0)").alias("dyy"),
+        F.expr("ds * ds > 9 * (n * s2 - s * s)").alias("beyond_3_sigma"),
+    )
+    return with_corr_ppm(m, out="g_ppm").select(
+        "flagged_day", "n_days", "g_ppm", "beyond_3_sigma"
+    )
+
+
+from wheels_in_motion_analytics_spark.registry import REGISTRY as _REG_GR  # noqa: E402
+
+_REG_GR["max_studentized_deviate_day"].oracle = _REG_GR[
+    "max_studentized_deviate_day"
+].oracle.replace("{CORR}", corr_ppm_sql("num", "dxx", "dyy"))

@@ -2628,3 +2628,104 @@ def gumbel_block_maxima_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(beta, 4).alias("beta_cents"),
         F.round(mu + F.lit(_GUM_Y100) * beta, 4).alias("return_level_100_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-correlation function — lead/lag structure between two daily series
+# ---------------------------------------------------------------------------
+
+CCF_MAX_LAG = 7
+
+
+@register(
+    "ccf_count_revenue_daily",
+    category="timeseries",
+    doc=f"Cross-correlation function between daily order COUNT and daily "
+    f"revenue at calendar lags -{CCF_MAX_LAG}..+{CCF_MAX_LAG}: positive "
+    "lags correlate today's count with revenue k days LATER (does "
+    "volume lead value?). Per-lag Pearson moments accumulate as exact "
+    "integers over the calendar-aligned day pairs (the acf machinery "
+    "generalized to two series; the 15-row lag spine broadcasts), and "
+    "every coefficient goes through the shared corrected-isqrt ppm "
+    "path — no float quotient hashed. Day-grain bounded at any SF.",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS x,
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS y
+  FROM orders GROUP BY 1
+),
+lags AS (SELECT unnest(range(-{CCF_MAX_LAG}, {CCF_MAX_LAG} + 1)) AS lag),
+pairs AS (
+  SELECT l.lag, a.x AS xa, b.y AS yb
+  FROM lags l
+  JOIN d a ON TRUE
+  JOIN d b ON b.day = a.day + CAST(l.lag AS BIGINT) * INTERVAL 1 DAY
+),
+mom AS (
+  SELECT lag, CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(xa) AS HUGEINT) AS sx, CAST(SUM(yb) AS HUGEINT) AS sy,
+         CAST(SUM(CAST(xa AS HUGEINT) * yb) AS HUGEINT) AS sxy,
+         CAST(SUM(CAST(xa AS HUGEINT) * xa) AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(yb AS HUGEINT) * yb) AS HUGEINT) AS syy
+  FROM pairs GROUP BY lag
+),
+m AS (
+  SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS dxx,
+         n * syy - sy * sy AS dyy
+  FROM mom
+)
+SELECT lag, n_pairs, {{CORR}} AS ccf_ppm
+FROM m
+""",
+)
+def ccf_count_revenue_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.functions.stats import with_corr_ppm
+
+    c = F.col
+    d = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("x"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("y"),
+        )
+        .localCheckpoint()  # both sides of every lag join read it
+    )
+    lags = spark.range(-CCF_MAX_LAG, CCF_MAX_LAG + 1).select(
+        c("id").cast("int").alias("lag")
+    )
+    a = d.select(c("day").alias("da"), c("x").alias("xa"))
+    b = d.select(c("day").alias("db"), c("y").alias("yb"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.expr("db = date_add(da, lag)"))
+        .select("lag", "xa", "yb")
+    )
+    mom = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("xa").cast("decimal(38,0)").alias("sx"),
+        F.sum("yb").cast("decimal(38,0)").alias("sy"),
+        F.sum(c("xa").cast("decimal(38,0)") * c("yb")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(c("xa").cast("decimal(38,0)") * c("xa")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(c("yb").cast("decimal(38,0)") * c("yb")).cast("decimal(38,0)").alias("syy"),
+    )
+    m = mom.select(
+        c("lag").cast("bigint").alias("lag"),
+        c("n").cast("bigint").alias("n_pairs"),
+        F.expr("CAST(n * sxy - sx * sy AS DECIMAL(38,0))").alias("num"),
+        F.expr("CAST(n * sxx - sx * sx AS DECIMAL(38,0))").alias("dxx"),
+        F.expr("CAST(n * syy - sy * sy AS DECIMAL(38,0))").alias("dyy"),
+    )
+    return with_corr_ppm(m, out="ccf_ppm").select("lag", "n_pairs", "ccf_ppm")
+
+
+from wheels_in_motion_analytics_spark.functions.stats import corr_ppm_sql as _ccf_corr  # noqa: E402
+
+_REGISTRY["ccf_count_revenue_daily"].oracle = _REGISTRY[
+    "ccf_count_revenue_daily"
+].oracle.replace("{CORR}", _ccf_corr("num", "dxx", "dyy"))
