@@ -1328,3 +1328,99 @@ def test_max_studentized_deviate_python_recompute(spark):
     # ppm value close to the float G
     g_float = (ds / n) / math.sqrt(dxx / n / n)
     assert abs(row["g_ppm"] / 1e6 - g_float) < 1e-4
+
+
+def test_odds_ratio_python_recompute(spark):
+    import math
+
+    row = SPECS["odds_ratio_segment_status"].fn(spark, SF_SMALL).collect()[0]
+    cust = {
+        r["c_custkey"]: r["c_mktsegment"] == "AUTOMOBILE"
+        for r in table(spark, SF_SMALL, "customer").select("c_custkey", "c_mktsegment").collect()
+    }
+    a = b = c = d = 0
+    for r in table(spark, SF_SMALL, "orders").select("o_custkey", "o_orderstatus").collect():
+        seg = cust[r["o_custkey"]]
+        pos = r["o_orderstatus"] == "F"
+        if seg and pos:
+            a += 1
+        elif seg:
+            b += 1
+        elif pos:
+            c += 1
+        else:
+            d += 1
+    assert (row["n_seg_pos"], row["n_seg_neg"], row["n_rest_pos"], row["n_rest_neg"]) == (a, b, c, d)
+    assert row["or_milli"] == (2000 * a * d + b * c) // (2 * b * c)
+    lor = math.log(a * d / (b * c))
+    se = math.sqrt((b * c * d + a * c * d + a * b * d + a * b * c) / a / b / c / d)
+    assert abs(row["ci_low"] - round(math.exp(lor - 1.96 * se), 6)) < 1e-9
+    assert abs(row["ci_high"] - round(math.exp(lor + 1.96 * se), 6)) < 1e-9
+    assert row["ci_low"] < row["or_milli"] / 1000.0 < row["ci_high"]
+
+
+def test_logrank_python_recompute(spark):
+    from collections import defaultdict
+
+    from wheels_in_motion_analytics_spark.functions.stats import (
+        LOGRANK_G0,
+        LOGRANK_G1,
+    )
+
+    row = SPECS["logrank_ship_latency_groups"].fn(spark, SF_SMALL).collect()[0]
+    first_ship = {}
+    for r in (
+        table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_shipdate").collect()
+    ):
+        k = r["l_orderkey"]
+        if k not in first_ship or r["l_shipdate"] < first_ship[k]:
+            first_ship[k] = r["l_shipdate"]
+    subjects = []
+    for r in (
+        table(spark, SF_SMALL, "orders")
+        .where(F.col("o_orderpriority").isin(LOGRANK_G1, LOGRANK_G0))
+        .select("o_orderkey", "o_orderdate", "o_orderstatus", "o_orderpriority")
+        .collect()
+    ):
+        if r["o_orderkey"] in first_ship:
+            dur = (first_ship[r["o_orderkey"]].date() - r["o_orderdate"].date()).days if hasattr(first_ship[r["o_orderkey"]], 'date') else (first_ship[r["o_orderkey"]] - r["o_orderdate"]).days
+            subjects.append(
+                (
+                    1 if r["o_orderpriority"] == LOGRANK_G1 else 0,
+                    dur,
+                    1 if r["o_orderstatus"] != "O" else 0,
+                )
+            )
+    grain = defaultdict(lambda: [0, 0, 0, 0])  # d1, d, m1, m
+    for g, dur, ev in subjects:
+        a = grain[dur]
+        a[0] += g * ev
+        a[1] += ev
+        a[2] += g
+        a[3] += 1
+    t1 = sum(g for g, _, _ in subjects)
+    tt = len(subjects)
+    cum1 = cum = 0
+    o1 = e1m = vm = 0
+    for dur in sorted(grain):
+        d1, d, m1, m = grain[dur]
+        n1 = t1 - cum1
+        n = tt - cum
+        if d > 0:
+            o1 += d1
+            e1m += (2 * d * n1 * 10**6 + n) // (2 * n)
+            if n > 1:
+                vm += (
+                    2 * d * n1 * (n - n1) * (n - d) * 10**6 + n * n * (n - 1)
+                ) // (2 * n * n * (n - 1))
+        cum1 += m1
+        cum += m
+    assert row["observed_g1"] == o1
+    assert row["expected_g1_micro"] == e1m
+    assert row["variance_micro"] == vm
+    u = o1 * 10**6 - e1m
+    sign = -1 if u < 0 else 1
+    assert row["chi2_milli"] == sign * (
+        (2000 * abs(u) * abs(u) + 10**6 * vm) // (2 * 10**6 * vm)
+    )
+    assert row["survival_differs"] == (abs(u) * abs(u) * 10000 > 38416000000 * vm)

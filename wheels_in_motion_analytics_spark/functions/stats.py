@@ -3426,3 +3426,259 @@ from wheels_in_motion_analytics_spark.registry import REGISTRY as _REG_GR  # noq
 _REG_GR["max_studentized_deviate_day"].oracle = _REG_GR[
     "max_studentized_deviate_day"
 ].oracle.replace("{CORR}", corr_ppm_sql("num", "dxx", "dyy"))
+
+
+# ---------------------------------------------------------------------------
+# Odds ratio — the 2x2 effect size with a Woolf CI
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "odds_ratio_segment_status",
+    category="stats",
+    doc="Odds ratio of 'order is F-status' for AUTOMOBILE-segment "
+    "customers vs the rest (the 2x2 effect-size readout beside "
+    "mcnemar/chi-square): OR = (a*d)/(b*c) emitted as one exact "
+    "cross-multiplied half-up milli division, and the Woolf 95% CI "
+    "bounds exp(ln(OR) +- 1.96*sqrt(1/a+1/b+1/c+1/d)) with the "
+    "variance sum kept as the EXACT rational (bcd+acd+abd+abc)/(abcd) "
+    "before its single isolated sqrt — every float op is one IEEE "
+    "expression over identical exact integers, rounded 6dp (the "
+    "mann_whitney class). One conditional star-join aggregate.",
+    oracle="""
+WITH j AS (
+  SELECT CASE WHEN c.c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS seg,
+         CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+cells AS (
+  SELECT
+    CAST(COUNT(*) FILTER (WHERE seg = 1 AND pos = 1) AS HUGEINT) AS a,
+    CAST(COUNT(*) FILTER (WHERE seg = 1 AND pos = 0) AS HUGEINT) AS b,
+    CAST(COUNT(*) FILTER (WHERE seg = 0 AND pos = 1) AS HUGEINT) AS c,
+    CAST(COUNT(*) FILTER (WHERE seg = 0 AND pos = 0) AS HUGEINT) AS d
+  FROM j
+),
+f AS (
+  SELECT a, b, c, d,
+         CAST((2000 * a * d + b * c) // (2 * b * c) AS BIGINT) AS or_milli,
+         ln(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+            / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))) AS lor,
+         sqrt(CAST(b*c*d + a*c*d + a*b*d + a*b*c AS DOUBLE)
+              / CAST(a AS DOUBLE) / CAST(b AS DOUBLE)
+              / CAST(c AS DOUBLE) / CAST(d AS DOUBLE)) AS se
+  FROM cells
+)
+SELECT CAST(a AS BIGINT) AS n_seg_pos, CAST(b AS BIGINT) AS n_seg_neg,
+       CAST(c AS BIGINT) AS n_rest_pos, CAST(d AS BIGINT) AS n_rest_neg,
+       or_milli,
+       round(exp(lor - 1.96 * se), 6) AS ci_low,
+       round(exp(lor + 1.96 * se), 6) AS ci_high
+FROM f
+""",
+)
+def odds_ratio_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col
+    j = (
+        table(spark, sf_dir, "orders")
+        .join(
+            table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+            c("o_custkey") == c("c_custkey"),
+        )
+        .select(
+            (c("c_mktsegment") == "AUTOMOBILE").cast("int").alias("seg"),
+            (c("o_orderstatus") == "F").cast("int").alias("pos"),
+        )
+    )
+    cells = j.agg(
+        F.sum(((c("seg") == 1) & (c("pos") == 1)).cast("bigint"))
+        .cast("decimal(38,0)")
+        .alias("a"),
+        F.sum(((c("seg") == 1) & (c("pos") == 0)).cast("bigint"))
+        .cast("decimal(38,0)")
+        .alias("b"),
+        F.sum(((c("seg") == 0) & (c("pos") == 1)).cast("bigint"))
+        .cast("decimal(38,0)")
+        .alias("cc"),
+        F.sum(((c("seg") == 0) & (c("pos") == 0)).cast("bigint"))
+        .cast("decimal(38,0)")
+        .alias("d"),
+    )
+    f = cells.select(
+        "a",
+        "b",
+        "cc",
+        "d",
+        F.expr("CAST((2000 * a * d + b * cc) DIV (2 * b * cc) AS BIGINT)").alias(
+            "or_milli"
+        ),
+        F.log(
+            c("a").cast("double")
+            * c("d").cast("double")
+            / (c("b").cast("double") * c("cc").cast("double"))
+        ).alias("lor"),
+        F.sqrt(
+            F.expr("CAST(b*cc*d + a*cc*d + a*b*d + a*b*cc AS DOUBLE)")
+            / c("a").cast("double")
+            / c("b").cast("double")
+            / c("cc").cast("double")
+            / c("d").cast("double")
+        ).alias("se"),
+    )
+    return f.select(
+        c("a").cast("bigint").alias("n_seg_pos"),
+        c("b").cast("bigint").alias("n_seg_neg"),
+        c("cc").cast("bigint").alias("n_rest_pos"),
+        c("d").cast("bigint").alias("n_rest_neg"),
+        "or_milli",
+        F.round(F.exp(c("lor") - 1.96 * c("se")), 6).alias("ci_low"),
+        F.round(F.exp(c("lor") + 1.96 * c("se")), 6).alias("ci_high"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test — do two groups' survival curves differ?
+# ---------------------------------------------------------------------------
+
+LOGRANK_G1 = "1-URGENT"
+LOGRANK_G0 = "5-LOW"
+
+
+@register(
+    "logrank_ship_latency_groups",
+    category="stats",
+    doc=f"Log-rank test comparing time-to-first-ship survival between "
+    f"'{LOGRANK_G1}' and '{LOGRANK_G0}' orders (the inferential "
+    "companion to kaplan_meier_ship_latency, same duration/censoring "
+    "construction). At each duration: exact group risk sets via "
+    "duration-grain suffix sums (the axis is calendar-bounded — tiny "
+    "at any SF), expected group-1 events e1 = d*n1/n and the "
+    "hypergeometric variance EVALUATED ON A DETERMINISTIC MICRO GRID "
+    "(half-up DIV per duration, DECIMAL sums), O1 exact. Verdict "
+    "chi2 = (O1-E1)^2/V > 3.8416 by pure cross-multiplication "
+    "U_micro^2 * 10000 > 38416 * 1e6 * V_micro — no float anywhere.",
+    oracle=f"""
+WITH per AS (
+  SELECT o.o_orderkey,
+         CASE WHEN o.o_orderpriority = '{LOGRANK_G1}' THEN 1 ELSE 0 END AS g,
+         datediff('day', o.o_orderdate, MIN(l.l_shipdate)) AS dur,
+         CASE WHEN o.o_orderstatus <> 'O' THEN 1 ELSE 0 END AS ev
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderpriority IN ('{LOGRANK_G1}', '{LOGRANK_G0}')
+  GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderstatus, o.o_orderpriority
+),
+grain AS (
+  SELECT dur,
+         CAST(SUM(CASE WHEN g = 1 THEN ev ELSE 0 END) AS HUGEINT) AS d1,
+         CAST(SUM(ev) AS HUGEINT) AS d,
+         CAST(SUM(g) AS HUGEINT) AS m1,
+         CAST(COUNT(*) AS HUGEINT) AS m
+  FROM per GROUP BY dur
+),
+risk AS (
+  SELECT dur, d1, d,
+         CAST((SELECT SUM(g) FROM per)
+              - COALESCE(SUM(m1) OVER (ORDER BY dur
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS HUGEINT) AS n1,
+         CAST((SELECT COUNT(*) FROM per)
+              - COALESCE(SUM(m) OVER (ORDER BY dur
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS HUGEINT) AS n
+  FROM grain
+),
+terms AS (
+  SELECT d1, d, n1, n,
+         (2 * d * n1 * 1000000 + n) // (2 * n) AS e1_micro,
+         CASE WHEN n > 1 THEN
+           (2 * d * n1 * (n - n1) * (n - d) * 1000000 + n * n * (n - 1))
+             // (2 * n * n * (n - 1))
+         ELSE 0 END AS v_micro
+  FROM risk WHERE d > 0
+),
+agg AS (
+  SELECT CAST(SUM(d1) AS HUGEINT) AS o1,
+         CAST(SUM(e1_micro) AS HUGEINT) AS e1m,
+         CAST(SUM(v_micro) AS HUGEINT) AS vm
+  FROM terms
+)
+SELECT CAST(o1 AS BIGINT) AS observed_g1,
+       CAST(e1m AS BIGINT) AS expected_g1_micro,
+       CAST(vm AS BIGINT) AS variance_micro,
+       CAST((CASE WHEN o1 * 1000000 - e1m < 0 THEN -1 ELSE 1 END)
+            * ((2000 * abs(o1 * 1000000 - e1m) * abs(o1 * 1000000 - e1m)
+                + 1000000 * vm) // (2 * 1000000 * vm)) AS BIGINT)
+         AS chi2_milli,
+       abs(o1 * 1000000 - e1m) * abs(o1 * 1000000 - e1m) * 10000
+         > 38416000000 * vm AS survival_differs
+FROM agg
+""",
+)
+def logrank_ship_latency_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.operators.windows import global_prefix_sums
+
+    c = F.col
+    per = (
+        table(spark, sf_dir, "orders")
+        .where(c("o_orderpriority").isin(LOGRANK_G1, LOGRANK_G0))
+        .join(
+            table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate"),
+            c("o_orderkey") == c("l_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderstatus", "o_orderpriority")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+        .select(
+            (c("o_orderpriority") == LOGRANK_G1).cast("bigint").alias("g"),
+            F.datediff(c("first_ship"), c("o_orderdate")).alias("dur"),
+            (c("o_orderstatus") != "O").cast("bigint").alias("ev"),
+        )
+    )
+    grain = per.groupBy("dur").agg(
+        F.sum(F.when(c("g") == 1, c("ev")).otherwise(0)).alias("d1"),
+        F.sum("ev").alias("d"),
+        F.sum("g").alias("m1"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    cum = global_prefix_sums(grain, ["dur"], ["m1", "m"])
+    tot = per.agg(
+        F.sum("g").cast("bigint").alias("t1"),
+        F.count(F.lit(1)).cast("bigint").alias("tt"),
+    )
+    risk = cum.crossJoin(F.broadcast(tot)).select(
+        "d1",
+        "d",
+        (c("t1") - (c("m1_cum") - c("m1"))).cast("decimal(38,0)").alias("n1"),
+        (c("tt") - (c("m_cum") - c("m"))).cast("decimal(38,0)").alias("n"),
+    )
+    terms = risk.where(c("d") > 0).select(
+        c("d1").cast("decimal(38,0)").alias("d1"),
+        F.expr(
+            "CAST((2 * CAST(d AS DECIMAL(38,0)) * n1 * 1000000 + n)"
+            " DIV (2 * n) AS DECIMAL(38,0))"
+        ).alias("e1_micro"),
+        F.expr(
+            "CASE WHEN n > 1 THEN CAST((2 * CAST(d AS DECIMAL(38,0)) * n1"
+            " * (n - n1) * (n - CAST(d AS DECIMAL(38,0))) * 1000000"
+            " + n * n * (n - 1)) DIV (2 * n * n * (n - 1))"
+            " AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END"
+        ).alias("v_micro"),
+    )
+    agg = terms.agg(
+        F.sum("d1").cast("decimal(38,0)").alias("o1"),
+        F.sum("e1_micro").cast("decimal(38,0)").alias("e1m"),
+        F.sum("v_micro").cast("decimal(38,0)").alias("vm"),
+    )
+    return agg.select(
+        c("o1").cast("bigint").alias("observed_g1"),
+        c("e1m").cast("bigint").alias("expected_g1_micro"),
+        c("vm").cast("bigint").alias("variance_micro"),
+        F.expr(
+            "CAST((CASE WHEN o1 * 1000000 - e1m < 0 THEN -1 ELSE 1 END)"
+            " * ((2000 * abs(o1 * 1000000 - e1m) * abs(o1 * 1000000 - e1m)"
+            " + 1000000 * vm) DIV (2 * 1000000 * vm)) AS BIGINT)"
+        ).alias("chi2_milli"),
+        F.expr(
+            "abs(o1 * 1000000 - e1m) * abs(o1 * 1000000 - e1m) * 10000"
+            " > CAST(38416000000 AS DECIMAL(38,0)) * vm"
+        ).alias("survival_differs"),
+    )
