@@ -1424,3 +1424,15 @@ def test_logrank_python_recompute(spark):
         (2000 * abs(u) * abs(u) + 10**6 * vm) // (2 * 10**6 * vm)
     )
     assert row["survival_differs"] == (abs(u) * abs(u) * 10000 > 38416000000 * vm)
+
+
+def test_poisson_rate_ratio_python_recompute(spark):
+    rows = table(spark, SF_SMALL, "orders").selectExpr("year(o_orderdate) AS y").collect()
+    n1 = sum(1 for r in rows if r["y"] == 1996)
+    n2 = sum(1 for r in rows if r["y"] == 1997)
+    nn = n1 + n2
+    row = SPECS["poisson_rate_ratio_periods"].fn(spark, SF_SMALL).collect()[0]
+    assert (row["n_1996"], row["n_1997"]) == (n1, n2)
+    assert row["rate_ratio_milli"] == (2000 * n1 * 365 + n2 * 366) // (2 * n2 * 366)
+    d = n1 * 731 - nn * 366
+    assert row["rate_changed"] == (d * d * 10000 > 38416 * nn * 366 * 365)

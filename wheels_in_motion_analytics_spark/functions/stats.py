@@ -3682,3 +3682,60 @@ def logrank_ship_latency_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             " > CAST(38416000000 AS DECIMAL(38,0)) * vm"
         ).alias("survival_differs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson rate-ratio test — did the arrival rate change between periods?
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "poisson_rate_ratio_periods",
+    category="stats",
+    doc="Two-sample Poisson rate comparison of order arrivals, 1996 (366 "
+    "exposure days) vs 1997 (365): rate ratio as the exact "
+    "cross-multiplied half-up milli (n1*365)/(n2*366), and the "
+    "conditional test — under H0 the 1996 share of the N pooled events "
+    "is Binomial(N, 366/731) — decided ENTIRELY by integer "
+    "cross-multiplication: (n1*731 - N*366)^2 * 10000 > 38416 * N * "
+    "366 * 365. One conditional aggregate; the incident/arrival-rate "
+    "guardrail beside ab_srm_check (which tests an assignment ratio; "
+    "this tests a temporal rate).",
+    oracle="""
+WITH a AS (
+  SELECT CAST(COUNT(*) FILTER (WHERE year(o_orderdate) = 1996) AS HUGEINT) AS n1,
+         CAST(COUNT(*) FILTER (WHERE year(o_orderdate) = 1997) AS HUGEINT) AS n2
+  FROM orders
+),
+f AS (SELECT n1, n2, n1 + n2 AS nn FROM a)
+SELECT CAST(n1 AS BIGINT) AS n_1996,
+       CAST(n2 AS BIGINT) AS n_1997,
+       CAST((2000 * n1 * 365 + n2 * 366) // (2 * n2 * 366) AS BIGINT)
+         AS rate_ratio_milli,
+       (n1 * 731 - nn * 366) * (n1 * 731 - nn * 366) * 10000
+         > 38416 * nn * 366 * 365 AS rate_changed
+FROM f
+""",
+)
+def poisson_rate_ratio_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col
+    a = table(spark, sf_dir, "orders").agg(
+        F.sum((F.year("o_orderdate") == 1996).cast("bigint"))
+        .cast("decimal(38,0)")
+        .alias("n1"),
+        F.sum((F.year("o_orderdate") == 1997).cast("bigint"))
+        .cast("decimal(38,0)")
+        .alias("n2"),
+    )
+    f = a.select("n1", "n2", F.expr("n1 + n2").alias("nn"))
+    return f.select(
+        c("n1").cast("bigint").alias("n_1996"),
+        c("n2").cast("bigint").alias("n_1997"),
+        F.expr(
+            "CAST((2000 * n1 * 365 + n2 * 366) DIV (2 * n2 * 366) AS BIGINT)"
+        ).alias("rate_ratio_milli"),
+        F.expr(
+            "(n1 * 731 - nn * 366) * (n1 * 731 - nn * 366) * 10000"
+            " > CAST(38416 AS DECIMAL(38,0)) * nn * 366 * 365"
+        ).alias("rate_changed"),
+    )
