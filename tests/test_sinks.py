@@ -187,3 +187,38 @@ def test_csv_corrupt_record_capture(spark, tmp_path):
     # count() would read zero columns and skip parsing entirely (so nothing
     # gets dropped) — force real column parsing to see the drops
     assert len(dropped.collect()) == 2
+
+
+def test_k4_registry_query_prunes_partitions(spark):
+    """The partitioned_sink_pruned_read query's read-back must prune: the
+    3-month predicate reaches the scan as a PartitionFilter over the layout
+    its own write_partitioned call produced."""
+    import wheels_in_motion_analytics_spark.sources.scan_queries as sq
+
+    orders = table(spark, SF_SMALL, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+    )
+    import tempfile, os
+    out = os.path.join(tempfile.mkdtemp(prefix="sink_k4_test_"), "orders_by_month")
+    write_partitioned(orders, out, ["order_month"])
+    df = spark.read.parquet(out).where(F.col("order_month").isin(sq._K4_MONTHS))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "order_month" in plan.split("PartitionFilters:")[1].splitlines()[0]
+
+    result = {
+        r["order_month"]: r["n_orders"]
+        for r in sq.partitioned_sink_pruned_read(spark, SF_SMALL).collect()
+    }
+    expected = {
+        r["order_month"]: r["cnt"]
+        for r in orders.where(F.col("order_month").isin(sq._K4_MONTHS))
+        .groupBy("order_month")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert result == expected and len(result) == 3
+    import shutil
+    shutil.rmtree(os.path.dirname(out), ignore_errors=True)

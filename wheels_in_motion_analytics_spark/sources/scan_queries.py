@@ -450,3 +450,59 @@ def parquet_agg_pushdown_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, prev)
+
+
+# ---------------------------------------------------------------------------
+# K4 end-to-end: write_partitioned -> pruned read-back (r6 verdict item 6)
+# ---------------------------------------------------------------------------
+
+_K4_MONTHS = ["1995-01", "1995-02", "1995-03"]
+
+
+@register(
+    "partitioned_sink_pruned_read",
+    category="sinks",
+    doc="K4 run END-TO-END through the sink API (sinks/__init__.py:"
+    "write_partitioned): orders land as a hive layout partitioned by "
+    "order month, then the read-back filters on the partition column so "
+    "the month predicate prunes directories (PartitionFilters — the same "
+    "plan property tests/test_sinks.py pins for this writer) instead of "
+    "scanning the table. Completes the §2a K4 mapping with its own "
+    "driver row: partition_pruned_monthly_revenue proves the pruned READ "
+    "on a prebuilt lake; this proves the WRITE half produces that lake. "
+    "Reference: proc_0_ingest_to_GCP.dag.py:93-100 (monthly landing "
+    "folders). localCheckpoint before cleanup (NOTES.md #6).",
+    oracle=f"""
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+       COUNT(*) AS n_orders,
+       {oracle_dsum('o_totalprice')} AS total_value
+FROM orders
+WHERE strftime(o_orderdate, '%Y-%m') IN ({", ".join(f"'{m}'" for m in _K4_MONTHS)})
+GROUP BY 1
+""",
+)
+def partitioned_sink_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from wheels_in_motion_analytics_spark.sinks import write_partitioned
+
+    out = os.path.join(tempfile.mkdtemp(prefix="sink_k4_"), "orders_by_month")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+    )
+    write_partitioned(orders, out, ["order_month"])
+    result = (
+        spark.read.parquet(out)
+        .where(F.col("order_month").isin(_K4_MONTHS))
+        .groupBy("order_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_value"),
+        )
+        .localCheckpoint()
+    )
+    shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+    return result
