@@ -114,6 +114,10 @@ PICKS += [
     ("lift_curve_deciles", "two-phase exact ntile -> 10-row decile relation -> broadcast totals"),
     ("permutation_test_segment_revenue", "repartitioned base -> B-row broadcast fan-out -> one map-side-combinable replica agg"),
 ]
+# partitioned_sink_pruned_read deliberately NOT picked: its result is
+# localCheckpoint'd (temp-dir cleanup), so the captured plan is a lineage-cut
+# Scan ExistingRDD; the pruning property is pinned by
+# tests/test_sinks.py::test_k4_registry_query_prunes_partitions instead.
 PICKS = [(n, d) for n, d in PICKS if d is not None]
 seen = set()
 PICKS = [x for x in PICKS if not (x[0] in seen or seen.add(x[0]))]
