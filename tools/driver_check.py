@@ -51,6 +51,13 @@ def main() -> int:
         builder = builder.config("spark.sql.shuffle.partitions", "7").config(
             "spark.sql.files.maxPartitionBytes", str(512 * 1024)
         )
+    # extra hostile session confs, semicolon-separated key=value pairs, e.g.
+    # SPARK_GRAFT_EXTRA_CONF="spark.sql.autoBroadcastJoinThreshold=-1" forces
+    # every un-hinted join onto SortMergeJoin — a different accumulation
+    # order than any broadcast plan (determinism axis beyond ADVERSARIAL).
+    for pair in filter(None, os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";")):
+        k, _, v = pair.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
