@@ -582,7 +582,12 @@ CDC_MIN_SHARED = 2  # chunks two assets must share to pair
     oracle=f"""
 WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
 pos AS (
-  SELECT doc_id, text, n, unnest(range(1, greatest(n - {CDC_WINDOW} - 1, 1))) AS i
+  -- DuckDB range() is upper-EXCLUSIVE while Spark sequence() is
+  -- upper-INCLUSIVE: the candidate positions must be [1, n-W-1] on BOTH
+  -- engines, so the exclusive bound here is n-W (off-by-one found by the
+  -- round-7 sf0.1 differential: edge-position boundaries exist in the
+  -- sf0.1 corpus but not at sf0.01/sf0.001)
+  SELECT doc_id, text, n, unnest(range(1, greatest(n - {CDC_WINDOW}, 1))) AS i
   FROM t
 ),
 bnd AS (
