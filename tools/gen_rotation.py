@@ -43,8 +43,12 @@ def queue_from_notes() -> list[str]:
     m = re.search(r"r8/r9 driver-priority queue.*?\n(.*?)(?=\n## |\Z)", text, re.S)
     if not m:
         return []
-    names = re.findall(r"^  ([a-z0-9_]+)", m.group(1), re.M)
-    return names
+    # List items are 2-space-indented names standing ALONE on their line
+    # (optionally followed by a parenthesized note) — anchoring to the
+    # whole token keeps indented prose words out, and dict.fromkeys drops
+    # accidental duplicates while preserving queue order.
+    names = re.findall(r"^  ([a-z0-9_]+)(?:\s+\(.*)?$", m.group(1), re.M)
+    return list(dict.fromkeys(names))
 
 
 def main() -> None:

@@ -26,7 +26,6 @@ at sf0.001 that is cheap.
 from __future__ import annotations
 
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -49,19 +48,70 @@ WHITELIST = {
     "cross_join_small_dims": {"cartesian"},
     # 2x2 DiD pivot: CartesianProduct of four 1-row aggregate cells
     "did_estimator_regions": {"cartesian"},
+    # the deliberate PLAIN-window surface exhibit (ntile/percent_rank/
+    # cume_dist semantics over one partition, r1 driver-green); its 100 TB
+    # twin is the two-phase global_ntile/global_row_number family
+    # (operators/windows.py), pinned by tests/test_plan_shapes.py
+    "window_ntile_percentiles": {"single_part"},
 }
+
+# BOUNDED-GRAIN single-partition windows: the exchange's input is a
+# key-grain AGGREGATE (or driver-built relation) whose cardinality is
+# fixed by the key domain, NOT by data volume — calendar days/months,
+# histogram bins/deciles/buckets, digit cells, part sizes, bootstrap
+# replicates, order statuses, the capped monitored vocabulary. At 100 TB
+# these relations stay the same few-hundred-row size, so the serial
+# window is O(grain), not O(data). Audited 2026-08-16 (round 8) after
+# the detector-direction fix; each verified bounded by reading the plan
+# (input = final HashAggregate on the grain key / tiny ExistingRDD).
+_BOUNDED_GRAIN_SINGLE_PART = frozenset({
+    "anomaly_days_seasonal_mad",        # calendar-day residuals
+    "benford_first_digit_audit",        # 9 digit cells
+    "bootstrap_ci_revenue_poisson",     # 32 replicate means
+    "cumulative_distinct_users_daily",  # calendar-day new-user counts
+    "curate_token_budget_allocation",   # per-source rows (few sources)
+    "decision_stump_best_split",        # 256 feature bins
+    "gbdt_two_round_regression",        # 256 feature bins
+    "hierarchy_share_of_parent",        # (region, nation) <= 25 rows
+    "isotonic_calibration_pav",         # calibration bins
+    "kaplan_meier_ship_latency",        # distinct latency days (bounded domain)
+    "lift_curve_deciles",               # 10 deciles
+    "pareto_frontier_parts",            # 50 part sizes
+    "psi_price_drift",                  # price buckets
+    "revenue_mom_growth",               # calendar months
+    "rolling_median_weekly_revenue",    # calendar days
+    "runs_test_randomness",             # calendar-day sign series
+    "share_of_total",                   # 3 order statuses
+    "token_length_histogram",           # length buckets
+    "vocab_drift_psi",                  # VDRIFT_TOPK+1 = 201 monitored tokens
+    "woe_iv_feature_audit",             # 10 WoE buckets
+})
+for _n in _BOUNDED_GRAIN_SINGLE_PART:
+    WHITELIST.setdefault(_n, set()).add("single_part")
 
 
 def flags_of(plan: str) -> set[str]:
     out = set()
     if "CartesianProduct" in plan:
         out.add("cartesian")
-    # the Sort/Window OPERATOR after a 1-partition exchange is a global
-    # serial stage; "SortAggregate" after one is just a scalar partial-agg
-    # merge (the allowed class in tests/test_plan_shapes.py) — match the
-    # operator spellings `Sort [` / `Window [` only
-    if re.search(r"Exchange SinglePartition[^\n]*\n[^\n]*(Window \[|Sort \[)", plan):
-        out.add("single_part")
+    # Plan toString() prints a CONSUMER above its child exchange, so the
+    # Window/Sort fed by a SinglePartition exchange appears on the lines
+    # ABOVE it — scanning below (the exchange's INPUT) can never see the
+    # serial consumer.  Mirror tests/test_plan_shapes.py instead: a
+    # SinglePartition exchange is allowed ONLY as the merge step of a
+    # scalar aggregate, i.e. its input (the 1-2 lines below) is
+    # per-partition `partial_*` aggregate rows.  Any other input means raw
+    # rows are being funneled through one partition for a global serial
+    # stage (Window/Sort/limit over data) — exactly the anti-pattern the
+    # two-phase family exists to avoid.
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        below = "\n".join(lines[i + 1 : i + 3])
+        if "partial_" not in below:
+            out.add("single_part")
+            break
     if "BatchEvalPython" in plan:
         out.add("py_row_udf")
     return out

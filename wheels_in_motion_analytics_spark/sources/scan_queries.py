@@ -487,22 +487,28 @@ def partitioned_sink_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from wheels_in_motion_analytics_spark.sinks import write_partitioned
 
-    out = os.path.join(tempfile.mkdtemp(prefix="sink_k4_"), "orders_by_month")
-    orders = table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_totalprice",
-        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
-    )
-    write_partitioned(orders, out, ["order_month"])
-    result = (
-        spark.read.parquet(out)
-        .where(F.col("order_month").isin(_K4_MONTHS))
-        .groupBy("order_month")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            dsum("o_totalprice").alias("total_value"),
+    # The temp lake is deleted as soon as the eager localCheckpoint has
+    # materialized the result blocks — valid in local mode where checkpoint
+    # blocks never need recomputation against the deleted path (NOTES.md #6);
+    # a clustered driver contract would need the lake kept until collect.
+    tmp_root = tempfile.mkdtemp(prefix="sink_k4_")
+    try:
+        out = os.path.join(tmp_root, "orders_by_month")
+        orders = table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
         )
-        .localCheckpoint()
-    )
-    shutil.rmtree(os.path.dirname(out), ignore_errors=True)
-    return result
+        write_partitioned(orders, out, ["order_month"])
+        return (
+            spark.read.parquet(out)
+            .where(F.col("order_month").isin(_K4_MONTHS))
+            .groupBy("order_month")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dsum("o_totalprice").alias("total_value"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp_root, ignore_errors=True)
