@@ -1,0 +1,77 @@
+"""Pin the plan-audit detector's direction (no Spark session needed).
+
+Plan toString() prints a CONSUMER above its child exchange, so the serial
+Window/Sort fed by an ``Exchange SinglePartition`` appears on the lines
+ABOVE it, and the exchange's INPUT on the lines below. The round-8 fix
+made ``tools/plan_audit.py:flags_of`` classify by the INPUT (mirroring
+tests/test_plan_shapes.py): a SinglePartition exchange is allowed only
+when it moves per-partition ``partial_*`` aggregate rows. These synthetic
+plan snippets pin that orientation so the detector can't silently revert
+to scanning the wrong side again.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+_TOOL = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "tools", "plan_audit.py")
+_spec = importlib.util.spec_from_file_location("plan_audit_tool", _TOOL)
+plan_audit = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(plan_audit)
+flags_of = plan_audit.flags_of
+
+
+SERIAL_WINDOW_PLAN = """\
+AdaptiveSparkPlan isFinalPlan=false
++- Project [day#1, total#2L]
+   +- Window [sum(x#3L) windowspecdefinition(day#1 ASC NULLS FIRST, ...)]
+      +- Sort [day#1 ASC NULLS FIRST], false, 0
+         +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]
+            +- Project [day#1, x#3L]
+               +- FileScan parquet [day#1,x#3L]
+"""
+
+SCALAR_MERGE_PLAN = """\
+AdaptiveSparkPlan isFinalPlan=false
++- HashAggregate(keys=[], functions=[sum(x#3L)], output=[total#2L])
+   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]
+      +- HashAggregate(keys=[], functions=[partial_sum(x#3L)], output=[sum#9L])
+         +- FileScan parquet [x#3L]
+"""
+
+SORT_AGG_MERGE_PLAN = """\
+AdaptiveSparkPlan isFinalPlan=false
++- ObjectHashAggregate(keys=[], functions=[collect_list(x#3L, 0, 0)])
+   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]
+      +- ObjectHashAggregate(keys=[], functions=[partial_collect_list(x#3L, 0, 0)])
+         +- FileScan parquet [x#3L]
+"""
+
+
+def test_serial_window_over_raw_rows_is_flagged():
+    # The exact shape the old below-scanning detector could never see:
+    # the Window/Sort consumers print ABOVE the exchange, the raw-row
+    # input below it.
+    assert "single_part" in flags_of(SERIAL_WINDOW_PLAN)
+
+
+def test_scalar_partial_agg_merge_is_allowed():
+    assert "single_part" not in flags_of(SCALAR_MERGE_PLAN)
+
+
+def test_object_hash_partial_merge_is_allowed():
+    assert "single_part" not in flags_of(SORT_AGG_MERGE_PLAN)
+
+
+def test_cartesian_and_py_udf_flags_still_fire():
+    plan = "CartesianProduct\n+- BatchEvalPython [f(x#1)]\n   +- Scan"
+    assert flags_of(plan) == {"cartesian", "py_row_udf"}
+
+
+def test_whitelist_covers_only_documented_pattern():
+    # every bounded-grain whitelist entry must whitelist single_part ONLY —
+    # a cartesian/py_row_udf regression in those queries must still flag.
+    for name in plan_audit._BOUNDED_GRAIN_SINGLE_PART:
+        assert plan_audit.WHITELIST[name] == {"single_part"}, name
