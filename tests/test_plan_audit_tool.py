@@ -70,6 +70,38 @@ def test_cartesian_and_py_udf_flags_still_fire():
     assert flags_of(plan) == {"cartesian", "py_row_udf"}
 
 
+BNLJ_BOUNDED_PLAN = """\
+AdaptiveSparkPlan isFinalPlan=false
++- BroadcastNestedLoopJoin BuildRight, Cross
+   :- FileScan parquet [x#1L]
+   +- BroadcastExchange IdentityBroadcastMode, [plan_id=1]
+      +- HashAggregate(keys=[], functions=[sum(x#1L)], output=[total#2L])
+         +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=0]
+            +- HashAggregate(keys=[], functions=[partial_sum(x#1L)], output=[sum#9L])
+"""
+
+BNLJ_RAW_BUILD_PLAN = """\
+AdaptiveSparkPlan isFinalPlan=false
++- BroadcastNestedLoopJoin BuildRight, Inner, (a#1 < b#2)
+   :- FileScan parquet [a#1]
+   +- BroadcastExchange IdentityBroadcastMode, [plan_id=1]
+      +- Project [b#2]
+         +- Filter isnotnull(b#2)
+            +- FileScan parquet [b#2]
+"""
+
+
+def test_bnlj_with_bounded_build_is_allowed():
+    # scalar-aggregate build side (the 1-row normalizer crossJoin pattern)
+    assert "bnlj_raw_build" not in flags_of(BNLJ_BOUNDED_PLAN)
+
+
+def test_bnlj_with_raw_scan_build_is_flagged():
+    # a raw relation replicated into a nested loop — the accident the
+    # docstring always claimed to catch and the detector now actually does
+    assert "bnlj_raw_build" in flags_of(BNLJ_RAW_BUILD_PLAN)
+
+
 def test_whitelist_covers_only_documented_pattern():
     # every bounded-grain whitelist entry must whitelist single_part ONLY —
     # a cartesian/py_row_udf regression in those queries must still flag.

@@ -4,8 +4,10 @@ EXPLAINS.md documents ~60 curated plans; this sweeps EVERY registry query's
 initial physical plan at the given sf and flags the structural anti-patterns
 that break at 100 TB:
 
-  cartesian      CartesianProduct / BroadcastNestedLoopJoin without a
-                 bounded build side is an all-pairs blowup
+  cartesian      CartesianProduct — an all-pairs blowup
+  bnlj_raw_build BroadcastNestedLoopJoin whose IdentityBroadcastMode
+                 build side has no bounded-cardinality marker (raw
+                 relation replicated into a nested loop)
   single_part    a SinglePartition Exchange feeding a Window/Sort (global
                  serial stage) — the two-phase family exists to avoid this
   py_row_udf     BatchEvalPython = row-at-a-time Python in the plan
@@ -45,14 +47,29 @@ WHITELIST = {
     "ktruss_cosupply_peel": {"cartesian"},
     "chi_square_independence": {"cartesian"},
     "band_join_price_buckets": {"cartesian"},
-    "cross_join_small_dims": {"cartesian"},
     # 2x2 DiD pivot: CartesianProduct of four 1-row aggregate cells
     "did_estimator_regions": {"cartesian"},
+    # deliberate/bounded nested-loop broadcasts the classifier cannot see
+    # structurally (audited round 8 by reading each build subtree):
+    #   cross_join_small_dims    broadcasts REGION (5-row fixed dim) — the
+    #                            small-dim cross exhibit
+    #   spatial_nearest_supplier phase-2 kNN fallback broadcasts the
+    #                            supplier dim for the ring-unmatched
+    #                            remainder (documented in its docstring)
+    #   hybrid_rrf_retrieval     broadcasts ONE query vector (vec_id = 0
+    #                            unique-key filter -> 1 row)
+    #   hard_negative_mining     broadcasts the deterministic 1/37 anchor
+    #                            sample (the documented probe set)
+    "spatial_nearest_supplier": {"bnlj_raw_build"},
+    "hybrid_rrf_retrieval": {"bnlj_raw_build"},
+    "hard_negative_mining": {"bnlj_raw_build"},
     # the deliberate PLAIN-window surface exhibit (ntile/percent_rank/
     # cume_dist semantics over one partition, r1 driver-green); its 100 TB
     # twin is the two-phase global_ntile/global_row_number family
     # (operators/windows.py), pinned by tests/test_plan_shapes.py
     "window_ntile_percentiles": {"single_part"},
+    # small-dim cross exhibit: also a raw-FileScan broadcast by design
+    "cross_join_small_dims": {"cartesian", "bnlj_raw_build"},
 }
 
 # BOUNDED-GRAIN single-partition windows: the exchange's input is a
@@ -90,10 +107,71 @@ for _n in _BOUNDED_GRAIN_SINGLE_PART:
     WHITELIST.setdefault(_n, set()).add("single_part")
 
 
+# Subtree markers that make a broadcast-nested-loop BUILD side bounded:
+# aggregate outputs (cardinality = key domain, the registry's standard
+# bounded-grain pattern), driver-built relations, literal ranges, limits,
+# and scalar merges. LIMITATION (documented): an aggregate keyed on a
+# fact-scaled column (e.g. custkey) also matches — the classifier catches
+# the common ACCIDENT (raw relations under a cross/inequality join), not
+# every conceivable bad broadcast; no registry site broadcasts a
+# fact-keyed aggregate into a nested loop (audited round 8).
+_BOUNDED_BUILD_MARKERS = (
+    "HashAggregate(keys=",
+    "SortAggregate(key=",
+    "SortAggregate(keys=",
+    "ObjectHashAggregate(keys=",
+    "Scan ExistingRDD",
+    "LocalTableScan",
+    "Range (",
+    "TakeOrderedAndProject",
+    "CollectLimit",
+    "GlobalLimit",
+    "LocalLimit",
+    "Exchange SinglePartition",
+)
+
+
+def _depth(line: str) -> int:
+    for marker in ("+- ", ":- "):
+        k = line.find(marker)
+        if k >= 0:
+            return k
+    return -1  # root / header lines
+
+
+def _unbounded_identity_broadcast(lines: list[str]) -> bool:
+    """True if any IdentityBroadcastMode exchange (the BNLJ build side)
+    broadcasts a subtree with no bounded-cardinality marker — i.e. a raw
+    relation is being replicated into a nested-loop join."""
+    for i, line in enumerate(lines):
+        if "BroadcastExchange IdentityBroadcastMode" not in line:
+            continue
+        if "ReusedExchange" in line:
+            continue  # original exchange is classified where it appears
+        d = _depth(line)
+        subtree: list[str] = []
+        for nxt in lines[i + 1 :]:
+            nd = _depth(nxt)
+            if nd >= 0 and nd <= d:
+                break
+            subtree.append(nxt)
+        body = "\n".join(subtree)
+        if not any(m in body for m in _BOUNDED_BUILD_MARKERS):
+            return True
+    return False
+
+
 def flags_of(plan: str) -> set[str]:
     out = set()
     if "CartesianProduct" in plan:
         out.add("cartesian")
+    # BNLJ itself is fine when the build side is bounded (1-row
+    # normalizers, bin/calendar aggregates, literal artifacts); the
+    # anti-pattern is a RAW relation on the broadcast side.
+    if "BroadcastNestedLoopJoin" in plan and _unbounded_identity_broadcast(
+        plan.splitlines()
+    ):
+        out.add("bnlj_raw_build")
     # Plan toString() prints a CONSUMER above its child exchange, so the
     # Window/Sort fed by a SinglePartition exchange appears on the lines
     # ABOVE it — scanning below (the exchange's INPUT) can never see the
