@@ -65,6 +65,76 @@ def test_object_hash_partial_merge_is_allowed():
     assert "single_part" not in flags_of(SORT_AGG_MERGE_PLAN)
 
 
+SORT_WRAPPED_MERGE_PLAN = """\
+AdaptiveSparkPlan isFinalPlan=false
++- SortAggregate(key=[], functions=[percentile(x#3L, 0.5, 1, 0, 0)])
+   +- Sort [x#3L ASC NULLS FIRST], false, 0
+      +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]
+         +- Sort [x#3L ASC NULLS FIRST], false, 0
+            +- SortAggregate(key=[], functions=[partial_percentile(x#3L, 0.5, 1, 0, 0)])
+               +- FileScan parquet [x#3L]
+"""
+
+REUSED_SINGLE_PART_PLAN = """\
+AdaptiveSparkPlan isFinalPlan=false
++- BroadcastHashJoin [k#1], [k#5], Inner, BuildRight
+   :- HashAggregate(keys=[], functions=[sum(x#3L)], output=[total#2L])
+   :  +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]
+   :     +- HashAggregate(keys=[], functions=[partial_sum(x#3L)], output=[sum#9L])
+   :        +- FileScan parquet [x#3L]
+   +- BroadcastExchange HashedRelationBroadcastMode, [plan_id=2]
+      +- ReusedExchange [total#7L], Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]
+"""
+
+WRAPPED_RAW_SINGLE_PART_PLAN = """\
+AdaptiveSparkPlan isFinalPlan=false
++- Window [row_number() windowspecdefinition(x#3L ASC NULLS FIRST, ...)]
+   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]
+      +- Sort [x#3L ASC NULLS FIRST], false, 0
+         +- Project [x#3L]
+            +- FileScan parquet [x#3L]
+"""
+
+
+def test_sort_wrapper_between_exchange_and_partial_is_allowed():
+    # ADVICE round 8: the fixed 2-line window false-positived when a Sort
+    # (or any wrapper) sat between the SinglePartition exchange and the
+    # partial aggregate — the subtree walk must pass through it.
+    assert "single_part" not in flags_of(SORT_WRAPPED_MERGE_PLAN)
+
+
+def test_reused_single_partition_exchange_is_skipped():
+    # ADVICE round 8: a ReusedExchange line mentioning 'Exchange
+    # SinglePartition' is a LEAF — the lines below it belong to a sibling
+    # subtree, so it must not be classified (the original exchange is).
+    assert "single_part" not in flags_of(REUSED_SINGLE_PART_PLAN)
+
+
+def test_wrapped_raw_rows_through_single_partition_still_flagged():
+    # the subtree walk must not turn into 'partial_ anywhere below' — a
+    # Sort+Project chain bottoming out at a raw scan is still the serial
+    # global stage the detector exists for.
+    assert "single_part" in flags_of(WRAPPED_RAW_SINGLE_PART_PLAN)
+
+
+def test_grain_aggregate_input_still_flagged():
+    # a FINAL (non-partial) aggregate feeding the exchange means key-grain
+    # rows through one partition — flagged, then whitelisted per-name in
+    # _BOUNDED_GRAIN_SINGLE_PART; the walk must stop at the aggregate
+    # rather than find a partial_ deeper in ITS subtree.
+    plan = """\
+AdaptiveSparkPlan isFinalPlan=false
++- Window [sum(total#2L) windowspecdefinition(day#1 ASC NULLS FIRST, ...)]
+   +- Sort [day#1 ASC NULLS FIRST], false, 0
+      +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=2]
+         +- HashAggregate(keys=[day#1], functions=[sum(x#3L)], output=[total#2L])
+            +- Exchange hashpartitioning(day#1, 32), ENSURE_REQUIREMENTS, [plan_id=1]
+               +- HashAggregate(keys=[day#1], functions=[partial_sum(x#3L)], output=[sum#9L])
+                  +- FileScan parquet [day#1,x#3L]
+"""
+    assert "single_part" in flags_of(plan)
+
+
 def test_cartesian_and_py_udf_flags_still_fire():
     plan = "CartesianProduct\n+- BatchEvalPython [f(x#1)]\n   +- Scan"
     assert flags_of(plan) == {"cartesian", "py_row_udf"}

@@ -139,6 +139,66 @@ def _depth(line: str) -> int:
     return -1  # root / header lines
 
 
+# Nodes that END the walk down a SinglePartition exchange's child chain:
+# aggregates (a final agg here means grain rows, not partial_ merge rows),
+# leaf relations, other exchanges, and joins — hitting any of these before
+# a ``partial_`` marker means the exchange moves data-volume (or key-grain)
+# rows, not per-partition partial-aggregate rows. Anything else (Sort,
+# Project, Filter, InputAdapter, Window, ...) is a single-child wrapper the
+# walk passes through — the fixed 2-line window this replaces would
+# false-positive on exactly those wrappers (ADVICE round 8).
+_SINGLE_PART_CHAIN_STOPPERS = (
+    "HashAggregate(",
+    "SortAggregate(",
+    "ObjectHashAggregate(",
+    "FileScan",
+    "Scan ExistingRDD",
+    "LocalTableScan",
+    "Range (",
+    "ReusedExchange",
+    "BroadcastExchange",
+    "Exchange ",
+    "Join",
+    "CartesianProduct",
+)
+
+
+def _single_partition_moves_raw_rows(lines: list[str]) -> bool:
+    """True if any ``Exchange SinglePartition`` moves something other than
+    per-partition ``partial_*`` aggregate rows.
+
+    Plan toString() prints a CONSUMER above its child exchange, so the
+    serial Window/Sort appears ABOVE the exchange and the exchange's INPUT
+    below it; a SinglePartition exchange is allowed only as the merge step
+    of a scalar aggregate, i.e. its child chain reaches a ``partial_*``
+    aggregate. The walk follows the exchange's subtree via _depth (like
+    _unbounded_identity_broadcast) rather than a fixed 2-line window, so
+    wrappers between the exchange and the partial aggregate (a Sort, an
+    InputAdapter) don't false-positive; ``ReusedExchange`` hits are leaf
+    references whose following lines belong to a SIBLING subtree, so they
+    are skipped and classified where the original exchange appears.
+    """
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        if "ReusedExchange" in line:
+            continue  # leaf reference — original exchange classified at its site
+        d = _depth(line)
+        bounded = False
+        for nxt in lines[i + 1 :]:
+            nd = _depth(nxt)
+            if nd >= 0 and nd <= d:
+                break  # left the exchange's subtree
+            if "partial_" in nxt:
+                bounded = True
+                break
+            if any(m in nxt for m in _SINGLE_PART_CHAIN_STOPPERS):
+                break  # raw/grain rows funneled through one partition
+        if not bounded:
+            return True
+    return False
+
+
 def _unbounded_identity_broadcast(lines: list[str]) -> bool:
     """True if any IdentityBroadcastMode exchange (the BNLJ build side)
     broadcasts a subtree with no bounded-cardinality marker — i.e. a raw
@@ -172,24 +232,13 @@ def flags_of(plan: str) -> set[str]:
         plan.splitlines()
     ):
         out.add("bnlj_raw_build")
-    # Plan toString() prints a CONSUMER above its child exchange, so the
-    # Window/Sort fed by a SinglePartition exchange appears on the lines
-    # ABOVE it — scanning below (the exchange's INPUT) can never see the
-    # serial consumer.  Mirror tests/test_plan_shapes.py instead: a
-    # SinglePartition exchange is allowed ONLY as the merge step of a
-    # scalar aggregate, i.e. its input (the 1-2 lines below) is
-    # per-partition `partial_*` aggregate rows.  Any other input means raw
-    # rows are being funneled through one partition for a global serial
-    # stage (Window/Sort/limit over data) — exactly the anti-pattern the
-    # two-phase family exists to avoid.
-    lines = plan.splitlines()
-    for i, line in enumerate(lines):
-        if "Exchange SinglePartition" not in line:
-            continue
-        below = "\n".join(lines[i + 1 : i + 3])
-        if "partial_" not in below:
-            out.add("single_part")
-            break
+    # A SinglePartition exchange is allowed ONLY as the merge step of a
+    # scalar aggregate — anything else funnels raw rows through one
+    # partition for a global serial stage (Window/Sort/limit over data),
+    # exactly the anti-pattern the two-phase family exists to avoid.
+    # Classified by the exchange's INPUT subtree (see helper docstring).
+    if _single_partition_moves_raw_rows(plan.splitlines()):
+        out.add("single_part")
     if "BatchEvalPython" in plan:
         out.add("py_row_udf")
     return out
