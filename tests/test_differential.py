@@ -58,6 +58,57 @@ def test_registry_fully_oracled():
     assert not missing, missing
 
 
+def test_oracle_function_vocabulary_screened():
+    """Never-driver-verified oracles may only call SQL functions already
+    PROVEN on the driver's DuckDB — i.e. appearing in some driver-verified
+    oracle — or consciously allowlisted long-stable builtins (the round-8
+    screen, NOTES.md). This converts that one-off screen into a standing
+    pin: adding a queue entry whose oracle leans on a never-driver-proven
+    DuckDB function fails here until the function is explicitly added to
+    _VOCAB_ALLOWED (with eyes on the driver-environment risk).
+
+    Both sides use the same extractor, so keyword-shaped artifacts
+    (cast(, over(, AS u(...) aliases) self-cancel when they appear in a
+    proven oracle; only genuinely novel tokens need the allowlist.
+    """
+    import re
+
+    import __spark_entry__ as entry
+
+    func = re.compile(r"\b([a-z_][a-z0-9_]*)\s*\(", re.IGNORECASE)
+
+    def vocab(names):
+        out = set()
+        for n in names:
+            sql = SPECS[n].oracle
+            if sql:
+                out.update(t.lower() for t in func.findall(sql))
+        return out
+
+    proven = vocab(n for n in SPECS if n in entry._VERIFIED)
+    queued = sorted(n for n in SPECS if n not in entry._VERIFIED)
+    # round-8 screen verdict: ancient, stable DuckDB builtins (every
+    # carrier value-verified on local DuckDB at 4 configs + sf0.1),
+    # plus single-letter `AS u(...)`-style alias artifacts of the regex.
+    allowed = {
+        "log10", "log2", "generate_subscripts",
+        "bool_and", "bool_or", "count_if",
+        "flatten", "list_position", "list_reverse",
+        "ascii", "lpad", "rpad", "position", "repeat", "reverse",
+        "translate",
+    }
+    novel = {}
+    for n in queued:
+        bad = vocab([n]) - proven - allowed
+        bad = {t for t in bad if len(t) > 1}  # drop alias artifacts
+        if bad:
+            novel[n] = sorted(bad)
+    assert not novel, (
+        "oracles using DuckDB functions never yet proven on the driver "
+        f"(extend _VOCAB_ALLOWED consciously or rewrite): {novel}"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(SPECS))
 def test_query_matches_oracle(name, spark, duck):
     spec = SPECS[name]

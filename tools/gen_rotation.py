@@ -38,16 +38,25 @@ def latest_correctness() -> str:
 
 
 def queue_from_notes() -> list[str]:
-    """Parse the ordered queue block NOTES.md carries for the next rounds."""
+    """Parse the ordered queue block NOTES.md carries for the next rounds.
+
+    Uses the LAST heading matching "rN[/rM] driver-priority queue" so each
+    round's close-out can append a fresh queue block without editing the
+    tool (the r8->r9 handoff hardcoded "r8/r9" and needed this edit).
+    """
     text = open(os.path.join(REPO, "NOTES.md")).read()
-    m = re.search(r"r8/r9 driver-priority queue.*?\n(.*?)(?=\n## |\Z)", text, re.S)
-    if not m:
+    blocks = re.findall(
+        r"## r\d+(?:/r\d+)? driver-priority queue.*?\n(.*?)(?=\n## |\Z)",
+        text,
+        re.S,
+    )
+    if not blocks:
         return []
     # List items are 2-space-indented names standing ALONE on their line
     # (optionally followed by a parenthesized note) — anchoring to the
     # whole token keeps indented prose words out, and dict.fromkeys drops
     # accidental duplicates while preserving queue order.
-    names = re.findall(r"^  ([a-z0-9_]+)(?:\s+\(.*)?$", m.group(1), re.M)
+    names = re.findall(r"^  ([a-z0-9_]+)(?:\s+\(.*)?$", blocks[-1], re.M)
     return list(dict.fromkeys(names))
 
 
