@@ -260,6 +260,7 @@ def main() -> int:
     only = [s for s in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if s]
     bad = 0
     counts: dict[str, int] = {}
+    hit_names: set[str] = set()
     for name, spec in specs.items():
         if only and name not in only:
             continue
@@ -271,6 +272,8 @@ def main() -> int:
             bad += 1
             continue
         hits = flags_of(plan)
+        if hits:
+            hit_names.add(name)
         for h in hits:
             counts[h] = counts.get(h, 0) + 1
         unexpected = hits - WHITELIST.get(name, set())
@@ -279,6 +282,14 @@ def main() -> int:
             bad += 1
         elif hits:
             print(f"  ok(whitelisted) {name}: {sorted(hits)}")
+    if not only:
+        # Informational: whitelisted names whose plan no longer flags at
+        # this sf — either the plan improved (retire the entry) or it only
+        # exhibits the pattern at another sf (e.g. a broadcast threshold
+        # crossing); never an error, but drift should be visible.
+        stale = sorted(set(WHITELIST) - hit_names - {n for n in WHITELIST if n not in specs})
+        if stale:
+            print(f"  note: whitelisted but not flagged at this sf: {stale}")
     print(f"{len(specs)} queries audited; pattern counts {counts}; "
           f"non-whitelisted: {bad}")
     spark.stop()
