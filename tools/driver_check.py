@@ -7,6 +7,10 @@ Usage: python tools/driver_check.py [sf_dir]   (default /root/testdata/sf0.01)
 Exit code = number of failing queries.
 Set SPARK_GRAFT_ONLY=name1,name2 to check a subset while iterating (the
 pre-commit run must still be the full, unfiltered sweep).
+Set SPARK_GRAFT_DRIVER_ORDER=1 to run queries in the order queries()
+yields them (the driver's own order: _DRIVER_PRIORITY head first) instead
+of alphabetically — the rotation recipe's "sweep the head green in driver
+order" without an ad-hoc script; combine with SPARK_GRAFT_ONLY=head names.
 """
 
 from __future__ import annotations
@@ -79,7 +83,8 @@ def main() -> int:
     assert n > 0
 
     failures = []
-    for name in sorted(qs):
+    order = list(qs) if os.environ.get("SPARK_GRAFT_DRIVER_ORDER") else sorted(qs)
+    for name in order:
         t0 = time.time()
         try:
             sdf = qs[name](spark, sf_dir)
