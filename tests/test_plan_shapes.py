@@ -693,3 +693,47 @@ def test_runtime_bloom_filter_injected_and_toggleable(spark):
     # and the filter is result-neutral
     off = runtime_bloom_join(spark, SF_SMALL, force=False)
     assert sorted(map(tuple, on.collect())) == sorted(map(tuple, off.collect()))
+
+
+def test_exact_dedup_is_one_partial_final_shuffle(spark):
+    """The headline exact-dedup path (functions/similarity.py): a single
+    hash shuffle on the content fingerprint with map-side partial
+    aggregation, and NO join operator anywhere — the shape whose cost at
+    100 TB is one O(|rows|) shuffle keyed by fingerprint, never pairs."""
+    plan = plan_of(spark, "dedup_exact")
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "partial_" in plan and plan.count("HashAggregate") >= 2
+    for op in ("CartesianProduct", "SortMergeJoin", "BroadcastHashJoin",
+               "ShuffledHashJoin", "BroadcastNestedLoopJoin"):
+        assert op not in plan, op
+
+
+def test_banded_candidate_joins_are_equi_never_all_pairs(spark):
+    """MinHash-LSH and SimHash candidate generation must join on band /
+    chunk EQUI-keys (hash-relation or sort-merge), never via a nested-loop
+    or cartesian all-pairs operator — the property that makes the fuzzy
+    dedup tier bucketed at 100 TB (the doc_id< ordering lives in the join
+    CONDITION of the equi-join, not in a loop strategy)."""
+    for name in ("dedup_minhash_lsh", "dedup_simhash_pairs"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "IdentityBroadcastMode" not in plan, name
+        assert (
+            "BroadcastHashJoin" in plan
+            or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan
+        ), name
+
+
+def test_ann_bucketed_topk_is_two_phase_group_limit(spark):
+    """The bucketed ANN top-k must compile to the partial+final
+    WindowGroupLimit pair (rank-limit pushdown: per-partition heads before
+    the query_id shuffle), with the exchange keyed on query_id — never a
+    single-partition global sort."""
+    plan = plan_of(spark, "ann_lsh_bucketed")
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
