@@ -98,6 +98,21 @@ def main() -> None:
             dt = measure(name)
             subset[name] = round(min(subset.get(name, dt), dt), 3)
 
+    if os.environ.get("SPARK_GRAFT_SUBSET_ONLY"):
+        # round-open idle measurement of JUST the pinned comparable subset
+        # (the r9 verdict item-3 protocol) — same warmup, same fresh-JVM
+        # position, same min-of-3, without the full-registry sweep. The
+        # driver never sets this; its per-round line is unaffected.
+        print(json.dumps({
+            "metric": "pinned_subset_wall_time",
+            "value": round(sum(subset.values()), 3),
+            "unit": "sec",
+            "subset": subset,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }))
+        spark.stop()
+        return
+
     # min over passes: steady-state per-query cost, robust to GC/JIT noise
     # from neighboring queries in the same JVM. TIME-BOXED: the first full
     # pass always completes (every query gets a number), then extra

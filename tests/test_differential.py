@@ -19,6 +19,18 @@ from tests.conftest import SF_SMALL
 
 SPECS = load_all_queries()
 
+# DuckDB functions allowed in never-driver-verified oracles beyond those
+# already proven by a driver-verified oracle: ancient, stable builtins
+# (round-8 screen verdict — every carrier value-verified on local DuckDB at
+# 4 configs + sf0.1). Extend CONSCIOUSLY, with eyes on driver-env risk.
+_VOCAB_ALLOWED = {
+    "log10", "log2", "generate_subscripts",
+    "bool_and", "bool_or", "count_if",
+    "flatten", "list_position", "list_reverse",
+    "ascii", "lpad", "rpad", "position", "repeat", "reverse",
+    "translate",
+}
+
 
 @pytest.fixture(scope="module")
 def duck():
@@ -87,19 +99,10 @@ def test_oracle_function_vocabulary_screened():
 
     proven = vocab(n for n in SPECS if n in entry._VERIFIED)
     queued = sorted(n for n in SPECS if n not in entry._VERIFIED)
-    # round-8 screen verdict: ancient, stable DuckDB builtins (every
-    # carrier value-verified on local DuckDB at 4 configs + sf0.1),
-    # plus single-letter `AS u(...)`-style alias artifacts of the regex.
-    allowed = {
-        "log10", "log2", "generate_subscripts",
-        "bool_and", "bool_or", "count_if",
-        "flatten", "list_position", "list_reverse",
-        "ascii", "lpad", "rpad", "position", "repeat", "reverse",
-        "translate",
-    }
     novel = {}
     for n in queued:
-        bad = vocab([n]) - proven - allowed
+        # single-letter tokens are `AS u(...)`-style alias artifacts
+        bad = vocab([n]) - proven - _VOCAB_ALLOWED
         bad = {t for t in bad if len(t) > 1}  # drop alias artifacts
         if bad:
             novel[n] = sorted(bad)

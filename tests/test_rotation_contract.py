@@ -39,6 +39,10 @@ def test_per_round_verified_sets_overlap_only_deliberately():
         "versioned_change_feed",         # r4 -> r5 (versioned-table rework)
         "versioned_update_copy_on_write",  # r4 -> r5
     }
+    # the r10 surplus budget is a deliberate freshness wave over 43
+    # already-green env-risk rows (r9 verdict item 2) — when round 11
+    # pastes _R10_VERIFIED those names legitimately appear twice
+    known_reverified |= entry._R10_FRESHNESS_WAVE
     rounds = [
         (n, getattr(entry, n))
         for n in dir(entry)

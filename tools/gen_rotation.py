@@ -45,10 +45,13 @@ def queue_from_notes() -> list[str]:
     tool (the r8->r9 handoff hardcoded "r8/r9" and needed this edit).
     """
     text = open(os.path.join(REPO, "NOTES.md")).read()
+    # anchored to line start (ADVICE round 9): only true markdown headings
+    # open a block, so an inline prose mention of the phrase cannot be
+    # parsed as one
     blocks = re.findall(
-        r"## r\d+(?:/r\d+)? driver-priority queue.*?\n(.*?)(?=\n## |\Z)",
+        r"^## r\d+(?:/r\d+)? driver-priority queue.*?\n(.*?)(?=\n## |\Z)",
         text,
-        re.S,
+        re.S | re.M,
     )
     if not blocks:
         return []

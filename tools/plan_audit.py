@@ -187,8 +187,13 @@ def _single_partition_moves_raw_rows(lines: list[str]) -> bool:
         bounded = False
         for nxt in lines[i + 1 :]:
             nd = _depth(nxt)
-            if nd >= 0 and nd <= d:
-                break  # left the exchange's subtree
+            if nd == -1 or nd <= d:
+                # left the exchange's subtree — a depth -1 line is a root/
+                # header (e.g. a printed Subquery section) and can never be
+                # inside the subtree, so it terminates the walk too
+                # (ADVICE round 9: running past it could find a partial_
+                # in an unrelated tree — a false negative)
+                break
             if "partial_" in nxt:
                 bounded = True
                 break
@@ -212,8 +217,8 @@ def _unbounded_identity_broadcast(lines: list[str]) -> bool:
         subtree: list[str] = []
         for nxt in lines[i + 1 :]:
             nd = _depth(nxt)
-            if nd >= 0 and nd <= d:
-                break
+            if nd == -1 or nd <= d:
+                break  # root/header lines also end the subtree (ADVICE r9)
             subtree.append(nxt)
         body = "\n".join(subtree)
         if not any(m in body for m in _BOUNDED_BUILD_MARKERS):
