@@ -81,11 +81,18 @@ FROM events
 """,
 )
 def date_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NTZ-native truncation: Spark's date_trunc coerces TIMESTAMP_NTZ to
+    # an instant (session-TZ re-anchor), and collect() renders instants in
+    # the SYSTEM zone — the raw ts_day/ts_hour/plus_week outputs would
+    # shift whenever session TZ != system TZ (caught by the r10
+    # hostile-session-TZ axis). date casts and date_format over NTZ are
+    # wall-clock-pure under every session TZ and match the oracle's naive
+    # TIMESTAMP semantics exactly.
     return table(spark, sf_dir, "events").select(
         "event_id",
-        F.date_trunc("day", "ts").alias("ts_day"),
-        F.date_trunc("hour", "ts").alias("ts_hour"),
-        (F.col("ts").cast("date") + F.expr("INTERVAL 7 DAY")).cast("timestamp").alias("plus_week"),
+        F.col("ts").cast("date").cast("timestamp_ntz").alias("ts_day"),
+        F.to_timestamp_ntz(F.date_format("ts", "yyyy-MM-dd HH:00:00")).alias("ts_hour"),
+        (F.col("ts").cast("date") + F.expr("INTERVAL 7 DAY")).cast("timestamp_ntz").alias("plus_week"),
         F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
         .cast("int")
         .alias("days_since_epoch_start"),

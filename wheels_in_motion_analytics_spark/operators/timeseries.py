@@ -118,11 +118,11 @@ GROUP BY user_id, session_seq
 """,
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = (
-        table(spark, sf_dir, "events")
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-        .select("user_id", "event_id", "ts", "value")
-    )
+    # ts stays TIMESTAMP_NTZ: session_start/session_end surface raw
+    # timestamps, and an NTZ->instant cast renders session-TZ-dependent
+    # at collect (r10 hostile-session-TZ axis); NTZ lag-diff + interval
+    # comparison match the oracle's naive arithmetic under every TZ.
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
     order = [F.col("ts").asc(), F.col("event_id").asc()]
     w_lag = Window.partitionBy("user_id").orderBy(*order)
     w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -73,8 +73,14 @@ JOIN events v
 """,
 )
 def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
-    views, purchases = split_views_purchases(ev)
+    # keep ts as TIMESTAMP_NTZ: the output carries raw timestamps, and an
+    # NTZ->instant cast re-anchors the wall clock in the SESSION timezone
+    # while collect() renders instants in the SYSTEM timezone — green only
+    # while the two coincide (caught by the r10 hostile-session-TZ axis).
+    # NTZ comparison + interval arithmetic are exactly the oracle's naive
+    # TIMESTAMP semantics under every session TZ. The streaming twin casts
+    # to instants at its own boundary (watermarks need instants).
+    views, purchases = split_views_purchases(table(spark, sf_dir, "events"))
     return attribution_join(views, purchases)
 
 
@@ -176,10 +182,11 @@ GROUP BY p_user
 """,
 )
 def stream_attribution_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events").withColumn(
-        "ts", F.col("ts").cast("timestamp")
-    )
-    views, purchases = split_views_purchases(ev)
+    # NTZ end-to-end for the same session-TZ robustness reason as
+    # stream_join_attribution (here only counts surface, but an instant
+    # cast would still make the +6h horizon DST-sensitive under a
+    # DST-observing session zone; NTZ matches the oracle's naive arithmetic)
+    views, purchases = split_views_purchases(table(spark, sf_dir, "events"))
     j = attribution_left_outer(views, purchases)
     per_p = j.groupBy("user_id", "purchase_id").agg(
         F.count("view_id").alias("n_views")
