@@ -229,6 +229,14 @@ def merge_upsert_partitioned(
     if batch_id in applied_batches(spark, table_path):
         return False
     data_path = os.path.join(table_path, "data")
+    # Materialize the update feed ONCE: it is referenced twice below (the
+    # dirty-partition collect and the merge union), and without this each
+    # reference re-evaluates the feed's whole lineage — harmless for a real
+    # CDC feed read off storage, but a full re-scan when the feed is
+    # derived from a large table (measured 2x the feed cost at the r10
+    # 100x probe). Memory is bounded by the dirty set, the same contract
+    # as the merged checkpoint below.
+    updates = updates.localCheckpoint()
     dirty = [r[0] for r in updates.select(partition_col).distinct().collect()]
     current = (
         spark.read.parquet(data_path)
