@@ -76,7 +76,12 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("o_custkey", T.LongType()),
             T.StructField("o_orderstatus", T.StringType()),
             T.StructField("o_totalprice", T.DoubleType()),
-            T.StructField("o_orderdate", T.TimestampType()),
+            # naive µs parquet timestamp (isAdjustedToUTC=false) — Spark
+            # reads it as TIMESTAMP_NTZ; the declared contract must match
+            # what inference yields or the explicit-schema fast path in
+            # table() would silently re-anchor instants (TZ hazard,
+            # NOTES.md r10 axis).
+            T.StructField("o_orderdate", T.TimestampNTZType()),
             T.StructField("o_orderpriority", T.StringType()),
         ]
     ),
@@ -92,7 +97,7 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_tax", T.DoubleType()),
             T.StructField("l_returnflag", T.StringType()),
             T.StructField("l_linestatus", T.StringType()),
-            T.StructField("l_shipdate", T.TimestampType()),
+            T.StructField("l_shipdate", T.TimestampNTZType()),  # see o_orderdate
         ]
     ),
     "events": T.StructType(
@@ -157,21 +162,55 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name == "events":
-        import pyspark.sql.functions as F
+        return _events_table(spark, path)
+    # Explicit declared schema: skips the footer-inference pass that
+    # spark.read.parquet otherwise runs as a separate job on EVERY call
+    # (~10x the DataFrame-construction cost of a schema-supplied read —
+    # measured r10). The schema contract is pinned against live inference
+    # for every table and sf in tests/test_tables.py, so a testdata
+    # regeneration that changes a physical type fails loudly instead of
+    # misreading.
+    return spark.read.schema(SCHEMAS[name]).parquet(path)
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        ts_type = df.schema["ts"].dataType
-        if isinstance(ts_type, T.LongType):
-            # integer div keeps full int64 precision (double would lose bits
-            # above 2^53); nanos are positive so div == floor-truncation.
-            return df.withColumn(
-                "ts", F.expr("convert_timezone('UTC', timestamp_micros(ts div 1000))")
-            )
-        if isinstance(ts_type, T.TimestampType):
-            return df.withColumn("ts", F.expr("convert_timezone('UTC', ts)"))
-        return df
-    return spark.read.parquet(path)
+
+def _events_table(spark: SparkSession, path: str) -> DataFrame:
+    """events loader: dispatch on the PHYSICAL timestamp type (see
+    :func:`table` docstring) without paying a per-call Spark inference job.
+
+    The dispatch probe reads just the parquet footer via pyarrow (driver-
+    side, ~ms). The current-generation fast path (naive µs → TIMESTAMP_NTZ)
+    reads with the declared schema; every other historical variant falls
+    back to the original Spark-inference dispatch, byte-for-byte.
+    """
+    import pyspark.sql.functions as F
+
+    ts_type = None
+    try:
+        import pyarrow.parquet as pq
+
+        ts_type = pq.read_schema(path).field("ts").type
+    except Exception:
+        ts_type = None
+    if ts_type is not None:
+        import pyarrow as pa
+
+        if ts_type == pa.timestamp("us"):  # naive µs == TIMESTAMP_NTZ
+            return spark.read.schema(SCHEMAS["events"]).parquet(path)
+
+    # Legacy generations (TIMESTAMP(NANOS) int64, instant µs) and any probe
+    # failure: the original inference-based dispatch.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    ts_read = df.schema["ts"].dataType
+    if isinstance(ts_read, T.LongType):
+        # integer div keeps full int64 precision (double would lose bits
+        # above 2^53); nanos are positive so div == floor-truncation.
+        return df.withColumn(
+            "ts", F.expr("convert_timezone('UTC', timestamp_micros(ts div 1000))")
+        )
+    if isinstance(ts_read, T.TimestampType):
+        return df.withColumn("ts", F.expr("convert_timezone('UTC', ts)"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
