@@ -167,6 +167,29 @@ def test_global_kth_smallest_matches_sorted_index(spark, vals, kfrac):
 
 
 @given(
+    vals=st.lists(
+        st.integers(min_value=-(2**52), max_value=2**52), min_size=1, max_size=60
+    ),
+    kfracs=st.lists(st.integers(min_value=0, max_value=100), min_size=1, max_size=6),
+)
+@settings(**SETTINGS)
+def test_global_rank_values_matches_sorted_index(spark, vals, kfracs):
+    """Shared-round multi-rank selection == sorted()[k-1] for every target
+    at once (negative values, duplicates, full 53-bit range, coincident and
+    adjacent ranks) — the r10 generalization of global_kth_smallest."""
+    from wheels_in_motion_analytics_spark.operators.windows import (
+        global_rank_values,
+    )
+
+    ks = sorted({1 + (kf * (len(vals) - 1)) // 100 for kf in kfracs})
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got, n = global_rank_values(df, "x", ks)
+    ordered = sorted(vals)
+    assert n == len(vals)
+    assert got == {k: ordered[k - 1] for k in ks}
+
+
+@given(
     ppm=st.integers(min_value=-2_000_000, max_value=2_000_000),
     dxx=st.integers(min_value=1, max_value=10**26),
     dyy=st.integers(min_value=1, max_value=10**26),
