@@ -64,8 +64,13 @@ def merge_upsert(
     """
     if batch_id in applied_batches(spark, table_path):
         return False
-    current = spark.read.parquet(os.path.join(table_path, "data")).withColumn(
-        "__src", F.lit(0)
+    # the table's schema is the update feed's schema by construction (the
+    # seed and every merge write the same columns) — supplying it skips the
+    # per-call footer-inference job (r10 loader lesson, guide §1.2)
+    current = (
+        spark.read.schema(updates.schema)
+        .parquet(os.path.join(table_path, "data"))
+        .withColumn("__src", F.lit(0))
     )
     tagged = updates.withColumn("__src", F.lit(1))
     w = Window.partitionBy(*key_cols).orderBy(
@@ -150,7 +155,11 @@ def run_cdc_pipeline(spark: SparkSession, sf_dir: str, table_path: str) -> DataF
         spark, table_path, _update_batch(spark, sf_dir), ["order_id"], "version", "batch-1"
     )
     assert applied_first and not applied_again, "exactly-once ledger violated"
-    return spark.read.parquet(os.path.join(table_path, "data")).select(*_BASE_COLS)
+    return (
+        spark.read.schema(base.schema)
+        .parquet(os.path.join(table_path, "data"))
+        .select(*_BASE_COLS)
+    )
 
 
 @register(
@@ -239,7 +248,11 @@ def merge_upsert_partitioned(
     updates = updates.localCheckpoint()
     dirty = [r[0] for r in updates.select(partition_col).distinct().collect()]
     current = (
-        spark.read.parquet(data_path)
+        # feed schema == table schema (partition column included; its type
+        # comes from the declared schema instead of directory-name
+        # inference) — no footer-inference job per merge
+        spark.read.schema(updates.schema)
+        .parquet(data_path)
         # partition filter -> PartitionFilters in the scan: prunes to dirty dirs
         .where(F.col(partition_col).isin(dirty))
         .withColumn("__src", F.lit(0))
@@ -330,7 +343,11 @@ def run_partitioned_cdc(spark: SparkSession, sf_dir: str, table_path: str) -> Da
         ["order_id"], "version", "order_month", "batch-1",
     )
     assert first and not again, "exactly-once ledger violated"
-    return spark.read.parquet(data_path).select(*_BASE_COLS, "order_month")
+    return (
+        spark.read.schema(base.schema)
+        .parquet(data_path)
+        .select(*_BASE_COLS, "order_month")
+    )
 
 
 @register(

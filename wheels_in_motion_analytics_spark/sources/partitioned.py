@@ -59,11 +59,30 @@ def ensure_partitioned_lineitem(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def _partitioned_lineitem_schema():
+    """lineitem's declared contract + the ship_month partition column —
+    supplying it skips the multi-file footer-inference pass on every read
+    of the derived lake (r10 loader lesson; partition values still come
+    from directory names, PartitionFilters unaffected)."""
+    import pyspark.sql.types as T
+
+    from wheels_in_motion_analytics_spark.tables import SCHEMAS
+
+    return T.StructType(
+        list(SCHEMAS["lineitem"].fields)
+        + [T.StructField("ship_month", T.StringType())]
+    )
+
+
 def pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pruned read itself (used by both the registry query and the
     plan-shape test): month-partition filter on the partition column."""
     path = ensure_partitioned_lineitem(spark, sf_dir)
-    return spark.read.parquet(path).where(F.col("ship_month").isin(PRUNE_MONTHS))
+    return (
+        spark.read.schema(_partitioned_lineitem_schema())
+        .parquet(path)
+        .where(F.col("ship_month").isin(PRUNE_MONTHS))
+    )
 
 
 @register(
@@ -117,7 +136,9 @@ def month_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dynamically-pruned join itself (shared with the plan-shape test):
     partitioned fact ⋈ runtime-derived month dim on the partition column."""
-    fact = spark.read.parquet(ensure_partitioned_lineitem(spark, sf_dir))
+    fact = spark.read.schema(_partitioned_lineitem_schema()).parquet(
+        ensure_partitioned_lineitem(spark, sf_dir)
+    )
     return fact.join(month_dim(spark, sf_dir), "ship_month")
 
 

@@ -168,7 +168,11 @@ def run_stream_upsert(
     # bench/driver invocation would otherwise leak three temp dirs
     import shutil
 
-    final = spark.read.parquet(os.path.join(target, "data")).localCheckpoint()
+    final = (
+        spark.read.schema(schema)  # table schema is declared above — no inference job
+        .parquet(os.path.join(target, "data"))
+        .localCheckpoint()
+    )
     for d in (stage, target, ckpt):
         shutil.rmtree(d, ignore_errors=True)
     return final
@@ -336,6 +340,8 @@ def stream_fanout_two_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("bigint").alias("c"),
     ).limit(0).write.mode("overwrite").parquet(os.path.join(state, "data"))
 
+    _state_schema = "event_type STRING, n BIGINT, c BIGINT"
+
     def fanout(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         # sink 1: idempotent lake mirror — replays overwrite their own dir
@@ -343,7 +349,8 @@ def stream_fanout_two_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(mirror, f"batch={batch_id}")
         )
         # sink 2: running per-type totals folded via the keyed MERGE
-        prev = sess.read.parquet(os.path.join(state, "data"))
+        # (declared state schema: no footer-inference job per micro-batch)
+        prev = sess.read.schema(_state_schema).parquet(os.path.join(state, "data"))
         delta = batch_df.groupBy("event_type").agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum("cents").cast("bigint").alias("c"),
@@ -379,14 +386,15 @@ def stream_fanout_two_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise TimeoutError("availableNow fanout stream did not finish in 300s")
     m = (
-        spark.read.parquet(os.path.join(mirror, "batch=*"))
+        spark.read.schema("event_id BIGINT, event_type STRING, cents BIGINT")
+        .parquet(os.path.join(mirror, "batch=*"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("mirror_events"),
             F.sum("cents").cast("bigint").alias("mirror_cents"),
         )
     )
-    st = spark.read.parquet(os.path.join(state, "data")).select(
+    st = spark.read.schema(_state_schema).parquet(os.path.join(state, "data")).select(
         "event_type",
         F.col("n").alias("state_events"),
         F.col("c").alias("state_cents"),
