@@ -992,8 +992,23 @@ FROM {prev}"""
 
 
 def _markov_chain(spark: SparkSession, sf_dir: str):
-    """(transitions, pi) — the integer-grid chain shared by the stationary
-    distribution and the entropy rate (identical rounds and grids)."""
+    """(edges, pi) — the integer-grid chain shared by the stationary
+    distribution and the entropy rate (identical rounds and grids).
+
+    The fact-scaled work (the lag window building transitions) runs
+    distributed and is collected ONCE — the transition matrix is bounded by
+    the event-type set squared (~25 rows), the same bounded-driver-state
+    contract as the quickselect family. The 8 power-iteration rounds then
+    run driver-side in arbitrary-precision Python integers: each round was
+    a Catalyst join+aggregate over a ~5-row relation — pure plan-depth and
+    job overhead (r10 measurement: ~2 s of the query was the unrolled
+    round plans, none of it data work). The grid arithmetic is unchanged —
+    (pi*n) DIV r on nonnegative integers == Python ``//`` — so the dynamics
+    are bit-identical to the relational unrolling and to the oracle's
+    MATERIALIZED CTE rounds. ``edges`` rows carry (from_type, to_type, n,
+    r, dln) with dln = round(ln(r),9)e9 − round(ln(n),9)e9 computed IN
+    SPARK (ln must come from the engine whose 9dp rounding the oracle
+    mirrors — never Python's libm)."""
     c = F.col
     ev = table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "event_id"
@@ -1005,29 +1020,38 @@ def _markov_chain(spark: SparkSession, sf_dir: str):
         .groupBy(c("prev_type").alias("from_type"), c("event_type").alias("to_type"))
         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
     )
-    t = (
-        base.join(
+
+    def ln9(col):
+        return (F.round(F.log(col.cast("double")), 9) * F.lit(1_000_000_000)).cast(
+            "decimal(38,0)"
+        )
+
+    edges = [
+        (r.from_type, r.to_type, int(r.n), int(r.r), int(r.dln))
+        for r in base.join(
             base.groupBy("from_type").agg(
                 F.sum("n").cast("decimal(38,0)").alias("r")
             ),
             "from_type",
         )
-        .localCheckpoint()  # every round joins this tiny relation
-    )
-    pi = t.select(c("from_type").alias("st")).distinct().select(
-        "st", F.lit(1_000_000).cast("decimal(38,0)").alias("pi")
-    )
-    for _ in range(MARKOV_ROUNDS):
-        pi = (
-            pi.join(t, pi.st == t.from_type)
-            .select(
-                c("to_type").alias("st2"),
-                F.expr("CAST((pi * n) DIV r AS DECIMAL(38,0))").alias("term"),
-            )
-            .groupBy(c("st2").alias("st"))
-            .agg(F.sum("term").cast("decimal(38,0)").alias("pi"))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            "r",
+            (ln9(c("r")) - ln9(c("n"))).alias("dln"),
         )
-    return t, pi.localCheckpoint()
+        .collect()
+    ]
+    pi = {st: 1_000_000 for st in {e[0] for e in edges}}
+    for _ in range(MARKOV_ROUNDS):
+        nxt: dict[str, int] = {}
+        for from_type, to_type, n, r, _dln in edges:
+            p = pi.get(from_type)
+            if p is not None:
+                nxt[to_type] = nxt.get(to_type, 0) + (p * n) // r
+        pi = nxt
+    return edges, pi
 
 
 @register(
@@ -1047,15 +1071,11 @@ def _markov_chain(spark: SparkSession, sf_dir: str):
     oracle=_oracle_markov(),
 )
 def markov_stationary_behavior(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = F.col
-    t, pi = _markov_chain(spark, sf_dir)
-    tot = pi.agg(F.sum("pi").cast("decimal(38,0)").alias("s"))
-    return pi.crossJoin(F.broadcast(tot)).select(
-        c("st").alias("state"),
-        c("pi").cast("bigint").alias("pi_grid"),
-        F.expr("CAST((2000000 * pi + s) DIV (2 * s) AS BIGINT)").alias(
-            "pi_norm_ppm"
-        ),
+    _edges, pi = _markov_chain(spark, sf_dir)
+    s = sum(pi.values())
+    return spark.createDataFrame(
+        [(st, p, (2_000_000 * p + s) // (2 * s)) for st, p in sorted(pi.items())],
+        "state string, pi_grid long, pi_norm_ppm long",
     )
 
 
@@ -1228,31 +1248,17 @@ FROM ent CROSS JOIN tot"""
     oracle=_oracle_markov_entropy(),
 )
 def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = F.col
-    t, pi = _markov_chain(spark, sf_dir)
-
-    def ln9(col):
-        return (F.round(F.log(col.cast("double")), 9) * F.lit(1_000_000_000)).cast(
-            "decimal(38,0)"
-        )
-
-    ent = (
-        pi.join(t, pi.st == t.from_type)
-        .select(
-            F.expr("pi * n").alias("w"),
-            (ln9(c("r")) - ln9(c("n"))).alias("dln"),
-            "r",
-        )
-        .select(F.expr("CAST((w * dln) DIV r AS DECIMAL(38,0))").alias("term"))
-        .agg(F.sum("term").cast("decimal(38,0)").alias("s"))
+    edges, pi = _markov_chain(spark, sf_dir)
+    # every (i,j) term is (pi_i * c_ij * dln) DIV r_i — floor on the grid,
+    # arbitrary-precision in Python (the relational form needed
+    # DECIMAL(38,0): pi*n*dln overflows int64); dln was computed in Spark
+    s = sum(
+        (pi[from_type] * n * dln) // r
+        for from_type, _to, n, r, dln in edges
+        if from_type in pi
     )
-    tot = pi.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_states"),
-        F.sum("pi").cast("decimal(38,0)").alias("z"),
-    )
-    return tot.crossJoin(ent).select(
-        "n_states",
-        F.expr(
-            "CAST((2 * s + z * 1000) DIV (2 * z * 1000) AS BIGINT)"
-        ).alias("entropy_rate_micro_nats"),
+    z = sum(pi.values())
+    return spark.createDataFrame(
+        [(len(pi), (2 * s + z * 1000) // (2 * z * 1000))],
+        "n_states long, entropy_rate_micro_nats long",
     )
