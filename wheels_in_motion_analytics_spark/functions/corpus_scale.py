@@ -243,21 +243,37 @@ def scaled_dedup_lines_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("d", F.md5("seg"))
         .localCheckpoint(eager=True)
     )
-    fdf = segs.groupBy("d").agg(F.countDistinct("doc_id").alias("df"))
-    kept = F.when(
-        F.col("df") < SCALED_SEG_BOILER_DF, F.struct("seg_no", "seg")
+    # r10 restructure (guide §8: decide with small rows, attach a small
+    # verdict to the big rows). The old shape joined the FULL frequency
+    # aggregate — one row per DISTINCT SEGMENT in the corpus, O(corpus)
+    # rows — back onto the text rows: broadcastable only by luck at bench
+    # scale (and it measured as the dominant cost: building + shipping the
+    # whole distinct-digest universe), impossible at 100 TB, where it
+    # degrades to shuffling the text by digest. But the join-back only
+    # needs the boilerplate VERDICT, and the boilerplate set (df >=
+    # threshold) is tiny by construction — segments shared by >= 48 docs.
+    # So aggregate over the digest-only projection, keep just the
+    # offending digests, and left-broadcast-join that small set onto the
+    # text rows: the text never moves for the decision, and its only
+    # shuffle is the per-doc reassembly groupBy.
+    keys = segs.select("doc_id", "d")
+    boiler = (
+        keys.groupBy("d")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= SCALED_SEG_BOILER_DF)
+        .select("d", F.lit(True).alias("rm"))
     )
+    is_rm = F.coalesce(F.col("rm"), F.lit(False))
+    kept = F.when(~is_rm, F.struct("seg_no", "seg"))
     clean_text = F.concat_ws(
         " ", F.transform(F.array_sort(F.collect_list(kept)), lambda x: x.seg)
     )
     return (
-        segs.join(fdf, "d")
+        segs.join(boiler, "d", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_segs"),
-            F.count(
-                F.when(F.col("df") >= SCALED_SEG_BOILER_DF, F.lit(1))
-            ).alias("removed_segs"),
+            F.count(F.when(is_rm, F.lit(1))).alias("removed_segs"),
             clean_text.alias("clean_text"),
         )
         .select(
