@@ -1031,29 +1031,68 @@ def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y"),
     )
 
-    def two_ranks(col: str) -> DataFrame:
-        vals = s.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("cnt"))
-        cum = global_prefix_sums(vals, ["v"], ["cnt"])
-        # cnt_cum is the INCLUSIVE prefix; 2*avgrank = 2*exclusive + cnt + 1
-        return cum.select(
-            F.col("v").alias(col),
-            (2 * F.col("cnt_cum") - F.col("cnt") + 1).alias(f"r{col}"),
+    # r10 restructure (guide §2.3 — aggregate before you shuffle). Every
+    # moment is expressible over the distinct-y relation once the x-rank
+    # is attached BEFORE the per-y aggregate:
+    #   sx  = Σ_y Σ_rows rx            sxx = Σ_y Σ_rows rx²
+    #   sy  = Σ_y cnt·ry               syy = Σ_y cnt·ry²
+    #   sxy = Σ_y ry · (Σ_rows∈y rx)
+    # so the rows never shuffle at all: ONE map-side-combinable groupBy(y)
+    # carrying (cnt, Σrx, Σrx²) replaces the old full-row join on the
+    # price-rank map + the full-row moment aggregate. Exactness is free:
+    # all sums are integer DECIMAL(38,0) accumulation, associative under
+    # any regrouping.
+    #
+    # The x (quantity) domain is bounded by construction (integers 1..50),
+    # so its doubled-average-rank map is bounded driver state — the same
+    # contract as the quickselect family: collect the 50-row count
+    # aggregate, compute 2*avgrank = 2*prefix + cnt + 1 exactly in Python
+    # integers, and attach it as a literal MAP lookup (no join, no
+    # broadcast build job).
+    xcounts = sorted(
+        (r["x"], r["cnt"])
+        for r in s.groupBy("x").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    entries, prefix = [], 0
+    for v, cnt in xcounts:
+        entries.append((v, 2 * prefix + cnt + 1))
+        prefix += cnt
+    rx_map = F.create_map(
+        *[
+            F.lit(z).cast("bigint")
+            for pair in entries
+            for z in pair
+        ]
+    )
+
+    def dec(expr):
+        return expr.cast("decimal(38,0)")
+
+    per_y = (
+        s.select("y", rx_map[F.col("x")].alias("rx"))
+        .groupBy(F.col("y").alias("v"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(dec(F.col("rx"))).alias("srx"),
+            F.sum(dec(F.col("rx") * F.col("rx"))).alias("srxx"),
         )
-
-    # quantity has a bounded domain (~50 distinct values) → broadcast;
-    # only the price-rank attach pays a shuffle join (r4 verdict item 6).
-    r = s.join(F.broadcast(two_ranks("x")), "x").join(two_ranks("y"), "y")
-
-    def dmoment(expr):
-        return F.sum(expr.cast("decimal(38,0)"))
-
-    m = r.agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        dmoment(F.col("rx")).alias("sx"),
-        dmoment(F.col("ry")).alias("sy"),
-        dmoment(F.col("rx") * F.col("rx")).alias("sxx"),
-        dmoment(F.col("ry") * F.col("ry")).alias("syy"),
-        dmoment(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    # distinct prices are ~row-cardinality → two-phase exact prefix sum,
+    # never a single-task global window (unchanged from the old shape)
+    cum = global_prefix_sums(per_y, ["v"], ["cnt"])
+    g = cum.select(
+        "cnt",
+        "srx",
+        "srxx",
+        (2 * F.col("cnt_cum") - F.col("cnt") + 1).alias("ry"),
+    )
+    m = g.agg(
+        F.sum("cnt").cast("decimal(38,0)").alias("n"),
+        F.sum("srx").alias("sx"),
+        F.sum(dec(F.col("cnt")) * dec(F.col("ry"))).alias("sy"),
+        F.sum("srxx").alias("sxx"),
+        F.sum(dec(F.col("cnt")) * dec(F.col("ry")) * dec(F.col("ry"))).alias("syy"),
+        F.sum(F.col("srx") * dec(F.col("ry"))).alias("sxy"),
     )
     c = F.col
     d = m.select(
