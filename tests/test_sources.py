@@ -9,7 +9,6 @@ import pyspark.sql.functions as F
 from tests.conftest import SF_SMALL
 from wheels_in_motion_analytics_spark.registry import load_all_queries
 from wheels_in_motion_analytics_spark.sources.stream_datasource import (
-    TICKS_PER_BATCH,
     TICKS_SPLITS,
     TICKS_TOTAL,
     SyntheticTicksStreamReader,
@@ -26,12 +25,19 @@ def test_partitions_tile_offset_range_exactly():
     assert parts[0].start == 0 and parts[-1].end == TICKS_TOTAL
     for a, b in zip(parts, parts[1:]):
         assert a.end == b.start
-    assert len(parts) >= TICKS_SPLITS
+    # the split count is the parallelism dial: exactly TICKS_SPLITS chunks
+    # regardless of batch size (each Python-datasource partition costs a
+    # worker handshake — r10 measurement: ~0.3-0.5 s each)
+    assert len(parts) == TICKS_SPLITS
     # ragged range still tiles exactly
     parts = r.partitions({"seq": 37}, {"seq": 1003})
     assert parts[0].start == 37 and parts[-1].end == 1003
     assert all(a.end == b.start for a, b in zip(parts, parts[1:]))
-    assert all(p.end - p.start <= TICKS_PER_BATCH // TICKS_SPLITS for p in parts)
+    assert len(parts) <= TICKS_SPLITS
+    # degenerate ranges never produce empty or overlapping chunks
+    assert r.partitions({"seq": 5}, {"seq": 5}) == []
+    tiny = r.partitions({"seq": 0}, {"seq": 3})
+    assert [(p.start, p.end) for p in tiny] == [(0, 1), (1, 2), (2, 3)]
 
 
 def test_stream_read_yields_every_tick_exactly_once(spark):

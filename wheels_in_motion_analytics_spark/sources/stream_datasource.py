@@ -30,8 +30,7 @@ from pyspark.sql.datasource import (
 import pyspark.sql.types as T
 
 TICKS_TOTAL = 4000  # rows the bounded feed produces before going idle
-TICKS_PER_BATCH = 1000  # offset advance per micro-batch
-TICKS_SPLITS = 4  # partitions per micro-batch (distributed read)
+TICKS_SPLITS = 4  # parallel read partitions per micro-batch
 TICKS_BUCKETS = 16
 TICKS_CENTS_MOD = 100000
 
@@ -68,9 +67,15 @@ class SyntheticTicksStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> list[_TickRange]:
         # MUST tile [start, end) exactly — the engine records `end` as this
         # batch's committed offset, so dropping any sub-range here would
-        # silently lose rows. Fixed-size chunks parallelize the read.
+        # silently lose rows. Tile the RANGE into TICKS_SPLITS chunks (not
+        # fixed-row chunks): every Python-datasource partition costs a
+        # worker handshake (~0.3-0.5 s measured), so the split count — the
+        # parallelism dial — must not silently multiply when the engine
+        # hands one availableNow batch covering the whole feed. A
+        # production source would target a rows/bytes budget per split
+        # here; the dial is the same.
         lo, hi = start["seq"], end["seq"]
-        step = max(TICKS_PER_BATCH // TICKS_SPLITS, 1)
+        step = max(-(-(hi - lo) // TICKS_SPLITS), 1)
         return [
             _TickRange(s, min(s + step, hi)) for s in range(lo, hi, step)
         ]
