@@ -1010,6 +1010,7 @@ def ktruss_cosupply_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_prev = e.count()
     converged = False
+    sp = None
     for _ in range(KTRUSS_ROUNDS):
         sp = support(e)
         e = (
@@ -1023,8 +1024,14 @@ def ktruss_cosupply_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             converged = True
             break
         n_prev = n_now
+    # On a converged exit the last round dropped no edges, so e IS the
+    # edge set sp was computed from — reuse sp for the final readout
+    # instead of paying one more full wedge-join pass (sp's triangle
+    # input is checkpointed; re-evaluating sp is only the union+groupBy
+    # over it). A budget-exhausted exit still recomputes honestly.
+    final_sp = sp if converged and sp is not None else support(e)
     out = (
-        e.join(support(e), ["s1", "s2"], "left")
+        e.join(final_sp, ["s1", "s2"], "left")
         .select(
             "s1",
             "s2",
