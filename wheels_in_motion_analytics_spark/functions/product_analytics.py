@@ -532,10 +532,16 @@ def basket_triple_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = b.select("ok", F.col("brand").alias("brand_a"))
     c = b.select("ok", F.col("brand").alias("brand_b"))
     d = b.select("ok", F.col("brand").alias("brand_c"))
-    fp = (
+    # r10: materialize the ordered per-basket pair relation ONCE — it feeds
+    # both the pair-support aggregate and the triple base, which otherwise
+    # re-run the basket self-join (the expensive per-basket explosion)
+    pairs = (
         a.join(c, "ok")
         .where(F.col("brand_a") < F.col("brand_b"))
-        .groupBy("brand_a", "brand_b")
+        .localCheckpoint()
+    )
+    fp = (
+        pairs.groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") >= BASKET_MIN_PAIR_SUPPORT)
         .select(F.col("brand_a").alias("x"), F.col("brand_b").alias("y"))
@@ -547,8 +553,7 @@ def basket_triple_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.join(F.broadcast(f), [left, right])
 
     t = (
-        prune(a.join(c, "ok").where(F.col("brand_a") < F.col("brand_b")),
-              "brand_a", "brand_b")
+        prune(pairs, "brand_a", "brand_b")
         .join(d, "ok")
         .where(F.col("brand_b") < F.col("brand_c"))
     )
