@@ -1384,6 +1384,13 @@ def connected_components(nodes: DataFrame, edges: DataFrame, max_iter: int = 20)
     partial labels would silently diverge from the recursive-CTE oracle for a
     component whose diameter exceeds the budget.
     """
+    # The edge relation joins into EVERY propagation round, and both
+    # callers pass it as an un-materialized pipeline (shingle self-join /
+    # linkage candidate join) — without a lineage cut each round's
+    # checkpoint job re-executes that whole pipeline (r10 measurement:
+    # the rounds were paying the pair-generation cost 2-4x). One
+    # materialization, every round reads the stored blocks.
+    edges = edges.localCheckpoint()
     labels = nodes.select("id", F.col("id").alias("label"))
     # Convergence via the label-sum invariant: min-label propagation only
     # ever DECREASES labels, so sum(label) is strictly monotone until the
