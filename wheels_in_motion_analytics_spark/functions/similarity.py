@@ -1871,6 +1871,9 @@ LEFT JOIN near_hit n ON n.doc_id = b.doc_id
 )
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
+    # (measured r10: checkpointing fp TOO is net-negative — a second eager
+    # materialization job serializes ahead of the main query and costs
+    # more than the saved md5 re-scan; the shingle cut below is the win)
     fp = docs.select("doc_id", fingerprint(F.col("text")).alias("f"))
     batch = fp.where(F.col("doc_id") >= INCR_BATCH_START)
     exact_hit = (
@@ -1883,7 +1886,8 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("b.doc_id").alias("doc_id"))
         .agg(F.min("o.doc_id").alias("e_match"))
     )
-    sh = doc_shingles(spark, sf_dir)
+    # three consumers (size agg + both postings-join sides): shingle once
+    sh = doc_shingles(spark, sf_dir).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # postings join restricted: only batch docs on the left — the inverted
     # index is probed, never self-joined corpus-wide
