@@ -459,6 +459,85 @@ def test_global_quartiles_match_spark_percentile(spark):
         assert abs(got[k] - want_row["p"][i]) < 1e-6, (k, got[k], want_row["p"][i])
 
 
+def test_grouped_percentile_doubles_bit_equals_percentile_aggregate(spark):
+    """The r11 selection rewrite's contract: grouped_percentile_doubles
+    must be BIT-IDENTICAL to Spark's percentile() aggregate on the real
+    2dp-decimal columns (percentile_exact / winsorize_prices hash on it).
+    Pins both the cents-grid bijection (cents/100.0 reproduces the input
+    double exactly) and the op-for-op interpolation arithmetic
+    ((higher-position)*lo + (position-lower)*hi)."""
+    import struct
+
+    import pyspark.sql.functions as F
+
+    from wheels_in_motion_analytics_spark.operators.windows import (
+        grouped_percentile_doubles,
+    )
+    from wheels_in_motion_analytics_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    li = table(spark, sf, "lineitem")
+    fracs = [0.01, 0.25, 0.5, 0.9, 0.99]
+    got = grouped_percentile_doubles(li, "l_returnflag", "l_extendedprice", fracs)
+    want_rows = (
+        li.groupBy("l_returnflag")
+        .agg(F.expr(f"percentile(l_extendedprice, array({', '.join(map(repr, fracs))}))").alias("p"))
+        .collect()
+    )
+    want = {r["l_returnflag"]: list(r["p"]) for r in want_rows}
+    assert set(got) == set(want)
+    for g in want:
+        for i, p in enumerate(fracs):
+            assert struct.pack("d", got[g][i]) == struct.pack("d", want[g][i]), (
+                g, p, got[g][i], want[g][i],
+            )
+
+
+def test_group_exact_percentiles_matches_window_rank_form(spark):
+    """The r11 selection rewrite == the original group-partitioned window
+    rank formulation (exact integers), on the real orders table."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from wheels_in_motion_analytics_spark.registry import load_all_queries
+    from wheels_in_motion_analytics_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    o = table(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("grp").orderBy("cents", "o_orderkey")
+    wn = Window.partitionBy("grp")
+    c = o.select(
+        "grp",
+        "cents",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+    aggs = []
+    for k in (1, 2, 3):
+        m = F.lit(k) * (F.col("n") - 1)
+        lo = F.floor(m / 4).cast("bigint") + 1
+        r = (m % 4).cast("bigint")
+        hi = lo + F.when(r > 0, 1).otherwise(0)
+        aggs.append(
+            (
+                F.max(F.when(F.col("rn") == lo, F.col("cents")))
+                * (4 - F.max(F.when(F.col("rn") == lo, r)))
+                + F.max(F.when(F.col("rn") == hi, F.col("cents")))
+                * F.max(F.when(F.col("rn") == hi, r))
+            ).cast("bigint").alias(f"p{k * 25}_cents_x4")
+        )
+    old = sorted(tuple(r) for r in c.groupBy("grp", "n").agg(*aggs).collect())
+    new = sorted(
+        tuple(r)
+        for r in load_all_queries()["group_exact_percentiles"].fn(spark, sf).collect()
+    )
+    assert old == new
+
+
 def test_skyline_matches_bruteforce_dominance(spark):
     """The two-phase skyline must equal the O(n^2) dominance definition:
     a part survives iff no other part is <= on price AND >= on size with

@@ -737,3 +737,48 @@ def test_ann_bucketed_topk_is_two_phase_group_limit(spark):
     assert plan.count("WindowGroupLimit") >= 2, plan
     assert "Exchange SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Job-count pins for driver-assembled queries (r10 verdict item 6)
+# ---------------------------------------------------------------------------
+
+# These queries assemble their final relation driver-side (selection /
+# bounded power iteration), so their executed plan is a LocalTableScan and
+# plan audits cannot see the real distributed work. The job count IS the
+# auditable shape: a regression that re-introduces hidden passes (an extra
+# checkpoint, a re-derived pipeline, an unconverged narrowing loop) shows
+# up as extra jobs. Budgets = job count measured at sf0.001 (second run,
+# r11) + headroom of 3 for AQE sub-job variance and one extra histogram
+# round at wider value ranges.
+_JOB_BUDGETS = {
+    "global_quartiles_exact": 7 + 3,
+    "percentile_exact": 9 + 3,
+    "group_exact_percentiles": 12 + 3,
+    "markov_stationary_behavior": 6 + 3,
+    "markov_entropy_rate": 6 + 3,
+    "theil_sen_trend_daily": 14 + 3,
+    "conformal_interval_calibration": 11 + 3,
+    "newsvendor_stock_level": 8 + 3,
+    "var_cvar_revenue_changes": 11 + 3,
+    "anomaly_days_seasonal_mad": 6 + 3,
+    "feature_binning_buckets": 8 + 3,
+}
+
+
+@pytest.mark.parametrize("name", sorted(_JOB_BUDGETS))
+def test_driver_assembled_query_job_budget(spark, name):
+    tracker = spark.sparkContext.statusTracker()
+    group = f"job-pin-{name}"
+    spark.sparkContext.setJobGroup(group, name)
+    try:
+        SPECS[name].fn(spark, SF_SMALL).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    finally:
+        spark.sparkContext.setJobGroup(None, None)
+    n_jobs = len(tracker.getJobIdsForGroup(group))
+    assert 0 < n_jobs <= _JOB_BUDGETS[name], (
+        f"{name}: {n_jobs} jobs vs budget {_JOB_BUDGETS[name]} — hidden "
+        "distributed work regressed (or improved: re-measure and tighten)"
+    )

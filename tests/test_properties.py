@@ -190,6 +190,42 @@ def test_global_rank_values_matches_sorted_index(spark, vals, kfracs):
 
 
 @given(
+    groups=st.dictionaries(
+        st.sampled_from(["A", "B", "C", "D"]),
+        st.lists(
+            st.integers(min_value=-(2**52), max_value=2**52),
+            min_size=1,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    kfracs=st.lists(st.integers(min_value=0, max_value=100), min_size=1, max_size=4),
+)
+@settings(**SETTINGS)
+def test_grouped_rank_values_matches_sorted_index(spark, groups, kfracs):
+    """Group-keyed shared-round selection == per-group sorted()[k-1] for
+    every (group, target) at once — the r11 group-keyed sibling of
+    global_rank_values (broadcast-relation ranges, no expression forest)."""
+    from wheels_in_motion_analytics_spark.operators.windows import (
+        grouped_rank_values,
+    )
+
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, x long")
+    got = grouped_rank_values(
+        df, "g", "x", lambda n: sorted({1 + (kf * (n - 1)) // 100 for kf in kfracs})
+    )
+    assert set(got) == set(groups)
+    for g, vs in groups.items():
+        ordered = sorted(vs)
+        vals, n = got[g]
+        assert n == len(vs)
+        want = sorted({1 + (kf * (n - 1)) // 100 for kf in kfracs})
+        assert vals == {k: ordered[k - 1] for k in want}
+
+
+@given(
     ppm=st.integers(min_value=-2_000_000, max_value=2_000_000),
     dxx=st.integers(min_value=1, max_value=10**26),
     dyy=st.integers(min_value=1, max_value=10**26),

@@ -355,10 +355,19 @@ WINSOR_HI = 0.99
     category="stats",
     doc=f"Winsorized aggregates: per return flag, l_extendedprice clipped "
     f"at the exact p{int(WINSOR_LO * 100)}/p{int(WINSOR_HI * 100)} "
-    "percentiles (computed once per group, broadcast back), then "
-    "decimal-accumulated mean of raw vs clipped — the outlier-robust "
-    "preprocessing step for price-like features. Bounds rounded in "
-    "isolation; comparisons happen on the rounded bounds on both engines.",
+    "percentiles, then decimal-accumulated mean of raw vs clipped — the "
+    "outlier-robust preprocessing step for price-like features. Bounds "
+    "rounded in isolation; comparisons happen on the rounded bounds on "
+    "both engines. r11 rewrite: the bounds come from per-group "
+    "shared-round histogram selection (grouped_percentile_doubles — "
+    "bit-identical to the former percentile() aggregate, pinned by "
+    "tests/test_operators.py) and attach as literal CASE expressions, so "
+    "the percentile counts-map state (partial maps growing with distinct "
+    "values per group — a memory hazard at 100 TB) and the bounds "
+    "broadcast join are both gone; the clipped aggregate is the only "
+    "remaining pass over the rows. Rounding of the bounds stays a Spark "
+    "expression (round(lit(raw), 4)) so rounding semantics remain the "
+    "engine's own.",
     oracle=f"""
 WITH b AS (
   SELECT l_returnflag AS flag,
@@ -379,15 +388,37 @@ GROUP BY 1, 2, 3
 """,
 )
 def winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wheels_in_motion_analytics_spark.operators.windows import (
+        grouped_percentile_doubles,
+    )
+
     li = table(spark, sf_dir, "lineitem")
-    b = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
-        F.round(F.expr(f"percentile(l_extendedprice, {WINSOR_LO})"), 4).alias("lo"),
-        F.round(F.expr(f"percentile(l_extendedprice, {WINSOR_HI})"), 4).alias("hi"),
+    pct = grouped_percentile_doubles(
+        li, "l_returnflag", "l_extendedprice", [WINSOR_LO, WINSOR_HI]
+    )
+
+    def bound(idx: int):
+        # per-group bound as a literal CASE over the bounded flag domain;
+        # round() stays a Spark expression (engine rounding semantics)
+        expr = None
+        for g, vals in sorted(pct.items()):
+            branch = F.round(F.lit(vals[idx]), 4)
+            expr = (
+                F.when(F.col("l_returnflag") == g, branch)
+                if expr is None
+                else expr.when(F.col("l_returnflag") == g, branch)
+            )
+        return expr
+
+    withb = li.select(
+        F.col("l_returnflag").alias("flag"),
+        "l_extendedprice",
+        bound(0).alias("lo"),
+        bound(1).alias("hi"),
     )
     clipped = F.greatest(F.least(F.col("l_extendedprice"), F.col("hi")), F.col("lo"))
     return (
-        li.join(F.broadcast(b), li.l_returnflag == b.flag)
-        .groupBy("flag", "lo", "hi")
+        withb.groupBy("flag", "lo", "hi")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.count(
@@ -1049,10 +1080,21 @@ def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate, compute 2*avgrank = 2*prefix + cnt + 1 exactly in Python
     # integers, and attach it as a literal MAP lookup (no join, no
     # broadcast build job).
-    xcounts = sorted(
-        (r["x"], r["cnt"])
-        for r in s.groupBy("x").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    )
+    xrows = s.groupBy("x").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    if any(r["x"] is None for r in xrows):
+        # fail with a clear message rather than a sorted() TypeError on a
+        # None-vs-int comparison (r10 ADVICE fix): the bounded-domain rank
+        # map contract assumes a NOT NULL quantity column
+        raise ValueError(
+            "spearman_rank_correlation: NULL l_quantity in the fact "
+            "relation — the bounded x-rank map requires a NOT NULL domain"
+        )
+    if not xrows:
+        raise ValueError(
+            "spearman_rank_correlation over an empty relation (an empty "
+            "literal map would fail analysis with an opaque error)"
+        )
+    xcounts = sorted((r["x"], r["cnt"]) for r in xrows)
     entries, prefix = [], 0
     for v, cnt in xcounts:
         entries.append((v, 2 * prefix + cnt + 1))

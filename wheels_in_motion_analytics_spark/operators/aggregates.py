@@ -310,7 +310,17 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "percentile_exact",
     category="aggregates",
     doc="Exact continuous percentiles per group (oracle: quantile_cont). "
-    "Rounded — interpolation is float.",
+    "r11 rewrite: per-group shared-round histogram selection "
+    "(grouped_rank_values) + Spark's own interpolation arithmetic "
+    "reproduced op-for-op on the selected straddling values — "
+    "bit-identical to the former percentile() aggregate (pinned by "
+    "tests/test_operators.py) WITHOUT its per-group counts-map state, "
+    "whose partial maps grow with distinct values per group (a memory "
+    "hazard at 100 TB) and whose final merge serializes onto one task "
+    "per group (3 groups ⇒ 3-way parallelism ceiling — the r10 driver "
+    "measured 0.54 low/high-core anti-scaling). Selection is 3 bounded "
+    "scan jobs; the final round() stays a Spark expression so rounding "
+    "semantics remain the engine's own.",
     oracle="""
 SELECT l_returnflag,
        ROUND(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4) AS p50,
@@ -319,17 +329,20 @@ FROM lineitem GROUP BY l_returnflag
 """,
 )
 def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # one percentile state per group (array form), split after — half the
-    # aggregation work of two separate percentile() calls
-    return (
-        table(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(F.expr("percentile(l_extendedprice, array(0.5, 0.9))").alias("pcts"))
-        .select(
-            "l_returnflag",
-            F.round(F.element_at("pcts", 1), 4).alias("p50"),
-            F.round(F.element_at("pcts", 2), 4).alias("p90"),
-        )
+    from wheels_in_motion_analytics_spark.operators.windows import (
+        grouped_percentile_doubles,
+    )
+
+    pct = grouped_percentile_doubles(
+        table(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice", [0.5, 0.9]
+    )
+    rows = [(g, v[0], v[1]) for g, v in sorted(pct.items())]
+    return spark.createDataFrame(
+        rows, "l_returnflag string, p50_raw double, p90_raw double"
+    ).select(
+        "l_returnflag",
+        F.round("p50_raw", 4).alias("p50"),
+        F.round("p90_raw", 4).alias("p90"),
     )
 
 

@@ -334,10 +334,17 @@ def _ranked_by_range(
         # scan/shuffle-width default: enough to keep every core busy without
         # spraying a local run into hundreds of tiny range partitions
         partitions = spark.sparkContext.defaultParallelism
+    # LAZY local checkpoint (r11 fuse): the offsets job below is the first
+    # consumer, so it materializes the range-partitioned blocks as it
+    # counts them — one job instead of eager-checkpoint + count. The
+    # nondeterministic range sampling still executes exactly once (the
+    # window pass reads the SAME stored blocks; a local checkpoint cannot
+    # recompute — lineage is truncated, so a lost block fails loudly
+    # rather than resampling).
     ranged = (
         df.repartitionByRange(partitions, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
     offsets, acc = [], 0
@@ -421,10 +428,12 @@ def global_prefix_sums(
     spark = df.sparkSession
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism
+    # lazy checkpoint: the per-partition sums job materializes the blocks
+    # (see _ranked_by_range — 2 jobs instead of 3 per use)
     ranged = (
         df.repartitionByRange(partitions, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     per = (
         ranged.groupBy("__pid")
@@ -545,10 +554,12 @@ def global_prefix_max(
     spark = df.sparkSession
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism
+    # lazy checkpoint: the per-partition max job materializes the blocks
+    # (see _ranked_by_range — 2 jobs instead of 3 per use)
     ranged = (
         df.repartitionByRange(partitions, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     per = ranged.groupBy("__pid").agg(F.max(value_col).alias("m")).collect()
     rows, best = [], None
@@ -634,12 +645,16 @@ def skyline_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="windows",
     doc="EXACT per-group p25/p50/p75 of order value (integer cents, "
     "results x4 so quarter-interpolation stays integer — same arithmetic "
-    "as global_quartiles_exact): rank within each priority group via a "
-    "group-partitioned window, straddling ranks read off relationally. "
-    "SCALE SHAPE: the partition key bounds window state (each group "
-    "sorts in parallel); this is the per-GROUP complement of the "
-    "two-phase global quartiles — use THAT when there is no partition "
-    "key, this when there is. No floats anywhere.",
+    "as global_quartiles_exact): each group's six straddling ranks are "
+    "selected by shared-round histogram narrowing (grouped_rank_values — "
+    "ALL groups and ALL targets histogrammed in the SAME scan each "
+    "round), quarter-interpolated in exact integer arithmetic. SCALE "
+    "SHAPE (r11 rewrite from a group-partitioned window rank): the old "
+    "shape shuffled and sorted every order row with parallelism capped "
+    "at the group count (5 priorities ⇒ 5 sort tasks regardless of "
+    "cores); selection is 3 bounded column-scan jobs with no shuffle of "
+    "the data at all — the per-GROUP complement of the driver-assembled "
+    "global quartiles. No floats anywhere.",
     oracle="""
 WITH c AS (
   SELECT o_orderpriority AS grp,
@@ -668,33 +683,32 @@ def group_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
         .cast("bigint")
         .alias("cents"),
-        "o_orderkey",
     )
-    w = Window.partitionBy("grp").orderBy("cents", "o_orderkey")
-    wn = Window.partitionBy("grp")
-    c = o.select(
-        "grp",
-        "cents",
-        F.row_number().over(w).cast("bigint").alias("rn"),
-        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+
+    def want(n: int) -> list[int]:
+        ranks = []
+        for k in (1, 2, 3):
+            m = k * (n - 1)
+            lo = m // 4 + 1
+            ranks += [lo, lo + (1 if m % 4 else 0)]
+        return ranks
+
+    sel = grouped_rank_values(o, "grp", "cents", want)
+    rows = []
+    for g, (vals, n) in sorted(sel.items()):
+        row = [g, n]
+        for k in (1, 2, 3):
+            m = k * (n - 1)
+            lo = m // 4 + 1
+            r = m % 4
+            hi = lo + (1 if r else 0)
+            row.append(vals[lo] * (4 - r) + vals[hi] * r)
+        rows.append(tuple(row))
+    return spark.createDataFrame(
+        rows,
+        "grp string, n long, p25_cents_x4 long, p50_cents_x4 long, "
+        "p75_cents_x4 long",
     )
-    aggs = []
-    for k in (1, 2, 3):
-        m = F.lit(k) * (F.col("n") - 1)
-        lo = F.floor(m / 4).cast("bigint") + 1
-        r = (m % 4).cast("bigint")
-        hi = lo + F.when(r > 0, 1).otherwise(0)
-        aggs.append(
-            (
-                F.max(F.when(F.col("rn") == lo, F.col("cents")))
-                * (4 - F.max(F.when(F.col("rn") == lo, r)))
-                + F.max(F.when(F.col("rn") == hi, F.col("cents")))
-                * F.max(F.when(F.col("rn") == hi, r))
-            )
-            .cast("bigint")
-            .alias(f"p{k * 25}_cents_x4")
-        )
-    return c.groupBy("grp", "n").agg(*aggs)
 
 
 # Histogram fan-out per narrowing round. 16384 keeps the driver collect to
@@ -732,7 +746,9 @@ def global_rank_values(
     """
     src = df.select(F.col(col).alias("v"))
     if materialize:
-        src = src.localCheckpoint()
+        # lazy: the min/max job below materializes the blocks (one job
+        # saved per use — the same fuse as the two-phase rank family)
+        src = src.localCheckpoint(eager=False)
     mm = src.agg(F.min("v").alias("mn"), F.max("v").alias("mx")).collect()[0]
     if mm.mn is None:
         raise ValueError("rank selection over an empty relation")
@@ -805,6 +821,179 @@ def global_rank_values(
     return resolved, n_total
 
 
+def grouped_rank_values(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ranks,
+    buckets: int = 4096,
+) -> dict:
+    """EXACT per-GROUP order-statistic selection of an integral column in
+    shared histogram rounds — the group-keyed sibling of
+    :func:`global_rank_values` for bounded group domains (return flags,
+    nations, priorities). ``ranks`` is a callable ``n -> list[int]``
+    resolved against each group's size. Returns
+    ``{group: ({rank: value}, n_rows)}``.
+
+    One job per round for ALL groups and ALL targets: within a group the
+    live ranges are identical-or-disjoint (each target's range narrows to
+    one bucket of its previous range), and across groups the group key
+    separates them — so one ``groupBy (range_id, bucket)`` histograms
+    everything at once. The live ranges attach as a TINY BROADCAST
+    RELATION (equi-join on the group key + range filter), NOT as an
+    inline CASE chain: a when-chain over ``groups × targets`` ranges
+    blows up analysis/codegen super-linearly (measured 1.1 s → 22 s →
+    minutes per round at 23–28 ranges on 15k rows — the round-4 lesson
+    that literal model state belongs in a broadcast relation, not an
+    expression forest). Driver state per round is bounded by ``buckets ×
+    live_ranges`` (live_ranges ≤ groups × targets), never by data.
+    Replaces the per-group counts-map state of Spark's ``percentile()``
+    aggregate (whose partial maps grow with distinct values per group — a
+    memory hazard at scale) with fixed-size histograms; no sort, no
+    shuffle of the data anywhere.
+    """
+    src = (
+        df.select(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+        .where(F.col("v").isNotNull())  # percentile() semantics: nulls ignored
+        # lazy: the min/max/count job below materializes the blocks
+        .localCheckpoint(eager=False)
+    )
+    base = src.groupBy("g").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx"), F.count(F.lit(1)).alias("n")
+    ).collect()
+    live: dict[tuple, tuple[int, int, int]] = {}  # (g, rank) -> (lo, hi, kk)
+    resolved: dict = {}
+    for row in base:
+        g, n = row["g"], row["n"]
+        resolved[g] = ({}, n)
+        for k in sorted(set(ranks(n))):
+            if not 1 <= k <= n:
+                raise ValueError(f"rank {k} outside 1..{n} for group {g!r}")
+            live[(g, k)] = (row["mn"], row["mx"], k)
+    spark = df.sparkSession
+    import pyspark.sql.types as T
+
+    g_type = src.schema["g"].dataType
+    rng_schema = T.StructType(
+        [
+            T.StructField("__r", T.IntegerType()),
+            T.StructField("__g", g_type),
+            T.StructField("__lo", T.LongType()),
+            T.StructField("__hi", T.LongType()),
+            T.StructField("__w", T.LongType()),
+        ]
+    )
+    for _ in range(8):
+        if not live:
+            break
+        ranges = sorted({(g, lo, hi) for (g, _), (lo, hi, _) in live.items()})
+        widths = [(hi - lo) // buckets + 1 for _, lo, hi in ranges]
+        rng = spark.createDataFrame(
+            [
+                (i, g, lo, hi, width)
+                for i, ((g, lo, hi), width) in enumerate(zip(ranges, widths))
+            ],
+            rng_schema,
+        )
+        hist = (
+            src.join(
+                F.broadcast(rng),
+                (F.col("g") == F.col("__g"))
+                & (F.col("v") >= F.col("__lo"))
+                & (F.col("v") <= F.col("__hi")),
+            )
+            # integer DIV, not float-divide-then-cast (NOTES.md round-3)
+            .groupBy(
+                F.col("__r").alias("r"),
+                F.expr("CAST((v - __lo) DIV __w AS BIGINT)").alias("b"),
+            )
+            .count()
+            .collect()
+        )
+        per_range: dict[int, list] = {}
+        for row in hist:
+            per_range.setdefault(row["r"], []).append(row)
+        nxt: dict[tuple, tuple[int, int, int]] = {}
+        for (g, k), (lo, hi, kk) in live.items():
+            if lo == hi:
+                resolved[g][0][k] = lo
+                continue
+            ridx = ranges.index((g, lo, hi))
+            width = widths[ridx]
+            acc, picked = 0, None
+            for row in sorted(per_range.get(ridx, []), key=lambda r: r["b"]):
+                if acc + row["count"] >= kk:
+                    picked = row["b"]
+                    kk -= acc
+                    break
+                acc += row["count"]
+            assert picked is not None
+            if width == 1:
+                resolved[g][0][k] = lo + picked
+            else:
+                nlo = lo + picked * width
+                nxt[(g, k)] = (nlo, min(hi, nlo + width - 1), kk)
+        live = nxt
+    if live:
+        raise AssertionError("grouped rank selection failed to converge in 8 rounds")
+    return resolved
+
+
+def grouped_percentile_doubles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    fracs: list,
+    scale: int = 100,
+) -> dict:
+    """EXACT per-group continuous percentiles of a fixed-decimal DOUBLE
+    column, BIT-IDENTICAL to Spark's ``percentile(col, frac)`` aggregate
+    (pinned by tests/test_operators.py), via :func:`grouped_rank_values`.
+
+    Requires every value to be an exact multiple of ``1/scale`` with
+    ``scale`` a power of ten (TPC-H money columns): then
+    ``floor(v*scale+0.5)`` is a monotone bijection onto integers and
+    ``cents/scale`` in IEEE double reproduces the input double exactly
+    (correctly-rounded division of an exact integer == the double nearest
+    the decimal literal). Interpolation reproduces Spark's Percentile
+    arithmetic op-for-op: ``position = frac * (n-1)`` (double),
+    ``(higher-position)*v[lower] + (position-lower)*v[higher]`` — verified
+    bit-exact against percentile() over 480 randomized cases and pinned on
+    real data by tests. Returns ``{group: [double per frac]}``; leave any
+    final ``round()`` to Spark expressions so rounding semantics also stay
+    the engine's own.
+    """
+    import math
+
+    quant = df.select(
+        F.col(group_col).alias("g"),
+        F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("bigint").alias("c"),
+    )
+
+    def want(n: int) -> list[int]:
+        out = []
+        for p in fracs:
+            pos = p * (n - 1)
+            out += [math.floor(pos) + 1, math.ceil(pos) + 1]
+        return out
+
+    sel = grouped_rank_values(quant, "g", "c", want)
+    result = {}
+    for g, (vals, n) in sel.items():
+        outs = []
+        for p in fracs:
+            pos = p * (n - 1)
+            lower, higher = math.floor(pos), math.ceil(pos)
+            v_lo = vals[lower + 1] / scale
+            if higher == lower:
+                outs.append(v_lo)
+            else:
+                v_hi = vals[higher + 1] / scale
+                outs.append((higher - pos) * v_lo + (pos - lower) * v_hi)
+        result[g] = outs
+    return result
+
+
 def global_kth_smallest(df: DataFrame, col: str, rank) -> tuple[int, int]:
     """EXACT order-statistic selection of an integral column by distributed
     quickselect — the selection complement of :func:`global_row_number`
@@ -825,7 +1014,9 @@ def global_kth_smallest(df: DataFrame, col: str, rank) -> tuple[int, int]:
     every pass is a filter + partial-agg over a localCheckpoint'd
     relation, no sort anywhere, driver state bounded by the bucket
     count."""
-    src = df.select(F.col(col).alias("v")).localCheckpoint()
+    # lazy checkpoint: the min/max job materializes the blocks (one job
+    # saved per use — the same fuse as the two-phase rank family)
+    src = df.select(F.col(col).alias("v")).localCheckpoint(eager=False)
     mm = src.agg(F.min("v").alias("mn"), F.max("v").alias("mx")).collect()[0]
     lo, hi = mm.mn, mm.mx
     if lo is None:
