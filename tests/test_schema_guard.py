@@ -13,6 +13,8 @@ asserts no top-level (or nested) DecimalType remains.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import types as T
 
 from tests.conftest import SF_SMALL
@@ -31,6 +33,7 @@ def _contains_decimal(dt: T.DataType) -> bool:
     return False
 
 
+@pytest.mark.slow
 def test_no_decimal_in_any_query_output_schema(spark):
     specs = load_all_queries()
     offenders: list[str] = []

@@ -129,6 +129,7 @@ def test_multimodal_feature_extraction_real_decode(spark):
     assert row.sum_r == sum(exp[0::3]) and row.sum_g == sum(exp[1::3]) and row.sum_b == sum(exp[2::3])
 
 
+@pytest.mark.slow
 def test_ann_ivf_recall_vs_bruteforce(spark):
     """IVF (16 cells, nprobe 3) top-1 should agree with brute force for a
     solid fraction of queries and cover every query."""
@@ -265,6 +266,7 @@ def test_scaled_ann_lsh_structure(spark):
     assert all(r.query_id != r.neighbor_id for r in rows)
 
 
+@pytest.mark.slow
 def test_minhash_lsh_recall_cross_validated_against_spark_ml(spark):
     """Ecosystem parity: spark.ml's own MinHashLSH (approxSimilarityJoin at
     Jaccard distance ≤ 0.5) and this repo's banded LSH must both recover

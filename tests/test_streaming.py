@@ -81,6 +81,7 @@ def test_streaming_dedup_within_watermark(spark, stream_dir, tmp_path):
     assert out.select("event_id").distinct().count() == n_unique
 
 
+@pytest.mark.slow
 def test_stateful_user_counts(spark, stream_dir):
     """applyInPandasWithState running per-user aggregates match the batch
     groupBy at end of stream."""
@@ -130,6 +131,7 @@ def test_foreach_batch_sink_and_rate_source(spark, stream_dir, tmp_path):
     assert [f.name for f in rate.schema.fields] == ["timestamp", "value"]
 
 
+@pytest.mark.slow
 def test_watermark_append_mode_finalizes_windows_once(spark, tmp_path):
     """Watermark semantics for streaming aggregations (the classic gotcha,
     asserted): the watermark is a STATE-EVICTION bound, not a hard row
@@ -192,6 +194,7 @@ def test_watermark_append_mode_finalizes_windows_once(spark, tmp_path):
     assert "2024-06-01 13:00:00" not in got
 
 
+@pytest.mark.slow
 def test_stream_stream_attribution_join_matches_batch(spark, stream_dir):
     """Real stream-stream inner join: two watermarked file streams joined on
     user + a 6h event-time range. Result set equals the batch formulation
@@ -251,6 +254,7 @@ def test_stream_static_join_enriches_events(spark, stream_dir):
         assert r.c_mktsegment == seg.get(r.user_id)
 
 
+@pytest.mark.slow
 def test_ohlc_bars_stream_matches_batch(spark, stream_dir):
     from wheels_in_motion_analytics_spark.streaming.windows import ohlc_agg
 
@@ -267,6 +271,7 @@ def test_ohlc_bars_stream_matches_batch(spark, stream_dir):
     assert got == expected
 
 
+@pytest.mark.slow
 def test_chained_window_rollup_stream(spark, stream_dir):
     """Two chained stateful operators (5-min bars -> hourly rollup of the
     bar window column) run as ONE streaming query in append mode; every
@@ -291,6 +296,7 @@ def test_chained_window_rollup_stream(spark, stream_dir):
     assert got <= expected
 
 
+@pytest.mark.slow
 def test_stateful_exact_totals_survive_microbatch_splits(spark, stream_dir, tmp_path):
     """The oracle-checked stateful op must give identical final state no
     matter how the input is split into micro-batches: force one file per
@@ -337,6 +343,7 @@ def test_stateful_exact_totals_survive_microbatch_splits(spark, stream_dir, tmp_
     assert len(one_batch) > 0
 
 
+@pytest.mark.slow
 def test_stream_stream_left_outer_emits_unmatched_after_watermark(
     spark, stream_dir, tmp_path
 ):
@@ -401,6 +408,7 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(
     assert any(v is None for (_, _, v) in got)
 
 
+@pytest.mark.slow
 def test_stateful_stream_recovers_state_across_restart(spark, tmp_path):
     """Kill a stateful query mid-input, restart from its checkpoint with
     the remaining files: recovered state must continue the counts, not
@@ -463,6 +471,7 @@ def test_stateful_stream_recovers_state_across_restart(spark, tmp_path):
     assert final == expected
 
 
+@pytest.mark.slow
 def test_stream_upsert_state_independent_of_batch_boundaries(spark):
     from wheels_in_motion_analytics_spark.streaming.sinks import run_stream_upsert
 
@@ -476,6 +485,7 @@ def test_stream_upsert_state_independent_of_batch_boundaries(spark):
     assert versions == {1, 2}
 
 
+@pytest.mark.slow
 def test_dedup_within_watermark_drops_cross_batch_duplicates(spark):
     """The real dropDuplicatesWithinWatermark run must emit exactly the
     batch DISTINCT of the slice even though the staged stream contains the
@@ -509,6 +519,7 @@ def test_dedup_within_watermark_drops_cross_batch_duplicates(spark):
     assert set(emitted) == expected
 
 
+@pytest.mark.slow
 def test_stream_ingest_versioned_commits_match_batch_aggregate(spark):
     """Streaming lakehouse ingest parity: the per-micro-batch versioned
     appends must reconstruct exactly the batch aggregate over the same
@@ -544,6 +555,7 @@ def test_stream_ingest_versioned_commits_match_batch_aggregate(spark):
         assert row["n_versions"] == 3  # one atomic append per micro-batch
 
 
+@pytest.mark.slow
 def test_stream_fanout_sinks_agree_and_match_batch(spark):
     from wheels_in_motion_analytics_spark.streaming.sinks import (
         _FO_KEY_MOD,

@@ -97,6 +97,7 @@ def test_compaction_shrinks_files_preserves_content_and_history(
     assert read_version(spark, root, v_before).count() == len(rows_before)
 
 
+@pytest.mark.slow
 def test_branch_merge_surfaces_conflicts_and_branch_wins(spark, tmp_path):
     """Three-way merge with a genuine divergence: both main and branch
     rewrite the same key after the fork — the key must surface as a
@@ -147,6 +148,7 @@ def test_branch_merge_surfaces_conflicts_and_branch_wins(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_deletion_vectors_leave_data_files_immutable(spark, tmp_path):
     """Two delete commits must add only sidecar key files: the data-file
     list is identical across the version chain, the MoR read applies the
@@ -178,6 +180,7 @@ def test_deletion_vectors_leave_data_files_immutable(spark, tmp_path):
     ]
 
 
+@pytest.mark.slow
 def test_plain_read_version_applies_deletion_vectors(spark, tmp_path):
     """read_version on a MoR DELETE version must not resurrect deleted
     rows: it delegates to the merge-on-read path when the manifest carries
@@ -295,6 +298,7 @@ def test_vacuum_keeps_dv_sidecars_of_retained_versions(spark, orders, tmp_path):
     ["a0", "d2", "d3", "a1"],
     ["a0", "a1", "a2"],
 ])
+@pytest.mark.slow
 def test_change_feed_replay_reconstructs_mor_snapshot(spark, orders, tmp_path, chain):
     from wheels_in_motion_analytics_spark.sources.versioned import (
         change_feed,
@@ -337,6 +341,7 @@ def test_change_feed_replay_reconstructs_mor_snapshot(spark, orders, tmp_path, c
     assert sorted(state) == snapshot and len(snapshot) > 0
 
 
+@pytest.mark.slow
 def test_cow_update_rewrites_only_matching_files(spark, orders, tmp_path):
     """Copy-on-write UPDATE: (a) files without matches carry into the new
     manifest under the SAME entry (byte-identical by construction), (b)
@@ -401,6 +406,7 @@ def test_cow_update_rewrites_only_matching_files(spark, orders, tmp_path):
     } == {(r.o_orderkey, round(r.o_totalprice, 2)) for r in before}
 
 
+@pytest.mark.slow
 def test_change_feed_rejects_update_and_branch_base_commits(spark, orders, tmp_path):
     """A feed range spanning a COW ``update`` commit (or any mode the feed
     cannot express) must raise a clear ValueError, not fall into the
@@ -476,6 +482,7 @@ def test_cow_update_reclaims_stage_dir_on_version_conflict(spark, orders, tmp_pa
     ["a0", "a0", "d2", "c", "u2", "d7", "a1", "c", "u5"],
     ["a1", "c", "c", "u2", "u3", "a2", "d2", "d3", "c", "u7"],
 ])
+@pytest.mark.slow
 def test_mixed_chain_matches_sequential_model(spark, orders, tmp_path, chain):
     """Model-based chain invariant over the FULL lifecycle — append,
     MoR delete, compact and COW update interleaved: after every step the
@@ -687,6 +694,7 @@ def test_vacuum_pins_branch_fork_points(spark, tmp_path):
     ["a0", "e1", "c", "u3", "d5", "a2"],
     ["a0", "d2", "c", "e1", "u2", "c", "d3", "e2"],
 ])
+@pytest.mark.slow
 def test_mixed_chain_with_schema_evolution(spark, orders, tmp_path, chain):
     """The lifecycle model test with SCHEMA EVOLUTION interleaved: evolved
     appends add o_flag; every later maintenance op (compact, COW update,
