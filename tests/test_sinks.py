@@ -95,6 +95,21 @@ def test_cdc_merge_exactly_once(spark, tmp_path):
     assert sorted(map(tuple, again.collect())) == final_rows
 
 
+def test_cdc_merge_rejects_feed_missing_stored_columns(spark, tmp_path):
+    """r11 ADVICE fix: a feed missing a stored table column must fail
+    loudly — the explicit-schema read would otherwise NULL the column and
+    the merge would rewrite it away."""
+    import pytest
+
+    from wheels_in_motion_analytics_spark.sources import cdc
+
+    path = str(tmp_path / "cdc_guard")
+    cdc.run_cdc_pipeline(spark, SF_SMALL, path)
+    crippled = cdc._update_batch(spark, SF_SMALL).drop("total_price")
+    with pytest.raises(ValueError, match="missing stored table columns"):
+        cdc.merge_upsert(spark, path, crippled, ["order_id"], "version", "batch-x")
+
+
 def test_partition_overwrite_cdc_touches_only_dirty_months(spark, tmp_path):
     """Dynamic-partition-overwrite MERGE: untouched month directories keep
     their files byte-for-byte; dirty months are rewritten; result matches

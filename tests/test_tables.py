@@ -52,8 +52,33 @@ def test_table_loader_types_unchanged(spark, sf_dir):
         ], f"{name}: loader changed column types"
 
 
+@pytest.mark.skipif(not SF_DIRS, reason="no /root/testdata directories")
 def test_events_fast_path_is_ntz(spark):
     df = table(spark, SF_DIRS[0], "events")
     assert df.schema["ts"].dataType.simpleString() == "timestamp_ntz"
     # fast path must be a plain scan (no inference-era withColumn rewrite)
     assert "convert_timezone" not in df._jdf.queryExecution().analyzed().toString()
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_derived_lake_declared_schema_matches_inference(spark, sf_dir):
+    """r11 ADVICE fix: the `.derived/` month-partitioned lineitem lake is
+    _SUCCESS-gated and never rebuilt, so its explicit-schema reads trusted
+    a contract the base-table sweep never checked — a stale lake written
+    under a different timestamp generation would be silently misread.
+    Compare declared vs inference whenever the lake exists (builds it on
+    first run, same as the queries do)."""
+    from wheels_in_motion_analytics_spark.sources.partitioned import (
+        _partitioned_lineitem_schema,
+        ensure_partitioned_lineitem,
+    )
+
+    path = ensure_partitioned_lineitem(spark, sf_dir)
+    inferred = spark.read.parquet(path).schema
+    declared = _partitioned_lineitem_schema()
+    assert sorted((f.name, f.dataType.simpleString()) for f in inferred.fields) == sorted(
+        (f.name, f.dataType.simpleString()) for f in declared.fields
+    ), (
+        f"declared derived-lake schema diverged from {path} — rebuild the "
+        "lake (delete .derived/) or fix _partitioned_lineitem_schema"
+    )

@@ -48,6 +48,36 @@ def applied_batches(spark: SparkSession, table_path: str) -> set[str]:
     return {r.batch_id for r in rows}
 
 
+def _assert_feed_matches_stored(updates: DataFrame, data_path: str) -> None:
+    """Guard for the explicit-schema merge reads (r11 ADVICE fix): reading
+    the stored table with ``updates.schema`` silently NULLs any stored
+    column absent from the feed — and the merge would then rewrite that
+    column away. Compare field names against one stored footer DRIVER-SIDE
+    (a ~ms pyarrow probe, not a Spark inference job) and fail loudly on
+    mismatch instead."""
+    try:
+        import glob
+
+        import pyarrow.parquet as pq
+
+        files = sorted(glob.glob(os.path.join(data_path, "**", "*.parquet"),
+                                 recursive=True))
+        if not files:
+            return
+        stored = set(pq.ParquetFile(files[0]).schema_arrow.names)
+    except Exception:
+        return  # probe is best-effort; absence of pyarrow must not break merges
+    # partition columns live in directory names, not footers — they are
+    # allowed to be feed-only; anything stored-only is the data-loss hazard
+    missing = stored - set(updates.columns)
+    if missing:
+        raise ValueError(
+            f"update feed is missing stored table columns {sorted(missing)}: "
+            "an explicit-schema read would NULL them and the merge would "
+            "rewrite them away (pass a feed carrying every table column)"
+        )
+
+
 def merge_upsert(
     spark: SparkSession,
     table_path: str,
@@ -66,7 +96,9 @@ def merge_upsert(
         return False
     # the table's schema is the update feed's schema by construction (the
     # seed and every merge write the same columns) — supplying it skips the
-    # per-call footer-inference job (r10 loader lesson, guide §1.2)
+    # per-call footer-inference job (r10 loader lesson, guide §1.2); the
+    # by-construction claim is enforced, not assumed:
+    _assert_feed_matches_stored(updates, os.path.join(table_path, "data"))
     current = (
         spark.read.schema(updates.schema)
         .parquet(os.path.join(table_path, "data"))
@@ -247,6 +279,9 @@ def merge_upsert_partitioned(
     # as the merged checkpoint below.
     updates = updates.localCheckpoint()
     dirty = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    # enforce the feed-carries-every-stored-column contract (the partition
+    # column is directory-encoded, so the footer probe ignores it)
+    _assert_feed_matches_stored(updates, data_path)
     current = (
         # feed schema == table schema (partition column included; its type
         # comes from the declared schema instead of directory-name
