@@ -148,7 +148,9 @@ def _subspace_rows(df: DataFrame, vec_col: str = "e") -> DataFrame:
     ).withColumns({"m": F.col("ms.m"), "s": F.col("ms.s")}).drop("ms")
 
 
-def _pq_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_assignments(
+    spark: SparkSession, sf_dir: str, e: DataFrame | None = None
+) -> DataFrame:
     """Per (vec_id, m): the chosen codeword k and its 6dp-rounded squared
     L2 distance d — the shared encode core of both PQ queries. Shape: a
     128-row broadcast codebook joined onto the subspace explode, then a
@@ -156,13 +158,20 @@ def _pq_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured WORSE: folding the argmin into one map-only projection of
     128 literal-codeword zip_with/aggregate expressions (zero shuffle on
     paper) ran 4x slower — giant higher-order-function expressions don't
-    whole-stage-codegen; the tiny broadcast join stays JVM-tight."""
+    whole-stage-codegen; the tiny broadcast join stays JVM-tight.
+
+    ``e`` (optional): a pre-built ``(vec_id, e: array<double>)`` relation —
+    callers that already materialized the cast corpus (the IVF-PQ query
+    checkpoints it for routing) pass it in so the encode half reads the
+    SAME blocks instead of re-scanning parquet and re-casting (r11, guide
+    §1.2: don't compute things twice)."""
     from wheels_in_motion_analytics_spark.functions.similarity import dot
 
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-    )
+    if e is None:
+        e = table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
     sub = _subspace_rows(e)
     s, c = F.col("s"), F.col("c")
     scored = sub.join(F.broadcast(_codebook_df(spark)), "m").select(
@@ -318,11 +327,18 @@ def pq_adc_topk_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from wheels_in_motion_analytics_spark.functions.similarity import dot
 
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
+        # three consumers (PQ encode, anchors, exact-distance join-back):
+        # lazy-materialize once, the single noop-driven job caches partitions
+        # on first touch instead of re-scanning + re-casting per branch
+        .localCheckpoint(eager=False)
     )
-    codes = _pq_assignments(spark, sf_dir).select("vec_id", "m", "k")
+    codes = _pq_assignments(spark, sf_dir, e=e).select("vec_id", "m", "k")
     anchors = e.where(F.col("vec_id") % ADC_ANCHOR_MOD == 0).select(
         F.col("vec_id").alias("anchor_id"), F.col("e").alias("q")
     )
@@ -518,7 +534,13 @@ def ann_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rnk") <= IVFPQ_NPROBE)
         & (F.col("vec_id") % ADC_ANCHOR_MOD == 0)
     ).select(F.col("vec_id").alias("query_id"), "cell")
-    codes = _pq_assignments(spark, sf_dir).select("vec_id", "m", "k").localCheckpoint()
+    # encode from the SAME checkpointed cast corpus the routing half uses
+    # (was a second parquet scan + array cast); no checkpoint on codes —
+    # it has exactly one consumer (the candidate join), so an eager
+    # materialization was a pure extra job + serialization pass
+    codes = _pq_assignments(spark, sf_dir, e=nn.select("vec_id", "e")).select(
+        "vec_id", "m", "k"
+    )
     # per-query LUT: the query's subspace slices against every codeword
     qsub = _subspace_rows(
         nn.where(F.col("vec_id") % ADC_ANCHOR_MOD == 0).select(
